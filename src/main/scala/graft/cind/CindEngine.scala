@@ -1,0 +1,246 @@
+package graft.cind
+
+import graft.core.{Capture, ConditionCodes, SortedOps}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** One capture's co-occurrence evidence from a single join line. */
+final case class CindEvidence(dep: Capture, refs: Array[Capture])
+
+/** Intersection result for one dependent capture. */
+final case class CindSet(count: Long, refs: Array[Capture])
+
+/** A discovered CIND row (final output shape). */
+final case class CindRow(
+    dep_code: Int, dep_v1: String, dep_v2: String,
+    ref_code: Int, ref_v1: String, ref_v2: String,
+    support: Long)
+
+/** The CIND discovery pipeline, re-expressed Spark-first.
+  *
+  * Shape (reference strategy 0, AllAtOnce — programs/RDFind.scala:196-580 +
+  * plan/AllAtOnceTraversalStrategy.scala:33-85):
+  *
+  *   triples
+  *     -> 9-way capture-instance fan-out        (explode; ref: CreateJoinPartners.scala:23-198)
+  *     -> frequent-condition pruning            (broadcast semi-join; ref: FrequentConditionPlanner BFs)
+  *     -> frequent-capture pruning              (broadcast semi-join; ref: RDFind.scala:348-400)
+  *     -> join lines: groupBy(value)            (collect_set; ref: UnionJoinCandidates)
+  *     -> evidence fan-out per line             (flatMap; ref: CreateAllCindCandidates)
+  *     -> per-dep sorted-set intersection       (typed Aggregator; ref: IntersectCindCandidates)
+  *     -> support filter + explode to CINDs
+  *
+  * The two pruning layers are *semantics-preserving*: a capture can appear in
+  * a reported CIND (as dep or ref) only if its support >= minSupport, and
+  * support <= its condition's triple count, so dropping infrequent conditions
+  * and captures never changes the result — it only removes the quadratic
+  * work hidden in hub join lines. Spark's broadcast hash joins replace the
+  * reference's broadcast Bloom filters (exact, no false positives); at
+  * cluster scale the Bloom-filter variant can be swapped in via `graft.core.Bloom`.
+  */
+object CindEngine {
+
+  val DefaultMinSupport = 10
+
+  import ConditionCodes.{S, P, O}
+
+  /** The 9 capture shapes: (captureCode, conditionAttrs) with value columns.
+    * For each triple and each projected attribute we emit the 2 unary and 1
+    * binary capture instances that contain the projected value. */
+  private def captureStruct(code: Int, v1: Column, v2: Column, joinVal: Column) =
+    struct(lit(code).as("code"), v1.as("v1"), v2.as("v2"), joinVal.as("join_val"))
+
+  /** Fan a triple table (subj, pred, obj) out to capture instances:
+    * (code, v1, v2, join_val, cond_code). <= 9 rows per triple. */
+  def captureInstances(triples: DataFrame): DataFrame = {
+    val s = col("subj"); val p = col("pred"); val o = col("obj")
+    val empty = lit("")
+    val instances = array(
+      // project s (join value = subj): conditions on p, o, and (p,o)
+      captureStruct(ConditionCodes.capture(P, S), p, empty, s),
+      captureStruct(ConditionCodes.capture(O, S), o, empty, s),
+      captureStruct(ConditionCodes.capture(P | O, S), p, o, s),
+      // project p: conditions on s, o, (s,o)
+      captureStruct(ConditionCodes.capture(S, P), s, empty, p),
+      captureStruct(ConditionCodes.capture(O, P), o, empty, p),
+      captureStruct(ConditionCodes.capture(S | O, P), s, o, p),
+      // project o: conditions on s, p, (s,p)
+      captureStruct(ConditionCodes.capture(S, O), s, empty, o),
+      captureStruct(ConditionCodes.capture(P, O), p, empty, o),
+      captureStruct(ConditionCodes.capture(S | P, O), s, p, o)
+    )
+    triples
+      .select(explode(instances).as("c"))
+      .select(col("c.code"), col("c.v1"), col("c.v2"), col("c.join_val"))
+      .withColumn("cond_code", col("code").bitwiseAND(lit(ConditionCodes.AttrMask)))
+  }
+
+  /** Condition occurrence counts: how many triples match each unary/binary
+    * condition (reference FrequentConditionPlanner.scala:291-311,374-394 —
+    * the two word-counts fused into one pass). Output:
+    * (cond_code, v1, v2, cnt). */
+  def conditionCounts(triples: DataFrame): DataFrame = {
+    val s = col("subj"); val p = col("pred"); val o = col("obj")
+    val empty = lit("")
+    def cond(code: Int, v1: Column, v2: Column) =
+      struct(lit(code).as("cond_code"), v1.as("v1"), v2.as("v2"))
+    val conds = array(
+      cond(S, s, empty), cond(P, p, empty), cond(O, o, empty),
+      cond(S | P, s, p), cond(S | O, s, o), cond(P | O, p, o))
+    triples
+      .select(explode(conds).as("c"))
+      .groupBy(col("c.cond_code").as("cond_code"), col("c.v1").as("v1"), col("c.v2").as("v2"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Capture instances that survive frequent-condition pruning. */
+  def prunedCaptureInstances(triples: DataFrame, minSupport: Int): DataFrame = {
+    val freq = conditionCounts(triples)
+      .filter(col("cnt") >= minSupport)
+      .select("cond_code", "v1", "v2")
+    captureInstances(triples)
+      .join(broadcast(freq), Seq("cond_code", "v1", "v2"), "left_semi")
+  }
+
+  /** Captures with >= minSupport distinct values (their *support*), computed
+    * exactly. Any capture below this bound can appear in no reported CIND —
+    * pruning refs too empties hub join lines (reference
+    * programs/RDFind.scala:348-400, `--find-frequent-captures`). */
+  def frequentCaptures(instances: DataFrame, minSupport: Int): DataFrame =
+    instances
+      .select("code", "v1", "v2", "join_val").distinct()
+      .groupBy("code", "v1", "v2")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+
+  /** Join lines: per distinct value, the set of (frequent) captures that
+    * contain it. */
+  def joinLines(instances: DataFrame, frequentCaps: DataFrame): DataFrame =
+    instances
+      .join(broadcast(frequentCaps.select("code", "v1", "v2")),
+        Seq("code", "v1", "v2"), "left_semi")
+      .groupBy("join_val")
+      .agg(collect_set(struct(col("code"), col("v1"), col("v2"))).as("captures"))
+
+  /** Per join line, one evidence row per member capture: (dep, all
+    * co-captures not trivially implied by dep, sorted). Rows with empty refs
+    * are kept — they still count toward the dep's support. */
+  def evidences(lines: DataFrame): Dataset[CindEvidence] = {
+    import lines.sparkSession.implicits._
+    lines
+      .select(col("captures").as[Array[Capture]])
+      .flatMap { caps =>
+        val sorted = caps.sorted
+        sorted.iterator.map { dep =>
+          val refs = sorted.filter(c => !(c == dep) && !dep.implies(c))
+          CindEvidence(dep, refs)
+        }
+      }
+  }
+
+  /** All CINDs (trivial implications excluded) with support >= minSupport.
+    * Output columns: dep_code, dep_v1, dep_v2, ref_code, ref_v1, ref_v2,
+    * support. */
+  def allCinds(triples: DataFrame, minSupport: Int = DefaultMinSupport): Dataset[CindRow] = {
+    import triples.sparkSession.implicits._
+    val instances = prunedCaptureInstances(triples, minSupport)
+    val freqCaps = frequentCaptures(instances, minSupport)
+    val lines = joinLines(instances, freqCaps)
+    evidences(lines)
+      .groupByKey(_.dep)
+      .agg(IntersectCindCandidates.toColumn)
+      .filter(_._2.count >= minSupport)
+      .flatMap { case (dep, cs) =>
+        cs.refs.iterator.map(r =>
+          CindRow(dep.code, dep.v1, dep.v2, r.code, r.v1, r.v2, cs.count))
+      }
+  }
+
+  private def firstSubCode(c: Column): Column =
+    when(c === 14, 10).when(c === 21, 17).when(c === 35, 33)
+
+  private def secondSubCode(c: Column): Column =
+    when(c === 14, 12).when(c === 21, 20).when(c === 35, 34)
+
+  /** Minimality pruning (reference plan/TraversalStrategy.scala:126-168):
+    * drop a CIND if it is implied by another discovered CIND, i.e.
+    *   (a) its dep is binary and one of the dep's unary sub-captures has a
+    *       CIND to the same ref, or
+    *   (b) its ref is unary and the same dep has a CIND to a binary ref
+    *       whose sub-capture equals this ref.
+    * Expressed as four broadcast left-anti equi-joins (the CIND set is small
+    * relative to the input data). */
+  def minimalCinds(cinds: DataFrame): DataFrame = {
+    val c = cinds
+    val depCols = Seq("dep_code", "dep_v1", "dep_v2")
+    val refCols = Seq("ref_code", "ref_v1", "ref_v2")
+
+    // (a) implying CINDs keyed as they would appear with the binary dep
+    def depSub(subCode: Column => Column, subVal: String): DataFrame =
+      c.select(
+        subCode(col("dep_code")).as("dep_code_s"),
+        col(subVal).as("dep_v1_s"),
+        col("ref_code"), col("ref_v1"), col("ref_v2"))
+    // the anti-join keys compare the CANDIDATE's sub-capture to an existing
+    // unary-dep CIND, so build sub keys on the left side instead:
+    def pruneA(df: DataFrame, sub: Column => Column, valCol: String): DataFrame = {
+      val unaryDeps = broadcast(
+        c.filter(col("dep_v2") === "")
+          .select(col("dep_code").as("u_code"), col("dep_v1").as("u_v1"),
+            col("ref_code").as("u_rc"), col("ref_v1").as("u_rv1"), col("ref_v2").as("u_rv2"))
+          .distinct())
+      df.join(unaryDeps,
+        sub(col("dep_code")) === col("u_code") && col(valCol) === col("u_v1") &&
+          col("ref_code") === col("u_rc") && col("ref_v1") === col("u_rv1") &&
+          col("ref_v2") === col("u_rv2"),
+        "left_anti")
+    }
+
+    // (b) existing binary-ref CINDs, re-keyed by each unary sub of their ref
+    def pruneB(df: DataFrame, sub: Column => Column, valCol: String): DataFrame = {
+      val binaryRefs = broadcast(
+        c.filter(col("ref_v2") =!= "")
+          .select(col("dep_code").as("b_dc"), col("dep_v1").as("b_dv1"),
+            col("dep_v2").as("b_dv2"),
+            sub(col("ref_code")).as("b_rc"), col(valCol).as("b_rv1"))
+          .distinct())
+      df.join(binaryRefs,
+        col("dep_code") === col("b_dc") && col("dep_v1") === col("b_dv1") &&
+          col("dep_v2") === col("b_dv2") &&
+          col("ref_code") === col("b_rc") && col("ref_v1") === col("b_rv1") &&
+          col("ref_v2") === lit(""),
+        "left_anti")
+    }
+
+    val afterA = pruneA(pruneA(c, firstSubCode, "dep_v1"), secondSubCode, "dep_v2")
+    pruneB(pruneB(afterA, firstSubCode, "ref_v1"), secondSubCode, "ref_v2")
+  }
+}
+
+/** Per-dependent-capture k-way intersection of sorted ref arrays, counting
+  * evidences (reference candidate_merging/IntersectCindCandidates.scala:13-52
+  * over BulkMergeDependencies.scala:21-168 — the memory-adaptive window merge
+  * collapses to pairwise sorted intersection, which Spark runs as
+  * partial+final ObjectHashAggregate automatically). `count == 0` marks the
+  * zero buffer; a real evidence always contributes count 1.
+  */
+object IntersectCindCandidates extends Aggregator[CindEvidence, CindSet, CindSet] {
+  override def zero: CindSet = CindSet(0L, Array.empty)
+
+  override def reduce(b: CindSet, e: CindEvidence): CindSet =
+    if (b.count == 0L) CindSet(1L, e.refs)
+    else CindSet(b.count + 1L, SortedOps.intersect(b.refs, e.refs))
+
+  override def merge(a: CindSet, b: CindSet): CindSet =
+    if (a.count == 0L) b
+    else if (b.count == 0L) a
+    else CindSet(a.count + b.count, SortedOps.intersect(a.refs, b.refs))
+
+  override def finish(r: CindSet): CindSet = r
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[CindSet] =
+    org.apache.spark.sql.Encoders.product[CindSet]
+  override def outputEncoder: org.apache.spark.sql.Encoder[CindSet] =
+    org.apache.spark.sql.Encoders.product[CindSet]
+}

@@ -1,0 +1,136 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RDF triple inputs for the CIND engine.
+  *
+  * Two sources:
+  *   1. `derive(spark, dir)` — a deterministic triple view over the driver's
+  *      TPC-H-ish parquet tables (see TESTDATA.md). `DUCKDB_CTE` is the exact
+  *      same derivation in ANSI SQL, so every oracle query and the Spark
+  *      engine consume identical relations (FIXTURES.md §3).
+  *   2. `parseNTriples` — N-Triples/N-Quads text parsing for reference-parity
+  *      file inputs (reference programs/RDFind.scala:211-237: `#` comment
+  *      filter, whitespace-separated terms, trailing `.`, optional 4th field
+  *      ignored).
+  */
+object TripleSource {
+
+  /** (table, subj prefix+key, Seq(pred -> obj expression)) — kept in one
+    * place so the Spark and SQL derivations cannot drift. Only int keys and
+    * low-cardinality strings: no doubles/timestamps, whose text rendering
+    * differs across engines. */
+  private case class Derivation(table: String, keyCol: String, subjPrefix: String,
+      preds: Seq[(String, String, Boolean)]) // (pred, column, isRefToEntity w/ prefix)
+
+  private val derivations = Seq(
+    Derivation("orders", "o_orderkey", "order:", Seq(
+      ("status", "o_orderstatus", false),
+      ("priority", "o_orderpriority", false),
+      ("customer", "o_custkey", true))),
+    Derivation("customer", "c_custkey", "customer:", Seq(
+      ("segment", "c_mktsegment", false),
+      ("nation", "c_nationkey", true))),
+    Derivation("supplier", "s_suppkey", "supplier:", Seq(
+      ("nation", "s_nationkey", true))),
+    Derivation("nation", "n_nationkey", "nation:", Seq(
+      ("name", "n_name", false),
+      ("region", "n_regionkey", true))),
+    Derivation("region", "r_regionkey", "region:", Seq(
+      ("name", "r_name", false))),
+    Derivation("part", "p_partkey", "part:", Seq(
+      ("brand", "p_brand", false),
+      ("ptype", "p_type", false))),
+    Derivation("lineitem", "l_orderkey", "lineitem:", Seq(
+      ("part", "l_partkey", true),
+      ("supplier", "l_suppkey", true),
+      ("flag", "l_returnflag", false)))
+  )
+
+  /** Entity prefix for reference columns, keyed by (table, column). */
+  private val refPrefix = Map(
+    "o_custkey" -> "customer:", "c_nationkey" -> "nation:",
+    "s_nationkey" -> "nation:", "n_regionkey" -> "region:",
+    "l_partkey" -> "part:", "l_suppkey" -> "supplier:")
+
+  /** Lineitem needs a composite subject key; everything else uses keyCol. */
+  private def subjSqlExpr(d: Derivation): String =
+    if (d.table == "lineitem")
+      s"'${d.subjPrefix}' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+    else s"'${d.subjPrefix}' || CAST(${d.keyCol} AS VARCHAR)"
+
+  private def objSqlExpr(col: String, isRef: Boolean): String =
+    if (isRef) s"'${refPrefix(col)}' || CAST($col AS VARCHAR)" else col
+
+  /** The derivation as a DuckDB/ANSI CTE body (no WITH keyword):
+    * `triples AS (SELECT ... UNION ALL ...)`. */
+  val DUCKDB_CTE: String = {
+    val arms = for {
+      d <- derivations
+      (pred, col, isRef) <- d.preds
+    } yield s"SELECT ${subjSqlExpr(d)} AS subj, '$pred' AS pred, ${objSqlExpr(col, isRef)} AS obj FROM ${d.table}"
+    "triples AS (" + arms.mkString(" UNION ALL ") + ")"
+  }
+
+  /** Same derivation on Spark. The per-table unions push column pruning into
+    * each parquet scan (only 2-3 columns read per table). */
+  def derive(spark: SparkSession, dir: String): DataFrame = {
+    val frames = for {
+      d <- derivations
+      (pred, objCol, isRef) <- d.preds
+    } yield {
+      val t = spark.read.parquet(s"$dir/${d.table}.parquet")
+      val subj =
+        if (d.table == "lineitem")
+          concat(lit(d.subjPrefix), col("l_orderkey").cast("string"),
+            lit(":"), col("l_linenumber").cast("string"))
+        else concat(lit(d.subjPrefix), col(d.keyCol).cast("string"))
+      val obj =
+        if (isRef) concat(lit(refPrefix(objCol)), col(objCol).cast("string"))
+        else col(objCol).cast("string")
+      t.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj"))
+    }
+    frames.reduce(_.unionAll(_))
+  }
+
+  /** Parse N-Triples / N-Quads lines into (subj, pred, obj). Lines starting
+    * with '#' are dropped; `<uri>` brackets are kept as-is (they are part of
+    * the value space, matching the reference's raw-term handling); quoted
+    * literals may contain spaces; an optional 4th term (N-Quads graph) and
+    * the trailing '.' are ignored.
+    */
+  def parseNTriples(lines: Dataset[String]): DataFrame = {
+    import lines.sparkSession.implicits._
+    lines
+      .filter(l => l != null && l.nonEmpty && !l.startsWith("#"))
+      .flatMap(parseLine)
+      .toDF("subj", "pred", "obj")
+  }
+
+  private[rdf] def parseLine(line: String): Option[(String, String, String)] = {
+    val terms = new scala.collection.mutable.ArrayBuffer[String](4)
+    var i = 0
+    val n = line.length
+    while (i < n && terms.length < 3) {
+      while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1
+      if (i < n) {
+        val start = i
+        if (line.charAt(i) == '"') {
+          i += 1
+          while (i < n && line.charAt(i) != '"') {
+            if (line.charAt(i) == '\\') i += 1
+            i += 1
+          }
+          if (i < n) i += 1 // closing quote
+          // language tag / datatype suffix sticks to the literal
+          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t') i += 1
+        } else {
+          while (i < n && line.charAt(i) != ' ' && line.charAt(i) != '\t') i += 1
+        }
+        terms += line.substring(start, i)
+      }
+    }
+    if (terms.length == 3) Some((terms(0), terms(1), terms(2))) else None
+  }
+}

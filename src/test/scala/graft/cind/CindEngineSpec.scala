@@ -1,0 +1,116 @@
+package graft.cind
+
+import graft.SparkSpec
+import graft.core.{Capture, ConditionCodes}
+
+/** End-to-end CIND discovery on the hand-checkable fixture from FIXTURES.md
+  * §2.1, verified against an in-test brute-force oracle that derives the CIND
+  * set directly from first principles (capture value-set containment).
+  */
+class CindEngineSpec extends SparkSpec {
+
+  // FIXTURES.md §2.1 cind_tiny — every CIND class has a witness at support 2.
+  val tiny: Seq[(String, String, String)] = Seq(
+    ("a1", "employs", "p1"), ("a1", "employs", "p2"),
+    ("a2", "employs", "p3"), ("a2", "employs", "p4"),
+    ("p1", "worksFor", "a1"), ("p2", "worksFor", "a1"),
+    ("p3", "worksFor", "a2"), ("p4", "worksFor", "a2"),
+    ("p1", "type", "Person"), ("p2", "type", "Person"),
+    ("p3", "type", "Person"), ("p4", "type", "Person"))
+
+  import ConditionCodes.{S, P, O}
+
+  /** Brute-force oracle: enumerate all 9 capture shapes, build value sets,
+    * report (dep, ref, |dep|) for every dep != ref with dep ⊆ ref, dep not
+    * trivially implying ref, |dep| >= minSupport. */
+  def bruteForce(triples: Seq[(String, String, String)], minSupport: Int)
+      : Set[(Capture, Capture, Long)] = {
+    val sets = scala.collection.mutable.Map
+      .empty[Capture, scala.collection.mutable.Set[String]]
+    def add(cap: Capture, v: String): Unit =
+      sets.getOrElseUpdate(cap, scala.collection.mutable.Set.empty) += v
+    for ((s, p, o) <- triples) {
+      add(Capture(ConditionCodes.capture(P, S), p, ""), s)
+      add(Capture(ConditionCodes.capture(O, S), o, ""), s)
+      add(Capture(ConditionCodes.capture(P | O, S), p, o), s)
+      add(Capture(ConditionCodes.capture(S, P), s, ""), p)
+      add(Capture(ConditionCodes.capture(O, P), o, ""), p)
+      add(Capture(ConditionCodes.capture(S | O, P), s, o), p)
+      add(Capture(ConditionCodes.capture(S, O), s, ""), o)
+      add(Capture(ConditionCodes.capture(P, O), p, ""), o)
+      add(Capture(ConditionCodes.capture(S | P, O), s, p), o)
+    }
+    val caps = sets.keys.toSeq
+    (for {
+      dep <- caps if sets(dep).size >= minSupport
+      ref <- caps
+      if ref != dep && !dep.implies(ref) && sets(dep).subsetOf(sets(ref))
+    } yield (dep, ref, sets(dep).size.toLong)).toSet
+  }
+
+  def toDF(ts: Seq[(String, String, String)]) = {
+    import spark.implicits._
+    ts.toDF("subj", "pred", "obj")
+  }
+
+  test("allCinds matches the brute-force oracle on cind_tiny (support 2)") {
+    val got = CindEngine.allCinds(toDF(tiny), minSupport = 2).collect()
+      .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+        Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)).toSet
+    val want = bruteForce(tiny, 2)
+    assert(got == want, s"\nmissing=${want -- got}\nextra=${got -- want}")
+    assert(got.nonEmpty)
+    // spot-checks from FIXTURES.md §2.1
+    val oPemploys = Capture(ConditionCodes.capture(P, O), "employs", "")
+    val sPworksFor = Capture(ConditionCodes.capture(P, S), "worksFor", "")
+    val sPtype = Capture(ConditionCodes.capture(P, S), "type", "")
+    assert(got.contains((oPemploys, sPworksFor, 4L)))
+    assert(got.contains((oPemploys, sPtype, 4L)))
+    assert(got.contains((sPworksFor, oPemploys, 4L)))
+  }
+
+  test("allCinds respects the support threshold") {
+    val got = CindEngine.allCinds(toDF(tiny), minSupport = 3).collect()
+    assert(got.forall(_.support >= 3))
+    // {a1,a2}-valued captures (support 2) must be gone as deps
+    assert(!got.exists(r => r.dep_v1 == "employs" && r.dep_code ==
+      ConditionCodes.capture(P, S)))
+    val want = bruteForce(tiny, 3)
+    val gotSet = got.map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+      Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)).toSet
+    assert(gotSet == want)
+  }
+
+  test("minimalCinds drops implied CINDs and keeps the rest") {
+    import spark.implicits._
+    val all = CindEngine.allCinds(toDF(tiny), minSupport = 2)
+    val minimal = CindEngine.minimalCinds(all.toDF()).as[CindRow].collect()
+      .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+        Capture(r.ref_code, r.ref_v1, r.ref_v2))).toSet
+    val allSet = all.collect().map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+      Capture(r.ref_code, r.ref_v1, r.ref_v2))).toSet
+    assert(minimal.subsetOf(allSet))
+    // (a) binary dep implied by unary-dep CIND with same ref:
+    //     s[p=type,o=Person] ⊑ o[p=employs] implied by s[p=type] ⊑ o[p=employs]
+    val binDep = Capture(ConditionCodes.capture(P | O, S), "type", "Person")
+    val ref = Capture(ConditionCodes.capture(P, O), "employs", "")
+    assert(allSet.contains((binDep, ref)))
+    assert(!minimal.contains((binDep, ref)))
+    // (b) unary ref implied by binary-ref CIND from same dep:
+    //     s[p=worksFor] ⊑ s[o=Person] implied by s[p=worksFor] ⊑ s[p=type,o=Person]
+    val dep = Capture(ConditionCodes.capture(P, S), "worksFor", "")
+    val uRef = Capture(ConditionCodes.capture(O, S), "Person", "")
+    val bRef = Capture(ConditionCodes.capture(P | O, S), "type", "Person")
+    assert(allSet.contains((dep, bRef)))
+    assert(allSet.contains((dep, uRef)))
+    assert(!minimal.contains((dep, uRef)))
+    assert(minimal.contains((dep, bRef)))
+  }
+
+  test("duplicate triples do not change the CIND set (set semantics)") {
+    val got = CindEngine.allCinds(toDF(tiny ++ tiny), minSupport = 2).collect()
+      .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+        Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)).toSet
+    assert(got == bruteForce(tiny, 2))
+  }
+}

@@ -1,13 +1,144 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cind.CindEngine
+import graft.rdf.{TripleSource, TripleStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §3, each with a DuckDB-equivalent `oracleSql` over the same
+  * parquet tables (the driver's correctness gate). Column names and types are
+  * deliberately mirrored on both sides; sums are CAST to BIGINT in SQL
+  * because DuckDB widens SUM(BIGINT) to HUGEINT.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val MS = CindEngine.DefaultMinSupport // reference --support default
+
+  private def triples(s: SparkSession, dir: String): DataFrame =
+    TripleSource.derive(s, dir)
+
+  /** WITH-clause body deriving the triple relation in DuckDB. */
+  private val cte = TripleSource.DUCKDB_CTE
+
+  /** The 9 valid capture shapes as SQL select-list fragments:
+    * (code, v1, v2, joinValue). Single source for all capture-based oracles. */
+  private val captureArms = Seq(
+    (10, "pred", "''", "subj"), (12, "obj", "''", "subj"), (14, "pred", "obj", "subj"),
+    (17, "subj", "''", "pred"), (20, "obj", "''", "pred"), (21, "subj", "obj", "pred"),
+    (33, "subj", "''", "obj"), (34, "pred", "''", "obj"), (35, "subj", "pred", "obj"))
+
+  private val capsCte: String = "caps AS (" + captureArms.map { case (code, v1, v2, jv) =>
+    s"SELECT DISTINCT $code AS code, $v1 AS v1, $v2 AS v2, $jv AS val FROM triples"
+  }.mkString(" UNION ALL ") + ")"
+
+  /** The 6 condition shapes (primary-attribute bitmask codes). */
+  private val condArms = Seq(
+    (1, "subj", "''"), (2, "pred", "''"), (4, "obj", "''"),
+    (3, "subj", "pred"), (5, "subj", "obj"), (6, "pred", "obj"))
+
+  private val condsCte: String = "conds AS (" + condArms.map { case (code, v1, v2) =>
+    s"SELECT $code AS cond_code, $v1 AS v1, $v2 AS v2 FROM triples"
+  }.mkString(" UNION ALL ") + ")"
+
+  /** CASE expression mapping a binary capture code to its first/second unary
+    * sub-capture code (s[p,o]=14 -> s[p]=10 / s[o]=12, etc.). */
+  private def subCode(col: String, first: Boolean): String =
+    if (first) s"CASE $col WHEN 14 THEN 10 WHEN 21 THEN 17 ELSE 33 END"
+    else s"CASE $col WHEN 14 THEN 12 WHEN 21 THEN 20 ELSE 34 END"
+
+  /** Shared SQL body computing all CINDs (mirrors CindEngine.allCinds):
+    * frequent captures self-joined per join value, a dep⊑ref holds iff the
+    * co-occurrence count equals the dep's support. */
+  private val cindsSqlBody: String =
+    s"""sup AS (SELECT code, v1, v2, COUNT(*) AS s FROM caps GROUP BY 1,2,3),
+       |fc AS (SELECT c.code, c.v1, c.v2, c.val, s.s FROM caps c JOIN sup s ON s.code=c.code AND s.v1=c.v1 AND s.v2=c.v2 WHERE s.s >= $MS),
+       |pairs AS (SELECT d.code AS dep_code, d.v1 AS dep_v1, d.v2 AS dep_v2, MIN(d.s) AS dep_sup, r.code AS ref_code, r.v1 AS ref_v1, r.v2 AS ref_v2, COUNT(*) AS n FROM fc d JOIN fc r ON d.val = r.val AND NOT (d.code = r.code AND d.v1 = r.v1 AND d.v2 = r.v2) GROUP BY 1,2,3,5,6,7),
+       |cinds AS (SELECT dep_code, dep_v1, dep_v2, ref_code, ref_v1, ref_v2, dep_sup AS support FROM pairs WHERE n = dep_sup AND NOT (dep_code IN (14,21,35) AND ref_v2 = '' AND ((ref_code = ${subCode("dep_code", true)} AND ref_v1 = dep_v1) OR (ref_code = ${subCode("dep_code", false)} AND ref_v1 = dep_v2))))""".stripMargin
+
+  /** Prefix table for the URL-shortening operator ("nation:1" exercises
+    * longest-prefix-wins over "nation:"). */
+  private val prefixes = Seq(
+    "customer:" -> "c:", "order:" -> "ord:", "lineitem:" -> "li:",
+    "nation:" -> "n:", "nation:1" -> "n1_", "part:" -> "pt:",
+    "supplier:" -> "sup:", "region:" -> "r:")
+
+  /** Longest-prefix-first CASE over the same prefix table. */
+  private def shortenSql(col: String): String = {
+    val cases = prefixes.sortBy(-_._1.length).map { case (p, ns) =>
+      s"WHEN $col LIKE '${p}%' THEN '$ns' || substr($col, ${p.length + 1})"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE $col END"
+  }
+
+  private val cindCols = Seq("dep_code", "dep_v1", "dep_v2", "ref_code", "ref_v1", "ref_v2", "support")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CindEngine.minimalCinds(
+      CindEngine.allCinds(triples(spark, "/root/testdata/sf0.001"), MS).toDF())
+
+  /** One per implemented operator from SURVEY.md §3. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rdf_triples" -> ((s, dir) =>
+      triples(s, dir).orderBy("subj", "pred", "obj")),
+    "cind_condition_counts" -> ((s, dir) =>
+      CindEngine.conditionCounts(triples(s, dir))
+        .filter(col("cnt") >= MS).orderBy("cond_code", "v1", "v2")),
+    "cind_frequent_captures" -> ((s, dir) =>
+      CindEngine.frequentCaptures(CindEngine.captureInstances(triples(s, dir)), MS)
+        .orderBy("code", "v1", "v2")),
+    "cind_all" -> ((s, dir) =>
+      CindEngine.allCinds(triples(s, dir), MS).toDF()
+        .orderBy(cindCols.map(col): _*)),
+    "cind_minimal" -> ((s, dir) =>
+      CindEngine.minimalCinds(CindEngine.allCinds(triples(s, dir), MS).toDF())
+        .orderBy(cindCols.map(col): _*)),
+    "cind_association_rules" -> ((s, dir) =>
+      CindEngine.associationRules(triples(s, dir), MS)
+        .orderBy("ante_code", "ante_val", "cons_code", "cons_val")),
+    "stats_count_conditions" -> ((s, dir) =>
+      TripleStats.countConditions(triples(s, dir)).orderBy("cond_code")),
+    "stats_distinct_values" -> ((s, dir) =>
+      TripleStats.countDistinctValues(triples(s, dir))),
+    "stats_hash_collisions" -> ((s, dir) =>
+      TripleStats.hashCollisions(triples(s, dir)).orderBy("hash")),
+    "rdf_shorten_urls" -> ((s, dir) =>
+      TripleStats.shortenTriples(triples(s, dir), prefixes)
+        .orderBy("subj", "pred", "obj")),
+    "events_window_counts" -> ((s, dir) => {
+      // ts arrives as epoch-nanos long (spark.sql.legacy.parquet.nanosAsLong)
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(((col("ts") / lit(300000000000L)).cast("long") * 300).as("bucket_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+        .orderBy("bucket_start", "event_type")
+    })
+  )
+
+  /** DuckDB-runnable equivalents (driver correctness gate). */
+  def oracleSql: Map[String, String] = Map(
+    "rdf_triples" ->
+      s"WITH $cte SELECT subj, pred, obj FROM triples ORDER BY 1,2,3",
+    "cind_condition_counts" ->
+      s"WITH $cte, $condsCte SELECT cond_code, v1, v2, COUNT(*) AS cnt FROM conds GROUP BY 1,2,3 HAVING COUNT(*) >= $MS ORDER BY 1,2,3",
+    "cind_frequent_captures" ->
+      s"WITH $cte, $capsCte SELECT code, v1, v2, COUNT(*) AS support FROM caps GROUP BY 1,2,3 HAVING COUNT(*) >= $MS ORDER BY 1,2,3",
+    "cind_all" ->
+      s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
+    "cind_minimal" ->
+      s"""WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds c WHERE NOT (c.dep_code IN (14,21,35) AND EXISTS (SELECT 1 FROM cinds i WHERE i.dep_v2 = '' AND i.ref_code = c.ref_code AND i.ref_v1 = c.ref_v1 AND i.ref_v2 = c.ref_v2 AND ((i.dep_code = ${subCode("c.dep_code", true)} AND i.dep_v1 = c.dep_v1) OR (i.dep_code = ${subCode("c.dep_code", false)} AND i.dep_v1 = c.dep_v2)))) AND NOT (c.ref_v2 = '' AND EXISTS (SELECT 1 FROM cinds i WHERE i.dep_code = c.dep_code AND i.dep_v1 = c.dep_v1 AND i.dep_v2 = c.dep_v2 AND i.ref_code IN (14,21,35) AND ((${subCode("i.ref_code", true)} = c.ref_code AND i.ref_v1 = c.ref_v1) OR (${subCode("i.ref_code", false)} = c.ref_code AND i.ref_v2 = c.ref_v1)))) ORDER BY 1,2,3,4,5,6""",
+    "cind_association_rules" ->
+      s"""WITH $cte, uc AS (SELECT 1 AS code, subj AS v, COUNT(*) AS cnt FROM triples GROUP BY 2 UNION ALL SELECT 2, pred, COUNT(*) FROM triples GROUP BY 2 UNION ALL SELECT 4, obj, COUNT(*) FROM triples GROUP BY 2), bc AS (SELECT 3 AS code, subj AS v1, pred AS v2, COUNT(*) AS cnt FROM triples GROUP BY 2,3 UNION ALL SELECT 5, subj, obj, COUNT(*) FROM triples GROUP BY 2,3 UNION ALL SELECT 6, pred, obj, COUNT(*) FROM triples GROUP BY 2,3) SELECT u.code AS ante_code, b.v1 AS ante_val, CASE b.code WHEN 3 THEN 2 ELSE 4 END AS cons_code, b.v2 AS cons_val, b.cnt AS support FROM bc b JOIN uc u ON u.code = CASE b.code WHEN 6 THEN 2 ELSE 1 END AND u.v = b.v1 WHERE b.cnt = u.cnt AND u.cnt >= $MS UNION ALL SELECT u.code, b.v2, CASE b.code WHEN 6 THEN 2 ELSE 1 END, b.v1, b.cnt FROM bc b JOIN uc u ON u.code = CASE b.code WHEN 3 THEN 2 ELSE 4 END AND u.v = b.v2 WHERE b.cnt = u.cnt AND u.cnt >= $MS ORDER BY 1,2,3,4""",
+    "stats_count_conditions" ->
+      s"WITH $cte, $condsCte, cc AS (SELECT cond_code, v1, v2, COUNT(*) AS cnt FROM conds GROUP BY 1,2,3) SELECT cond_code, COUNT(*) AS n_conditions, CAST(SUM(cnt) AS BIGINT) AS n_occurrences FROM cc GROUP BY 1 ORDER BY 1",
+    "stats_distinct_values" ->
+      s"WITH $cte, vals AS (SELECT subj AS v FROM triples UNION SELECT pred FROM triples UNION SELECT obj FROM triples) SELECT COUNT(*) AS n_values, CAST(SUM(CASE WHEN v LIKE '%:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_refs, CAST(SUM(CASE WHEN v LIKE '%:%' THEN 0 ELSE 1 END) AS BIGINT) AS n_literals FROM vals",
+    "stats_hash_collisions" ->
+      s"WITH $cte, vals AS (SELECT subj AS v FROM triples UNION SELECT pred FROM triples UNION SELECT obj FROM triples) SELECT substr(md5(v),1,4) AS hash, COUNT(*) AS n_values FROM vals GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1",
+    "rdf_shorten_urls" ->
+      s"WITH $cte SELECT ${shortenSql("subj")} AS subj, pred, ${shortenSql("obj")} AS obj FROM triples ORDER BY 1,2,3",
+    "events_window_counts" ->
+      "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2"
+  )
 }

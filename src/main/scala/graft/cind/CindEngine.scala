@@ -157,6 +157,34 @@ object CindEngine {
       }
   }
 
+  /** Association rules with confidence 1.0 between unary conditions
+    * (reference plan/FrequentConditionPlanner.scala:147-191): `A -> B` iff
+    * every triple matching condition A also matches B, with
+    * count(A) >= minSupport. Expressed as a broadcast join of the binary
+    * condition counts against the unary counts — conf==1.0 is exactly
+    * `count(A AND B) == count(A)`.
+    * Output: (ante_code, ante_val, cons_code, cons_val, support). */
+  def associationRules(triples: DataFrame, minSupport: Int = DefaultMinSupport): DataFrame = {
+    val counts = conditionCounts(triples)
+    val unary = counts.filter(col("cond_code").isin(1, 2, 4))
+      .select(col("cond_code").as("u_code"), col("v1").as("u_v"), col("cnt").as("u_cnt"))
+    val binary = counts.filter(col("cond_code").isin(3, 5, 6))
+    // attribute codes of a binary condition's two members: 3=(s,p) 5=(s,o) 6=(p,o)
+    val fstCode = when(col("cond_code") === 6, 2).otherwise(1)
+    val sndCode = when(col("cond_code") === 3, 2).otherwise(4)
+    val d1 = binary
+      .join(broadcast(unary), fstCode === col("u_code") && col("v1") === col("u_v"))
+      .filter(col("cnt") === col("u_cnt") && col("u_cnt") >= minSupport)
+      .select(col("u_code").as("ante_code"), col("v1").as("ante_val"),
+        sndCode.as("cons_code"), col("v2").as("cons_val"), col("cnt").as("support"))
+    val d2 = binary
+      .join(broadcast(unary), sndCode === col("u_code") && col("v2") === col("u_v"))
+      .filter(col("cnt") === col("u_cnt") && col("u_cnt") >= minSupport)
+      .select(col("u_code").as("ante_code"), col("v2").as("ante_val"),
+        fstCode.as("cons_code"), col("v1").as("cons_val"), col("cnt").as("support"))
+    d1.unionAll(d2)
+  }
+
   private def firstSubCode(c: Column): Column =
     when(c === 14, 10).when(c === 21, 17).when(c === 35, 33)
 

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle_sql.json
+entry in DuckDB against the sf tables, compare row/schema/values with the
+Verify parquet dump (columns sorted by name, values compared as sorted rows).
+
+Usage: compare_oracle.py <sfdir> <verify_out_dir>
+"""
+import sys, json, glob, math
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fail += 1
+        continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        want = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        fail += 1
+        continue
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        print(f"FAIL {name}: columns {gc} vs {wc}")
+        fail += 1
+        continue
+    g = got[gc].sort_values(gc).reset_index(drop=True)
+    w = want[wc].sort_values(wc).reset_index(drop=True)
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+        fail += 1
+        continue
+    if not g.equals(w):
+        # tolerate dtype-only diffs by comparing as python objects
+        eq = all(
+            (a == b) or (isinstance(a, float) and isinstance(b, float)
+                         and math.isclose(a, b, rel_tol=1e-12))
+            for ca in gc
+            for a, b in zip(g[ca].tolist(), w[ca].tolist()))
+        if not eq:
+            diff = (g != w)
+            bad = [c for c in gc if diff[c].any()]
+            print(f"FAIL {name}: value mismatch in {bad}")
+            for c in bad[:2]:
+                i = diff[c].idxmax()
+                print(f"   first diff col={c} row={i}: got={g[c][i]!r} want={w[c][i]!r}")
+            fail += 1
+            continue
+    print(f"OK   {name}: {len(g)} rows")
+print("ALL OK" if fail == 0 else f"{fail} FAILURES")
+sys.exit(1 if fail else 0)

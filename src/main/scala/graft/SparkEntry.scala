@@ -86,7 +86,9 @@ object SparkEntry {
       CindEngine.conditionCounts(triples(s, dir))
         .filter(col("cnt") >= MS).orderBy("cond_code", "v1", "v2")),
     "cind_frequent_captures" -> ((s, dir) =>
-      CindEngine.frequentCaptures(CindEngine.captureInstances(triples(s, dir)), MS)
+      // condition pruning first: result-identical (capture support <= its
+      // condition's triple count) but halves the distinct-aggregation input
+      CindEngine.frequentCaptures(CindEngine.prunedCaptureInstances(triples(s, dir), MS), MS)
         .orderBy("code", "v1", "v2")),
     "cind_all" -> ((s, dir) =>
       CindEngine.allCinds(triples(s, dir), MS).toDF()

@@ -106,12 +106,12 @@ object CindEngine {
   /** Captures with >= minSupport distinct values (their *support*), computed
     * exactly. Any capture below this bound can appear in no reported CIND —
     * pruning refs too empties hub join lines (reference
-    * programs/RDFind.scala:348-400, `--find-frequent-captures`). */
+    * programs/RDFind.scala:348-400, `--find-frequent-captures`). One shuffle:
+    * count_distinct plans as partial-dedup + final agg. */
   def frequentCaptures(instances: DataFrame, minSupport: Int): DataFrame =
     instances
-      .select("code", "v1", "v2", "join_val").distinct()
       .groupBy("code", "v1", "v2")
-      .agg(count(lit(1)).as("support"))
+      .agg(count_distinct(col("join_val")).as("support"))
       .filter(col("support") >= minSupport)
 
   /** Join lines: per distinct value, the set of (frequent) captures that
@@ -141,8 +141,86 @@ object CindEngine {
 
   /** All CINDs (trivial implications excluded) with support >= minSupport.
     * Output columns: dep_code, dep_v1, dep_v2, ref_code, ref_v1, ref_v2,
-    * support. */
+    * support.
+    *
+    * Count-match formulation (the reference's own overlap==count trick,
+    * plan/SmallToLargeTraversalStrategy.scala:63-105, generalized to all
+    * arities): `dep ⊑ ref` iff the number of join lines containing BOTH
+    * equals dep's support. The whole plan is relational — explode fan-outs,
+    * hash aggregates, broadcast joins — so it runs inside whole-stage
+    * codegen with map-side partial aggregation; no typed Aggregator and no
+    * per-row JVM collections (cf. `allCindsIntersect`, the strategy-0 shape,
+    * which this strictly dominates on Spark). Frequent-capture pruning
+    * (support >= minSupport on BOTH sides — sound because a reported ref's
+    * value set contains its dep's, so its support is >= dep's) is what keeps
+    * hub join lines narrow and the pair fan-out quadratic-safe.
+    */
   def allCinds(triples: DataFrame, minSupport: Int = DefaultMinSupport): Dataset[CindRow] = {
+    import triples.sparkSession.implicits._
+    // 1. Condition-frequency pruning first (reference FrequentConditionPlanner
+    //    order): a cheap map-side-combinable count that typically halves the
+    //    instance stream before anything expensive runs.
+    val pruned = prunedCaptureInstances(triples, minSupport)
+    // 2. One dedup shuffle shared by the dictionary AND the join lines.
+    //    Persisted: separate DataFrame actions cannot reuse each other's
+    //    shuffle files, so without this the dedup would run twice.
+    val dedup = pruned.dropDuplicates("code", "v1", "v2", "join_val").persist()
+    // 3. Dictionary of frequent captures with deterministic dense int IDs —
+    //    small, broadcast both to encode instances and to decode results.
+    //    The quadratic pair fan-out then runs over packed longs instead of
+    //    6-column string tuples (the reference's ConditionCompressor idea,
+    //    Spark-style).
+    val w = org.apache.spark.sql.expressions.Window.orderBy("code", "v1", "v2")
+    val dict = dedup.groupBy("code", "v1", "v2")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .withColumn("id", row_number().over(w).cast("long"))
+      .persist()
+    val ided = dedup
+      .join(broadcast(dict.select("code", "v1", "v2", "id")), Seq("code", "v1", "v2"))
+      .select(col("join_val"), col("id"))
+    // collect_list suffices: inputs are already (capture, value)-distinct
+    val lines = ided.groupBy("join_val").agg(collect_list(col("id")).as("ids"))
+    // 4. Pair co-occurrence counts. Counts are direction-symmetric, so emit
+    //    each unordered pair once (halves the quadratic fan-out) and expand
+    //    to both directions after aggregation.
+    val pairCounts = lines
+      .select(explode(col("ids")).as("dep"), col("ids"))
+      .select(col("dep"), explode(col("ids")).as("ref"))
+      .filter(col("dep") < col("ref"))
+      .select((shiftleft(col("dep"), 32) + col("ref")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n"))
+      .select(explode(array(
+        struct(shiftright(col("pk"), 32).as("dep_id"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("ref_id")),
+        struct(col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("dep_id"),
+          shiftright(col("pk"), 32).as("ref_id")))).as("p"), col("n"))
+      .select(col("p.dep_id"), col("p.ref_id"), col("n"))
+    val depSide = dict.select(col("id").as("dep_id"), col("code").as("dep_code"),
+      col("v1").as("dep_v1"), col("v2").as("dep_v2"), col("support"))
+    val refSide = dict.select(col("id").as("ref_id"), col("code").as("ref_code"),
+      col("v1").as("ref_v1"), col("v2").as("ref_v2"))
+    pairCounts
+      .join(broadcast(depSide), "dep_id")
+      .filter(col("n") === col("support")) // dep ⊑ ref iff co-count == support
+      .join(broadcast(refSide), "ref_id")
+      // drop refs trivially implied by a binary dep (its own unary subs) —
+      // sound post-aggregation: it only removes output rows, never counts
+      .filter(!(col("ref_v2") === "" &&
+        ((firstSubCode(col("dep_code")) === col("ref_code") && col("dep_v1") === col("ref_v1")) ||
+         (secondSubCode(col("dep_code")) === col("ref_code") && col("dep_v2") === col("ref_v1")))))
+      .select(col("dep_code"), col("dep_v1"), col("dep_v2"),
+        col("ref_code"), col("ref_v1"), col("ref_v2"), col("support"))
+      .as[CindRow]
+  }
+
+  /** Strategy 0 (AllAtOnce, reference plan/AllAtOnceTraversalStrategy
+    * .scala:33-85): evidence sets per dependent capture, k-way sorted-set
+    * intersection via a typed Aggregator. Semantically identical to
+    * `allCinds` (cross-checked in CindEngineSpec); kept as the faithful
+    * intersect-merge shape — preferable when join lines are wide but
+    * evidence arrays are short. */
+  def allCindsIntersect(triples: DataFrame, minSupport: Int = DefaultMinSupport): Dataset[CindRow] = {
     import triples.sparkSession.implicits._
     val instances = prunedCaptureInstances(triples, minSupport)
     val freqCaps = frequentCaptures(instances, minSupport)
@@ -165,7 +243,8 @@ object CindEngine {
     * `count(A AND B) == count(A)`.
     * Output: (ante_code, ante_val, cons_code, cons_val, support). */
   def associationRules(triples: DataFrame, minSupport: Int = DefaultMinSupport): DataFrame = {
-    val counts = conditionCounts(triples)
+    // consumed twice (unary and binary splits) — avoid recomputing the agg
+    val counts = conditionCounts(triples).persist()
     val unary = counts.filter(col("cond_code").isin(1, 2, 4))
       .select(col("cond_code").as("u_code"), col("v1").as("u_v"), col("cnt").as("u_cnt"))
     val binary = counts.filter(col("cond_code").isin(3, 5, 6))
@@ -185,11 +264,13 @@ object CindEngine {
     d1.unionAll(d2)
   }
 
+  // -1 sentinel (never a valid capture code) instead of NULL: these feed
+  // negated filters where three-valued NULL logic would silently drop rows.
   private def firstSubCode(c: Column): Column =
-    when(c === 14, 10).when(c === 21, 17).when(c === 35, 33)
+    when(c === 14, 10).when(c === 21, 17).when(c === 35, 33).otherwise(-1)
 
   private def secondSubCode(c: Column): Column =
-    when(c === 14, 12).when(c === 21, 20).when(c === 35, 34)
+    when(c === 14, 12).when(c === 21, 20).when(c === 35, 34).otherwise(-1)
 
   /** Minimality pruning (reference plan/TraversalStrategy.scala:126-168):
     * drop a CIND if it is implied by another discovered CIND, i.e.
@@ -200,7 +281,9 @@ object CindEngine {
     * Expressed as four broadcast left-anti equi-joins (the CIND set is small
     * relative to the input data). */
   def minimalCinds(cinds: DataFrame): DataFrame = {
-    val c = cinds
+    // consumed once as probe side and four times as (small) build sides —
+    // persist instead of recomputing the whole discovery lineage each time
+    val c = cinds.persist()
     val depCols = Seq("dep_code", "dep_v1", "dep_v2")
     val refCols = Seq("ref_code", "ref_v1", "ref_v2")
 

@@ -73,23 +73,25 @@ object TripleSource {
     "triples AS (" + arms.mkString(" UNION ALL ") + ")"
   }
 
-  /** Same derivation on Spark. The per-table unions push column pruning into
-    * each parquet scan (only 2-3 columns read per table). */
+  /** Same derivation on Spark: ONE pruned parquet scan per table, fanned out
+    * to its (pred, obj) pairs with a single generate — at scale this reads
+    * each base table once instead of once per predicate. */
   def derive(spark: SparkSession, dir: String): DataFrame = {
-    val frames = for {
-      d <- derivations
-      (pred, objCol, isRef) <- d.preds
-    } yield {
+    val frames = derivations.map { d =>
       val t = spark.read.parquet(s"$dir/${d.table}.parquet")
       val subj =
         if (d.table == "lineitem")
           concat(lit(d.subjPrefix), col("l_orderkey").cast("string"),
             lit(":"), col("l_linenumber").cast("string"))
         else concat(lit(d.subjPrefix), col(d.keyCol).cast("string"))
-      val obj =
-        if (isRef) concat(lit(refPrefix(objCol)), col(objCol).cast("string"))
-        else col(objCol).cast("string")
-      t.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj"))
+      val pairs = d.preds.map { case (pred, objCol, isRef) =>
+        val obj =
+          if (isRef) concat(lit(refPrefix(objCol)), col(objCol).cast("string"))
+          else col(objCol).cast("string")
+        struct(lit(pred).as("pred"), obj.as("obj"))
+      }
+      t.select(subj.as("subj"), explode(array(pairs: _*)).as("po"))
+        .select(col("subj"), col("po.pred").as("pred"), col("po.obj").as("obj"))
     }
     frames.reduce(_.unionAll(_))
   }

@@ -107,6 +107,14 @@ class CindEngineSpec extends SparkSpec {
     assert(minimal.contains((dep, bRef)))
   }
 
+  test("count-match and intersect strategies agree (cross-strategy invariant)") {
+    def key(r: CindRow) = (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+      Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)
+    val a = CindEngine.allCinds(toDF(tiny), minSupport = 2).collect().map(key).toSet
+    val b = CindEngine.allCindsIntersect(toDF(tiny), minSupport = 2).collect().map(key).toSet
+    assert(a == b)
+  }
+
   test("duplicate triples do not change the CIND set (set semantics)") {
     val got = CindEngine.allCinds(toDF(tiny ++ tiny), minSupport = 2).collect()
       .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),

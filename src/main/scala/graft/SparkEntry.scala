@@ -1,7 +1,12 @@
 package graft
 
 import graft.cind.CindEngine
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.rdf.{TripleSource, TripleStats}
+import graft.sim.Similarity
+import graft.streaming.EventStream
+import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,6 +78,23 @@ object SparkEntry {
 
   private val cindCols = Seq("dep_code", "dep_v1", "dep_v2", "ref_code", "ref_v1", "ref_v2", "support")
 
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  /** events.parquet has TIMESTAMP(NANOS) -> long ts; restore a timestamp. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** SQL fragments shared by the document oracles. */
+  private val tokCte =
+    "tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w, generate_subscripts(string_split(text,' '),1) AS i FROM documents)"
+  private val shCte =
+    "sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1 JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2)"
+  private def langScoreSql(lang: String, words: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text,' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS INTEGER) AS s_$lang"
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     CindEngine.minimalCinds(
@@ -115,7 +137,45 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
         .orderBy("bucket_start", "event_type")
-    })
+    }),
+    "events_sessions" -> ((s, dir) =>
+      EventStream.sessions(events(s, dir), watermark = false)
+        .orderBy("user_id", "session_start")),
+    // --- training-data pipeline: dedup ---
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDups(docs(s, dir)).orderBy("doc_id")),
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), 50).orderBy("doc_id_a", "doc_id_b")),
+    "dedup_minhash_pairs" -> ((s, dir) => // LSH candidates, exact-verified
+      Dedup.minhashLshPairs(docs(s, dir), 50).orderBy("doc_id_a", "doc_id_b")),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), 16).orderBy("doc_id_a", "doc_id_b")),
+    // --- text analysis ---
+    "text_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
+    // --- similarity search ---
+    "sim_topk_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
+        .orderBy("query_id", "rank")),
+    "sim_topk_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), col("vec_id") % 100 === 0, 10, dims = 64)
+        .orderBy("query_id", "rank")),
+    "sim_near_dup_pairs" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), 0.95, dims = 64)
+        .select("vec_id_a", "vec_id_b").orderBy("vec_id_a", "vec_id_b")),
+    // --- multimodal plumbing ---
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(Multimodal.blobTable(docs(s, dir))).toDF()
+        .orderBy("doc_id")),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.blobTable(docs(s, dir)))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -141,6 +201,29 @@ object SparkEntry {
     "rdf_shorten_urls" ->
       s"WITH $cte SELECT ${shortenSql("subj")} AS subj, pred, ${shortenSql("obj")} AS obj FROM triples ORDER BY 1,2,3",
     "events_window_counts" ->
-      "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2"
+      "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2",
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
+    "dedup_exact" ->
+      "SELECT doc_id, md5(text) AS content_hash, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents ORDER BY doc_id",
+    "dedup_jaccard_pairs" ->
+      s"""WITH $tokCte, $shCte, sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), i AS (SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS inter FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1,2) SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.n AS n_a, sb.n AS n_b, CAST(floor(100*i.inter/(sa.n+sb.n-i.inter)) AS BIGINT) AS jaccard_pct FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50 ORDER BY 1,2""",
+    "text_token_stats" ->
+      "SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens, CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct_tokens, CAST(length(text) AS INTEGER) AS n_chars, CAST(list_aggregate(list_transform(string_split(text,' '), x -> length(x)), 'max') AS INTEGER) AS max_token_len, CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INTEGER) AS n_stopwords FROM documents ORDER BY doc_id",
+    "text_langid" -> {
+      val scores = TextAnalysis.LangMarkers.map { case (l, ws) => langScoreSql(l, ws) }.mkString(", ")
+      val cases = TextAnalysis.LangMarkers.map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")
+      s"WITH s AS (SELECT doc_id, $scores FROM documents), g AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s) SELECT doc_id, CASE $cases END AS lang_guess, mx AS lang_score FROM g ORDER BY doc_id"
+    },
+    "text_quality" ->
+      "WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n, CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS nd, CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INTEGER) AS ns FROM documents) SELECT doc_id, n AS n_tokens, CAST(floor(100*(n-nd)/n) AS BIGINT) AS repetition_pct, CAST(floor(100*ns/n) AS BIGINT) AS stopword_pct, CASE WHEN n < 10 THEN 0 WHEN floor(100*(n-nd)/n) >= 80 THEN 1 WHEN floor(100*ns/n) >= 30 THEN 2 ELSE 3 END AS quality_bucket FROM t ORDER BY doc_id",
+    "text_fingerprint" ->
+      s"WITH $tokCte, $shCte SELECT d.doc_id, s.fp AS fingerprint FROM documents d LEFT JOIN (SELECT doc_id, MIN(md5(sh)) AS fp FROM sh GROUP BY 1) s ON s.doc_id = d.doc_id ORDER BY 1",
+    "sim_topk_brute" ->
+      "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id), r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s) SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank",
+    "mm_decode_meta" ->
+      "WITH ch AS (SELECT doc_id, CAST(SUM(ascii(c)) % 65536 AS BIGINT) AS checksum FROM (SELECT doc_id, unnest(string_split(text,'')) AS c FROM documents) GROUP BY 1) SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS byte_len, CAST(64 + ascii(substr(d.text,1,1)) % 64 AS INTEGER) AS width, CAST(64 + ascii(substr(d.text,2,1)) % 64 AS INTEGER) AS height, ch.checksum FROM documents d JOIN ch ON ch.doc_id = d.doc_id ORDER BY d.doc_id",
+    "mm_frames" ->
+      "WITH f AS (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((length(text)-1)/128) AS BIGINT))) AS i FROM documents) SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i*128 AS INTEGER) AS frame_off, ascii(substr(text, CAST(i*128+1 AS INTEGER), 1)) AS frame_byte FROM f ORDER BY doc_id, frame_idx"
   )
 }

@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One opaque media blob with typed metadata. */
+final case class MediaBlob(doc_id: Long, media_type: String, blob: Array[Byte])
+
+/** Decoded (stub) media metadata. */
+final case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int,
+    checksum: Long)
+
+/** Multimodal-column plumbing: media as opaque BINARY columns with typed
+  * metadata, decode / frame-sample as mapPartitions over typed Datasets.
+  *
+  * The decode kernel is a clearly-marked deterministic STUB (this container
+  * has no image/audio codecs); everything around it — schema, encoders,
+  * partition-batched iteration, fan-out of frames — is the real Spark-side
+  * plumbing a decoder would plug into: swap [[FakeCodec.decode]] for a
+  * JNI/libjpeg call and nothing else changes.
+  */
+object Multimodal {
+
+  /** STUB codec: derives metadata deterministically from bytes so oracles
+    * can verify the pipeline end-to-end. */
+  object FakeCodec {
+    def decode(blob: Array[Byte]): (Int, Int, Long) = {
+      // ??? real decoder goes here; deterministic fake below
+      val w = 64 + (if (blob.length > 0) (blob(0) & 0xFF) % 64 else 0)
+      val h = 64 + (if (blob.length > 1) (blob(1) & 0xFF) % 64 else 0)
+      var sum = 0L
+      var i = 0
+      while (i < blob.length) { sum += (blob(i) & 0xFF); i += 1 }
+      (w, h, sum % 65536)
+    }
+  }
+
+  /** Build the blob table from documents: text bytes stand in for encoded
+    * media (binary column + media type tag). */
+  def blobTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit("image/fake").as("media_type"),
+      col("text").cast("binary").as("blob"))
+
+  /** Decode metadata with a per-partition batch loop (the shape a
+    * vectorized/JNI decoder needs: one codec instance per partition, rows
+    * streamed through it). */
+  def decodeMeta(blobs: DataFrame): Dataset[MediaMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      // per-partition setup would initialize the codec once here
+      it.map { b =>
+        val (w, h, sum) = FakeCodec.decode(b.blob)
+        MediaMeta(b.doc_id, b.blob.length, w, h, sum)
+      }
+    }
+  }
+
+  /** Frame sampling: one row per 128-byte frame of each blob with the
+    * frame's leading byte as its (stub) feature. Demonstrates media fan-out
+    * (explode) with deterministic, oracle-checkable output:
+    * (doc_id, frame_idx, frame_off, frame_byte). */
+  def sampleFrames(blobs: DataFrame, frameSize: Int = 128): DataFrame =
+    blobs
+      .select(col("doc_id"), col("blob"),
+        explode(sequence(lit(0),
+          floor((length(col("blob")) - 1) / lit(frameSize)).cast("int")))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * frameSize).as("frame_off"),
+        // 1-based substr; frame feature = first byte of the frame
+        ascii(col("blob").cast("string")
+          .substr(col("frame_idx") * frameSize + 1, lit(1))).as("frame_byte"))
+}

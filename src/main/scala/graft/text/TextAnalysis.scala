@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over a
+  * `documents(doc_id, text, ...)` table. Everything here is built from
+  * codegen'd `org.apache.spark.sql.functions` (split / higher-order array
+  * functions) — no UDFs, no shuffles except where aggregation is inherent.
+  * All outputs are integers/strings so a SQL oracle can reproduce them
+  * bit-for-bit (no floating point in results).
+  */
+object TextAnalysis {
+
+  /** Tokenization contract shared with the SQL oracles: split on single
+    * spaces (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Deterministic marker vocabularies for the language-ID heuristic.
+    * A real pipeline would use character n-gram profiles; the *plumbing*
+    * (per-doc scoring + argmax with alphabetical tiebreak) is the operator
+    * under test and is exactly reproducible in SQL. Ordered alphabetically —
+    * CASE priority = tiebreak order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "group", "order"),
+    "en" -> Seq("the", "a", "join"),
+    "es" -> Seq("data", "query", "row"),
+    "fr" -> Seq("table", "value", "line"),
+    "zh" -> Seq("hash", "sort", "scan"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => w.isin(words.map(lit(_)): _*)))
+
+  /** Per-document token statistics: (doc_id, n_tokens, n_distinct_tokens,
+    * n_chars, max_token_len, n_stopwords). */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      length(col("text")).as("n_chars"),
+      array_max(transform(t, w => length(w))).as("max_token_len"),
+      countIn(t, Stopwords).as("n_stopwords"))
+  }
+
+  /** Language-ID: argmax of marker hits, ties broken alphabetically
+    * (CASE order). Output: (doc_id, lang_guess, lang_score). */
+  def langId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: LangMarkers.map { case (lang, words) =>
+        countIn(t, words).as(s"s_$lang")
+      }): _*)
+    val mx = greatest(LangMarkers.map(m => col(s"s_${m._1}")): _*)
+    val guess = LangMarkers.foldRight(lit(null: String)) { case ((lang, _), acc) =>
+      when(col(s"s_$lang") === mx, lang).otherwise(acc)
+    }
+    // foldRight builds WHEN de ... WHEN zh ELSE null: first (alphabetically
+    // smallest) matching lang wins, mirroring the oracle's CASE order
+    scored.select(col("doc_id"), guess.as("lang_guess"), mx.as("lang_score"))
+  }
+
+  /** Quality signals, all integer-valued: repetition and stopword rates as
+    * floor(percent), plus a coarse quality bucket (0 = worst). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val nd = size(array_distinct(t))
+    val ns = countIn(t, Stopwords)
+    docs.select(
+      col("doc_id"), n.as("n_tokens"),
+      floor(lit(100) * (n - nd) / n).as("repetition_pct"),
+      floor(lit(100) * ns / n).as("stopword_pct"))
+      .withColumn("quality_bucket",
+        when(col("n_tokens") < 10, 0)
+          .when(col("repetition_pct") >= 80, 1)
+          .when(col("stopword_pct") >= 30, 2)
+          .otherwise(3))
+  }
+
+  /** 3-token shingles of a document (the unit for fingerprinting and
+    * near-dup detection). Empty array when the document has < 3 tokens. */
+  def shingles(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array())
+  }
+
+  /** Winnowing-style document fingerprint: the minimum md5 over all 3-token
+    * shingles — a 1-permutation MinHash, stable under small edits and exactly
+    * reproducible in SQL (md5 is engine-independent). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_min(transform(shingles(col("text")), s => md5(s))).as("fingerprint"))
+}

@@ -1,0 +1,39 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  def emb(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  lazy val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val e = emb(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f)))
+    val r = Similarity.bruteForceTopK(e, col("vec_id") === 0, 3).collect()
+      .map(x => (x.getInt(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("lshTopK achieves reasonable recall@10 against brute force on real embeddings") {
+    val queries = col("vec_id") % 50 === 0
+    val brute = Similarity.bruteForceTopK(real, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(real, queries, 10, dims = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall") // 8-bit buckets prune ~255/256 of pairs
+    assert(lsh.nonEmpty)
+  }
+
+  test("cosineNearDupPairs finds only genuinely close pairs") {
+    val e = emb((0L, Seq(1f, 0f, 0f)), (1L, Seq(0.999f, 0.001f, 0f)), (2L, Seq(0f, 1f, 0f)))
+    val r = Similarity.cosineNearDupPairs(e, 0.99, dims = 3).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((0L, 1L)))
+  }
+}

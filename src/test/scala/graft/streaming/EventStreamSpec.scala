@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String)
+
+class EventStreamSpec extends SparkSpec {
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  val rows = Seq(
+    Ev(ts(0), 1, "click"), Ev(ts(1), 2, "click"), Ev(ts(2), 1, "view"),
+    Ev(ts(6), 1, "click"), Ev(ts(7), 3, "click"), Ev(ts(40), 1, "click"))
+
+  test("stream and batch windowed counts agree (batch/stream parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventStream.windowedCounts(rows.toDF(), watermark = false)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[Ev]
+    val q = EventStream.windowedCounts(mem.toDF(), watermark = true)
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("wc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(batch.exists { case (_, t, n) => t == "click" && n == 2 })
+  }
+
+  test("sessions split on 30-minute gaps") {
+    import spark.implicits._
+    val s = EventStream.sessions(rows.toDF(), watermark = false)
+      .filter(col("user_id") === 1).collect()
+    assert(s.length == 2) // 10:00-10:06 block and 10:40 block
+    assert(s.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.text
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import TextAnalysis._
+
+  def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokenStats counts tokens, distincts, chars, stopwords") {
+    val r = tokenStats(docs((1L, "the fast fox the end"))).collect().head
+    assert(r.getInt(1) == 5)            // n_tokens
+    assert(r.getInt(2) == 4)            // n_distinct ("the" twice)
+    assert(r.getInt(3) == 20)           // n_chars
+    assert(r.getInt(4) == 4)            // max token len
+    assert(r.getInt(5) == 2)            // stopwords ("the" x2)
+  }
+
+  test("langId picks argmax with alphabetical tiebreak") {
+    // "table value" -> fr:2; "hash sort" -> zh:2; empty -> all 0 -> de first
+    val r = langId(docs((1L, "table value join"), (2L, "hash sort sort"),
+      (3L, "xyz"))).collect().map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(r == Map(1L -> (("fr", 2)), 2L -> (("zh", 3)), 3L -> (("de", 0))))
+  }
+
+  test("shingles produce n-2 trigrams; fingerprint is min md5") {
+    import org.apache.spark.sql.functions.col
+    val s = docs((1L, "a b c d")).select(shingles(col("text"))).collect().head.getSeq[String](0)
+    assert(s == Seq("a b c", "b c d"))
+    val fp = fingerprint(docs((1L, "a b c d"))).collect().head.getString(1)
+    val md5s = Seq("a b c", "b c d").map(x =>
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes)
+        .map("%02x".format(_)).mkString)
+    assert(fp == md5s.min)
+    // stable under a tail edit that keeps some shingles
+    val fp2 = fingerprint(docs((1L, "a b c d zz"))).collect().head.getString(1)
+    assert(fp2 <= fp) // min over a superset can only stay or shrink
+  }
+
+  test("qualityScore buckets") {
+    val r = qualityScore(docs(
+      (1L, "x y"),                                  // <10 tokens -> 0
+      (2L, Seq.fill(20)("w").mkString(" ")),        // repetition 95% -> 1
+      (3L, (1 to 20).map(i => s"t$i").mkString(" ")))) // clean -> 3
+      .collect().map(x => (x.getLong(0), x.getInt(4))).toMap
+    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 3))
+  }
+}

@@ -130,6 +130,30 @@ object SparkEntry {
     "rdf_shorten_urls" -> ((s, dir) =>
       TripleStats.shortenTriples(triples(s, dir), prefixes)
         .orderBy("subj", "pred", "obj")),
+    "rdf_parse_ntriples" -> ((s, dir) => {
+      // render -> parse round trip exercises the N-Triples source path
+      // (comment filter, bracketed URIs, quoted literals with spaces)
+      import s.implicits._
+      val lines = triples(s, dir)
+        .select(concat(lit("<"), col("subj"), lit("> <"), col("pred"),
+          lit("> \""), col("obj"), lit("\" .")).as("line"))
+        .unionAll(s.range(5).select(concat(lit("# comment "), col("id")).as("line")))
+        .as[String]
+      TripleSource.parseNTriples(lines).orderBy("subj", "pred", "obj")
+    }),
+    "rdf_asciify" -> ((s, dir) =>
+      // inject a non-ASCII char so the fold actually fires on this corpus
+      TripleStats.asciifyTriples(
+        triples(s, dir).withColumn("obj", concat(col("obj"), lit("é"))))
+        .orderBy("subj", "pred", "obj")),
+    "rdf_apply_hash" -> ((s, dir) =>
+      TripleStats.applyHash(triples(s, dir)).orderBy("subj", "pred", "obj")),
+    "rdf_dictionary_roundtrip" -> ((s, dir) =>
+      TripleStats.dictionaryRoundTrip(triples(s, dir)).orderBy("subj", "pred", "obj")),
+    "cind_join_line_histogram" -> ((s, dir) =>
+      CindEngine.joinLineHistogram(triples(s, dir), MS).orderBy("n_captures")),
+    "stats_count_triples" -> ((s, dir) =>
+      triples(s, dir).agg(count(lit(1)).as("n_triples"))),
     "events_window_counts" -> ((s, dir) => {
       // ts arrives as epoch-nanos long (spark.sql.legacy.parquet.nanosAsLong)
       s.read.parquet(s"$dir/events.parquet")
@@ -200,6 +224,19 @@ object SparkEntry {
       s"WITH $cte, vals AS (SELECT subj AS v FROM triples UNION SELECT pred FROM triples UNION SELECT obj FROM triples) SELECT substr(md5(v),1,4) AS hash, COUNT(*) AS n_values FROM vals GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1",
     "rdf_shorten_urls" ->
       s"WITH $cte SELECT ${shortenSql("subj")} AS subj, pred, ${shortenSql("obj")} AS obj FROM triples ORDER BY 1,2,3",
+    "rdf_parse_ntriples" ->
+      s"WITH $cte SELECT '<' || subj || '>' AS subj, '<' || pred || '>' AS pred, '\"' || obj || '\"' AS obj FROM triples ORDER BY 1,2,3",
+    "rdf_asciify" ->
+      // e (U+00E9) 7-bit-chunks to chr(0x69) chr(0x01); corpus is ASCII
+      s"WITH $cte SELECT subj, pred, obj || chr(105) || chr(1) AS obj FROM triples ORDER BY 1,2,3",
+    "rdf_apply_hash" ->
+      s"WITH $cte SELECT substr(md5(subj),1,4) AS subj, substr(md5(pred),1,4) AS pred, substr(md5(obj),1,4) AS obj FROM triples ORDER BY 1,2,3",
+    "rdf_dictionary_roundtrip" ->
+      s"WITH $cte SELECT subj, pred, obj FROM triples ORDER BY 1,2,3",
+    "cind_join_line_histogram" ->
+      s"WITH $cte, $capsCte, sup AS (SELECT code, v1, v2, COUNT(*) AS s FROM caps GROUP BY 1,2,3), fc AS (SELECT c.code, c.v1, c.v2, c.val FROM caps c JOIN sup s ON s.code=c.code AND s.v1=c.v1 AND s.v2=c.v2 WHERE s.s >= $MS), w AS (SELECT val, CAST(COUNT(*) AS INTEGER) AS n_captures FROM fc GROUP BY 1) SELECT n_captures, COUNT(*) AS n_lines FROM w GROUP BY 1 ORDER BY 1",
+    "stats_count_triples" ->
+      s"WITH $cte SELECT COUNT(*) AS n_triples FROM triples",
     "events_window_counts" ->
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2",
     "events_sessions" ->

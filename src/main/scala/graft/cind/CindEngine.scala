@@ -155,8 +155,12 @@ object CindEngine {
     * value set contains its dep's, so its support is >= dep's) is what keeps
     * hub join lines narrow and the pair fan-out quadratic-safe.
     */
-  def allCinds(triples: DataFrame, minSupport: Int = DefaultMinSupport): Dataset[CindRow] = {
-    import triples.sparkSession.implicits._
+  /** The pruned, dictionary-encoded join lines shared by discovery and the
+    * join-line statistics: returns (dict, lines) where dict is the
+    * persisted frequent-capture dictionary (code, v1, v2, support, id) and
+    * lines is (join_val, ids ARRAY<LONG>). */
+  private[cind] def encodedJoinLines(triples: DataFrame, minSupport: Int)
+      : (DataFrame, DataFrame) = {
     // 1. Condition-frequency pruning first (reference FrequentConditionPlanner
     //    order): a cheap map-side-combinable count that typically halves the
     //    instance stream before anything expensive runs.
@@ -181,11 +185,44 @@ object CindEngine {
       .select(col("join_val"), col("id"))
     // collect_list suffices: inputs are already (capture, value)-distinct
     val lines = ided.groupBy("join_val").agg(collect_list(col("id")).as("ids"))
+    (dict, lines)
+  }
+
+  /** Histogram of join-line widths after pruning (reference `--create-join-
+    * histogram`, programs/RDFind.scala:449-452 + AnnotateJoinLineSizes):
+    * (n_captures, n_lines). */
+  def joinLineHistogram(triples: DataFrame, minSupport: Int = DefaultMinSupport): DataFrame = {
+    val (_, lines) = encodedJoinLines(triples, minSupport)
+    lines.select(size(col("ids")).as("n_captures"))
+      .groupBy("n_captures").agg(count(lit(1)).as("n_lines"))
+  }
+
+  /** Width beyond which a join line's pair emission is sliced across tasks
+    * (reference AssignJoinLineRebalancing, operators/AssignJoinLine
+    * Rebalancing.scala:16-71): hub lines otherwise serialize one task on
+    * O(w^2) work. Each slice re-emits the full ids array with a dep
+    * sub-range; the tiny replicated set is round-robined so slices of one
+    * hub land on different cores. Results are identical with or without
+    * splitting (co-occurrence counting is emission-order-insensitive). */
+  val SplitThreshold = 1024
+
+  def allCinds(triples: DataFrame, minSupport: Int = DefaultMinSupport,
+      splitThreshold: Int = SplitThreshold): Dataset[CindRow] = {
+    import triples.sparkSession.implicits._
+    val (dict, lines) = encodedJoinLines(triples, minSupport)
     // 4. Pair co-occurrence counts. Counts are direction-symmetric, so emit
     //    each unordered pair once (halves the quadratic fan-out) and expand
-    //    to both directions after aggregation.
-    val pairCounts = lines
+    //    to both directions after aggregation. Wide lines are sliced first
+    //    (skew split), narrow lines emit directly.
+    val narrow = lines.filter(size(col("ids")) <= splitThreshold)
       .select(explode(col("ids")).as("dep"), col("ids"))
+    val wide = lines.filter(size(col("ids")) > splitThreshold)
+      .select(col("ids"), explode(sequence(lit(0),
+        floor((size(col("ids")) - 1) / lit(splitThreshold)).cast("int"))).as("slice"))
+      .repartition() // round-robin the few replicated hub slices
+      .select(explode(slice(col("ids"), col("slice") * splitThreshold + 1,
+        lit(splitThreshold))).as("dep"), col("ids"))
+    val pairCounts = narrow.unionAll(wide)
       .select(col("dep"), explode(col("ids")).as("ref"))
       .filter(col("dep") < col("ref"))
       .select((shiftleft(col("dep"), 32) + col("ref")).as("pk"))

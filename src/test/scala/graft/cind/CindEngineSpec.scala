@@ -115,6 +115,16 @@ class CindEngineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("skew split leaves the CIND set unchanged (rebalancing invariant)") {
+    def key(r: CindRow) = (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+      Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)
+    // threshold 2 forces every line wider than 2 captures through the
+    // slice-replicate-repartition path (FIXTURES.md skew.nt invariant)
+    val split = CindEngine.allCinds(toDF(tiny), minSupport = 2, splitThreshold = 2)
+      .collect().map(key).toSet
+    assert(split == bruteForce(tiny, 2))
+  }
+
   test("duplicate triples do not change the CIND set (set semantics)") {
     val got = CindEngine.allCinds(toDF(tiny ++ tiny), minSupport = 2).collect()
       .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),

@@ -152,6 +152,15 @@ object SparkEntry {
       TripleStats.dictionaryRoundTrip(triples(s, dir)).orderBy("subj", "pred", "obj")),
     "cind_join_line_histogram" -> ((s, dir) =>
       CindEngine.joinLineHistogram(triples(s, dir), MS).orderBy("n_captures")),
+    "cind_unary_overlaps" -> ((s, dir) =>
+      CindEngine.unaryOverlaps(triples(s, dir), MS)
+        .orderBy("dep_code", "dep_v1", "ref_code", "ref_v1")),
+    "events_props_sum" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")),
     "stats_count_triples" -> ((s, dir) =>
       triples(s, dir).agg(count(lit(1)).as("n_triples"))),
     "events_window_counts" -> ((s, dir) => {
@@ -237,6 +246,10 @@ object SparkEntry {
       s"WITH $cte, $capsCte, sup AS (SELECT code, v1, v2, COUNT(*) AS s FROM caps GROUP BY 1,2,3), fc AS (SELECT c.code, c.v1, c.v2, c.val FROM caps c JOIN sup s ON s.code=c.code AND s.v1=c.v1 AND s.v2=c.v2 WHERE s.s >= $MS), w AS (SELECT val, CAST(COUNT(*) AS INTEGER) AS n_captures FROM fc GROUP BY 1) SELECT n_captures, COUNT(*) AS n_lines FROM w GROUP BY 1 ORDER BY 1",
     "stats_count_triples" ->
       s"WITH $cte SELECT COUNT(*) AS n_triples FROM triples",
+    "cind_unary_overlaps" ->
+      s"WITH $cte, $capsCte, sup AS (SELECT code, v1, v2, COUNT(*) AS s FROM caps GROUP BY 1,2,3), fc AS (SELECT c.code, c.v1, c.v2, c.val, s.s FROM caps c JOIN sup s ON s.code=c.code AND s.v1=c.v1 AND s.v2=c.v2 WHERE s.s >= $MS) SELECT d.code AS dep_code, d.v1 AS dep_v1, r.code AS ref_code, r.v1 AS ref_v1, COUNT(*) AS overlap, MIN(d.s) AS dep_support FROM fc d JOIN fc r ON d.val = r.val AND NOT (d.code = r.code AND d.v1 = r.v1 AND d.v2 = r.v2) WHERE d.v2 = '' AND r.v2 = '' GROUP BY 1,2,3,4 ORDER BY 1,2,3,4",
+    "events_props_sum" ->
+      "SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY 1 ORDER BY 1",
     "events_window_counts" ->
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2",
     "events_sessions" ->

@@ -103,6 +103,46 @@ object CindEngine {
       .join(broadcast(freq), Seq("cond_code", "v1", "v2"), "left_semi")
   }
 
+  /** Distributed Bloom-filter build: per-partition filters merged by bitwise
+    * OR (the reference's mapPartition-build + reduce-putAll pattern,
+    * plan/FrequentConditionPlanner.scala:201-283 and 5 more call sites).
+    * All filters share (numBits, numHashes) so merge is exact bit algebra. */
+  def buildBloom(keys: org.apache.spark.sql.Dataset[String], expectedInsertions: Long,
+      fpp: Double): graft.core.BloomFilter = {
+    val proto = graft.core.Bloom.create(expectedInsertions, fpp)
+    val (nb, nh) = (proto.numBits, proto.numHashes)
+    val bitArrays = keys.mapPartitions { it =>
+      val bf = graft.core.Bloom.wrap(nb, nh, new Array[Long](nb >>> 6))
+      it.foreach(bf.put)
+      Iterator.single(bf.bits)
+    }(org.apache.spark.sql.Encoders.javaSerialization[Array[Long]])
+    val merged = bitArrays.rdd.fold(new Array[Long](nb >>> 6)) { (a, b) =>
+      var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+    }
+    graft.core.Bloom.wrap(nb, nh, merged)
+  }
+
+  /** Frequent-condition pruning via a broadcast Bloom filter instead of an
+    * exact broadcast semi-join — the reference's own design (its frequency
+    * BFs are the semantics, SURVEY §5). False positives only ADMIT extra
+    * instances; the exact capture-support filter downstream removes their
+    * effect, so the final CIND set is identical (CindEngineSpec pins this).
+    * This is the 100 TB path: a 10M-entry 1% filter is ~12 MB broadcast
+    * regardless of string sizes, where the exact set might not fit. */
+  def bloomPrunedCaptureInstances(triples: DataFrame, minSupport: Int,
+      expectedConditions: Long = 10000000L): DataFrame = {
+    import triples.sparkSession.implicits._
+    val freqKeys = conditionCounts(triples)
+      .filter(col("cnt") >= minSupport)
+      .select(concat_ws("", col("cond_code"), col("v1"), col("v2")).as("k"))
+      .as[String]
+    val bf = buildBloom(freqKeys, expectedConditions, 0.01)
+    val bcast = triples.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: String) => bcast.value.mightContain(k))
+    captureInstances(triples)
+      .filter(mightContain(concat_ws("", col("cond_code"), col("v1"), col("v2"))))
+  }
+
   /** Captures with >= minSupport distinct values (their *support*), computed
     * exactly. Any capture below this bound can appear in no reported CIND —
     * pruning refs too empties hub join lines (reference
@@ -159,12 +199,15 @@ object CindEngine {
     * join-line statistics: returns (dict, lines) where dict is the
     * persisted frequent-capture dictionary (code, v1, v2, support, id) and
     * lines is (join_val, ids ARRAY<LONG>). */
-  private[cind] def encodedJoinLines(triples: DataFrame, minSupport: Int)
-      : (DataFrame, DataFrame) = {
+  private[cind] def encodedJoinLines(triples: DataFrame, minSupport: Int,
+      bloomConditions: Boolean = false): (DataFrame, DataFrame) = {
     // 1. Condition-frequency pruning first (reference FrequentConditionPlanner
     //    order): a cheap map-side-combinable count that typically halves the
-    //    instance stream before anything expensive runs.
-    val pruned = prunedCaptureInstances(triples, minSupport)
+    //    instance stream before anything expensive runs. Bloom mode swaps
+    //    the exact broadcast set for a fixed-size filter (100 TB path).
+    val pruned =
+      if (bloomConditions) bloomPrunedCaptureInstances(triples, minSupport)
+      else prunedCaptureInstances(triples, minSupport)
     // 2. One dedup shuffle shared by the dictionary AND the join lines.
     //    Persisted: separate DataFrame actions cannot reuse each other's
     //    shuffle files, so without this the dedup would run twice.
@@ -206,14 +249,15 @@ object CindEngine {
     * splitting (co-occurrence counting is emission-order-insensitive). */
   val SplitThreshold = 1024
 
-  def allCinds(triples: DataFrame, minSupport: Int = DefaultMinSupport,
-      splitThreshold: Int = SplitThreshold): Dataset[CindRow] = {
-    import triples.sparkSession.implicits._
-    val (dict, lines) = encodedJoinLines(triples, minSupport)
-    // 4. Pair co-occurrence counts. Counts are direction-symmetric, so emit
-    //    each unordered pair once (halves the quadratic fan-out) and expand
-    //    to both directions after aggregation. Wide lines are sliced first
-    //    (skew split), narrow lines emit directly.
+  /** Directed co-occurrence counts over encoded join lines:
+    * (dep_id, ref_id, n) where n = number of join lines containing both.
+    * Counts are direction-symmetric, so each unordered pair is emitted once
+    * (halving the quadratic fan-out) and expanded to both directions after
+    * aggregation. Wide lines are sliced first (skew split), narrow lines
+    * emit directly. This relation IS the reference's OverlapSet
+    * (data/OverlapSet.scala, built by MultiunionOverlapCandidates):
+    * overlap(dep, ref) = n. */
+  private def overlapCounts(lines: DataFrame, splitThreshold: Int): DataFrame = {
     val narrow = lines.filter(size(col("ids")) <= splitThreshold)
       .select(explode(col("ids")).as("dep"), col("ids"))
     val wide = lines.filter(size(col("ids")) > splitThreshold)
@@ -222,7 +266,7 @@ object CindEngine {
       .repartition() // round-robin the few replicated hub slices
       .select(explode(slice(col("ids"), col("slice") * splitThreshold + 1,
         lit(splitThreshold))).as("dep"), col("ids"))
-    val pairCounts = narrow.unionAll(wide)
+    narrow.unionAll(wide)
       .select(col("dep"), explode(col("ids")).as("ref"))
       .filter(col("dep") < col("ref"))
       .select((shiftleft(col("dep"), 32) + col("ref")).as("pk"))
@@ -233,11 +277,38 @@ object CindEngine {
         struct(col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("dep_id"),
           shiftright(col("pk"), 32).as("ref_id")))).as("p"), col("n"))
       .select(col("p.dep_id"), col("p.ref_id"), col("n"))
+  }
+
+  /** Unary-unary capture overlaps with their co-occurrence counts
+    * (reference CreateUnaryUnaryOverlapCandidates +
+    * MultiunionOverlapCandidates; the dep side carries its support so
+    * `overlap == support` identifies 1/1 CINDs, reference
+    * plan/SmallToLargeTraversalStrategy.scala:63-105). Output:
+    * (dep_code, dep_v1, ref_code, ref_v1, overlap, dep_support). */
+  def unaryOverlaps(triples: DataFrame, minSupport: Int = DefaultMinSupport): DataFrame = {
+    val (dict, lines) = encodedJoinLines(triples, minSupport)
+    val unary = dict.filter(col("v2") === "")
+    val depSide = unary.select(col("id").as("dep_id"), col("code").as("dep_code"),
+      col("v1").as("dep_v1"), col("support").as("dep_support"))
+    val refSide = unary.select(col("id").as("ref_id"), col("code").as("ref_code"),
+      col("v1").as("ref_v1"))
+    overlapCounts(lines, SplitThreshold)
+      .join(broadcast(depSide), "dep_id")
+      .join(broadcast(refSide), "ref_id")
+      .select(col("dep_code"), col("dep_v1"), col("ref_code"), col("ref_v1"),
+        col("n").as("overlap"), col("dep_support"))
+  }
+
+  def allCinds(triples: DataFrame, minSupport: Int = DefaultMinSupport,
+      splitThreshold: Int = SplitThreshold,
+      bloomConditions: Boolean = false): Dataset[CindRow] = {
+    import triples.sparkSession.implicits._
+    val (dict, lines) = encodedJoinLines(triples, minSupport, bloomConditions)
     val depSide = dict.select(col("id").as("dep_id"), col("code").as("dep_code"),
       col("v1").as("dep_v1"), col("v2").as("dep_v2"), col("support"))
     val refSide = dict.select(col("id").as("ref_id"), col("code").as("ref_code"),
       col("v1").as("ref_v1"), col("v2").as("ref_v2"))
-    pairCounts
+    overlapCounts(lines, splitThreshold)
       .join(broadcast(depSide), "dep_id")
       .filter(col("n") === col("support")) // dep ⊑ ref iff co-count == support
       .join(broadcast(refSide), "ref_id")

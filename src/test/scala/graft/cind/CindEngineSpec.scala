@@ -125,6 +125,30 @@ class CindEngineSpec extends SparkSpec {
     assert(split == bruteForce(tiny, 2))
   }
 
+  test("bloom condition pruning leaves the CIND set unchanged") {
+    def key(r: CindRow) = (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+      Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)
+    val b = CindEngine.allCinds(toDF(tiny), minSupport = 2, bloomConditions = true)
+      .collect().map(key).toSet
+    assert(b == bruteForce(tiny, 2))
+  }
+
+  test("unaryOverlaps reports exact co-occurrence counts; overlap==support <=> CIND") {
+    val ov = CindEngine.unaryOverlaps(toDF(tiny), minSupport = 2).collect()
+      .map(r => ((Capture(r.getInt(0), r.getString(1), ""),
+        Capture(r.getInt(2), r.getString(3), "")), (r.getLong(4), r.getLong(5)))).toMap
+    // o[p=employs] (4 values) vs s[p=worksFor] (4 values): all 4 co-occur
+    val dep = Capture(ConditionCodes.capture(P, O), "employs", "")
+    val ref = Capture(ConditionCodes.capture(P, S), "worksFor", "")
+    assert(ov((dep, ref)) == ((4L, 4L)))
+    // s[p=employs] {a1,a2} vs s[p=worksFor] {p1..p4}: no shared values -> absent
+    assert(!ov.contains((Capture(ConditionCodes.capture(P, S), "employs", ""), ref)))
+    // the CIND criterion: overlap == dep_support exactly for brute-force CINDs
+    val cindsFromOverlaps = ov.collect { case ((d, r), (o, s)) if o == s && !d.implies(r) => (d, r, s) }.toSet
+    val unaryBrute = bruteForce(tiny, 2).filter { case (d, r, _) => d.isUnary && r.isUnary }
+    assert(cindsFromOverlaps == unaryBrute)
+  }
+
   test("duplicate triples do not change the CIND set (set semantics)") {
     val got = CindEngine.allCinds(toDF(tiny ++ tiny), minSupport = 2).collect()
       .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),

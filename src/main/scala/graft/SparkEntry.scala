@@ -247,7 +247,7 @@ object SparkEntry {
     "stats_count_triples" ->
       s"WITH $cte SELECT COUNT(*) AS n_triples FROM triples",
     "cind_unary_overlaps" ->
-      s"WITH $cte, $capsCte, sup AS (SELECT code, v1, v2, COUNT(*) AS s FROM caps GROUP BY 1,2,3), fc AS (SELECT c.code, c.v1, c.v2, c.val, s.s FROM caps c JOIN sup s ON s.code=c.code AND s.v1=c.v1 AND s.v2=c.v2 WHERE s.s >= $MS) SELECT d.code AS dep_code, d.v1 AS dep_v1, r.code AS ref_code, r.v1 AS ref_v1, COUNT(*) AS overlap, MIN(d.s) AS dep_support FROM fc d JOIN fc r ON d.val = r.val AND NOT (d.code = r.code AND d.v1 = r.v1 AND d.v2 = r.v2) WHERE d.v2 = '' AND r.v2 = '' GROUP BY 1,2,3,4 ORDER BY 1,2,3,4",
+      s"WITH $cte, $capsCte, sup AS (SELECT code, v1, v2, COUNT(*) AS s FROM caps GROUP BY 1,2,3), fc AS (SELECT c.code, c.v1, c.v2, c.val, s.s FROM caps c JOIN sup s ON s.code=c.code AND s.v1=c.v1 AND s.v2=c.v2 WHERE s.s >= $MS) SELECT d.code AS dep_code, d.v1 AS dep_v1, r.code AS ref_code, r.v1 AS ref_v1, COUNT(*) AS overlap, MIN(d.s) AS dep_support FROM fc d JOIN fc r ON d.val = r.val AND NOT (d.code = r.code AND d.v1 = r.v1 AND d.v2 = r.v2) WHERE d.v2 = '' AND r.v2 = '' GROUP BY 1,2,3,4 HAVING COUNT(*) >= $MS ORDER BY 1,2,3,4",
     "events_props_sum" ->
       "SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY 1 ORDER BY 1",
     "events_window_counts" ->

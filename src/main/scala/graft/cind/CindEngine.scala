@@ -223,6 +223,11 @@ object CindEngine {
       .filter(col("support") >= minSupport)
       .withColumn("id", row_number().over(w).cast("long"))
       .persist()
+    // Materialize NOW: downstream plans reference dict from several
+    // broadcast exchanges, which Spark computes eagerly on parallel threads
+    // — with a lazy cache each would recompute the whole lineage (and the
+    // dedup shuffle) instead of reading it. One action fills both caches.
+    dict.count()
     val ided = dedup
       .join(broadcast(dict.select("code", "v1", "v2", "id")), Seq("code", "v1", "v2"))
       .select(col("join_val"), col("id"))
@@ -293,6 +298,10 @@ object CindEngine {
     val refSide = unary.select(col("id").as("ref_id"), col("code").as("ref_code"),
       col("v1").as("ref_v1"))
     overlapCounts(lines, SplitThreshold)
+      // overlaps below minSupport can never certify a CIND nor survive the
+      // reference's candidate filters — dropping them pre-decode keeps the
+      // materialized relation proportional to the useful candidates
+      .filter(col("n") >= minSupport)
       .join(broadcast(depSide), "dep_id")
       .join(broadcast(refSide), "ref_id")
       .select(col("dep_code"), col("dep_v1"), col("ref_code"), col("ref_v1"),
@@ -351,8 +360,10 @@ object CindEngine {
     * `count(A AND B) == count(A)`.
     * Output: (ante_code, ante_val, cons_code, cons_val, support). */
   def associationRules(triples: DataFrame, minSupport: Int = DefaultMinSupport): DataFrame = {
-    // consumed twice (unary and binary splits) — avoid recomputing the agg
+    // consumed twice (unary and binary splits) — persist + materialize so
+    // the broadcast build sides read the cache instead of re-aggregating
     val counts = conditionCounts(triples).persist()
+    counts.count()
     val unary = counts.filter(col("cond_code").isin(1, 2, 4))
       .select(col("cond_code").as("u_code"), col("v1").as("u_v"), col("cnt").as("u_cnt"))
     val binary = counts.filter(col("cond_code").isin(3, 5, 6))
@@ -390,8 +401,10 @@ object CindEngine {
     * relative to the input data). */
   def minimalCinds(cinds: DataFrame): DataFrame = {
     // consumed once as probe side and four times as (small) build sides —
-    // persist instead of recomputing the whole discovery lineage each time
+    // persist AND materialize, else the four broadcast exchanges each
+    // recompute the whole discovery lineage on parallel threads
     val c = cinds.persist()
+    c.count()
     val depCols = Seq("dep_code", "dep_v1", "dep_v2")
     val refCols = Seq("ref_code", "ref_v1", "ref_v2")
 

@@ -1,0 +1,32 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val which = if (args.nonEmpty) args(0) else "all"
+    def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n======== $name ========")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    if (which == "all" || which == "triples")
+      show("rdf_triples (derivation)", graft.rdf.TripleSource.derive(spark, dir))
+    if (which == "all" || which == "cind")
+      show("cind_all", graft.cind.CindEngine.allCinds(
+        graft.rdf.TripleSource.derive(spark, dir)).toDF())
+    if (which == "all" || which == "dedup")
+      show("dedup_jaccard", graft.dedup.Dedup.jaccardPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), 50))
+    if (which == "all" || which == "sim")
+      show("sim_topk_brute", graft.sim.Similarity.bruteForceTopK(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10))
+    spark.stop()
+  }
+}

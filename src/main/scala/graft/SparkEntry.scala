@@ -118,6 +118,9 @@ object SparkEntry {
     "cind_minimal" -> ((s, dir) =>
       CindEngine.minimalCinds(CindEngine.allCinds(triples(s, dir), MS).toDF())
         .orderBy(cindCols.map(col): _*)),
+    "cind_all_tworound" -> ((s, dir) => // strategy 2/3 analog: exact result
+      CindEngine.allCindsTwoRound(triples(s, dir), MS).toDF()
+        .orderBy(cindCols.map(col): _*)),
     "cind_association_rules" -> ((s, dir) =>
       CindEngine.associationRules(triples(s, dir), MS)
         .orderBy("ante_code", "ante_val", "cons_code", "cons_val")),
@@ -220,6 +223,8 @@ object SparkEntry {
     "cind_frequent_captures" ->
       s"WITH $cte, $capsCte SELECT code, v1, v2, COUNT(*) AS support FROM caps GROUP BY 1,2,3 HAVING COUNT(*) >= $MS ORDER BY 1,2,3",
     "cind_all" ->
+      s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
+    "cind_all_tworound" -> // sketch pruning is exact -> same oracle
       s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
     "cind_minimal" ->
       s"""WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds c WHERE NOT (c.dep_code IN (14,21,35) AND EXISTS (SELECT 1 FROM cinds i WHERE i.dep_v2 = '' AND i.ref_code = c.ref_code AND i.ref_v1 = c.ref_v1 AND i.ref_v2 = c.ref_v2 AND ((i.dep_code = ${subCode("c.dep_code", true)} AND i.dep_v1 = c.dep_v1) OR (i.dep_code = ${subCode("c.dep_code", false)} AND i.dep_v1 = c.dep_v2)))) AND NOT (c.ref_v2 = '' AND EXISTS (SELECT 1 FROM cinds i WHERE i.dep_code = c.dep_code AND i.dep_v1 = c.dep_v1 AND i.dep_v2 = c.dep_v2 AND i.ref_code IN (14,21,35) AND ((${subCode("i.ref_code", true)} = c.ref_code AND i.ref_v1 = c.ref_v1) OR (${subCode("i.ref_code", false)} = c.ref_code AND i.ref_v2 = c.ref_v1)))) ORDER BY 1,2,3,4,5,6""",

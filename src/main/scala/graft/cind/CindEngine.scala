@@ -262,7 +262,9 @@ object CindEngine {
     * emit directly. This relation IS the reference's OverlapSet
     * (data/OverlapSet.scala, built by MultiunionOverlapCandidates):
     * overlap(dep, ref) = n. */
-  private def overlapCounts(lines: DataFrame, splitThreshold: Int): DataFrame = {
+  /** Unordered-pair key stream: one packed long `pk = dep<<32 | ref`
+    * (dep < ref) per (capture pair, join line) co-occurrence, skew-split. */
+  private def pairKeys(lines: DataFrame, splitThreshold: Int): DataFrame = {
     val narrow = lines.filter(size(col("ids")) <= splitThreshold)
       .select(explode(col("ids")).as("dep"), col("ids"))
     val wide = lines.filter(size(col("ids")) > splitThreshold)
@@ -275,6 +277,11 @@ object CindEngine {
       .select(col("dep"), explode(col("ids")).as("ref"))
       .filter(col("dep") < col("ref"))
       .select((shiftleft(col("dep"), 32) + col("ref")).as("pk"))
+  }
+
+  /** Aggregate unordered pair keys and expand to both directions. */
+  private def expandCounts(keys: DataFrame): DataFrame =
+    keys
       .groupBy("pk").agg(count(lit(1)).as("n"))
       .select(explode(array(
         struct(shiftright(col("pk"), 32).as("dep_id"),
@@ -282,7 +289,9 @@ object CindEngine {
         struct(col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("dep_id"),
           shiftright(col("pk"), 32).as("ref_id")))).as("p"), col("n"))
       .select(col("p.dep_id"), col("p.ref_id"), col("n"))
-  }
+
+  private def overlapCounts(lines: DataFrame, splitThreshold: Int): DataFrame =
+    expandCounts(pairKeys(lines, splitThreshold))
 
   /** Unary-unary capture overlaps with their co-occurrence counts
     * (reference CreateUnaryUnaryOverlapCandidates +
@@ -308,16 +317,15 @@ object CindEngine {
         col("n").as("overlap"), col("dep_support"))
   }
 
-  def allCinds(triples: DataFrame, minSupport: Int = DefaultMinSupport,
-      splitThreshold: Int = SplitThreshold,
-      bloomConditions: Boolean = false): Dataset[CindRow] = {
-    import triples.sparkSession.implicits._
-    val (dict, lines) = encodedJoinLines(triples, minSupport, bloomConditions)
+  /** Decode directed counts into CIND rows: keep pairs whose co-count
+    * equals the dep's support, drop trivially-implied refs, resolve IDs. */
+  private def decodeCinds(dict: DataFrame, counts: DataFrame): Dataset[CindRow] = {
+    import dict.sparkSession.implicits._
     val depSide = dict.select(col("id").as("dep_id"), col("code").as("dep_code"),
       col("v1").as("dep_v1"), col("v2").as("dep_v2"), col("support"))
     val refSide = dict.select(col("id").as("ref_id"), col("code").as("ref_code"),
       col("v1").as("ref_v1"), col("v2").as("ref_v2"))
-    overlapCounts(lines, splitThreshold)
+    counts
       .join(broadcast(depSide), "dep_id")
       .filter(col("n") === col("support")) // dep ⊑ ref iff co-count == support
       .join(broadcast(refSide), "ref_id")
@@ -329,6 +337,67 @@ object CindEngine {
       .select(col("dep_code"), col("dep_v1"), col("dep_v2"),
         col("ref_code"), col("ref_v1"), col("ref_v2"), col("support"))
       .as[CindRow]
+  }
+
+  def allCinds(triples: DataFrame, minSupport: Int = DefaultMinSupport,
+      splitThreshold: Int = SplitThreshold,
+      bloomConditions: Boolean = false): Dataset[CindRow] = {
+    val (dict, lines) = encodedJoinLines(triples, minSupport, bloomConditions)
+    decodeCinds(dict, overlapCounts(lines, splitThreshold))
+  }
+
+  /** Two-round half-approximate discovery (reference strategies 2/3,
+    * plan/ApproximateAllAtOnceTraversalStrategy.scala:27-114 +
+    * LateBBTraversalStrategy.scala:24-123, re-expressed for the count-match
+    * plan):
+    *
+    *   round 1 — stream the unordered pair keys through per-partition
+    *     SPECTRAL Bloom filters (saturating counting sketch, cell width from
+    *     minSupport as in the reference), merge cell-wise, collapse with
+    *     `toBloomFilter(minSupport)` (the reference's own G6 move) and
+    *     broadcast. No shuffle: the sketch rides the map side.
+    *   round 2 — re-emit pair keys, keep only keys the filter admits, run
+    *     the exact count-match on the survivors.
+    *
+    * A CIND pair co-occurs >= minSupport times and the sketch never
+    * under-counts (cell saturation caps at >= minSupport by construction),
+    * so pruning admits every true pair: the result is EXACTLY allCinds
+    * (spec-pinned). What the sketch buys at scale: the round-2 shuffle
+    * carries only plausible candidates instead of every co-occurrence —
+    * the same memory/volume bound the reference bought with its
+    * half-approximate CindSets, paid with a second map pass instead of a
+    * second extraction job.
+    *
+    * `expectedPairs` sizes the sketch (fixed-size broadcast); undersizing
+    * only weakens pruning, never correctness.
+    */
+  def allCindsTwoRound(triples: DataFrame, minSupport: Int = DefaultMinSupport,
+      expectedPairs: Long = 4000000L,
+      splitThreshold: Int = SplitThreshold): Dataset[CindRow] = {
+    import triples.sparkSession.implicits._
+    val spark = triples.sparkSession
+    val (dict, lines0) = encodedJoinLines(triples, minSupport)
+    val lines = lines0.persist()
+    lines.count() // both rounds read the lines; materialize once
+    val keys = pairKeys(lines, splitThreshold)
+    // round 1: distributed sketch build (mapPartitions + cell-wise merge)
+    val proto = graft.core.SpectralBloomFilter.create(expectedPairs, 0.1, minSupport)
+    val (nc, bpc, nh, words) = (proto.numCells, proto.bitsPerCell, proto.numHashes, proto.cells.length)
+    val cellArrays = keys.select(col("pk")).as[Long].mapPartitions { it =>
+      val s = new graft.core.SpectralBloomFilter(nc, bpc, nh, new Array[Long](words))
+      it.foreach(pk => s.add(java.lang.Long.toString(pk)))
+      Iterator.single(s.cells)
+    }(org.apache.spark.sql.Encoders.javaSerialization[Array[Long]])
+    val merged = cellArrays.rdd.fold(new Array[Long](words)) { (a, b) =>
+      new graft.core.SpectralBloomFilter(nc, bpc, nh, a)
+        .mergeInPlace(new graft.core.SpectralBloomFilter(nc, bpc, nh, b)).cells
+    }
+    val candidateFilter = new graft.core.SpectralBloomFilter(nc, bpc, nh, merged)
+      .toBloomFilter(minSupport)
+    val bcast = spark.sparkContext.broadcast(candidateFilter)
+    val mightBeCind = udf((pk: Long) => bcast.value.mightContain(java.lang.Long.toString(pk)))
+    // round 2: exact count-match restricted to sketch-admitted candidates
+    decodeCinds(dict, expandCounts(keys.filter(mightBeCind(col("pk")))))
   }
 
   /** Strategy 0 (AllAtOnce, reference plan/AllAtOnceTraversalStrategy

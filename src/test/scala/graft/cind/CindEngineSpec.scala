@@ -149,6 +149,16 @@ class CindEngineSpec extends SparkSpec {
     assert(cindsFromOverlaps == unaryBrute)
   }
 
+  test("two-round sketch-pruned strategy equals the exact CIND set") {
+    def key(r: CindRow) = (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+      Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)
+    // deliberately tiny sketch: heavy collisions weaken pruning but must
+    // never change the result
+    val t = CindEngine.allCindsTwoRound(toDF(tiny), minSupport = 2, expectedPairs = 64)
+      .collect().map(key).toSet
+    assert(t == bruteForce(tiny, 2))
+  }
+
   test("duplicate triples do not change the CIND set (set semantics)") {
     val got = CindEngine.allCinds(toDF(tiny ++ tiny), minSupport = 2).collect()
       .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),

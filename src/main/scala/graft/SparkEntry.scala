@@ -202,6 +202,9 @@ object SparkEntry {
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), col("vec_id") % 100 === 0, 10, dims = 64)
         .orderBy("query_id", "rank")),
+    "sim_topk_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
+        .orderBy("query_id", "rank")),
     "sim_near_dup_pairs" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), 0.95, dims = 64)
         .select("vec_id_a", "vec_id_b").orderBy("vec_id_a", "vec_id_b")),

@@ -93,6 +93,40 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    * a small coarse-quantizer codebook partitions the collection into
+    * inverted lists; queries probe only the nProbe nearest lists. The
+    * codebook here is a deterministic seed sample (the numCentroids
+    * smallest vec_ids) — production systems would k-means-refine it, which
+    * changes only codebook quality, not the dataflow: assignment is a
+    * broadcast argmin, lists are a hash-partitioned relation, probing is a
+    * broadcast join on centroid id. Output shape matches
+    * [[bruteForceTopK]]; recall bounded in the spec. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(emb.orderBy("vec_id").limit(numCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
+    def nearestCentroids(df: DataFrame, n: Int, idCol: String): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("cent_id"))
+      df.crossJoin(cents)
+        .withColumn("cs", cosine(col("embedding"), col("cent")))
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") <= n)
+        .drop("cs", "cr", "cent")
+    }
+    val lists = nearestCentroids(emb, 1, "vec_id") // inverted lists
+    val probes = nearestCentroids(emb.filter(queryPred), nProbe, "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id"))
+    val scored = lists.join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= minCosine, via LSH buckets
     * (both full-signature agreement improbable for non-near vectors). */
   def cosineNearDupPairs(emb: DataFrame, minCosine: Double, dims: Int): DataFrame = {

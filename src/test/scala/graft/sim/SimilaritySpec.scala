@@ -31,6 +31,16 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("ivfTopK achieves reasonable recall@10 against brute force") {
+    val queries = col("vec_id") % 50 === 0
+    val brute = Similarity.bruteForceTopK(real, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(real, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall") // 4 of 16 lists probed
+  }
+
   test("cosineNearDupPairs finds only genuinely close pairs") {
     val e = emb((0L, Seq(1f, 0f, 0f)), (1L, Seq(0.999f, 0.001f, 0f)), (2L, Seq(0f, 1f, 0f)))
     val r = Similarity.cosineNearDupPairs(e, 0.99, dims = 3).collect()

@@ -33,6 +33,21 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists { case (_, t, n) => t == "click" && n == 2 })
   }
 
+  test("streaming dedup keeps first-seen content across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.firstSeen(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    mem.addData((3L, "aaa"), (1L, "aaa"), (2L, "bbb")) // in-batch dup: keep min id
+    q.processAllAvailable()
+    mem.addData((4L, "aaa"), (5L, "ccc")) // cross-batch dup: drop 4
+    q.processAllAvailable()
+    val kept = spark.table("dd").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
   test("sessions split on 30-minute gaps") {
     import spark.implicits._
     val s = EventStream.sessions(rows.toDF(), watermark = false)

@@ -19,25 +19,32 @@ final case class CindRow(
 
 /** The CIND discovery pipeline, re-expressed Spark-first.
   *
-  * Shape (reference strategy 0, AllAtOnce — programs/RDFind.scala:196-580 +
-  * plan/AllAtOnceTraversalStrategy.scala:33-85):
+  * Default plan (`allCinds`, count-match — README "The CIND pipeline"):
   *
   *   triples
-  *     -> 9-way capture-instance fan-out        (explode; ref: CreateJoinPartners.scala:23-198)
-  *     -> frequent-condition pruning            (broadcast semi-join; ref: FrequentConditionPlanner BFs)
-  *     -> frequent-capture pruning              (broadcast semi-join; ref: RDFind.scala:348-400)
-  *     -> join lines: groupBy(value)            (collect_set; ref: UnionJoinCandidates)
-  *     -> evidence fan-out per line             (flatMap; ref: CreateAllCindCandidates)
-  *     -> per-dep sorted-set intersection       (typed Aggregator; ref: IntersectCindCandidates)
-  *     -> support filter + explode to CINDs
+  *     -> 9-way capture-instance fan-out   (explode; ref: CreateJoinPartners.scala:23-198)
+  *     -> frequent-condition pruning       (broadcast semi-join or Bloom filter;
+  *                                          ref: FrequentConditionPlanner BFs)
+  *     -> dedup + capture dictionary       (persisted; dense int IDs; support
+  *                                          filter; ref: RDFind.scala:348-400)
+  *     -> join lines: groupBy(value)       (collect_list of ids; ref: UnionJoinCandidates)
+  *     -> pair co-occurrence counts        (unordered-pair explode, skew split,
+  *                                          packed longs; ref: overlap sets)
+  *     -> CINDs: co-count == dep support   (ref: SmallToLargeTraversalStrategy.scala:63-105)
   *
-  * The two pruning layers are *semantics-preserving*: a capture can appear in
-  * a reported CIND (as dep or ref) only if its support >= minSupport, and
-  * support <= its condition's triple count, so dropping infrequent conditions
-  * and captures never changes the result — it only removes the quadratic
-  * work hidden in hub join lines. Spark's broadcast hash joins replace the
-  * reference's broadcast Bloom filters (exact, no false positives); at
-  * cluster scale the Bloom-filter variant can be swapped in via `graft.core.Bloom`.
+  * Alternative strategies, all result-identical (spec-pinned):
+  * `allCindsIntersect` (reference strategy 0: typed-Aggregator k-way
+  * sorted-set intersection), `allCindsTwoRound` (reference strategies 2/3:
+  * spectral-sketch candidate pruning + exact second round), and the
+  * `bloomConditions` flag (frequency Bloom filters instead of exact
+  * broadcast sets).
+  *
+  * The pruning layers are *semantics-preserving*: a capture can appear in a
+  * reported CIND (as dep or ref) only if its support >= minSupport, and
+  * support <= its condition's triple count, so dropping infrequent
+  * conditions/captures — exactly or via an over-approximating sketch —
+  * never changes the result; it only removes the quadratic work hidden in
+  * hub join lines.
   */
 object CindEngine {
 
@@ -115,7 +122,7 @@ object CindEngine {
       val bf = graft.core.Bloom.wrap(nb, nh, new Array[Long](nb >>> 6))
       it.foreach(bf.put)
       Iterator.single(bf.bits)
-    }(org.apache.spark.sql.Encoders.javaSerialization[Array[Long]])
+    }(keys.sparkSession.implicits.newLongArrayEncoder)
     val merged = bitArrays.rdd.fold(new Array[Long](nb >>> 6)) { (a, b) =>
       var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
     }
@@ -387,7 +394,7 @@ object CindEngine {
       val s = new graft.core.SpectralBloomFilter(nc, bpc, nh, new Array[Long](words))
       it.foreach(pk => s.add(java.lang.Long.toString(pk)))
       Iterator.single(s.cells)
-    }(org.apache.spark.sql.Encoders.javaSerialization[Array[Long]])
+    }(spark.implicits.newLongArrayEncoder)
     val merged = cellArrays.rdd.fold(new Array[Long](words)) { (a, b) =>
       new graft.core.SpectralBloomFilter(nc, bpc, nh, a)
         .mergeInPlace(new graft.core.SpectralBloomFilter(nc, bpc, nh, b)).cells

@@ -155,6 +155,9 @@ object SparkEntry {
       TripleStats.dictionaryRoundTrip(triples(s, dir)).orderBy("subj", "pred", "obj")),
     "cind_join_line_histogram" -> ((s, dir) =>
       CindEngine.joinLineHistogram(triples(s, dir), MS).orderBy("n_captures")),
+    "cind_reduced_binary_counts" -> ((s, dir) =>
+      CindEngine.reducedBinaryConditionCounts(triples(s, dir), MS)
+        .orderBy("cond_code", "v1", "v2")),
     "cind_unary_overlaps" -> ((s, dir) =>
       CindEngine.unaryOverlaps(triples(s, dir), MS)
         .orderBy("dep_code", "dep_v1", "ref_code", "ref_v1")),
@@ -254,6 +257,8 @@ object SparkEntry {
       s"WITH $cte, $capsCte, sup AS (SELECT code, v1, v2, COUNT(*) AS s FROM caps GROUP BY 1,2,3), fc AS (SELECT c.code, c.v1, c.v2, c.val FROM caps c JOIN sup s ON s.code=c.code AND s.v1=c.v1 AND s.v2=c.v2 WHERE s.s >= $MS), w AS (SELECT val, CAST(COUNT(*) AS INTEGER) AS n_captures FROM fc GROUP BY 1) SELECT n_captures, COUNT(*) AS n_lines FROM w GROUP BY 1 ORDER BY 1",
     "stats_count_triples" ->
       s"WITH $cte SELECT COUNT(*) AS n_triples FROM triples",
+    "cind_reduced_binary_counts" ->
+      s"""WITH $cte, fs AS (SELECT subj AS v FROM triples GROUP BY 1 HAVING COUNT(*) >= $MS), fp AS (SELECT pred AS v FROM triples GROUP BY 1 HAVING COUNT(*) >= $MS), fo AS (SELECT obj AS v FROM triples GROUP BY 1 HAVING COUNT(*) >= $MS), bc AS (SELECT 3 AS cond_code, subj AS v1, pred AS v2, COUNT(*) AS cnt FROM triples GROUP BY 2,3 UNION ALL SELECT 5, subj, obj, COUNT(*) FROM triples GROUP BY 2,3 UNION ALL SELECT 6, pred, obj, COUNT(*) FROM triples GROUP BY 2,3) SELECT b.cond_code, b.v1, b.v2, b.cnt FROM bc b WHERE b.cnt >= $MS AND ((b.cond_code IN (3,5) AND b.v1 IN (SELECT v FROM fs)) OR (b.cond_code = 6 AND b.v1 IN (SELECT v FROM fp))) AND ((b.cond_code = 3 AND b.v2 IN (SELECT v FROM fp)) OR (b.cond_code IN (5,6) AND b.v2 IN (SELECT v FROM fo))) ORDER BY 1,2,3""",
     "cind_unary_overlaps" ->
       s"WITH $cte, $capsCte, sup AS (SELECT code, v1, v2, COUNT(*) AS s FROM caps GROUP BY 1,2,3), fc AS (SELECT c.code, c.v1, c.v2, c.val, s.s FROM caps c JOIN sup s ON s.code=c.code AND s.v1=c.v1 AND s.v2=c.v2 WHERE s.s >= $MS) SELECT d.code AS dep_code, d.v1 AS dep_v1, r.code AS ref_code, r.v1 AS ref_v1, COUNT(*) AS overlap, MIN(d.s) AS dep_support FROM fc d JOIN fc r ON d.val = r.val AND NOT (d.code = r.code AND d.v1 = r.v1 AND d.v2 = r.v2) WHERE d.v2 = '' AND r.v2 = '' GROUP BY 1,2,3,4 HAVING COUNT(*) >= $MS ORDER BY 1,2,3,4",
     "events_props_sum" ->

@@ -101,6 +101,34 @@ object CindEngine {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Binary condition counts restricted to pairs of frequent unary members
+    * (reference E14 CreatedReducedDoubleConditionCounts.scala:22-95 and the
+    * `--frequent-condition-strategy 1` regroup, FrequentConditionPlanner
+    * .scala:319-365): a triple contributes a binary condition only when both
+    * member values are themselves frequent. Spark-first shape: three
+    * broadcast frequency joins flag the members, a conditional explode emits
+    * surviving pairs, one map-side-combinable count finishes. Output:
+    * (cond_code, v1, v2, cnt) with cnt >= minSupport. */
+  def reducedBinaryConditionCounts(triples: DataFrame, minSupport: Int = DefaultMinSupport): DataFrame = {
+    def freq(c: String, flag: String) =
+      broadcast(triples.groupBy(col(c).as(flag)).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minSupport).drop("n"))
+    val flagged = triples
+      .join(freq("subj", "fs"), col("subj") === col("fs"), "left")
+      .join(freq("pred", "fp"), col("pred") === col("fp"), "left")
+      .join(freq("obj", "fo"), col("obj") === col("fo"), "left")
+    val fs = col("fs").isNotNull; val fp = col("fp").isNotNull; val fo = col("fo").isNotNull
+    flagged
+      .select(explode(array(
+        when(fs && fp, struct(lit(3).as("cond_code"), col("subj").as("v1"), col("pred").as("v2"))),
+        when(fs && fo, struct(lit(5).as("cond_code"), col("subj").as("v1"), col("obj").as("v2"))),
+        when(fp && fo, struct(lit(6).as("cond_code"), col("pred").as("v1"), col("obj").as("v2"))))).as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy(col("c.cond_code").as("cond_code"), col("c.v1").as("v1"), col("c.v2").as("v2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSupport)
+  }
+
   /** Capture instances that survive frequent-condition pruning. */
   def prunedCaptureInstances(triples: DataFrame, minSupport: Int): DataFrame = {
     val freq = conditionCounts(triples)

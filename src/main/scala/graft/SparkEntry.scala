@@ -192,6 +192,8 @@ object SparkEntry {
     // --- text analysis ---
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),
+    "text_subtokens" -> ((s, dir) =>
+      TextAnalysis.subtokenCounts(docs(s, dir)).orderBy("doc_id")),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir)).orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -273,6 +275,8 @@ object SparkEntry {
       s"""WITH $tokCte, $shCte, sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), i AS (SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS inter FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1,2) SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.n AS n_a, sb.n AS n_b, CAST(floor(100*i.inter/(sa.n+sb.n-i.inter)) AS BIGINT) AS jaccard_pct FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50 ORDER BY 1,2""",
     "text_token_stats" ->
       "SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens, CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct_tokens, CAST(length(text) AS INTEGER) AS n_chars, CAST(list_aggregate(list_transform(string_split(text,' '), x -> length(x)), 'max') AS INTEGER) AS max_token_len, CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INTEGER) AS n_stopwords FROM documents ORDER BY doc_id",
+    "text_subtokens" ->
+      "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER) AS n_word_runs, CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS INTEGER) AS n_digit_runs, CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS INTEGER) AS n_marks, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) + len(regexp_extract_all(lower(text), '[0-9]+')) + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS INTEGER) AS n_subtokens FROM documents ORDER BY doc_id",
     "text_langid" -> {
       val scores = TextAnalysis.LangMarkers.map { case (l, ws) => langScoreSql(l, ws) }.mkString(", ")
       val cases = TextAnalysis.LangMarkers.map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")

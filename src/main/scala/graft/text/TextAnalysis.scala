@@ -46,6 +46,24 @@ object TextAnalysis {
       countIn(t, Stopwords).as("n_stopwords"))
   }
 
+  /** BPE-style subtoken counting: a GPT-2-flavoured regex partitions text
+    * into letter runs, digit runs, and single non-alphanumeric marks — the
+    * pre-tokenization a byte-pair encoder would refine. Counts only
+    * (integer outputs, oracle-exact); the regex sticks to portable
+    * character classes so Java and RE2-family engines agree.
+    * Output: (doc_id, n_word_runs, n_digit_runs, n_marks, n_subtokens). */
+  def subtokenCounts(docs: DataFrame): DataFrame = {
+    def n(pattern: String) =
+      size(regexp_extract_all(lower(col("text")), lit(pattern), lit(0)))
+    docs.select(
+      col("doc_id"),
+      n("[a-z]+").as("n_word_runs"),
+      n("[0-9]+").as("n_digit_runs"),
+      n("[^a-z0-9 ]").as("n_marks"))
+      .withColumn("n_subtokens",
+        col("n_word_runs") + col("n_digit_runs") + col("n_marks"))
+  }
+
   /** Language-ID: argmax of marker hits, ties broken alphabetically
     * (CASE order). Output: (doc_id, lang_guess, lang_score). */
   def langId(docs: DataFrame): DataFrame = {

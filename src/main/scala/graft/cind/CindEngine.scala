@@ -474,13 +474,16 @@ object CindEngine {
     // attribute codes of a binary condition's two members: 3=(s,p) 5=(s,o) 6=(p,o)
     val fstCode = when(col("cond_code") === 6, 2).otherwise(1)
     val sndCode = when(col("cond_code") === 3, 2).otherwise(4)
-    val d1 = binary
-      .join(broadcast(unary), fstCode === col("u_code") && col("v1") === col("u_v"))
+    // no broadcast hint: the unary side is the full unary-condition
+    // vocabulary (can be huge); AQE picks broadcast only when it's small.
+    // Equi-join keys are extracted so the planner sees a hashable join.
+    val d1 = binary.withColumn("jc", fstCode)
+      .join(unary, col("jc") === col("u_code") && col("v1") === col("u_v"))
       .filter(col("cnt") === col("u_cnt") && col("u_cnt") >= minSupport)
       .select(col("u_code").as("ante_code"), col("v1").as("ante_val"),
         sndCode.as("cons_code"), col("v2").as("cons_val"), col("cnt").as("support"))
-    val d2 = binary
-      .join(broadcast(unary), sndCode === col("u_code") && col("v2") === col("u_v"))
+    val d2 = binary.withColumn("jc", sndCode)
+      .join(unary, col("jc") === col("u_code") && col("v2") === col("u_v"))
       .filter(col("cnt") === col("u_cnt") && col("u_cnt") >= minSupport)
       .select(col("u_code").as("ante_code"), col("v2").as("ante_val"),
         fstCode.as("cons_code"), col("v1").as("cons_val"), col("cnt").as("support"))

@@ -40,8 +40,10 @@ object Dedup {
     * sum(df(shingle)^2), not n^2. Output:
     * (doc_id_a, doc_id_b, inter, n_a, n_b, jaccard_pct), a < b. */
   def jaccardPairs(docs: DataFrame, minJaccardPct: Int): DataFrame = {
-    // the shingle index feeds three consumers (sizes + both join sides)
+    // the shingle index feeds three consumers (sizes + both join sides);
+    // materialize eagerly so broadcast builds read the cache
     val sh = shingleIndex(docs).persist()
+    sh.count()
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
@@ -95,6 +97,7 @@ object Dedup {
     // shingle index through the candidate list instead of re-running the
     // full inverted-index self-join (that would cost as much as exact)
     val sh = shingleIndex(docs).persist()
+    sh.count()
     val shA = sh.select(col("doc_id").as("doc_id_a"), col("sh"))
     val shB = sh.select(col("doc_id").as("bid"), col("sh").as("sh_b"))
     val inter = candidates

@@ -146,14 +146,19 @@ object CindEngine {
       fpp: Double): graft.core.BloomFilter = {
     val proto = graft.core.Bloom.create(expectedInsertions, fpp)
     val (nb, nh) = (proto.numBits, proto.numHashes)
+    val words = (nb + 63) >>> 6 // round UP: numBits need not be a 64-multiple
     val bitArrays = keys.mapPartitions { it =>
-      val bf = graft.core.Bloom.wrap(nb, nh, new Array[Long](nb >>> 6))
+      val bf = graft.core.Bloom.wrap(nb, nh, new Array[Long](words))
       it.foreach(bf.put)
       Iterator.single(bf.bits)
     }(keys.sparkSession.implicits.newLongArrayEncoder)
-    val merged = bitArrays.rdd.fold(new Array[Long](nb >>> 6)) { (a, b) =>
+    // treeAggregate, NOT fold: fold pulls every partition's full bit array
+    // through the driver; the tree combines them on executors (depth 2 covers
+    // thousands of partitions with ~sqrt fan-in per level).
+    val or = (a: Array[Long], b: Array[Long]) => {
       var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
     }
+    val merged = bitArrays.rdd.treeAggregate(new Array[Long](words))(or, or, depth = 2)
     graft.core.Bloom.wrap(nb, nh, merged)
   }
 
@@ -252,11 +257,19 @@ object CindEngine {
     //    The quadratic pair fan-out then runs over packed longs instead of
     //    6-column string tuples (the reference's ConditionCompressor idea,
     //    Spark-style).
-    val w = org.apache.spark.sql.expressions.Window.orderBy("code", "v1", "v2")
-    val dict = dedup.groupBy("code", "v1", "v2")
+    val grouped = dedup.groupBy("code", "v1", "v2")
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .withColumn("id", row_number().over(w).cast("long"))
+    // Dense IDs via zipWithIndex, NOT row_number over a global window: the
+    // unpartitioned window funnels every frequent capture through a single
+    // task (the 100 TB killer). zipWithIndex numbers partitions in place
+    // after one tiny partition-size job; IDs only need distinctness and
+    // < 2^31 (they feed the packed-long pair key), not global order.
+    val spark = triples.sparkSession
+    val dict = spark.createDataFrame(
+      grouped.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      grouped.schema.add("id", org.apache.spark.sql.types.LongType, nullable = false))
       .persist()
     // Materialize NOW: downstream plans reference dict from several
     // broadcast exchanges, which Spark computes eagerly on parallel threads
@@ -423,10 +436,13 @@ object CindEngine {
       it.foreach(pk => s.add(java.lang.Long.toString(pk)))
       Iterator.single(s.cells)
     }(spark.implicits.newLongArrayEncoder)
-    val merged = cellArrays.rdd.fold(new Array[Long](words)) { (a, b) =>
+    // executor-side tree merge (see buildBloom): cell arrays are MBs each,
+    // funnelling them all through the driver is the scale bottleneck
+    val mergeCells = (a: Array[Long], b: Array[Long]) =>
       new graft.core.SpectralBloomFilter(nc, bpc, nh, a)
         .mergeInPlace(new graft.core.SpectralBloomFilter(nc, bpc, nh, b)).cells
-    }
+    val merged = cellArrays.rdd.treeAggregate(new Array[Long](words))(
+      mergeCells, mergeCells, depth = 2)
     val candidateFilter = new graft.core.SpectralBloomFilter(nc, bpc, nh, merged)
       .toBloomFilter(minSupport)
     val bcast = spark.sparkContext.broadcast(candidateFilter)

@@ -62,8 +62,12 @@ object Multimodal {
   def sampleFrames(blobs: DataFrame, frameSize: Int = 128): DataFrame =
     blobs
       .select(col("doc_id"), col("blob"),
-        explode(sequence(lit(0),
-          floor((length(col("blob")) - 1) / lit(frameSize)).cast("int")))
+        // empty-blob guard: sequence(0, -1) yields a DESCENDING [0, -1], not
+        // an empty array — an empty blob must produce zero frames
+        explode(when(length(col("blob")) > 0,
+          sequence(lit(0),
+            floor((length(col("blob")) - 1) / lit(frameSize)).cast("int")))
+          .otherwise(array().cast("array<int>")))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         (col("frame_idx") * frameSize).as("frame_off"),

@@ -120,15 +120,20 @@ object TripleStats {
       .select(col("h"), element_at(col("vs"), 1).as("v"))
       .persist()
     dict.count() // materialize before the six broadcast uses below
+    // no broadcast() hints below: the dictionary is the FULL distinct value
+    // vocabulary — forcing it onto the driver/executor heap makes memory the
+    // scale bound. AQE broadcasts it when (and only when) it is small; at
+    // scale these become plain shuffle joins, the reference's own
+    // ConditionDecompressor coGroup shape.
     def compress(c: String) = {
-      val d = broadcast(dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c")))
+      val d = dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c"))
       (df: DataFrame) => df.join(d, df(c) === col(s"v_$c"), "left")
         .withColumn(c, when(col(s"h_$c").isNotNull, concat(lit("#"), col(s"h_$c")))
           .otherwise(concat(lit("~"), col(c))))
         .drop(s"h_$c", s"v_$c")
     }
     def decompress(c: String) = {
-      val d = broadcast(dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c")))
+      val d = dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c"))
       (df: DataFrame) => df.join(d,
           when(df(c).startsWith("#"), substring(df(c), 2, 6)).otherwise(lit(null)) === col(s"h_$c"),
           "left")

@@ -64,6 +64,18 @@ class BloomSpec extends AnyFunSuite {
     assert(a.count("k") >= 9)
   }
 
+  test("default 10M/1% sizing has numBits not divisible by 64 and still works") {
+    // regression: a bit array sized nb>>>6 (round DOWN) is one word short
+    // whenever numBits % 64 != 0 — hashes landing in the last partial word
+    // then throw ArrayIndexOutOfBoundsException
+    val proto = Bloom.create(10000000L, 0.01)
+    assert(proto.numBits % 64 != 0, "sizing regression guard expects a non-multiple")
+    val wrapped = Bloom.wrap(proto.numBits, proto.numHashes,
+      new Array[Long]((proto.numBits + 63) >>> 6))
+    (0 until 50000).foreach(i => wrapped.put(s"k-$i"))
+    (0 until 50000).foreach(i => assert(wrapped.mightContain(s"k-$i")))
+  }
+
   test("spectral counters saturate instead of overflowing") {
     val sbf = SpectralBloomFilter.create(100, 0.01, minSupport = 2)
     val max = (1L << sbf.bitsPerCell) - 1

@@ -23,4 +23,11 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(x => (x.getInt(1), x.getInt(2), x.getInt(3)))
     assert(r.toSeq == Seq((0, 0, 'x'.toInt), (1, 128, 'x'.toInt), (2, 256, 'x'.toInt)))
   }
+
+  test("sampleFrames emits no frames for an empty blob") {
+    // regression: sequence(0, -1) yields [0, -1] (descending), not []
+    val r = Multimodal.sampleFrames(Multimodal.blobTable(docs((1L, ""), (2L, "y"))))
+      .collect().map(x => (x.getLong(0), x.getInt(1)))
+    assert(r.toSeq == Seq((2L, 0)))
+  }
 }

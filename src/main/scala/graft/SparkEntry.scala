@@ -52,14 +52,23 @@ object SparkEntry {
     if (first) s"CASE $col WHEN 14 THEN 10 WHEN 21 THEN 17 ELSE 33 END"
     else s"CASE $col WHEN 14 THEN 12 WHEN 21 THEN 20 ELSE 34 END"
 
-  /** Shared SQL body computing all CINDs (mirrors CindEngine.allCinds):
-    * frequent captures self-joined per join value, a dep⊑ref holds iff the
-    * co-occurrence count equals the dep's support. */
-  private val cindsSqlBody: String =
-    s"""sup AS (SELECT code, v1, v2, COUNT(*) AS s FROM caps GROUP BY 1,2,3),
-       |fc AS (SELECT c.code, c.v1, c.v2, c.val, s.s FROM caps c JOIN sup s ON s.code=c.code AND s.v1=c.v1 AND s.v2=c.v2 WHERE s.s >= $MS),
+  /** Shared SQL body computing all CINDs over a capture relation (mirrors
+    * CindEngine.allCinds): frequent captures self-joined per join value, a
+    * dep⊑ref holds iff the co-occurrence count equals the dep's support. */
+  private def cindsBody(caps: String): String =
+    s"""sup AS (SELECT code, v1, v2, COUNT(*) AS s FROM $caps GROUP BY 1,2,3),
+       |fc AS (SELECT c.code, c.v1, c.v2, c.val, s.s FROM $caps c JOIN sup s ON s.code=c.code AND s.v1=c.v1 AND s.v2=c.v2 WHERE s.s >= $MS),
        |pairs AS (SELECT d.code AS dep_code, d.v1 AS dep_v1, d.v2 AS dep_v2, MIN(d.s) AS dep_sup, r.code AS ref_code, r.v1 AS ref_v1, r.v2 AS ref_v2, COUNT(*) AS n FROM fc d JOIN fc r ON d.val = r.val AND NOT (d.code = r.code AND d.v1 = r.v1 AND d.v2 = r.v2) GROUP BY 1,2,3,5,6,7),
        |cinds AS (SELECT dep_code, dep_v1, dep_v2, ref_code, ref_v1, ref_v2, dep_sup AS support FROM pairs WHERE n = dep_sup AND NOT (dep_code IN (14,21,35) AND ref_v2 = '' AND ((ref_code = ${subCode("dep_code", true)} AND ref_v1 = dep_v1) OR (ref_code = ${subCode("dep_code", false)} AND ref_v1 = dep_v2))))""".stripMargin
+
+  private val cindsSqlBody: String = cindsBody("caps")
+
+  /** Confidence-1.0 association rules between unary conditions as a CTE
+    * (`rules`), shared by the AR oracle and the AR-pruned discovery oracle. */
+  private val rulesCte: String =
+    s"""uc AS (SELECT 1 AS code, subj AS v, COUNT(*) AS cnt FROM triples GROUP BY 2 UNION ALL SELECT 2, pred, COUNT(*) FROM triples GROUP BY 2 UNION ALL SELECT 4, obj, COUNT(*) FROM triples GROUP BY 2),
+       |bc AS (SELECT 3 AS code, subj AS v1, pred AS v2, COUNT(*) AS cnt FROM triples GROUP BY 2,3 UNION ALL SELECT 5, subj, obj, COUNT(*) FROM triples GROUP BY 2,3 UNION ALL SELECT 6, pred, obj, COUNT(*) FROM triples GROUP BY 2,3),
+       |rules AS (SELECT u.code AS ante_code, b.v1 AS ante_val, CASE b.code WHEN 3 THEN 2 ELSE 4 END AS cons_code, b.v2 AS cons_val, b.cnt AS support FROM bc b JOIN uc u ON u.code = CASE b.code WHEN 6 THEN 2 ELSE 1 END AND u.v = b.v1 WHERE b.cnt = u.cnt AND u.cnt >= $MS UNION ALL SELECT u.code, b.v2, CASE b.code WHEN 6 THEN 2 ELSE 1 END, b.v1, b.cnt FROM bc b JOIN uc u ON u.code = CASE b.code WHEN 3 THEN 2 ELSE 4 END AND u.v = b.v2 WHERE b.cnt = u.cnt AND u.cnt >= $MS)""".stripMargin
 
   /** Prefix table for the URL-shortening operator ("nation:1" exercises
     * longest-prefix-wins over "nation:"). */
@@ -124,6 +133,9 @@ object SparkEntry {
     "cind_association_rules" -> ((s, dir) =>
       CindEngine.associationRules(triples(s, dir), MS)
         .orderBy("ante_code", "ante_val", "cons_code", "cons_val")),
+    "cind_all_pruned" -> ((s, dir) => // reference default: AR pruning ON
+      CindEngine.allCindsPruned(triples(s, dir), MS).toDF()
+        .orderBy(cindCols.map(col): _*)),
     "stats_count_conditions" -> ((s, dir) =>
       TripleStats.countConditions(triples(s, dir)).orderBy("cond_code")),
     "stats_distinct_values" -> ((s, dir) =>
@@ -237,7 +249,9 @@ object SparkEntry {
     "cind_minimal" ->
       s"""WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds c WHERE NOT (c.dep_code IN (14,21,35) AND EXISTS (SELECT 1 FROM cinds i WHERE i.dep_v2 = '' AND i.ref_code = c.ref_code AND i.ref_v1 = c.ref_v1 AND i.ref_v2 = c.ref_v2 AND ((i.dep_code = ${subCode("c.dep_code", true)} AND i.dep_v1 = c.dep_v1) OR (i.dep_code = ${subCode("c.dep_code", false)} AND i.dep_v1 = c.dep_v2)))) AND NOT (c.ref_v2 = '' AND EXISTS (SELECT 1 FROM cinds i WHERE i.dep_code = c.dep_code AND i.dep_v1 = c.dep_v1 AND i.dep_v2 = c.dep_v2 AND i.ref_code IN (14,21,35) AND ((${subCode("i.ref_code", true)} = c.ref_code AND i.ref_v1 = c.ref_v1) OR (${subCode("i.ref_code", false)} = c.ref_code AND i.ref_v2 = c.ref_v1)))) ORDER BY 1,2,3,4,5,6""",
     "cind_association_rules" ->
-      s"""WITH $cte, uc AS (SELECT 1 AS code, subj AS v, COUNT(*) AS cnt FROM triples GROUP BY 2 UNION ALL SELECT 2, pred, COUNT(*) FROM triples GROUP BY 2 UNION ALL SELECT 4, obj, COUNT(*) FROM triples GROUP BY 2), bc AS (SELECT 3 AS code, subj AS v1, pred AS v2, COUNT(*) AS cnt FROM triples GROUP BY 2,3 UNION ALL SELECT 5, subj, obj, COUNT(*) FROM triples GROUP BY 2,3 UNION ALL SELECT 6, pred, obj, COUNT(*) FROM triples GROUP BY 2,3) SELECT u.code AS ante_code, b.v1 AS ante_val, CASE b.code WHEN 3 THEN 2 ELSE 4 END AS cons_code, b.v2 AS cons_val, b.cnt AS support FROM bc b JOIN uc u ON u.code = CASE b.code WHEN 6 THEN 2 ELSE 1 END AND u.v = b.v1 WHERE b.cnt = u.cnt AND u.cnt >= $MS UNION ALL SELECT u.code, b.v2, CASE b.code WHEN 6 THEN 2 ELSE 1 END, b.v1, b.cnt FROM bc b JOIN uc u ON u.code = CASE b.code WHEN 3 THEN 2 ELSE 4 END AND u.v = b.v2 WHERE b.cnt = u.cnt AND u.cnt >= $MS ORDER BY 1,2,3,4""",
+      s"WITH $cte, $rulesCte SELECT ante_code, ante_val, cons_code, cons_val, support FROM rules ORDER BY 1,2,3,4",
+    "cind_all_pruned" ->
+      s"""WITH $cte, $capsCte, $rulesCte, arc AS (SELECT ante_code + cons_code AS ccode, CASE WHEN ante_code < cons_code THEN ante_val ELSE cons_val END AS cv1, CASE WHEN ante_code < cons_code THEN cons_val ELSE ante_val END AS cv2 FROM rules), capsp AS (SELECT c.* FROM caps c WHERE NOT EXISTS (SELECT 1 FROM arc a WHERE c.code % 8 = a.ccode AND c.v1 = a.cv1 AND c.v2 = a.cv2)), ${cindsBody("capsp")} SELECT * FROM cinds c WHERE NOT EXISTS (SELECT 1 FROM rules r WHERE c.dep_v2 = '' AND c.ref_v2 = '' AND c.dep_code = r.ante_code + 8 * (7 - r.ante_code - r.cons_code) AND c.dep_v1 = r.ante_val AND c.ref_code = r.cons_code + 8 * (7 - r.ante_code - r.cons_code) AND c.ref_v1 = r.cons_val) ORDER BY 1,2,3,4,5,6""",
     "stats_count_conditions" ->
       s"WITH $cte, $condsCte, cc AS (SELECT cond_code, v1, v2, COUNT(*) AS cnt FROM conds GROUP BY 1,2,3) SELECT cond_code, COUNT(*) AS n_conditions, CAST(SUM(cnt) AS BIGINT) AS n_occurrences FROM cc GROUP BY 1 ORDER BY 1",
     "stats_distinct_values" ->

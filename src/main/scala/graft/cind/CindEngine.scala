@@ -240,14 +240,28 @@ object CindEngine {
     * persisted frequent-capture dictionary (code, v1, v2, support, id) and
     * lines is (join_val, ids ARRAY<LONG>). */
   private[cind] def encodedJoinLines(triples: DataFrame, minSupport: Int,
-      bloomConditions: Boolean = false): (DataFrame, DataFrame) = {
+      bloomConditions: Boolean = false,
+      arRules: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // 1. Condition-frequency pruning first (reference FrequentConditionPlanner
     //    order): a cheap map-side-combinable count that typically halves the
     //    instance stream before anything expensive runs. Bloom mode swaps
     //    the exact broadcast set for a fixed-size filter (100 TB path).
-    val pruned =
+    val pruned0 =
       if (bloomConditions) bloomPrunedCaptureInstances(triples, minSupport)
       else prunedCaptureInstances(triples, minSupport)
+    // 1b. Association-rule fan-out pruning (reference CreateJoinPartners
+    //     .scala:100,117,134 + :183-196): a binary condition that merges a
+    //     confidence-1.0 rule's antecedent and consequent produces captures
+    //     IDENTICAL to the antecedent-only unary capture, so its instances
+    //     are redundant. One broadcast anti-join on (cond_code, v1, v2);
+    //     unary instances (cond codes 1/2/4) can never match a rule
+    //     condition (codes 3/5/6) and pass through untouched.
+    val pruned = arRules match {
+      case Some(rules) =>
+        pruned0.join(broadcast(arImpliedConditions(rules)),
+          Seq("cond_code", "v1", "v2"), "left_anti")
+      case None => pruned0
+    }
     // 2. One dedup shuffle shared by the dictionary AND the join lines.
     //    Persisted: separate DataFrame actions cannot reuse each other's
     //    shuffle files, so without this the dedup would run twice.
@@ -392,6 +406,53 @@ object CindEngine {
       bloomConditions: Boolean = false): Dataset[CindRow] = {
     val (dict, lines) = encodedJoinLines(triples, minSupport, bloomConditions)
     decodeCinds(dict, overlapCounts(lines, splitThreshold))
+  }
+
+  /** A rule's merged binary condition as (cond_code, v1, v2), values ordered
+    * by attribute code (reference CreateJoinPartners.scala:183-196). */
+  private def arImpliedConditions(rules: DataFrame): DataFrame =
+    rules.select(
+      col("ante_code").bitwiseOR(col("cons_code")).as("cond_code"),
+      when(col("ante_code") < col("cons_code"), col("ante_val"))
+        .otherwise(col("cons_val")).as("v1"),
+      when(col("ante_code") < col("cons_code"), col("cons_val"))
+        .otherwise(col("ante_val")).as("v2"))
+      .distinct()
+
+  /** Discovery with association-rule pruning — the reference program's
+    * DEFAULT semantics (`--use-frequent-item-sets`, programs/RDFind
+    * .scala:333-346):
+    *
+    *   1. fan-out: binary conditions merging a rule's antecedent+consequent
+    *      are dropped (their captures duplicate the antecedent's unary
+    *      capture) — see [[encodedJoinLines]];
+    *   2. output: 1/1 CINDs `proj[ante] ⊑ proj[cons]` directly implied by a
+    *      rule are filtered (reference operators/
+    *      FilterAssociationRuleImpliedCinds.scala:17-58: projection attribute
+    *      = the one attribute neither side conditions on).
+    *
+    * Both prunings only REMOVE redundant output rows; every surviving CIND
+    * is identical to its `allCinds` counterpart (same support). */
+  def allCindsPruned(triples: DataFrame, minSupport: Int = DefaultMinSupport,
+      splitThreshold: Int = SplitThreshold): Dataset[CindRow] = {
+    import triples.sparkSession.implicits._
+    // consumed by the fan-out anti-join AND the output filter; tiny relation
+    val rules = associationRules(triples, minSupport).persist()
+    rules.count()
+    val (dict, lines) = encodedJoinLines(triples, minSupport, arRules = Some(rules))
+    val cinds = decodeCinds(dict, overlapCounts(lines, splitThreshold)).toDF()
+    // implied 1/1 CIND: dep = proj[ante], ref = proj[cons], where proj is
+    // the attribute NOT conditioned by the rule (capture code = attr bits +
+    // projection bits << 3, core/ConditionCodes.scala)
+    val proj = shiftleft(lit(7) - col("ante_code") - col("cons_code"), 3)
+    val implied = rules.select(
+      (col("ante_code") + proj).as("i_dep_code"), col("ante_val").as("i_dep_v1"),
+      (col("cons_code") + proj).as("i_ref_code"), col("cons_val").as("i_ref_v1"))
+    cinds.join(broadcast(implied),
+      col("dep_code") === col("i_dep_code") && col("dep_v1") === col("i_dep_v1") &&
+        col("ref_code") === col("i_ref_code") && col("ref_v1") === col("i_ref_v1") &&
+        col("dep_v2") === "" && col("ref_v2") === "",
+      "left_anti").as[CindRow]
   }
 
   /** Two-round half-approximate discovery (reference strategies 2/3,

@@ -134,6 +134,42 @@ class CindEngineSpec extends SparkSpec {
     assert(t == bruteForce(tiny, 2))
   }
 
+  test("allCindsPruned drops AR-implied binary captures and implied 1/1 CINDs") {
+    def key(r: CindRow) = (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+      Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)
+    val got = CindEngine.allCindsPruned(toDF(tiny), minSupport = 2)
+      .collect().map(key).toSet
+    // rules at support 2 on cind_tiny: p=type->o=Person (and converse),
+    // s=a1->p=employs, s=a2->p=employs, o=a1->p=worksFor, o=a2->p=worksFor.
+    // (1) binary captures merging a rule's two sides are never emitted:
+    val arBinary = Set(
+      Capture(ConditionCodes.capture(P | O, S), "type", "Person"),
+      Capture(ConditionCodes.capture(P | O, S), "worksFor", "a1"),
+      Capture(ConditionCodes.capture(P | O, S), "worksFor", "a2"),
+      Capture(ConditionCodes.capture(S | P, O), "a1", "employs"),
+      Capture(ConditionCodes.capture(S | P, O), "a2", "employs"))
+    // (2) the rule-implied 1/1 CINDs proj[ante] ⊑ proj[cons] are filtered:
+    val implied = Set(
+      (Capture(ConditionCodes.capture(P, S), "type", ""),
+        Capture(ConditionCodes.capture(O, S), "Person", "")),
+      (Capture(ConditionCodes.capture(O, S), "Person", ""),
+        Capture(ConditionCodes.capture(P, S), "type", "")),
+      (Capture(ConditionCodes.capture(S, O), "a1", ""),
+        Capture(ConditionCodes.capture(P, O), "employs", "")),
+      (Capture(ConditionCodes.capture(S, O), "a2", ""),
+        Capture(ConditionCodes.capture(P, O), "employs", "")),
+      (Capture(ConditionCodes.capture(O, S), "a1", ""),
+        Capture(ConditionCodes.capture(P, S), "worksFor", "")),
+      (Capture(ConditionCodes.capture(O, S), "a2", ""),
+        Capture(ConditionCodes.capture(P, S), "worksFor", "")))
+    val want = bruteForce(tiny, 2).filterNot { case (d, r, _) =>
+      arBinary(d) || arBinary(r) || implied((d, r)) }
+    assert(got == want, s"\nmissing=${want -- got}\nextra=${got -- want}")
+    // sanity: the pruning actually removed something on this fixture
+    assert(want.size < bruteForce(tiny, 2).size)
+    assert(got.nonEmpty)
+  }
+
   test("duplicate triples do not change the CIND set (set semantics)") {
     val got = CindEngine.allCinds(toDF(tiny ++ tiny), minSupport = 2).collect()
       .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),

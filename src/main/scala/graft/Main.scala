@@ -1,0 +1,159 @@
+package graft
+
+import graft.cind.{CindEngine, CindRow}
+import graft.core.ConditionCodes
+import graft.rdf.{TripleSource, TripleStats}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** The runnable program surface (reference programs/RDFind.scala:196-580,
+  * 635-721): triple files in, discovered CINDs (and optionally association
+  * rules) as text out, with the reference's default pipeline semantics.
+  *
+  * Flags mirror the reference CLI where the concept carries over:
+  *
+  * {{{
+  * graft.Main [flags] <input paths (.nt/.nq[.gz], globs, dirs)>
+  *   --output PATH         write CINDs as text (reference data/Cind.scala:31-34 format)
+  *   --ar-output PATH      write association rules as text
+  *   --support N           minimum support (default 10)
+  *   --strategy S          count-match | intersect | tworound  (default count-match;
+  *                         reference traversal strategies 0/1 vs 2/3 analog)
+  *   --use-ars             association-rule pruning (reference --use-ars)
+  *   --clean-implied       minimality pruning (reference --clean-implied)
+  *   --distinct-triples    dedup triples first
+  *   --asciify-triples     7-bit-fold non-ASCII values
+  *   --apply-hash          replace terms by short hashes
+  *   --prefixes PATH       @prefix file(s) -> URL shortening (reference --prefixes)
+  *   --master M            Spark master (default local[*])
+  * }}}
+  */
+object Main {
+
+  final case class Config(
+      inputs: Vector[String] = Vector.empty,
+      output: Option[String] = None,
+      arOutput: Option[String] = None,
+      support: Int = CindEngine.DefaultMinSupport,
+      strategy: String = "count-match",
+      useArs: Boolean = false,
+      cleanImplied: Boolean = false,
+      distinctTriples: Boolean = false,
+      asciify: Boolean = false,
+      applyHash: Boolean = false,
+      prefixFiles: Vector[String] = Vector.empty,
+      master: String = "local[*]")
+
+  def parseArgs(args: Seq[String]): Config = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case Nil => c
+      case "--output" :: v :: t       => loop(t, c.copy(output = Some(v)))
+      case "--ar-output" :: v :: t    => loop(t, c.copy(arOutput = Some(v)))
+      case "--support" :: v :: t      => loop(t, c.copy(support = v.toInt))
+      case "--strategy" :: v :: t     => loop(t, c.copy(strategy = v))
+      case "--use-ars" :: t           => loop(t, c.copy(useArs = true))
+      case "--clean-implied" :: t     => loop(t, c.copy(cleanImplied = true))
+      case "--distinct-triples" :: t  => loop(t, c.copy(distinctTriples = true))
+      case "--asciify-triples" :: t   => loop(t, c.copy(asciify = true))
+      case "--apply-hash" :: t        => loop(t, c.copy(applyHash = true))
+      case "--prefixes" :: v :: t     => loop(t, c.copy(prefixFiles = c.prefixFiles :+ v))
+      case "--master" :: v :: t       => loop(t, c.copy(master = v))
+      case flag :: _ if flag.startsWith("--") =>
+        throw new IllegalArgumentException(s"unknown flag $flag")
+      case path :: t                  => loop(t, c.copy(inputs = c.inputs :+ path))
+    }
+    val c = loop(args.toList, Config())
+    require(c.inputs.nonEmpty, "at least one input path is required")
+    require(Set("count-match", "intersect", "tworound")(c.strategy),
+      s"unknown strategy ${c.strategy}")
+    c
+  }
+
+  /** Reference CIND text format (data/Cind.scala:31-34):
+    * `s[p=a,o=b] < o[p=c] (support=4)`. */
+  def formatCind(r: CindRow): String =
+    s"${ConditionCodes.prettyPrint(r.dep_code, r.dep_v1, r.dep_v2)} < " +
+      s"${ConditionCodes.prettyPrint(r.ref_code, r.ref_v1, r.ref_v2)} " +
+      s"(support=${r.support})"
+
+  /** Reference association-rule text format (data/AssociationRule.scala:15-19);
+    * discovered rules always have confidence 1.0. */
+  def formatRule(anteCode: Int, anteVal: String, consCode: Int, consVal: String,
+      support: Long): String =
+    s"${ConditionCodes.prettyPrint(anteCode, anteVal)} -> " +
+      s"${ConditionCodes.prettyPrint(consCode, consVal)} " +
+      s"(support=$support,confidence=100.00%)"
+
+  /** The full input pipeline: read/parse -> prefix shortening -> transforms. */
+  def loadTriples(spark: SparkSession, c: Config): DataFrame = {
+    var triples = TripleSource.readTriples(spark, c.inputs)
+    if (c.prefixFiles.nonEmpty) {
+      // prefix table is tiny by nature — collected and trie-compiled once
+      val prefixes = TripleSource
+        .parseRdfPrefixes(spark.read.textFile(c.prefixFiles: _*))
+        .collect().toSeq
+        .map { case (pfx, url) => (url, pfx + ":") }
+      if (prefixes.nonEmpty) triples = TripleStats.shortenTriples(triples, prefixes)
+    }
+    if (c.asciify) triples = TripleStats.asciifyTriples(triples)
+    if (c.distinctTriples) triples = triples.distinct()
+    if (c.applyHash) triples = TripleStats.applyHash(triples)
+    triples
+  }
+
+  /** Discovery per configured strategy + pruning flags. */
+  def discover(triples: DataFrame, c: Config): Dataset[CindRow] = {
+    if (c.useArs && c.strategy != "count-match")
+      throw new IllegalArgumentException(
+        "--use-ars requires the count-match strategy (the AR anti-join lives in its fan-out)")
+    val cinds = c.strategy match {
+      case "count-match" if c.useArs => CindEngine.allCindsPruned(triples, c.support)
+      case "count-match"             => CindEngine.allCinds(triples, c.support)
+      case "intersect"               => CindEngine.allCindsIntersect(triples, c.support)
+      case "tworound"                => CindEngine.allCindsTwoRound(triples, c.support)
+    }
+    if (c.cleanImplied) {
+      import triples.sparkSession.implicits._
+      CindEngine.minimalCinds(cinds.toDF()).as[CindRow]
+    } else cinds
+  }
+
+  def run(spark: SparkSession, c: Config): Unit = {
+    import spark.implicits._
+    val triples = loadTriples(spark, c)
+    val cinds = discover(triples, c)
+    c.output match {
+      case Some(path) =>
+        // single sorted text file, like the reference's parallelism-1 local
+        // sink (programs/RDFind.scala:506-521) — output size is CINDs, not data
+        cinds.orderBy("dep_code", "dep_v1", "dep_v2", "ref_code", "ref_v1", "ref_v2")
+          .map(formatCind).coalesce(1)
+          .write.mode("overwrite").text(path)
+        println(s"Outputting CINDs to $path.")
+      case None =>
+        println(s"Discovered ${cinds.count()} CINDs (no --output given).")
+    }
+    c.arOutput.foreach { path =>
+      CindEngine.associationRules(triples, c.support)
+        .orderBy("ante_code", "ante_val", "cons_code", "cons_val")
+        .map(r => formatRule(r.getInt(0), r.getString(1), r.getInt(2),
+          r.getString(3), r.getLong(4)))
+        .coalesce(1).write.mode("overwrite").text(path)
+      println(s"Outputting association rules to $path.")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(c.master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, c) finally spark.stop()
+  }
+}

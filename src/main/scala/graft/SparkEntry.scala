@@ -200,7 +200,9 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, dir) => // LSH candidates, exact-verified
       Dedup.minhashLshPairs(docs(s, dir), 50).orderBy("doc_id_a", "doc_id_b")),
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), 16).orderBy("doc_id_a", "doc_id_b")),
+      // maxHamming 3 = the 4x16-bit banding's completeness bound; beyond 3
+      // the band join would silently miss pairs (documented contract)
+      Dedup.simhashPairs(docs(s, dir), 3).orderBy("doc_id_a", "doc_id_b")),
     // --- text analysis ---
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),
@@ -222,9 +224,19 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
         .orderBy("query_id", "rank")),
-    "sim_near_dup_pairs" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(emb(s, dir), 0.95, dims = 64)
-        .select("vec_id_a", "vec_id_b").orderBy("vec_id_a", "vec_id_b")),
+    "sim_near_dup_pairs" -> ((s, dir) => {
+      // the natural fixture has no pairs >= 0.95 at any sf (max cosine
+      // ~0.6), so near-duplicates are INJECTED deterministically: a scaled
+      // copy of every 50th vector. Same direction -> cosine 1.0 and an
+      // IDENTICAL LSH signature, so banded recall is exactly 1.0 and the
+      // brute-force oracle below is an equality check, not a bound.
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val dups = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Similarity.cosineNearDupPairs(e.unionByName(dups), 0.95, dims = 64)
+        .select("vec_id_a", "vec_id_b").orderBy("vec_id_a", "vec_id_b")
+    }),
     // --- multimodal plumbing ---
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.blobTable(docs(s, dir))).toDF()
@@ -287,6 +299,12 @@ object SparkEntry {
       "SELECT doc_id, md5(text) AS content_hash, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents ORDER BY doc_id",
     "dedup_jaccard_pairs" ->
       s"""WITH $tokCte, $shCte, sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), i AS (SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS inter FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1,2) SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.n AS n_a, sb.n AS n_b, CAST(floor(100*i.inter/(sa.n+sb.n-i.inter)) AS BIGINT) AS jaccard_pct FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50 ORDER BY 1,2""",
+    // minhashLshPairs is fully deterministic (xxhash64 signatures) and its
+    // candidates are verified with the EXACT Jaccard, so on a fixture where
+    // no qualifying pair is missed by the banding it must EQUAL the exact
+    // inverted-index result — same oracle (DedupSpec pins the equality).
+    "dedup_minhash_pairs" ->
+      s"""WITH $tokCte, $shCte, sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), i AS (SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS inter FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1,2) SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.n AS n_a, sb.n AS n_b, CAST(floor(100*i.inter/(sa.n+sb.n-i.inter)) AS BIGINT) AS jaccard_pct FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50 ORDER BY 1,2""",
     "text_token_stats" ->
       "SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens, CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct_tokens, CAST(length(text) AS INTEGER) AS n_chars, CAST(list_aggregate(list_transform(string_split(text,' '), x -> length(x)), 'max') AS INTEGER) AS max_token_len, CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INTEGER) AS n_stopwords FROM documents ORDER BY doc_id",
     "text_subtokens" ->
@@ -302,6 +320,8 @@ object SparkEntry {
       s"WITH $tokCte, $shCte SELECT d.doc_id, s.fp AS fingerprint FROM documents d LEFT JOIN (SELECT doc_id, MIN(md5(sh)) AS fp FROM sh GROUP BY 1) s ON s.doc_id = d.doc_id ORDER BY 1",
     "sim_topk_brute" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id), r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s) SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank",
+    "sim_near_dup_pairs" ->
+      "WITH e2 AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 50 = 0) SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY 1, 2",
     "mm_decode_meta" ->
       "WITH ch AS (SELECT doc_id, CAST(SUM(ascii(c)) % 65536 AS BIGINT) AS checksum FROM (SELECT doc_id, unnest(string_split(text,'')) AS c FROM documents) GROUP BY 1) SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS byte_len, CAST(64 + ascii(substr(d.text,1,1)) % 64 AS INTEGER) AS width, CAST(64 + ascii(substr(d.text,2,1)) % 64 AS INTEGER) AS height, ch.checksum FROM documents d JOIN ch ON ch.doc_id = d.doc_id ORDER BY d.doc_id",
     "mm_frames" ->

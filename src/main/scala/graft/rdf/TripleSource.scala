@@ -96,6 +96,35 @@ object TripleSource {
     frames.reduce(_.unionAll(_))
   }
 
+  /** Read triple files into (subj, pred, obj): N-Triples / N-Quads /
+    * tab-separated, plain or compressed, glob patterns and directories
+    * (reference MultiFileTextInputFormat.java:50-368 + the extension
+    * dispatch in programs/RDFind.scala:220-237). Spark's text source
+    * natively expands globs, splits multi-file inputs, and decodes
+    * gzip/deflate by extension — the input-format plumbing the reference
+    * hand-rolled — and [[parseLine]]'s whitespace splitting with an
+    * optional ignored 4th term subsumes all three of its parser variants
+    * (NTriplesParser, NTriplesParser('\t'), NQuadsParser). */
+  def readTriples(spark: SparkSession, paths: Seq[String]): DataFrame =
+    parseNTriples(spark.read.textFile(paths: _*))
+
+  private val PrefixPattern = """@prefix\s+(\S+): <(\S+)>\s*\.\n?""".r
+  private val BasePattern = """@prefix\s+<(\S+)>\s*\.\n?""".r
+
+  /** Parse Turtle-style `@prefix pfx: <url> .` lines into (prefix, url)
+    * (reference operators/ParseRdfPrefixes.scala:13-28; a bare
+    * `@prefix <url> .` base gets prefix ""). Unlike the reference (which
+    * throws), non-prefix lines are skipped so prefixes can be pulled
+    * straight out of a mixed Turtle-ish input. */
+  def parseRdfPrefixes(lines: Dataset[String]): Dataset[(String, String)] = {
+    import lines.sparkSession.implicits._
+    lines.flatMap {
+      case PrefixPattern(p, url) => Some((p, url))
+      case BasePattern(url)      => Some(("", url))
+      case _                     => None
+    }
+  }
+
   /** Parse N-Triples / N-Quads lines into (subj, pred, obj). Lines starting
     * with '#' are dropped; `<uri>` brackets are kept as-is (they are part of
     * the value space, matching the reference's raw-term handling); quoted

@@ -64,13 +64,20 @@ object TripleStats {
   /** Longest-prefix URL shortening via the ported StringTrie (reference
     * operators/ShortenUrls.scala:17-60 over util/StringTrie.scala). The trie
     * is built once on the driver and shipped in the UDF closure — the Spark
-    * analog of Flink's broadcast-set + open() pattern. */
+    * analog of Flink's broadcast-set + open() pattern. Bracketed terms
+    * (`<url>`) are shortened with the brackets stripped, exactly like the
+    * reference (ShortenUrls.scala:37-45); bare values use the same
+    * longest-prefix rule directly. */
   def shortenTriples(triples: DataFrame, prefixes: Seq[(String, String)]): DataFrame = {
     val trie = new StringTrie[String]
     prefixes.foreach { case (url, ns) => trie.put(url, ns) }
     val shorten = udf { (v: String) =>
-      val e = trie.longestPrefixEntry(v)
-      if (e == null) v else e._2 + v.substring(e._1.length)
+      val inner =
+        if (v != null && v.length >= 2 && v.charAt(0) == '<' && v.endsWith(">"))
+          v.substring(1, v.length - 1)
+        else v
+      val e = trie.longestPrefixEntry(inner)
+      if (e == null) v else e._2 + inner.substring(e._1.length)
     }
     triples.select(
       shorten(col("subj")).as("subj"),

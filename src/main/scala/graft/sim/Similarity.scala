@@ -104,18 +104,25 @@ object Similarity {
     * [[bruteForceTopK]]; recall bounded in the spec. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
       numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(emb.orderBy("vec_id").limit(numCentroids)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
-    def nearestCentroids(df: DataFrame, n: Int, idCol: String): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("cs").desc, col("cent_id"))
-      df.crossJoin(cents)
-        .withColumn("cs", cosine(col("embedding"), col("cent")))
-        .withColumn("cr", row_number().over(w))
-        .filter(col("cr") <= n)
-        .drop("cs", "cr", "cent")
+    // The codebook is TINY (numCentroids x dims floats) — collect it once
+    // and fold it into the plan as literals. List assignment is then a pure
+    // map-side argmin (array of scored structs -> sort_array -> slice): no
+    // crossJoin, no per-vector window, ZERO shuffle before the probe join.
+    val cents: Array[(Long, Array[Float])] =
+      emb.orderBy("vec_id").limit(numCentroids)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def nearestCentroids(df: DataFrame, n: Int): DataFrame = {
+      val scored = array(cents.map { case (cid, v) =>
+        // ascending struct order == (best score, smallest cent_id) first
+        struct((-cosine(col("embedding"), typedLit(v))).as("neg"),
+          lit(cid).as("cent_id"))
+      }: _*)
+      df.withColumn("p", explode(slice(sort_array(scored), 1, n)))
+        .withColumn("cent_id", col("p.cent_id")).drop("p")
     }
-    val lists = nearestCentroids(emb, 1, "vec_id") // inverted lists
-    val probes = nearestCentroids(emb.filter(queryPred), nProbe, "vec_id")
+    val lists = nearestCentroids(emb, 1) // inverted lists
+    val probes = nearestCentroids(emb.filter(queryPred), nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id"))
     val scored = lists.join(broadcast(probes), "cent_id")
       .filter(col("vec_id") =!= col("query_id"))
@@ -127,14 +134,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
-  /** Embedding near-duplicate pairs: cosine >= minCosine, via LSH buckets
-    * (both full-signature agreement improbable for non-near vectors). */
-  def cosineNearDupPairs(emb: DataFrame, minCosine: Double, dims: Int): DataFrame = {
-    val sig = emb.withColumn("bucket", signature(col("embedding"), dims))
-    sig.as("x").join(sig.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"),
-        cosine(col("x.embedding"), col("y.embedding")).as("score"))
+  /** Embedding near-duplicate pairs with cosine >= minCosine: banded-LSH
+    * candidate generation (same multi-table banding as [[lshTopK]] — a pair
+    * is a candidate iff it agrees on >= 1 of the 4 4-bit bands, which bounds
+    * bucket sizes where a single 16-bit-signature bucket join would go
+    * quadratic on dense signature regions), then EXACT cosine verification
+    * of the candidates only — precision is 1.0 by construction. Recall is
+    * the LSH collision probability (~0.99 at cosine 0.95); pairs in the SAME
+    * direction (true duplicates, scaled copies) have identical signatures
+    * and are found with certainty. Output: (vec_id_a, vec_id_b, score). */
+  def cosineNearDupPairs(emb: DataFrame, minCosine: Double, dims: Int,
+      bandBits: Int = 4): DataFrame = {
+    val bands = NumPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    val banded = emb
+      .withColumn("sig", signature(col("embedding"), dims))
+      .select(col("vec_id"), posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+    // candidates carry only ids (embeddings join back AFTER dedup — the
+    // band fan-out must not replicate the wide vectors 4x)
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"))
+      .dropDuplicates()
+    candidates
+      .join(emb.select(col("vec_id").as("vec_id_a"), col("embedding").as("emb_a")), "vec_id_a")
+      .join(emb.select(col("vec_id").as("vec_id_b"), col("embedding").as("emb_b")), "vec_id_b")
+      .select(col("vec_id_a"), col("vec_id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("score"))
       .filter(col("score") >= minCosine)
   }
 }

@@ -30,15 +30,17 @@ class DedupSpec extends SparkSpec {
     assert(row.getLong(2) == 5L && row.getLong(5) == 71L)
   }
 
-  test("minhashLshPairs = exact jaccardPairs at high similarity (recall check)") {
-    val exact = Dedup.jaccardPairs(realDocs, 60)
-      .select("doc_id_a", "doc_id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.minhashLshPairs(realDocs, 60)
-      .select("doc_id_a", "doc_id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(exact), "LSH-verified pairs must be a subset of exact pairs")
+  test("minhashLshPairs EQUALS exact jaccardPairs on the fixture (oracle precondition)") {
+    // deterministic signatures (xxhash64) + exact verification of the
+    // candidates: on this fixture the banding misses no qualifying pair, so
+    // the full rows (counts, sizes, jaccard) must be identical — this is
+    // what licenses giving dedup_minhash_pairs the exact-Jaccard oracle
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val exact = Dedup.jaccardPairs(realDocs, 50).collect().map(key).toSet
+    val lsh = Dedup.minhashLshPairs(realDocs, 50).collect().map(key).toSet
     assert(exact.nonEmpty, "fixture should contain near-duplicates")
-    // 16 bands x 2 rows: recall >= 1-(1-0.6^2)^16 = 0.999 at j >= 0.6
-    assert(lsh.size >= (exact.size * 0.95).toInt, s"recall too low: ${lsh.size}/${exact.size}")
+    assert(lsh == exact, s"\nmissed=${exact -- lsh}\nextra=${lsh -- exact}")
   }
 
   test("simhash: identical docs collide, near-dups are close, signatures via SQL too") {

@@ -46,4 +46,15 @@ class SimilaritySpec extends SparkSpec {
     val r = Similarity.cosineNearDupPairs(e, 0.99, dims = 3).collect()
     assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((0L, 1L)))
   }
+
+  test("cosineNearDupPairs finds every scaled copy (identical signature => recall 1)") {
+    val base = real.select("vec_id", "embedding").filter(col("vec_id") < 100)
+    val dups = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val got = Similarity.cosineNearDupPairs(base.unionByName(dups), 0.95, dims = 64)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (0L until 100L by 10).map(i => (i, i + 1000)).toSet
+    assert(got == want, s"\nmissed=${want -- got}\nextra=${got -- want}")
+  }
 }

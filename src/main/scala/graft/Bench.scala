@@ -12,7 +12,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional comma-separated subset for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // isolate queries: drop persisted intermediates of earlier ones
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -101,6 +101,15 @@ object SparkEntry {
     "tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w, generate_subscripts(string_split(text,' '),1) AS i FROM documents)"
   private val shCte =
     "sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1 JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2)"
+  /** Stop-shingle-capped index mirroring Dedup.DefaultMaxShingleDf. */
+  private val shcCte =
+    s"shc AS (SELECT doc_id, sh FROM (SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh) WHERE df <= ${Dedup.DefaultMaxShingleDf})"
+  /** Doc shingle-set sizes + pairwise intersections (over the capped index). */
+  private val pairCtes =
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1), i AS (SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS inter FROM shc x JOIN shc y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1,2)"
+  /** Shared body of the exact-Jaccard pair oracles. */
+  private val jaccardSql =
+    s"$pairCtes SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.n AS n_a, sb.n AS n_b, CAST(floor(100*i.inter/(sa.n+sb.n-i.inter)) AS BIGINT) AS jaccard_pct FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50 ORDER BY 1,2"
   private def langScoreSql(lang: String, words: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text,' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS INTEGER) AS s_$lang"
 
@@ -129,6 +138,10 @@ object SparkEntry {
         .orderBy(cindCols.map(col): _*)),
     "cind_all_tworound" -> ((s, dir) => // strategy 2/3 analog: exact result
       CindEngine.allCindsTwoRound(triples(s, dir), MS).toDF()
+        .orderBy(cindCols.map(col): _*)),
+    "cind_all_bloom" -> ((s, dir) => // 100 TB valves: both Bloom paths ON
+      CindEngine.allCinds(triples(s, dir), MS,
+        bloomConditions = true, bloomCaptures = true).toDF()
         .orderBy(cindCols.map(col): _*)),
     "cind_association_rules" -> ((s, dir) =>
       CindEngine.associationRules(triples(s, dir), MS)
@@ -199,6 +212,8 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, dir), 50).orderBy("doc_id_a", "doc_id_b")),
     "dedup_minhash_pairs" -> ((s, dir) => // LSH candidates, exact-verified
       Dedup.minhashLshPairs(docs(s, dir), 50).orderBy("doc_id_a", "doc_id_b")),
+    "dedup_clusters" -> ((s, dir) => // connected components over near-dup pairs
+      Dedup.duplicateClusters(docs(s, dir), 50).orderBy("doc_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       // maxHamming 3 = the 4x16-bit banding's completeness bound; beyond 3
       // the band join would silently miss pairs (documented contract)
@@ -258,6 +273,8 @@ object SparkEntry {
       s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
     "cind_all_tworound" -> // sketch pruning is exact -> same oracle
       s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
+    "cind_all_bloom" -> // Bloom pruning admits-only -> same oracle
+      s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
     "cind_minimal" ->
       s"""WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds c WHERE NOT (c.dep_code IN (14,21,35) AND EXISTS (SELECT 1 FROM cinds i WHERE i.dep_v2 = '' AND i.ref_code = c.ref_code AND i.ref_v1 = c.ref_v1 AND i.ref_v2 = c.ref_v2 AND ((i.dep_code = ${subCode("c.dep_code", true)} AND i.dep_v1 = c.dep_v1) OR (i.dep_code = ${subCode("c.dep_code", false)} AND i.dep_v1 = c.dep_v2)))) AND NOT (c.ref_v2 = '' AND EXISTS (SELECT 1 FROM cinds i WHERE i.dep_code = c.dep_code AND i.dep_v1 = c.dep_v1 AND i.dep_v2 = c.dep_v2 AND i.ref_code IN (14,21,35) AND ((${subCode("i.ref_code", true)} = c.ref_code AND i.ref_v1 = c.ref_v1) OR (${subCode("i.ref_code", false)} = c.ref_code AND i.ref_v2 = c.ref_v1)))) ORDER BY 1,2,3,4,5,6""",
     "cind_association_rules" ->
@@ -298,13 +315,17 @@ object SparkEntry {
     "dedup_exact" ->
       "SELECT doc_id, md5(text) AS content_hash, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents ORDER BY doc_id",
     "dedup_jaccard_pairs" ->
-      s"""WITH $tokCte, $shCte, sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), i AS (SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS inter FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1,2) SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.n AS n_a, sb.n AS n_b, CAST(floor(100*i.inter/(sa.n+sb.n-i.inter)) AS BIGINT) AS jaccard_pct FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50 ORDER BY 1,2""",
+      s"WITH $tokCte, $shCte, $shcCte, $jaccardSql",
     // minhashLshPairs is fully deterministic (xxhash64 signatures) and its
     // candidates are verified with the EXACT Jaccard, so on a fixture where
     // no qualifying pair is missed by the banding it must EQUAL the exact
     // inverted-index result — same oracle (DedupSpec pins the equality).
     "dedup_minhash_pairs" ->
-      s"""WITH $tokCte, $shCte, sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), i AS (SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS inter FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1,2) SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.n AS n_a, sb.n AS n_b, CAST(floor(100*i.inter/(sa.n+sb.n-i.inter)) AS BIGINT) AS jaccard_pct FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50 ORDER BY 1,2""",
+      s"WITH $tokCte, $shCte, $shcCte, $jaccardSql",
+    // min-label propagation fixpoint == min reachable id (recursive closure);
+    // UNION (not ALL) dedups reach rows so the recursion terminates
+    "dedup_clusters" ->
+      s"WITH RECURSIVE $tokCte, $shCte, $shcCte, $pairCtes, p AS (SELECT i.doc_id_a AS a, i.doc_id_b AS b FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50), e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p), reach AS (SELECT doc_id AS node, doc_id AS lab FROM documents UNION SELECT e.a AS node, r.lab FROM e JOIN reach r ON r.node = e.b), c AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1) SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM c ORDER BY doc_id",
     "text_token_stats" ->
       "SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens, CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct_tokens, CAST(length(text) AS INTEGER) AS n_chars, CAST(list_aggregate(list_transform(string_split(text,' '), x -> length(x)), 'max') AS INTEGER) AS max_token_len, CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INTEGER) AS n_stopwords FROM documents ORDER BY doc_id",
     "text_subtokens" ->

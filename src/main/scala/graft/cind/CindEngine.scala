@@ -152,13 +152,19 @@ object CindEngine {
       it.foreach(bf.put)
       Iterator.single(bf.bits)
     }(keys.sparkSession.implicits.newLongArrayEncoder)
-    // treeAggregate, NOT fold: fold pulls every partition's full bit array
+    // treeReduce, NOT fold: fold pulls every partition's full bit array
     // through the driver; the tree combines them on executors (depth 2 covers
-    // thousands of partitions with ~sqrt fan-in per level).
+    // thousands of partitions with ~sqrt fan-in per level). Not treeAggregate
+    // either: its zeroValue (a full empty bit array, MBs) would be serialized
+    // into every task closure. mapPartitions emits exactly one array per
+    // partition, so the RDD is non-empty whenever keys has partitions.
     val or = (a: Array[Long], b: Array[Long]) => {
       var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
     }
-    val merged = bitArrays.rdd.treeAggregate(new Array[Long](words))(or, or, depth = 2)
+    val rdd = bitArrays.rdd
+    val merged =
+      if (rdd.getNumPartitions == 0) new Array[Long](words)
+      else rdd.treeReduce(or, depth = 2)
     graft.core.Bloom.wrap(nb, nh, merged)
   }
 
@@ -241,7 +247,9 @@ object CindEngine {
     * lines is (join_val, ids ARRAY<LONG>). */
   private[cind] def encodedJoinLines(triples: DataFrame, minSupport: Int,
       bloomConditions: Boolean = false,
-      arRules: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      arRules: Option[DataFrame] = None,
+      bloomCaptures: Boolean = false,
+      expectedCaptures: Long = 10000000L): (DataFrame, DataFrame) = {
     // 1. Condition-frequency pruning first (reference FrequentConditionPlanner
     //    order): a cheap map-side-combinable count that typically halves the
     //    instance stream before anything expensive runs. Bloom mode swaps
@@ -279,10 +287,13 @@ object CindEngine {
     // task (the 100 TB killer). zipWithIndex numbers partitions in place
     // after one tiny partition-size job; IDs only need distinctness and
     // < 2^31 (they feed the packed-long pair key), not global order.
+    // The low bit tags unary captures so arity predicates evaluate on the
+    // encoded id arrays MAP-SIDE (no decode join before a fan-out filter).
     val spark = triples.sparkSession
     val dict = spark.createDataFrame(
       grouped.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) },
+        val unaryBit = if (Integer.bitCount(r.getInt(0) & 7) == 1) 1L else 0L
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (((i + 1L) << 1) | unaryBit)) },
       grouped.schema.add("id", org.apache.spark.sql.types.LongType, nullable = false))
       .persist()
     // Materialize NOW: downstream plans reference dict from several
@@ -290,8 +301,31 @@ object CindEngine {
     // — with a lazy cache each would recompute the whole lineage (and the
     // dedup shuffle) instead of reading it. One action fills both caches.
     dict.count()
-    val ided = dedup
-      .join(broadcast(dict.select("code", "v1", "v2", "id")), Seq("code", "v1", "v2"))
+    // 4. Encode instances with their capture IDs. Default: broadcast the
+    //    dictionary (frequent captures are small after pruning). The
+    //    bloomCaptures flag is the reference's `--find-frequent-captures`
+    //    valve (programs/RDFind.scala:376-399: pack frequent captures into a
+    //    BF): when the dictionary is too big to broadcast comfortably, a
+    //    fixed-size filter drops infrequent-capture instances MAP-SIDE and
+    //    the exact encode join runs un-hinted (AQE picks the join shape).
+    //    False positives only let extra instances reach the inner join,
+    //    where the dictionary membership removes them — results identical.
+    val toEncode =
+      if (!bloomCaptures) dedup
+      else {
+        import triples.sparkSession.implicits._
+        val keyOf = (df: DataFrame) =>
+          concat_ws(" ", col("code"), col("v1"), col("v2"))
+        val bf = buildBloom(grouped.select(keyOf(grouped).as("k")).as[String],
+          expectedCaptures, 0.01)
+        val bcast = spark.sparkContext.broadcast(bf)
+        val might = udf((k: String) => bcast.value.mightContain(k))
+        dedup.filter(might(keyOf(dedup)))
+      }
+    val dictKeyed = dict.select(col("code"), col("v1"), col("v2"), col("id"))
+    val ided = toEncode
+      .join(if (bloomCaptures) dictKeyed else broadcast(dictKeyed),
+        Seq("code", "v1", "v2"))
       .select(col("join_val"), col("id"))
     // collect_list suffices: inputs are already (capture, value)-distinct
     val lines = ided.groupBy("join_val").agg(collect_list(col("id")).as("ids"))
@@ -361,14 +395,33 @@ object CindEngine {
     * `overlap == support` identifies 1/1 CINDs, reference
     * plan/SmallToLargeTraversalStrategy.scala:63-105). Output:
     * (dep_code, dep_v1, ref_code, ref_v1, overlap, dep_support). */
-  def unaryOverlaps(triples: DataFrame, minSupport: Int = DefaultMinSupport): DataFrame = {
-    val (dict, lines) = encodedJoinLines(triples, minSupport)
+  def unaryOverlaps(triples: DataFrame, minSupport: Int = DefaultMinSupport,
+      sketch: Boolean = true, expectedPairs: Long = 4000000L): DataFrame = {
+    val (dict, lines0) = encodedJoinLines(triples, minSupport)
+    // arity filter BEFORE the quadratic fan-out: the unary bit rides the
+    // encoded ids, so binary captures drop out of the lines map-side
+    // (roughly halving pair volume) instead of post-aggregation at decode
+    val unaryLines = lines0.select(col("join_val"),
+      filter(col("ids"), id => id.bitwiseAND(lit(1L)) === 1L).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val keys =
+      if (!sketch) pairKeys(unaryLines, SplitThreshold)
+      else {
+        // overlap-side sketch (reference E4/E5/A4/G6, the strategy-1 scale
+        // valve): prune the pair-key stream before its shuffle so the
+        // materialized overlap relation stays proportional to the frequent
+        // candidates, not to every co-occurrence
+        val cached = unaryLines.persist()
+        cached.count() // sketch pass + count pass both read the lines
+        val raw = pairKeys(cached, SplitThreshold)
+        sketchPrunedKeys(raw, minSupport, expectedPairs)
+      }
     val unary = dict.filter(col("v2") === "")
     val depSide = unary.select(col("id").as("dep_id"), col("code").as("dep_code"),
       col("v1").as("dep_v1"), col("support").as("dep_support"))
     val refSide = unary.select(col("id").as("ref_id"), col("code").as("ref_code"),
       col("v1").as("ref_v1"))
-    overlapCounts(lines, SplitThreshold)
+    expandCounts(keys)
       // overlaps below minSupport can never certify a CIND nor survive the
       // reference's candidate filters — dropping them pre-decode keeps the
       // materialized relation proportional to the useful candidates
@@ -403,8 +456,10 @@ object CindEngine {
 
   def allCinds(triples: DataFrame, minSupport: Int = DefaultMinSupport,
       splitThreshold: Int = SplitThreshold,
-      bloomConditions: Boolean = false): Dataset[CindRow] = {
-    val (dict, lines) = encodedJoinLines(triples, minSupport, bloomConditions)
+      bloomConditions: Boolean = false,
+      bloomCaptures: Boolean = false): Dataset[CindRow] = {
+    val (dict, lines) = encodedJoinLines(triples, minSupport, bloomConditions,
+      bloomCaptures = bloomCaptures)
     decodeCinds(dict, overlapCounts(lines, splitThreshold))
   }
 
@@ -483,13 +538,32 @@ object CindEngine {
   def allCindsTwoRound(triples: DataFrame, minSupport: Int = DefaultMinSupport,
       expectedPairs: Long = 4000000L,
       splitThreshold: Int = SplitThreshold): Dataset[CindRow] = {
-    import triples.sparkSession.implicits._
-    val spark = triples.sparkSession
     val (dict, lines0) = encodedJoinLines(triples, minSupport)
     val lines = lines0.persist()
     lines.count() // both rounds read the lines; materialize once
     val keys = pairKeys(lines, splitThreshold)
-    // round 1: distributed sketch build (mapPartitions + cell-wise merge)
+    decodeCinds(dict, expandCounts(sketchPrunedKeys(keys, minSupport, expectedPairs)))
+  }
+
+  /** Spectral-sketch pruning of an unordered pair-key stream (the shared
+    * round-1 of the half-approximate strategies; reference E4/E5 extract,
+    * A4 merge, G6 `EvaluateHalfApproximateOverlapSets` collapse):
+    *
+    *   - per-partition SPECTRAL Bloom filters count the keys map-side (no
+    *     shuffle; cell width derived from minSupport as in the reference),
+    *   - cells tree-merge on executors,
+    *   - the sketch collapses to a membership filter of keys with count >=
+    *     minSupport (`toBloomFilter`, the reference's G6 move), broadcast,
+    *   - only admitted keys pass to the exact aggregation.
+    *
+    * Saturating counters never under-count, so every key with true count >=
+    * minSupport is admitted — downstream exact filters see no change; the
+    * shuffle just carries plausible candidates instead of every
+    * co-occurrence. Undersizing `expectedPairs` only weakens pruning. */
+  private def sketchPrunedKeys(keys: DataFrame, minSupport: Int,
+      expectedPairs: Long): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
     val proto = graft.core.SpectralBloomFilter.create(expectedPairs, 0.1, minSupport)
     val (nc, bpc, nh, words) = (proto.numCells, proto.bitsPerCell, proto.numHashes, proto.cells.length)
     val cellArrays = keys.select(col("pk")).as[Long].mapPartitions { it =>
@@ -498,18 +572,21 @@ object CindEngine {
       Iterator.single(s.cells)
     }(spark.implicits.newLongArrayEncoder)
     // executor-side tree merge (see buildBloom): cell arrays are MBs each,
-    // funnelling them all through the driver is the scale bottleneck
+    // funnelling them all through the driver is the scale bottleneck; and
+    // treeReduce (not treeAggregate) so the MB-sized zero array is not
+    // serialized into every task closure
     val mergeCells = (a: Array[Long], b: Array[Long]) =>
       new graft.core.SpectralBloomFilter(nc, bpc, nh, a)
         .mergeInPlace(new graft.core.SpectralBloomFilter(nc, bpc, nh, b)).cells
-    val merged = cellArrays.rdd.treeAggregate(new Array[Long](words))(
-      mergeCells, mergeCells, depth = 2)
+    val rdd = cellArrays.rdd
+    val merged =
+      if (rdd.getNumPartitions == 0) new Array[Long](words)
+      else rdd.treeReduce(mergeCells, depth = 2)
     val candidateFilter = new graft.core.SpectralBloomFilter(nc, bpc, nh, merged)
       .toBloomFilter(minSupport)
     val bcast = spark.sparkContext.broadcast(candidateFilter)
-    val mightBeCind = udf((pk: Long) => bcast.value.mightContain(java.lang.Long.toString(pk)))
-    // round 2: exact count-match restricted to sketch-admitted candidates
-    decodeCinds(dict, expandCounts(keys.filter(mightBeCind(col("pk")))))
+    val admitted = udf((pk: Long) => bcast.value.mightContain(java.lang.Long.toString(pk)))
+    keys.filter(admitted(col("pk")))
   }
 
   /** Strategy 0 (AllAtOnce, reference plan/AllAtOnceTraversalStrategy

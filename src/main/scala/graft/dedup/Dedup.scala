@@ -29,20 +29,39 @@ object Dedup {
       .withColumn("keep", col("doc_id") === min("doc_id").over(w))
   }
 
-  /** Distinct 3-token shingles per document: (doc_id, sh). */
-  private def shingleIndex(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+  /** Shingles shared by more documents than this are dropped before any
+    * inverted-index self-join (the standard stop-shingle cap): a single
+    * boilerplate shingle with document frequency f contributes f^2 rows to
+    * the join, so one hot shingle can dominate the whole job on a skewed
+    * corpus. The cap bounds per-shingle cost at maxDf^2 and changes results
+    * only for pathological shingles (none exist in the driver fixture:
+    * max df is 25 at sf0.1). */
+  val DefaultMaxShingleDf = 100
+
+  /** Distinct 3-token shingles per document: (doc_id, sh), optionally
+    * stop-shingle-capped. The hot set is tiny by definition (heavy hitters
+    * above the cap) -> broadcast anti-join. */
+  private def shingleIndex(docs: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = docs.select(col("doc_id"),
       explode(array_distinct(TextAnalysis.shingles(col("text")))).as("sh"))
+    if (maxDf == Int.MaxValue) sh
+    else {
+      val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("sh")
+      sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
+  }
 
   /** Exact shingle-Jaccard near-duplicate pairs with similarity >=
     * minJaccardPct percent. Inverted-index self-join: only documents
     * sharing at least one shingle are ever paired, so cost is
     * sum(df(shingle)^2), not n^2. Output:
     * (doc_id_a, doc_id_b, inter, n_a, n_b, jaccard_pct), a < b. */
-  def jaccardPairs(docs: DataFrame, minJaccardPct: Int): DataFrame = {
+  def jaccardPairs(docs: DataFrame, minJaccardPct: Int,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     // the shingle index feeds three consumers (sizes + both join sides);
     // materialize eagerly so broadcast builds read the cache
-    val sh = shingleIndex(docs).persist()
+    val sh = shingleIndex(docs, maxShingleDf).persist()
     sh.count()
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -65,29 +84,42 @@ object Dedup {
 
   val NumPerms = 32 // MinHash permutations; banded as 16 bands x 2 rows
 
-  /** MinHash signatures: (doc_id, sig ARRAY<LONG>[NumPerms]). Permutation i
+  /** MinHash signatures over a (doc_id, sh) shingle relation. Permutation i
     * is min over shingles of xxhash64(i, shingle) — one aggregation, 32
     * parallel min() columns, no per-row state. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleIndex(docs)
+  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val mins = (0 until NumPerms).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** MinHash signatures: (doc_id, sig ARRAY<LONG>[NumPerms]). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(shingleIndex(docs))
+
   /** MinHash-LSH verified near-dup pairs: band-bucket join for candidates
     * (16 bands of 2 rows), then exact Jaccard verification of the candidate
     * pairs only. Same output shape as [[jaccardPairs]]; precision 1.0,
-    * recall 1-(1-j^2)^16 (>= 0.999 at j=0.6). */
-  def minhashLshPairs(docs: DataFrame, minJaccardPct: Int): DataFrame = {
+    * recall 1-(1-j^2)^16 (>= 0.999 at j=0.6).
+    *
+    * Plan discipline (the round-1 bench regression): ONE persisted shingle
+    * index feeds the signatures, the verification joins, and the size
+    * lookups, and the tiny banded table is persisted before its self-join —
+    * otherwise Spark's eagerly-computed broadcast exchanges re-derive the
+    * explode+aggregate lineage several times on parallel threads. */
+  def minhashLshPairs(docs: DataFrame, minJaccardPct: Int,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val sh = shingleIndex(docs, maxShingleDf).persist()
+    sh.count()
     val rows = 2
     val bands = NumPerms / rows
-    val sigs = minhashSignatures(docs)
-    val banded = sigs.select(col("doc_id"), posexplode(
+    val banded = minhashSignaturesFrom(sh).select(col("doc_id"), posexplode(
       array((0 until bands).map(b =>
         xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)): _*))
       .as(Seq("band", "bucket")))
+      .persist()
+    banded.count() // self-join: both sides must read the cache
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -96,8 +128,6 @@ object Dedup {
     // verify ONLY the candidate pairs with the exact measure: route the
     // shingle index through the candidate list instead of re-running the
     // full inverted-index self-join (that would cost as much as exact)
-    val sh = shingleIndex(docs).persist()
-    sh.count()
     val shA = sh.select(col("doc_id").as("doc_id_a"), col("sh"))
     val shB = sh.select(col("doc_id").as("bid"), col("sh").as("sh_b"))
     val inter = candidates
@@ -105,6 +135,48 @@ object Dedup {
       .join(shB, col("bid") === col("doc_id_b") && col("sh") === col("sh_b"))
       .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
     finishJaccard(sh, inter, minJaccardPct)
+  }
+
+  /** Duplicate clusters: the canonical-document decision table a dedup
+    * pipeline derives from near-dup pairs. Connected components over the
+    * pair graph by iterative min-label propagation: every document gets
+    * `cluster_id` = the smallest doc_id reachable through near-dup pairs
+    * (itself when unpaired) and `keep` = (doc_id == cluster_id), i.e. one
+    * canonical survivor per cluster.
+    *
+    * Scale shape: each iteration is one shuffle join + one map-side-
+    * combinable min aggregation over the EDGE relation (already pruned to
+    * near-dup pairs — tiny relative to the corpus); iterations =
+    * cluster diameter, which for near-dup graphs is small (dup clusters are
+    * near-cliques: a chain requires a run of pairwise-similar-but-
+    * transitively-distinct docs). The driver loop only ever moves a single
+    * changed-label COUNT, never data. Output: (doc_id, cluster_id, keep). */
+  def duplicateClusters(docs: DataFrame, minJaccardPct: Int,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val pairs = jaccardPairs(docs, minJaccardPct, maxShingleDf)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    // both directions: label flows toward larger ids AND across to smaller
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_id_b").as("doc_id_a"), col("doc_id_a").as("doc_id_b")))
+      .persist()
+    edges.count()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prev = labels
+      val next = edges
+        .join(prev, edges("doc_id_b") === prev("doc_id"))
+        .select(col("doc_id_a").as("doc_id"), col("cluster_id"))
+        .unionAll(prev)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .persist()
+      changed = next.join(prev.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      prev.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
   /** 64-bit SimHash signatures via the native Catalyst expression
@@ -120,6 +192,9 @@ object Dedup {
     * two 64-bit words at distance <= 3 agree exactly on at least one of 4
     * 16-bit bands, so the self-join only probes band-equal buckets. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding is complete only for Hamming distance <= 3 (pigeonhole); " +
+        s"maxHamming=$maxHamming would silently miss pairs — add bands instead")
     val sigs = simhashSignatures(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until 4).map(b =>

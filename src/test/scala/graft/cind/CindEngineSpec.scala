@@ -106,6 +106,13 @@ class CindEngineSpec extends SparkSpec {
     val b = CindEngine.allCinds(toDF(tiny), minSupport = 2, bloomConditions = true)
       .collect().map(key).toSet
     assert(b == bruteForce(tiny, 2))
+    // frequent-captures BF (reference --find-frequent-captures) is likewise
+    // semantics-preserving: FPs only reach the inner encode join, which
+    // drops them
+    val bc = CindEngine.allCinds(toDF(tiny), minSupport = 2,
+      bloomConditions = true, bloomCaptures = true)
+      .collect().map(key).toSet
+    assert(bc == bruteForce(tiny, 2))
   }
 
   test("unaryOverlaps reports exact co-occurrence counts; overlap==support <=> CIND") {
@@ -122,6 +129,13 @@ class CindEngineSpec extends SparkSpec {
     val cindsFromOverlaps = ov.collect { case ((d, r), (o, s)) if o == s && !d.implies(r) => (d, r, s) }.toSet
     val unaryBrute = bruteForce(tiny, 2).filter { case (d, r, _) => d.isUnary && r.isUnary }
     assert(cindsFromOverlaps == unaryBrute)
+    // the overlap-side sketch is semantics-preserving (even deliberately
+    // undersized, heavy-collision sketches only weaken pruning)
+    val exact = CindEngine.unaryOverlaps(toDF(tiny), minSupport = 2, sketch = false)
+      .collect().map(_.toSeq).toSet
+    val sketched = CindEngine.unaryOverlaps(toDF(tiny), minSupport = 2,
+      sketch = true, expectedPairs = 64).collect().map(_.toSeq).toSet
+    assert(sketched == exact)
   }
 
   test("two-round sketch-pruned strategy equals the exact CIND set") {

@@ -43,6 +43,35 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"\nmissed=${exact -- lsh}\nextra=${lsh -- exact}")
   }
 
+  test("hot-shingle cap drops boilerplate shingles and bounds the self-join") {
+    // 30 docs share identical boilerplate ("x y z w" -> shingles "x y z",
+    // "y z w" with df=30); their tails are unique. Uncapped, the boilerplate
+    // alone pairs every doc with every other (C(30,2) join groups); capped
+    // at 10, the hot shingles vanish and no pair reaches 20% Jaccard.
+    val skewed = docs((1L to 30L).map(i => (i, s"x y z w u$i v$i t$i")): _*)
+    val uncapped = Dedup.jaccardPairs(skewed, 20, maxShingleDf = Int.MaxValue)
+    assert(uncapped.count() == 435L) // 30*29/2 — the quadratic blow-up
+    val capped = Dedup.jaccardPairs(skewed, 20, maxShingleDf = 10)
+    assert(capped.count() == 0L)
+    // docs overlapping beyond the boilerplate are still found
+    val withDup = docs(((1L to 30L).map(i => (i, s"x y z w u$i v$i t$i")) :+
+      (99L, "x y z w u1 v1 t1")): _*)
+    val pairs = Dedup.jaccardPairs(withDup, 50, maxShingleDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 99L)))
+  }
+
+  test("duplicateClusters finds transitive components; singletons keep themselves") {
+    // 1~2 and 2~3 are exactly 50% shingle-Jaccard, 1~3 only 20%: the cluster
+    // {1,2,3} exists only through transitivity (label must propagate 2 hops)
+    val d = docs((1L, "a b c d e"), (2L, "b c d e f"), (3L, "c d e f g"),
+      (9L, "z y x w v"))
+    val out = Dedup.duplicateClusters(d, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (9L, 9L, true)))
+  }
+
   test("simhash: identical docs collide, near-dups are close, signatures via SQL too") {
     val sigs = Dedup.simhashSignatures(docs(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "a b c d e f g x")))

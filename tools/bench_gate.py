@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Bench regression gate: compare a Bench JSON line against the recorded
+per-query floor medians (tools/bench_floors.json, maintained alongside
+BASELINE.md).
+
+Usage:
+  python3 tools/bench_gate.py BENCH.json [--update run1.json run2.json ...]
+
+Default mode prints per-query ratio vs floor, flags >2x (the policy bound
+from BASELINE.md) and exits 1 if any query exceeds it or failed.
+--update recomputes the floors file from the per-query MEDIANS of the
+given run files (n>=3 recommended; medians absorb the high run-to-run
+variance of a shared local[32] box).
+"""
+import json
+import statistics
+import sys
+
+FLOORS = "tools/bench_floors.json"
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def update(paths):
+    runs = [load(p) for p in paths]
+    names = sorted({q for r in runs for q in r["queries"]})
+    floors = {}
+    for q in names:
+        vals = [r["queries"][q] for r in runs
+                if q in r["queries"] and r["queries"][q] >= 0]
+        if vals:
+            floors[q] = round(statistics.median(vals), 2)
+    out = {"n_runs": len(runs), "floors": floors,
+           "total": round(sum(floors.values()), 1)}
+    with open(FLOORS, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"wrote {FLOORS}: {len(floors)} queries, "
+          f"median-total {out['total']}s over n={len(runs)} runs")
+
+
+def gate(path):
+    bench, ref = load(path), load(FLOORS)
+    floors = ref["floors"]
+    errors = bench.get("errors", {})
+    bad = []
+    print(f"{'query':32} {'sec':>8} {'floor':>8} {'ratio':>6}")
+    for q, sec in sorted(bench["queries"].items(), key=lambda kv: -kv[1]):
+        if q in errors:
+            print(f"{q:32} {'FAIL':>8}  {errors[q][:60]}")
+            bad.append(q)
+            continue
+        fl = floors.get(q)
+        if fl is None:
+            print(f"{q:32} {sec:8.1f} {'new':>8}")
+            continue
+        ratio = sec / fl if fl > 0 else float("inf")
+        flag = " <-- >2x" if ratio > 2.0 else ""
+        print(f"{q:32} {sec:8.1f} {fl:8.1f} {ratio:6.2f}{flag}")
+        if ratio > 2.0:
+            bad.append(q)
+    total = sum(bench["queries"].values())
+    print(f"{'TOTAL':32} {total:8.1f} {ref['total']:8.1f} "
+          f"{total / ref['total']:6.2f}")
+    if bad:
+        print(f"GATE FAIL: {bad}")
+        return 1
+    print("GATE OK")
+    return 0
+
+
+if __name__ == "__main__":
+    if "--update" in sys.argv:
+        i = sys.argv.index("--update")
+        update(sys.argv[i + 1:])
+    else:
+        sys.exit(gate(sys.argv[1]))

@@ -184,10 +184,21 @@ object CindEngine {
       .as[String]
     val bf = buildBloom(freqKeys, expectedConditions, 0.01)
     val bcast = triples.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: String) => bcast.value.mightContain(k))
     captureInstances(triples)
-      .filter(mightContain(concat_ws("", col("cond_code"), col("v1"), col("v2"))))
+      .filter(bloomContains(bcast, concat_ws("", col("cond_code"), col("v1"), col("v2"))))
   }
+
+  /** Membership filter column via the native codegen'd expression
+    * (graft.functions.BloomMightContain): no UDF cliff -- the probe stays
+    * inside whole-stage codegen (no boxing, no Option wrapper; long keys
+    * skip the UTF8String->String conversion entirely) and the filter bits
+    * ship once per executor through the broadcast. */
+  private def bloomContains(
+      bf: org.apache.spark.broadcast.Broadcast[graft.core.BloomFilter],
+      key: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(key), bf))
 
   /** Captures with >= minSupport distinct values (their *support*), computed
     * exactly. Any capture below this bound can appear in no reported CIND —
@@ -319,8 +330,7 @@ object CindEngine {
         val bf = buildBloom(grouped.select(keyOf(grouped).as("k")).as[String],
           expectedCaptures, 0.01)
         val bcast = spark.sparkContext.broadcast(bf)
-        val might = udf((k: String) => bcast.value.mightContain(k))
-        dedup.filter(might(keyOf(dedup)))
+        dedup.filter(bloomContains(bcast, keyOf(dedup)))
       }
     val dictKeyed = dict.select(col("code"), col("v1"), col("v2"), col("id"))
     val ided = toEncode
@@ -568,7 +578,7 @@ object CindEngine {
     val (nc, bpc, nh, words) = (proto.numCells, proto.bitsPerCell, proto.numHashes, proto.cells.length)
     val cellArrays = keys.select(col("pk")).as[Long].mapPartitions { it =>
       val s = new graft.core.SpectralBloomFilter(nc, bpc, nh, new Array[Long](words))
-      it.foreach(pk => s.add(java.lang.Long.toString(pk)))
+      it.foreach(s.add) // long-key path: no per-key String allocation
       Iterator.single(s.cells)
     }(spark.implicits.newLongArrayEncoder)
     // executor-side tree merge (see buildBloom): cell arrays are MBs each,
@@ -585,8 +595,7 @@ object CindEngine {
     val candidateFilter = new graft.core.SpectralBloomFilter(nc, bpc, nh, merged)
       .toBloomFilter(minSupport)
     val bcast = spark.sparkContext.broadcast(candidateFilter)
-    val admitted = udf((pk: Long) => bcast.value.mightContain(java.lang.Long.toString(pk)))
-    keys.filter(admitted(col("pk")))
+    keys.filter(bloomContains(bcast, col("pk")))
   }
 
   /** Strategy 0 (AllAtOnce, reference plan/AllAtOnceTraversalStrategy

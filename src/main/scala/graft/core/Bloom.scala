@@ -17,9 +17,19 @@ import scala.util.hashing.MurmurHash3
 final class BloomFilter(val numBits: Int, val numHashes: Int, val bits: Array[Long])
     extends Serializable {
 
-  def put(key: String): Unit = {
-    val h1 = MurmurHash3.stringHash(key, 0x9747b28c)
-    val h2 = MurmurHash3.stringHash(key, 0x5bd1e995)
+  def put(key: String): Unit =
+    putHashes(MurmurHash3.stringHash(key, 0x9747b28c),
+      MurmurHash3.stringHash(key, 0x5bd1e995))
+
+  /** Long-key insert — fmix64 double hashing, NO per-key String allocation
+    * (the packed-long pair-key stream is the most voluminous relation in
+    * the CIND job; stringifying every key there costs an allocation + a
+    * char-wise hash per key). String and long key spaces are independent:
+    * a filter must be built and queried with the SAME key type. */
+  def put(key: Long): Unit =
+    putHashes(Bloom.longHash1(key), Bloom.longHash2(key))
+
+  private def putHashes(h1: Int, h2: Int): Unit = {
     var i = 0
     while (i < numHashes) {
       val idx = Bloom.index(h1, h2, i, numBits)
@@ -28,9 +38,14 @@ final class BloomFilter(val numBits: Int, val numHashes: Int, val bits: Array[Lo
     }
   }
 
-  def mightContain(key: String): Boolean = {
-    val h1 = MurmurHash3.stringHash(key, 0x9747b28c)
-    val h2 = MurmurHash3.stringHash(key, 0x5bd1e995)
+  def mightContain(key: String): Boolean =
+    containsHashes(MurmurHash3.stringHash(key, 0x9747b28c),
+      MurmurHash3.stringHash(key, 0x5bd1e995))
+
+  def mightContain(key: Long): Boolean =
+    containsHashes(Bloom.longHash1(key), Bloom.longHash2(key))
+
+  private def containsHashes(h1: Int, h2: Int): Boolean = {
     var i = 0
     while (i < numHashes) {
       val idx = Bloom.index(h1, h2, i, numBits)
@@ -67,6 +82,22 @@ object Bloom {
     val combined = (h1.toLong + i.toLong * h2.toLong) & Long.MaxValue
     (combined % numBits).toInt
   }
+
+  /** Murmur3 64-bit finalizer — full avalanche, so the two seeded variants
+    * below behave as independent hash functions for double hashing. */
+  @inline private def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+
+  @inline private[core] def longHash1(key: Long): Int =
+    fmix64(key ^ 0x9747b28cL).toInt
+
+  @inline private[core] def longHash2(key: Long): Int =
+    (fmix64(key ^ 0x5bd1e995L) >>> 32).toInt
 
   /** Standard sizing: m = -n ln p / (ln 2)^2, k = m/n ln 2. */
   def create(expectedInsertions: Long, fpp: Double): BloomFilter = {
@@ -121,9 +152,20 @@ final class SpectralBloomFilter(
     }
   }
 
-  def add(key: String, delta: Long = 1L): Unit = {
-    val h1 = MurmurHash3.stringHash(key, 0x9747b28c)
-    val h2 = MurmurHash3.stringHash(key, 0x5bd1e995)
+  def add(key: String, delta: Long = 1L): Unit =
+    addHashes(MurmurHash3.stringHash(key, 0x9747b28c),
+      MurmurHash3.stringHash(key, 0x5bd1e995), delta)
+
+  /** Long-key insert (see [[BloomFilter.put(key:Long)*]]): same cell
+    * indexing as the plain filter, so a spectral sketch built with long
+    * keys collapses ([[toBloomFilter]]) to a filter queryable with the
+    * SAME long keys. */
+  def add(key: Long, delta: Long): Unit =
+    addHashes(Bloom.longHash1(key), Bloom.longHash2(key), delta)
+
+  def add(key: Long): Unit = add(key, 1L)
+
+  private def addHashes(h1: Int, h2: Int, delta: Long): Unit = {
     var i = 0
     while (i < numHashes) {
       val idx = Bloom.index(h1, h2, i, numCells)
@@ -133,9 +175,14 @@ final class SpectralBloomFilter(
   }
 
   /** Upper bound of the key's insert count (min over its cells). */
-  def count(key: String): Long = {
-    val h1 = MurmurHash3.stringHash(key, 0x9747b28c)
-    val h2 = MurmurHash3.stringHash(key, 0x5bd1e995)
+  def count(key: String): Long =
+    countHashes(MurmurHash3.stringHash(key, 0x9747b28c),
+      MurmurHash3.stringHash(key, 0x5bd1e995))
+
+  def count(key: Long): Long =
+    countHashes(Bloom.longHash1(key), Bloom.longHash2(key))
+
+  private def countHashes(h1: Int, h2: Int): Long = {
     var min = Long.MaxValue
     var i = 0
     while (i < numHashes) {

@@ -82,4 +82,27 @@ class BloomSpec extends AnyFunSuite {
     (0L until (max + 5)).foreach(_ => sbf.add("hot"))
     assert(sbf.count("hot") == max)
   }
+
+  test("long-key path: no false negatives, plausible fp rate") {
+    val bf = Bloom.create(10000, 0.01)
+    val keys = (0L until 10000L).map(i => (i << 32) | (i + 1))
+    keys.foreach(bf.put)
+    keys.foreach(k => assert(bf.mightContain(k)))
+    val fps = (20000L until 30000L).count(bf.mightContain)
+    assert(fps < 300, s"fp count $fps")
+  }
+
+  test("spectral long-key adds collapse to a long-key-queryable filter") {
+    val s = SpectralBloomFilter.create(10000, 0.1, 5)
+    // keys 0..99 added 5 times (frequent), 100..199 once (infrequent)
+    for (k <- 0L until 100L; _ <- 0 until 5) s.add(k)
+    for (k <- 100L until 200L) s.add(k)
+    (0L until 100L).foreach(k => assert(s.count(k) >= 5))
+    val bf = s.toBloomFilter(5)
+    // no false negatives among the frequent keys, queried as longs
+    (0L until 100L).foreach(k => assert(bf.mightContain(k)))
+    // most infrequent keys rejected (sketch overcounts only via collisions)
+    val admitted = (100L until 200L).count(bf.mightContain)
+    assert(admitted < 30, s"admitted $admitted infrequent keys")
+  }
 }

@@ -258,7 +258,13 @@ object SparkEntry {
         .orderBy("doc_id")),
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.blobTable(docs(s, dir)))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.decodeMeta(Multimodal.blobTable(docs(s, dir))))
+        .orderBy("doc_id")),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.blobTable(docs(s, dir))).toDF()
+        .orderBy("doc_id", "bucket"))
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -346,6 +352,10 @@ object SparkEntry {
     "mm_decode_meta" ->
       "WITH ch AS (SELECT doc_id, CAST(SUM(ascii(c)) % 65536 AS BIGINT) AS checksum FROM (SELECT doc_id, unnest(string_split(text,'')) AS c FROM documents) GROUP BY 1) SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS byte_len, CAST(64 + ascii(substr(d.text,1,1)) % 64 AS INTEGER) AS width, CAST(64 + ascii(substr(d.text,2,1)) % 64 AS INTEGER) AS height, ch.checksum FROM documents d JOIN ch ON ch.doc_id = d.doc_id ORDER BY d.doc_id",
     "mm_frames" ->
-      "WITH f AS (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((length(text)-1)/128) AS BIGINT))) AS i FROM documents) SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i*128 AS INTEGER) AS frame_off, ascii(substr(text, CAST(i*128+1 AS INTEGER), 1)) AS frame_byte FROM f ORDER BY doc_id, frame_idx"
+      "WITH f AS (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((length(text)-1)/128) AS BIGINT))) AS i FROM documents) SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i*128 AS INTEGER) AS frame_off, ascii(substr(text, CAST(i*128+1 AS INTEGER), 1)) AS frame_byte FROM f ORDER BY doc_id, frame_idx",
+    "mm_resize" ->
+      "WITH m AS (SELECT doc_id, CAST(64 + ascii(substr(text,1,1)) % 64 AS INTEGER) AS width, CAST(64 + ascii(substr(text,2,1)) % 64 AS INTEGER) AS height FROM documents) SELECT doc_id, width, height, CAST(CASE WHEN greatest(width,height) <= 64 THEN width ELSE greatest(1, CAST(floor(width*64/greatest(width,height)) AS INTEGER)) END AS INTEGER) AS out_w, CAST(CASE WHEN greatest(width,height) <= 64 THEN height ELSE greatest(1, CAST(floor(height*64/greatest(width,height)) AS INTEGER)) END AS INTEGER) AS out_h FROM m ORDER BY doc_id",
+    "mm_features" ->
+      "WITH ch AS (SELECT doc_id, ascii(unnest(string_split(text,''))) % 16 AS bucket FROM documents), cnt AS (SELECT doc_id, bucket, COUNT(*) AS n FROM ch GROUP BY 1,2), bk AS (SELECT unnest(generate_series(0,15)) AS bucket) SELECT d.doc_id, CAST(bk.bucket AS INTEGER) AS bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_bytes FROM documents d CROSS JOIN bk LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bucket = bk.bucket ORDER BY 1, 2"
   )
 }

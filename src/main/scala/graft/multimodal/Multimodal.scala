@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One opaque media blob with typed metadata. */
@@ -9,6 +9,10 @@ final case class MediaBlob(doc_id: Long, media_type: String, blob: Array[Byte])
 /** Decoded (stub) media metadata. */
 final case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int,
     checksum: Long)
+
+/** One bucket of a blob's byte histogram (stub feature vector, exploded to
+  * scalar rows so the oracle can hash-compare it). */
+final case class MediaFeatures(doc_id: Long, bucket: Int, n_bytes: Long)
 
 /** Multimodal-column plumbing: media as opaque BINARY columns with typed
   * metadata, decode / frame-sample as mapPartitions over typed Datasets.
@@ -51,6 +55,38 @@ object Multimodal {
       it.map { b =>
         val (w, h, sum) = FakeCodec.decode(b.blob)
         MediaMeta(b.doc_id, b.blob.length, w, h, sum)
+      }
+    }
+  }
+
+  /** Resize planning over decoded metadata: aspect-preserving fit of
+    * (width, height) into a maxDim box, downscale only (scale capped at 1).
+    * Pure integer column math — the actual pixel resample would live in the
+    * codec (stub here); a pipeline uses this to size decode buffers and
+    * route oversized media. Output: (doc_id, width, height, out_w, out_h). */
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int = 64): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    def fit(side: Column): Column =
+      when(longSide <= maxDim, side)
+        .otherwise(greatest(lit(1), floor(side * maxDim / longSide).cast("int")))
+    meta.toDF().select(col("doc_id"), col("width"), col("height"),
+      fit(col("width")).as("out_w"), fit(col("height")).as("out_h"))
+  }
+
+  /** Stub feature extraction: a `buckets`-bin byte histogram per blob,
+    * computed in the same per-partition batch loop a real embedding/feature
+    * model would use (one model instance per partition, rows streamed
+    * through it), exploded to (doc_id, bucket, n_bytes) rows so the result
+    * is exactly oracle-checkable. */
+  def extractFeatures(blobs: DataFrame, buckets: Int = 16): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      // per-partition setup would load the feature model once here
+      it.flatMap { b =>
+        val h = new Array[Long](buckets)
+        var i = 0
+        while (i < b.blob.length) { h((b.blob(i) & 0xFF) % buckets) += 1; i += 1 }
+        (0 until buckets).iterator.map(k => MediaFeatures(b.doc_id, k, h(k)))
       }
     }
   }

@@ -30,4 +30,28 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getInt(1)))
     assert(r.toSeq == Seq((2L, 0)))
   }
+
+  test("resizePlan fits into the box aspect-preserving, downscale only") {
+    import org.apache.spark.sql.SparkSession
+    // widths/heights derive from the first two bytes: 'A'=65 -> 64+1=65
+    val meta = Multimodal.decodeMeta(Multimodal.blobTable(docs((1L, "\u007f\u007fzz"))))
+    val r = Multimodal.resizePlan(meta, maxDim = 64).collect().head
+    // width = 64 + 127 % 64 = 127, height = 127: scale to 64x64
+    assert(r.getInt(1) == 127 && r.getInt(2) == 127)
+    assert(r.getInt(3) == 64 && r.getInt(4) == 64)
+    // small media pass through untouched (no upscale)
+    val small = Multimodal.decodeMeta(Multimodal.blobTable(docs((2L, "\u0000\u0000"))))
+    val s = Multimodal.resizePlan(small, maxDim = 64).collect().head
+    assert(s.getInt(3) == 64 && s.getInt(4) == 64) // 64+0%64 = 64 <= box
+  }
+
+  test("extractFeatures emits a complete byte histogram per blob") {
+    val r = Multimodal.extractFeatures(Multimodal.blobTable(docs((1L, "AAB"), (2L, ""))))
+      .collect().map(f => (f.doc_id, f.bucket, f.n_bytes)).sorted
+    assert(r.length == 32) // 16 buckets per doc, zeros included
+    // 'A'=65 -> bucket 1, 'B'=66 -> bucket 2
+    assert(r.count { case (d, b, n) => d == 1L && b == 1 && n == 2L } == 1)
+    assert(r.count { case (d, b, n) => d == 1L && b == 2 && n == 1L } == 1)
+    assert(r.filter(_._1 == 2L).forall(_._3 == 0L))
+  }
 }

@@ -103,41 +103,69 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** K-means (Lloyd) refinement of an IVF codebook. Each iteration:
+    * map-side argmin assignment against the broadcast codebook (zero
+    * shuffle), then ONE shuffle of (cent_id, dim, value) triples for the
+    * element-wise mean — n x dims rows, map-side combinable. The driver
+    * only ever moves the k x dims codebook itself. Empty clusters keep
+    * their previous centroid. */
+  private def kmeansRefine(emb: DataFrame, init: Array[(Long, Array[Float])],
+      iters: Int): Array[(Long, Array[Float])] = {
+    var codebook = init
+    for (_ <- 0 until iters) {
+      val assigned = withNearestCentroid(emb, codebook, 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cent_id", "dim").agg(avg(col("v")).as("m"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("cent_id"), col("ms.m").as("mean"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toFloat).toArray))
+        .toMap
+      codebook = codebook.map { case (cid, v) => (cid, means.getOrElse(cid, v)) }
+    }
+    codebook
+  }
+
+  /** Map-side nearest-centroid assignment: argmin over the literal codebook
+    * (array of scored structs -> sort_array -> slice) — no crossJoin, no
+    * per-vector window, ZERO shuffle. Adds (nrm, cent_id) columns; with
+    * n > 1, one row per probed centroid. */
+  private def withNearestCentroid(df: DataFrame,
+      cents: Array[(Long, Array[Float])], n: Int): DataFrame = {
+    def centNorm(v: Array[Float]): Double =
+      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    val scored = array(cents.map { case (cid, v) =>
+      // ascending struct order == (best score, smallest cent_id) first
+      struct((-(dot(col("embedding"), typedLit(v)) / (col("nrm") * lit(centNorm(v))))).as("neg"),
+        lit(cid).as("cent_id"))
+    }: _*)
+    df.withColumn("nrm", norm(col("embedding")))
+      .withColumn("p", explode(slice(sort_array(scored), 1, n)))
+      .withColumn("cent_id", col("p.cent_id")).drop("p")
+  }
+
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
     * a small coarse-quantizer codebook partitions the collection into
-    * inverted lists; queries probe only the nProbe nearest lists. The
-    * codebook here is a deterministic seed sample (the numCentroids
-    * smallest vec_ids) — production systems would k-means-refine it, which
-    * changes only codebook quality, not the dataflow: assignment is a
-    * broadcast argmin, lists are a hash-partitioned relation, probing is a
-    * broadcast join on centroid id. Output shape matches
-    * [[bruteForceTopK]]; recall bounded in the spec. */
+    * inverted lists; queries probe only the nProbe nearest lists.
+    * The codebook is seeded deterministically (the numCentroids smallest
+    * vec_ids) and k-means-refined for `kmeansIters` Lloyd iterations —
+    * assignment is a broadcast argmin, lists are a hash-partitioned
+    * relation, probing is a broadcast join on centroid id. Output shape
+    * matches [[bruteForceTopK]]; recall bounded in the spec. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      numCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
     // The codebook is TINY (numCentroids x dims floats) — collect it once
     // and fold it into the plan as literals. List assignment is then a pure
-    // map-side argmin (array of scored structs -> sort_array -> slice): no
-    // crossJoin, no per-vector window, ZERO shuffle before the probe join.
-    val cents: Array[(Long, Array[Float])] =
+    // map-side argmin: no crossJoin, ZERO shuffle before the probe join.
+    val seed: Array[(Long, Array[Float])] =
       emb.orderBy("vec_id").limit(numCentroids)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    // centroid norms are driver-side constants — the per-row assignment then
-    // does ONE dot per centroid instead of three (cosine = dot/(nrm*centNrm))
-    def centNorm(v: Array[Float]): Double =
-      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-    def nearestCentroids(df: DataFrame, n: Int): DataFrame = {
-      val scored = array(cents.map { case (cid, v) =>
-        // ascending struct order == (best score, smallest cent_id) first
-        struct((-(dot(col("embedding"), typedLit(v)) / (col("nrm") * lit(centNorm(v))))).as("neg"),
-          lit(cid).as("cent_id"))
-      }: _*)
-      df.withColumn("nrm", norm(col("embedding")))
-        .withColumn("p", explode(slice(sort_array(scored), 1, n)))
-        .withColumn("cent_id", col("p.cent_id")).drop("p")
-    }
-    val lists = nearestCentroids(emb, 1) // inverted lists
-    val probes = nearestCentroids(emb.filter(queryPred), nProbe)
+    val cents = kmeansRefine(emb, seed, kmeansIters)
+    val lists = withNearestCentroid(emb, cents, 1) // inverted lists
+    val probes = withNearestCentroid(emb.filter(queryPred), cents, nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cent_id"))
     val scored = lists.join(broadcast(probes), "cent_id")

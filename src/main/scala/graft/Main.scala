@@ -19,6 +19,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *   --strategy S          count-match | intersect | tworound  (default count-match;
   *                         reference traversal strategies 0/1 vs 2/3 analog)
   *   --use-ars             association-rule pruning (reference --use-ars)
+  *   --use-bloom           Bloom-filtered frequency pruning, filters sized by
+  *                         a sampled triple-count estimate (reference
+  *                         --use-fis sizing rule; results identical)
   *   --clean-implied       minimality pruning (reference --clean-implied)
   *   --distinct-triples    dedup triples first
   *   --asciify-triples     7-bit-fold non-ASCII values
@@ -36,6 +39,7 @@ object Main {
       support: Int = CindEngine.DefaultMinSupport,
       strategy: String = "count-match",
       useArs: Boolean = false,
+      useBloom: Boolean = false,
       cleanImplied: Boolean = false,
       distinctTriples: Boolean = false,
       asciify: Boolean = false,
@@ -52,6 +56,7 @@ object Main {
       case "--support" :: v :: t      => loop(t, c.copy(support = v.toInt))
       case "--strategy" :: v :: t     => loop(t, c.copy(strategy = v))
       case "--use-ars" :: t           => loop(t, c.copy(useArs = true))
+      case "--use-bloom" :: t         => loop(t, c.copy(useBloom = true))
       case "--clean-implied" :: t     => loop(t, c.copy(cleanImplied = true))
       case "--distinct-triples" :: t  => loop(t, c.copy(distinctTriples = true))
       case "--asciify-triples" :: t   => loop(t, c.copy(asciify = true))
@@ -106,8 +111,20 @@ object Main {
     if (c.useArs && c.strategy != "count-match")
       throw new IllegalArgumentException(
         "--use-ars requires the count-match strategy (the AR anti-join lives in its fan-out)")
+    if (c.useBloom && (c.useArs || c.strategy != "count-match"))
+      throw new IllegalArgumentException(
+        "--use-bloom applies to the plain count-match strategy")
     val cinds = c.strategy match {
       case "count-match" if c.useArs => CindEngine.allCindsPruned(triples, c.support)
+      case "count-match" if c.useBloom =>
+        // the reference's Bloom-filtered pipeline: filters sized from a
+        // sampled triple-count estimate (estTriples / minSupport,
+        // FrequentConditionPlanner.scala:34-38) instead of a fixed default
+        val est = graft.rdf.TripleSource
+          .estimateTripleCount(triples.sparkSession, c.inputs)
+        CindEngine.allCinds(triples, c.support,
+          bloomConditions = true, bloomCaptures = true,
+          expectedFrequentKeys = math.max(1000L, est / math.max(1, c.support)))
       case "count-match"             => CindEngine.allCinds(triples, c.support)
       case "intersect"               => CindEngine.allCindsIntersect(triples, c.support)
       case "tworound"                => CindEngine.allCindsTwoRound(triples, c.support)

@@ -266,7 +266,7 @@ object CindEngine {
     //    instance stream before anything expensive runs. Bloom mode swaps
     //    the exact broadcast set for a fixed-size filter (100 TB path).
     val pruned0 =
-      if (bloomConditions) bloomPrunedCaptureInstances(triples, minSupport)
+      if (bloomConditions) bloomPrunedCaptureInstances(triples, minSupport, expectedCaptures)
       else prunedCaptureInstances(triples, minSupport)
     // 1b. Association-rule fan-out pruning (reference CreateJoinPartners
     //     .scala:100,117,134 + :183-196): a binary condition that merges a
@@ -467,9 +467,12 @@ object CindEngine {
   def allCinds(triples: DataFrame, minSupport: Int = DefaultMinSupport,
       splitThreshold: Int = SplitThreshold,
       bloomConditions: Boolean = false,
-      bloomCaptures: Boolean = false): Dataset[CindRow] = {
+      bloomCaptures: Boolean = false,
+      expectedFrequentKeys: Long = 10000000L): Dataset[CindRow] = {
+    // expectedFrequentKeys sizes BOTH Bloom paths (reference rule:
+    // estimated triples / minSupport, FrequentConditionPlanner.scala:34-38)
     val (dict, lines) = encodedJoinLines(triples, minSupport, bloomConditions,
-      bloomCaptures = bloomCaptures)
+      bloomCaptures = bloomCaptures, expectedCaptures = expectedFrequentKeys)
     decodeCinds(dict, overlapCounts(lines, splitThreshold))
   }
 

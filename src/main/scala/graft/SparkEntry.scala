@@ -37,6 +37,13 @@ object SparkEntry {
     s"SELECT DISTINCT $code AS code, $v1 AS v1, $v2 AS v2, $jv AS val FROM triples"
   }.mkString(" UNION ALL ") + ")"
 
+  /** Same capture relation restricted to subject-projection arms (the
+    * --projection s oracle; codes 10/12/14 are exactly the jv=subj arms). */
+  private val capsSCte: String = "caps AS (" + captureArms.filter(_._4 == "subj")
+    .map { case (code, v1, v2, jv) =>
+      s"SELECT DISTINCT $code AS code, $v1 AS v1, $v2 AS v2, $jv AS val FROM triples"
+    }.mkString(" UNION ALL ") + ")"
+
   /** The 6 condition shapes (primary-attribute bitmask codes). */
   private val condArms = Seq(
     (1, "subj", "''"), (2, "pred", "''"), (4, "obj", "''"),
@@ -148,6 +155,9 @@ object SparkEntry {
         .orderBy("ante_code", "ante_val", "cons_code", "cons_val")),
     "cind_all_pruned" -> ((s, dir) => // reference default: AR pruning ON
       CindEngine.allCindsPruned(triples(s, dir), MS).toDF()
+        .orderBy(cindCols.map(col): _*)),
+    "cind_all_proj_s" -> ((s, dir) => // reference --projection s
+      CindEngine.allCinds(triples(s, dir), MS, projections = "s").toDF()
         .orderBy(cindCols.map(col): _*)),
     "stats_count_conditions" -> ((s, dir) =>
       TripleStats.countConditions(triples(s, dir)).orderBy("cond_code")),
@@ -285,6 +295,8 @@ object SparkEntry {
       s"""WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds c WHERE NOT (c.dep_code IN (14,21,35) AND EXISTS (SELECT 1 FROM cinds i WHERE i.dep_v2 = '' AND i.ref_code = c.ref_code AND i.ref_v1 = c.ref_v1 AND i.ref_v2 = c.ref_v2 AND ((i.dep_code = ${subCode("c.dep_code", true)} AND i.dep_v1 = c.dep_v1) OR (i.dep_code = ${subCode("c.dep_code", false)} AND i.dep_v1 = c.dep_v2)))) AND NOT (c.ref_v2 = '' AND EXISTS (SELECT 1 FROM cinds i WHERE i.dep_code = c.dep_code AND i.dep_v1 = c.dep_v1 AND i.dep_v2 = c.dep_v2 AND i.ref_code IN (14,21,35) AND ((${subCode("i.ref_code", true)} = c.ref_code AND i.ref_v1 = c.ref_v1) OR (${subCode("i.ref_code", false)} = c.ref_code AND i.ref_v2 = c.ref_v1)))) ORDER BY 1,2,3,4,5,6""",
     "cind_association_rules" ->
       s"WITH $cte, $rulesCte SELECT ante_code, ante_val, cons_code, cons_val, support FROM rules ORDER BY 1,2,3,4",
+    "cind_all_proj_s" -> // s-projection capture relation, same CIND body
+      s"WITH $cte, $capsSCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
     "cind_all_pruned" ->
       s"""WITH $cte, $capsCte, $rulesCte, arc AS (SELECT ante_code + cons_code AS ccode, CASE WHEN ante_code < cons_code THEN ante_val ELSE cons_val END AS cv1, CASE WHEN ante_code < cons_code THEN cons_val ELSE ante_val END AS cv2 FROM rules), capsp AS (SELECT c.* FROM caps c WHERE NOT EXISTS (SELECT 1 FROM arc a WHERE c.code % 8 = a.ccode AND c.v1 = a.cv1 AND c.v2 = a.cv2)), ${cindsBody("capsp")} SELECT * FROM cinds c WHERE NOT EXISTS (SELECT 1 FROM rules r WHERE c.dep_v2 = '' AND c.ref_v2 = '' AND c.dep_code = r.ante_code + 8 * (7 - r.ante_code - r.cons_code) AND c.dep_v1 = r.ante_val AND c.ref_code = r.cons_code + 8 * (7 - r.ante_code - r.cons_code) AND c.ref_v1 = r.cons_val) ORDER BY 1,2,3,4,5,6""",
     "stats_count_conditions" ->

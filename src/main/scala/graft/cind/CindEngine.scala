@@ -59,24 +59,36 @@ object CindEngine {
     struct(lit(code).as("code"), v1.as("v1"), v2.as("v2"), joinVal.as("join_val"))
 
   /** Fan a triple table (subj, pred, obj) out to capture instances:
-    * (code, v1, v2, join_val, cond_code). <= 9 rows per triple. */
-  def captureInstances(triples: DataFrame): DataFrame = {
+    * (code, v1, v2, join_val, cond_code). <= 3 rows per triple per
+    * projected attribute. `projections` restricts which of s/p/o are
+    * projected (reference --projection, programs/RDFind.scala:660-661 +
+    * CreateJoinPartners.scala:86-147; default spo = all). Restricting
+    * projections is equivalent to filtering full discovery to CINDs whose
+    * dep AND ref project a kept attribute (captures of different
+    * projections never pair pointwise-equal join semantics away --
+    * spec-pinned in CindEngineSpec). */
+  def captureInstances(triples: DataFrame, projections: String = "spo"): DataFrame = {
+    require(projections.nonEmpty && projections.forall("spo".contains(_)),
+      s"projections must be a non-empty subset of 'spo', got '$projections'")
     val s = col("subj"); val p = col("pred"); val o = col("obj")
     val empty = lit("")
-    val instances = array(
+    val armsFor = Map(
       // project s (join value = subj): conditions on p, o, and (p,o)
-      captureStruct(ConditionCodes.capture(P, S), p, empty, s),
-      captureStruct(ConditionCodes.capture(O, S), o, empty, s),
-      captureStruct(ConditionCodes.capture(P | O, S), p, o, s),
+      's' -> Seq(
+        captureStruct(ConditionCodes.capture(P, S), p, empty, s),
+        captureStruct(ConditionCodes.capture(O, S), o, empty, s),
+        captureStruct(ConditionCodes.capture(P | O, S), p, o, s)),
       // project p: conditions on s, o, (s,o)
-      captureStruct(ConditionCodes.capture(S, P), s, empty, p),
-      captureStruct(ConditionCodes.capture(O, P), o, empty, p),
-      captureStruct(ConditionCodes.capture(S | O, P), s, o, p),
+      'p' -> Seq(
+        captureStruct(ConditionCodes.capture(S, P), s, empty, p),
+        captureStruct(ConditionCodes.capture(O, P), o, empty, p),
+        captureStruct(ConditionCodes.capture(S | O, P), s, o, p)),
       // project o: conditions on s, p, (s,p)
-      captureStruct(ConditionCodes.capture(S, O), s, empty, o),
-      captureStruct(ConditionCodes.capture(P, O), p, empty, o),
-      captureStruct(ConditionCodes.capture(S | P, O), s, p, o)
-    )
+      'o' -> Seq(
+        captureStruct(ConditionCodes.capture(S, O), s, empty, o),
+        captureStruct(ConditionCodes.capture(P, O), p, empty, o),
+        captureStruct(ConditionCodes.capture(S | P, O), s, p, o)))
+    val instances = array("spo".filter(projections.contains(_)).flatMap(armsFor): _*)
     triples
       .select(explode(instances).as("c"))
       .select(col("c.code"), col("c.v1"), col("c.v2"), col("c.join_val"))
@@ -130,11 +142,12 @@ object CindEngine {
   }
 
   /** Capture instances that survive frequent-condition pruning. */
-  def prunedCaptureInstances(triples: DataFrame, minSupport: Int): DataFrame = {
+  def prunedCaptureInstances(triples: DataFrame, minSupport: Int,
+      projections: String = "spo"): DataFrame = {
     val freq = conditionCounts(triples)
       .filter(col("cnt") >= minSupport)
       .select("cond_code", "v1", "v2")
-    captureInstances(triples)
+    captureInstances(triples, projections)
       .join(broadcast(freq), Seq("cond_code", "v1", "v2"), "left_semi")
   }
 
@@ -176,7 +189,8 @@ object CindEngine {
     * This is the 100 TB path: a 10M-entry 1% filter is ~12 MB broadcast
     * regardless of string sizes, where the exact set might not fit. */
   def bloomPrunedCaptureInstances(triples: DataFrame, minSupport: Int,
-      expectedConditions: Long = 10000000L): DataFrame = {
+      expectedConditions: Long = 10000000L,
+      projections: String = "spo"): DataFrame = {
     import triples.sparkSession.implicits._
     val freqKeys = conditionCounts(triples)
       .filter(col("cnt") >= minSupport)
@@ -184,7 +198,7 @@ object CindEngine {
       .as[String]
     val bf = buildBloom(freqKeys, expectedConditions, 0.01)
     val bcast = triples.sparkSession.sparkContext.broadcast(bf)
-    captureInstances(triples)
+    captureInstances(triples, projections)
       .filter(bloomContains(bcast, concat_ws("", col("cond_code"), col("v1"), col("v2"))))
   }
 
@@ -260,14 +274,15 @@ object CindEngine {
       bloomConditions: Boolean = false,
       arRules: Option[DataFrame] = None,
       bloomCaptures: Boolean = false,
-      expectedCaptures: Long = 10000000L): (DataFrame, DataFrame) = {
+      expectedCaptures: Long = 10000000L,
+      projections: String = "spo"): (DataFrame, DataFrame) = {
     // 1. Condition-frequency pruning first (reference FrequentConditionPlanner
     //    order): a cheap map-side-combinable count that typically halves the
     //    instance stream before anything expensive runs. Bloom mode swaps
     //    the exact broadcast set for a fixed-size filter (100 TB path).
     val pruned0 =
-      if (bloomConditions) bloomPrunedCaptureInstances(triples, minSupport, expectedCaptures)
-      else prunedCaptureInstances(triples, minSupport)
+      if (bloomConditions) bloomPrunedCaptureInstances(triples, minSupport, expectedCaptures, projections)
+      else prunedCaptureInstances(triples, minSupport, projections)
     // 1b. Association-rule fan-out pruning (reference CreateJoinPartners
     //     .scala:100,117,134 + :183-196): a binary condition that merges a
     //     confidence-1.0 rule's antecedent and consequent produces captures
@@ -468,11 +483,13 @@ object CindEngine {
       splitThreshold: Int = SplitThreshold,
       bloomConditions: Boolean = false,
       bloomCaptures: Boolean = false,
-      expectedFrequentKeys: Long = 10000000L): Dataset[CindRow] = {
+      expectedFrequentKeys: Long = 10000000L,
+      projections: String = "spo"): Dataset[CindRow] = {
     // expectedFrequentKeys sizes BOTH Bloom paths (reference rule:
     // estimated triples / minSupport, FrequentConditionPlanner.scala:34-38)
     val (dict, lines) = encodedJoinLines(triples, minSupport, bloomConditions,
-      bloomCaptures = bloomCaptures, expectedCaptures = expectedFrequentKeys)
+      bloomCaptures = bloomCaptures, expectedCaptures = expectedFrequentKeys,
+      projections = projections)
     decodeCinds(dict, overlapCounts(lines, splitThreshold))
   }
 

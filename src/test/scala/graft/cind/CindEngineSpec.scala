@@ -190,4 +190,16 @@ class CindEngineSpec extends SparkSpec {
         Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)).toSet
     assert(got == bruteForce(tiny, 2))
   }
+
+  test("projection restriction equals full discovery filtered to those projections") {
+    val full = CindEngine.allCinds(toDF(tiny), 2).collect().toSet
+    val sOnly = CindEngine.allCinds(toDF(tiny), 2, projections = "s").collect().toSet
+    val sCodes = Set(10, 12, 14) // the three s-projection capture codes
+    assert(sOnly == full.filter(c => sCodes(c.dep_code) && sCodes(c.ref_code)))
+    val spOnly = CindEngine.allCinds(toDF(tiny), 2, projections = "sp").collect().toSet
+    val spCodes = Set(10, 12, 14, 17, 20, 21)
+    assert(spOnly == full.filter(c => spCodes(c.dep_code) && spCodes(c.ref_code)))
+    intercept[IllegalArgumentException](
+      CindEngine.captureInstances(toDF(tiny), "xyz"))
+  }
 }

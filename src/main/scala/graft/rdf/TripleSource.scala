@@ -93,7 +93,15 @@ object TripleSource {
       t.select(subj.as("subj"), explode(array(pairs: _*)).as("po"))
         .select(col("subj"), col("po.pred").as("pred"), col("po.obj").as("obj"))
     }
-    frames.reduce(_.unionAll(_))
+    val df = frames.reduce(_.unionAll(_))
+    // Small-file inputs yield one scan partition per parquet file (9 here),
+    // strangling the CPU-bound capture fan-out downstream (profiled: the
+    // two heaviest CIND map stages ran 9-wide on 32 cores). One cheap
+    // round-robin shuffle of the raw triples fixes local parallelism; at
+    // real scale the scan already yields >= defaultParallelism partitions
+    // and this is a no-op.
+    val want = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
   /** Read triple files into (subj, pred, obj): N-Triples / N-Quads /

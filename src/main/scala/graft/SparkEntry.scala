@@ -239,6 +239,8 @@ object SparkEntry {
       TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
+    "text_rolling_fingerprint" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprint(docs(s, dir)).orderBy("doc_id")),
     // --- similarity search ---
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
@@ -357,6 +359,16 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n, CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS nd, CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INTEGER) AS ns FROM documents) SELECT doc_id, n AS n_tokens, CAST(floor(100*(n-nd)/n) AS BIGINT) AS repetition_pct, CAST(floor(100*ns/n) AS BIGINT) AS stopword_pct, CASE WHEN n < 10 THEN 0 WHEN floor(100*(n-nd)/n) >= 80 THEN 1 WHEN floor(100*ns/n) >= 30 THEN 2 ELSE 3 END AS quality_bucket FROM t ORDER BY doc_id",
     "text_fingerprint" ->
       s"WITH $tokCte, $shCte SELECT d.doc_id, s.fp AS fingerprint FROM documents d LEFT JOIN (SELECT doc_id, MIN(md5(sh)) AS fp FROM sh GROUP BY 1) s ON s.doc_id = d.doc_id ORDER BY 1",
+    // same polynomial evaluated per window (quadratic in SQL, HUGEINT
+    // intermediates); the Spark side ROLLS it in one O(n) pass
+    "text_rolling_fingerprint" -> {
+      val M = BigInt("2305843009213693951") // 2^61-1
+      val terms = (0 until 16).map { j =>
+        val p = BigInt(graft.functions.RollingHashMin.Base).modPow(BigInt(15 - j), M)
+        s"CAST(ascii(substr(d.text, w.i + $j, 1)) AS HUGEINT) * $p"
+      }.mkString(" + ")
+      s"WITH w AS (SELECT doc_id, unnest(generate_series(1, length(text) - 15)) AS i FROM documents), h AS (SELECT w.doc_id, CAST(($terms) % $M AS BIGINT) AS wh FROM w JOIN documents d ON d.doc_id = w.doc_id), m AS (SELECT doc_id, MIN(wh) AS fp FROM h GROUP BY 1) SELECT d.doc_id, CAST(COALESCE(m.fp, -1) AS BIGINT) AS rolling_fp FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id ORDER BY d.doc_id"
+    },
     "sim_topk_brute" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id), r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s) SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank",
     "sim_near_dup_pairs" ->

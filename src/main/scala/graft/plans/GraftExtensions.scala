@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.simhash64)
+    ext.injectFunction(GraftExtensions.rollingHashMin)
   }
 }
 
@@ -22,4 +23,17 @@ object GraftExtensions {
     FunctionIdentifier("simhash64"),
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
     (children: Seq[Expression]) => SimHash64(children.head))
+
+  /** `rolling_hash_min(text, window)` — window must be an integer literal
+    * (it parameterizes the generated code, like a window frame size). */
+  val rollingHashMin: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash_min"),
+    new ExpressionInfo(classOf[graft.functions.RollingHashMin].getName, "rolling_hash_min"),
+    (children: Seq[Expression]) => graft.functions.RollingHashMin(children.head,
+      children(1).eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"rolling_hash_min window must be an integer literal, got $other")
+      }))
 }

@@ -115,4 +115,16 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       array_min(transform(shingles(col("text")), s => md5(s))).as("fingerprint"))
+
+  /** Rolling-hash document fingerprint: minimum Rabin-Karp hash over all
+    * `window`-byte windows, via the native O(n) expression
+    * [[graft.functions.RollingHashMin]] (one multiply-subtract-add per
+    * byte — character-level winnowing where [[fingerprint]] is
+    * token-level). -1 for documents shorter than the window. */
+  def rollingFingerprint(docs: DataFrame, window: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.select(col("doc_id"),
+      ColumnBridge.column(graft.functions.RollingHashMin(
+        ColumnBridge.expression(col("text")), window)).as("rolling_fp"))
+  }
 }

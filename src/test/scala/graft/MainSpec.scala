@@ -133,4 +133,24 @@ class MainSpec extends SparkSpec {
     val bloom = run(Seq("--use-bloom"), s"$dir/out_bloom")
     assert(exact.nonEmpty && bloom == exact)
   }
+
+  test("--projection restricts the CLI output to the projected attribute") {
+    val dir = tmpDir
+    Files.write(Paths.get(s"$dir/in.nt"), ntLines.mkString("\n").getBytes)
+    def lines(out: String, extra: Seq[String]): Seq[String] = {
+      Main.run(spark, Main.parseArgs(
+        extra ++ Seq("--support", "2", "--output", out, s"$dir/in.nt")))
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(out)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".txt"))
+        .flatMap(f => Files.readAllLines(f).asScala).toSeq
+    }
+    val full = lines(s"$dir/out_full", Seq.empty)
+    val sOnly = lines(s"$dir/out_s", Seq("--projection", "s"))
+    // every s-projection CIND line starts with "s[" and references "< s["
+    assert(sOnly.nonEmpty && sOnly.forall(l => l.startsWith("s[") && l.contains("< s[")))
+    assert(sOnly.toSet == full.filter(l => l.startsWith("s[") && l.contains("< s[")).toSet)
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Seq("--projection", "xyz", "in.nt")))
+  }
 }

@@ -70,6 +70,13 @@ object Dedup {
     finishJaccard(sh, inter, minJaccardPct)
   }
 
+  /** Per-doc distinct shingle SETS as sorted arrays: (doc_id, shs). One row
+    * per document, so downstream consumers (signatures, verification) never
+    * shuffle the exploded index — only this |docs|-row relation. */
+  private def shingleSets(docs: DataFrame, maxDf: Int): DataFrame =
+    shingleIndex(docs, maxDf)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("shs"))
+
   /** Attach set sizes + Jaccard to intersection counts and threshold. */
   private def finishJaccard(sh: DataFrame, inter: DataFrame, minJaccardPct: Int): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -103,21 +110,26 @@ object Dedup {
     * pairs only. Same output shape as [[jaccardPairs]]; precision 1.0,
     * recall 1-(1-j^2)^16 (>= 0.999 at j=0.6).
     *
-    * Plan discipline (the round-1 bench regression): ONE persisted shingle
-    * index feeds the signatures, the verification joins, and the size
-    * lookups, and the tiny banded table is persisted before its self-join —
-    * otherwise Spark's eagerly-computed broadcast exchanges re-derive the
-    * explode+aggregate lineage several times on parallel threads. */
+    * Plan discipline (rounds 1-3 kept regressing here): everything flows
+    * from ONE per-doc shingle-SET relation (|docs| rows, arrays) — the
+    * signatures are a map-side array_min over it, and verification is two
+    * joins of the tiny candidate list against it with a codegen'd
+    * array_intersect, so the exploded (doc_id, shingle) index is never
+    * shuffled at all. The old shape verified candidates by routing the full
+    * exploded index through two shuffle joins, which collapsed whenever AQE
+    * declined the broadcasts on a loaded box. */
   def minhashLshPairs(docs: DataFrame, minJaccardPct: Int,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val sh = shingleIndex(docs, maxShingleDf).persist()
-    sh.count()
+    val sets = shingleSets(docs, maxShingleDf).persist()
+    sets.count()
     val rows = 2
     val bands = NumPerms / rows
-    val banded = minhashSignaturesFrom(sh).select(col("doc_id"), posexplode(
-      array((0 until bands).map(b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)): _*))
-      .as(Seq("band", "bucket")))
+    val banded = sets.select(col("doc_id"), array((0 until NumPerms).map(i =>
+        array_min(transform(col("shs"), x => xxhash64(lit(i), x)))): _*).as("sig"))
+      .select(col("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)): _*))
+        .as(Seq("band", "bucket")))
       .persist()
     banded.count() // self-join: both sides must read the cache
     val candidates = banded.as("x").join(banded.as("y"),
@@ -125,16 +137,19 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
       .distinct()
-    // verify ONLY the candidate pairs with the exact measure: route the
-    // shingle index through the candidate list instead of re-running the
-    // full inverted-index self-join (that would cost as much as exact)
-    val shA = sh.select(col("doc_id").as("doc_id_a"), col("sh"))
-    val shB = sh.select(col("doc_id").as("bid"), col("sh").as("sh_b"))
-    val inter = candidates
-      .join(shA, "doc_id_a")
-      .join(shB, col("bid") === col("doc_id_b") && col("sh") === col("sh_b"))
-      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("inter"))
-    finishJaccard(sh, inter, minJaccardPct)
+    // verify ONLY the candidate pairs, against the per-doc shingle arrays
+    val out = candidates
+      .join(sets.select(col("doc_id").as("doc_id_a"), col("shs").as("shs_a")), "doc_id_a")
+      .join(sets.select(col("doc_id").as("doc_id_b"), col("shs").as("shs_b")), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long").as("inter"),
+        size(col("shs_a")).cast("long").as("n_a"),
+        size(col("shs_b")).cast("long").as("n_b"))
+      .withColumn("jaccard_pct",
+        floor(lit(100) * col("inter") / (col("n_a") + col("n_b") - col("inter"))))
+      .filter(col("jaccard_pct") >= minJaccardPct)
+    banded.unpersist()
+    out
   }
 
   /** Duplicate clusters: the canonical-document decision table a dedup

@@ -117,6 +117,24 @@ object SparkEntry {
   /** Shared body of the exact-Jaccard pair oracles. */
   private val jaccardSql =
     s"$pairCtes SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.n AS n_a, sb.n AS n_b, CAST(floor(100*i.inter/(sa.n+sb.n-i.inter)) AS BIGINT) AS jaccard_pct FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50 ORDER BY 1,2"
+  /** SimHash signatures reproduced hex-digit by hex-digit in SQL: per token
+    * the first 16 hex chars of md5 are the 64-bit token hash (matching
+    * graft.functions.SimHash64); per signature bit the +1/-1 vote sum over
+    * ALL tokens (duplicates included) decides the bit. Generated once —
+    * 16 digit extractions and 64 CASE/SUM aggregates. */
+  private val simhashSigCtes: String = {
+    val digits = (1 to 16).map(p =>
+      s"strpos('0123456789abcdef', substr(m,$p,1))-1 AS d$p").mkString(", ")
+    val bits = (0 until 64).map { b =>
+      val dig = 16 - b / 4 // hex char 1 carries bits 63..60
+      val sh = b % 4
+      s"CASE WHEN SUM(CASE WHEN ((d$dig >> $sh) & 1) = 1 THEN 1 ELSE -1 END) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString(" | ")
+    s"tokh AS (SELECT doc_id, md5(w) AS m FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)), " +
+      s"dig AS (SELECT doc_id, $digits FROM tokh), " +
+      s"sig AS (SELECT doc_id, $bits AS sh FROM dig GROUP BY doc_id)"
+  }
+
   private def langScoreSql(lang: String, words: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text,' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS INTEGER) AS s_$lang"
 
@@ -344,6 +362,10 @@ object SparkEntry {
       s"WITH $tokCte, $shCte, $shcCte, $jaccardSql",
     // min-label propagation fixpoint == min reachable id (recursive closure);
     // UNION (not ALL) dedups reach rows so the recursion terminates
+    // the 4x16-bit banding is COMPLETE for hamming <= 3 (pigeonhole), so the
+    // Spark output equals the all-pairs filter this oracle computes
+    "dedup_simhash_pairs" ->
+      s"WITH $simhashSigCtes SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY 1,2",
     "dedup_clusters" ->
       s"WITH RECURSIVE $tokCte, $shCte, $shcCte, $pairCtes, p AS (SELECT i.doc_id_a AS a, i.doc_id_b AS b FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50), e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p), reach AS (SELECT doc_id AS node, doc_id AS lab FROM documents UNION SELECT e.a AS node, r.lab FROM e JOIN reach r ON r.node = e.b), c AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1) SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM c ORDER BY doc_id",
     "text_token_stats" ->

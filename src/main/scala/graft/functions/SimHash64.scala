@@ -5,16 +5,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression computing a 64-bit SimHash over an
-  * ARRAY<STRING> of tokens. Per token, two 32-bit Murmur3 hashes (seeds 41
-  * and 42) form a 64-bit token signature; each of the 64 bits votes +1/-1
-  * and the sign of the tally becomes the output bit. Deterministic,
-  * null-safe (null tokens are skipped), and codegen'd — `doGenCode` emits a
-  * straight static call, so the expression stays inside whole-stage codegen
-  * instead of falling off the UDF cliff.
+  * ARRAY<STRING> of tokens. Per token, the first 64 bits of its MD5 digest
+  * (big-endian — i.e. the first 16 hex chars of the standard digest string)
+  * form the token signature; each of the 64 bits votes +1/-1 and the sign
+  * of the tally becomes the output bit. MD5 is the one hash every engine
+  * computes identically, which makes the whole operator reproducible in a
+  * SQL oracle hex-digit by hex-digit. Deterministic, null-safe (null tokens
+  * are skipped), and codegen'd — `doGenCode` emits a straight static call,
+  * so the expression stays inside whole-stage codegen instead of falling
+  * off the UDF cliff.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -32,17 +34,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** Static kernel shared by eval and generated code. */
   def compute(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
+    val md = Md5.get()
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
       if (!tokens.isNullAt(i)) {
         val s: UTF8String = tokens.getUTF8String(i)
-        val lo = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 41)
-        val hi = Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
-        val h = (hi.toLong << 32) | (lo.toLong & 0xFFFFFFFFL)
+        md.reset()
+        val d = md.digest(s.getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xFFL); j += 1 }
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

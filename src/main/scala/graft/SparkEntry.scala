@@ -135,6 +135,29 @@ object SparkEntry {
       s"sig AS (SELECT doc_id, $bits AS sh FROM dig GROUP BY doc_id)"
   }
 
+  /** Full SQL replication of Similarity.ivfTopK: seed codebook = 16 smallest
+    * vec_ids, two unrolled Lloyd iterations (argmax-cosine assignment,
+    * per-dim mean, empty clusters keep their centroid), nProbe=4 probing,
+    * exact scoring + ranking. Float means absorb the engines' double-sum
+    * rounding differences (double noise ~2^-52 relative is far below float's
+    * 2^-24 rounding grid), so the codebooks agree bit-for-bit. */
+  private val ivfOracleSql: String = {
+    def assign(cb: String, out: String): String =
+      s"$out AS (SELECT vec_id, embedding, cent_id FROM (SELECT e.vec_id, e.embedding, s.cent_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.cent_id) AS rn FROM embeddings e CROSS JOIN $cb s) WHERE rn = 1)"
+    def refine(a: String, prev: String, out: String): String =
+      s"${out}_m AS (SELECT cent_id, i, CAST(AVG(v) AS FLOAT) AS mv FROM (SELECT cent_id, unnest(embedding) AS v, generate_subscripts(embedding,1) AS i FROM $a) GROUP BY 1,2), " +
+        s"${out}_arr AS (SELECT cent_id, list(mv ORDER BY i) AS c FROM ${out}_m GROUP BY 1), " +
+        s"$out AS (SELECT p.cent_id, COALESCE(x.c, p.c) AS c FROM $prev p LEFT JOIN ${out}_arr x ON x.cent_id = p.cent_id)"
+    "WITH seed AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings ORDER BY vec_id LIMIT 16), " +
+      assign("seed", "a1") + ", " + refine("a1", "seed", "cb1") + ", " +
+      assign("cb1", "a2") + ", " + refine("a2", "cb1", "cb2") + ", " +
+      assign("cb2", "lists") + ", " +
+      "probes AS (SELECT query_id, qe, cent_id FROM (SELECT e.vec_id AS query_id, e.embedding AS qe, s.cent_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.cent_id) AS rn FROM embeddings e CROSS JOIN cb2 s WHERE e.vec_id % 100 = 0) WHERE rn <= 4), " +
+      "sc AS (SELECT p.query_id, l.vec_id, list_cosine_similarity(p.qe, l.embedding) AS score FROM lists l JOIN probes p ON p.cent_id = l.cent_id AND l.vec_id <> p.query_id), " +
+      "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
+      "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank"
+  }
+
   private def langScoreSql(lang: String, words: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text,' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS INTEGER) AS s_$lang"
 
@@ -393,6 +416,24 @@ object SparkEntry {
     },
     "sim_topk_brute" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id), r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s) SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank",
+    // full replication of the LSH pipeline: the integer signature is exact
+    // in both engines (products < 2^53), banding/candidates/ranking mirror
+    // Similarity.lshTopK, and scoring reuses the brute-force oracle's
+    // list_cosine_similarity
+    "sim_topk_lsh" -> {
+      val sigBits = Similarity.intPlanes(64).zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN list_dot_product(qe, ${p.mkString("[", ",", "]")}) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+      }.mkString(" | ")
+      s"WITH q0 AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*${Similarity.QuantScale}) AS BIGINT)) AS qe FROM embeddings), " +
+        s"sig AS (SELECT vec_id, ($sigBits) AS sg FROM q0), " +
+        "b AS (SELECT vec_id, band, ((sg >> (band*4)) & 15) AS bucket FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS band)), " +
+        "qb AS (SELECT vec_id AS query_id, band, bucket FROM b WHERE vec_id % 100 = 0), " +
+        "cand AS (SELECT DISTINCT q.query_id, x.vec_id FROM b x JOIN qb q ON x.band = q.band AND x.bucket = q.bucket AND x.vec_id <> q.query_id), " +
+        "sc AS (SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.embedding, ev.embedding) AS score FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id JOIN embeddings ev ON ev.vec_id = c.vec_id), " +
+        "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
+        "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank"
+    },
+    "sim_topk_ivf" -> ivfOracleSql,
     "sim_near_dup_pairs" ->
       "WITH e2 AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 50 = 0) SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY 1, 2",
     "mm_decode_meta" ->

@@ -69,19 +69,45 @@ object Similarity {
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  /** Quantization scale shared by [[signatureInt]] and its SQL oracle. */
+  val QuantScale = 1024
+
+  /** Integer-plane hyperplanes: the Gaussian planes floored to 1/1024ths.
+    * Public so an oracle can embed the SAME constants as SQL literals. */
+  def intPlanes(dims: Int): Array[Array[Long]] =
+    planes(dims).map(_.map(g => math.floor(g * QuantScale).toLong))
+
+  /** Exactly-reproducible signed-projection signature: both the embedding
+    * (floor(x*1024)) and the hyperplanes are integers, so the per-plane dot
+    * product is exact integer arithmetic — bit p = (dot >= 0) can never
+    * disagree between engines the way a floating dot's sign can at a
+    * boundary. Products stay < 2^53, so even an oracle computing the dot in
+    * doubles is exact. Same locality behavior as [[signature]]. */
+  def signatureInt(emb: Column, dims: Int): Column = {
+    val ps = intPlanes(dims)
+    val q = transform(emb, x => floor(x.cast("double") * QuantScale).cast("long"))
+    (0 until NumPlanes).map { p =>
+      val d = aggregate(zip_with(q, lit(ps(p)), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
   /** Approximate top-k via multi-table banded LSH: the 16-bit signature is
     * split into 4 bands of 4 bits; a vector is a candidate for a query iff
     * they agree on at least one band (union over tables, like MinHash-LSH
     * banding). Only candidates are scored — at scale the band-bucket join
     * replaces the cross product. Output shape matches [[bruteForceTopK]];
-    * recall measured against it in the spec. */
+    * recall measured against it in the spec, and the whole pipeline is
+    * replicated by a SQL oracle (the [[signatureInt]] signature is exact
+    * integer arithmetic on both sides). */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int, dims: Int,
       bandBits: Int = 4): DataFrame = {
     val bands = NumPlanes / bandBits
     val mask = (1L << bandBits) - 1
     def banded(df: DataFrame): DataFrame = df
       .withColumn("nrm", norm(col("embedding")))
-      .withColumn("sig", signature(col("embedding"), dims))
+      .withColumn("sig", signatureInt(col("embedding"), dims))
       .select(col("*"), posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))

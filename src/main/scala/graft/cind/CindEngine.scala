@@ -141,14 +141,37 @@ object CindEngine {
       .filter(col("cnt") >= minSupport)
   }
 
+  /** 64-bit key of a condition, for shuffle-cheap frequency pruning: the
+    * count shuffle and the broadcast set carry 8-byte hashes instead of
+    * string pairs (binary conditions are mostly distinct, so their partial
+    * aggregation barely reduces — hashing is what shrinks the bytes). A
+    * collision can only MERGE counts, i.e. over-count, i.e. ADMIT an
+    * infrequent condition — and every admitted instance still faces the
+    * exact capture-support filter downstream, so results are identical
+    * (same argument as the Bloom paths, which over-admit by design). */
+  private def condHash(code: Column, v1: Column, v2: Column): Column =
+    xxhash64(code, v1, v2)
+
+  /** Hashes of conditions matched by >= minSupport triples (over-approximate
+    * only through xxhash64 collisions — see [[condHash]]). */
+  private def frequentConditionHashes(triples: DataFrame, minSupport: Int): DataFrame = {
+    val s = col("subj"); val p = col("pred"); val o = col("obj")
+    val e = lit("")
+    triples.select(explode(array(
+      condHash(lit(S), s, e), condHash(lit(P), p, e), condHash(lit(O), o, e),
+      condHash(lit(S | P), s, p), condHash(lit(S | O), s, o), condHash(lit(P | O), p, o))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minSupport)
+      .select("h")
+  }
+
   /** Capture instances that survive frequent-condition pruning. */
   def prunedCaptureInstances(triples: DataFrame, minSupport: Int,
       projections: String = "spo"): DataFrame = {
-    val freq = conditionCounts(triples)
-      .filter(col("cnt") >= minSupport)
-      .select("cond_code", "v1", "v2")
+    val freq = frequentConditionHashes(triples, minSupport)
     captureInstances(triples, projections)
-      .join(broadcast(freq), Seq("cond_code", "v1", "v2"), "left_semi")
+      .join(broadcast(freq),
+        condHash(col("cond_code"), col("v1"), col("v2")) === col("h"), "left_semi")
   }
 
   /** Distributed Bloom-filter build: per-partition filters merged by bitwise
@@ -181,6 +204,28 @@ object CindEngine {
     graft.core.Bloom.wrap(nb, nh, merged)
   }
 
+  /** [[buildBloom]] for 64-bit keys: same partial-build + executor-side
+    * tree merge, but the stream never materializes a String per key. */
+  def buildBloomLongs(keys: org.apache.spark.sql.Dataset[Long], expectedInsertions: Long,
+      fpp: Double): graft.core.BloomFilter = {
+    val proto = graft.core.Bloom.create(expectedInsertions, fpp)
+    val (nb, nh) = (proto.numBits, proto.numHashes)
+    val words = (nb + 63) >>> 6
+    val bitArrays = keys.mapPartitions { it =>
+      val bf = graft.core.Bloom.wrap(nb, nh, new Array[Long](words))
+      it.foreach(bf.put)
+      Iterator.single(bf.bits)
+    }(keys.sparkSession.implicits.newLongArrayEncoder)
+    val or = (a: Array[Long], b: Array[Long]) => {
+      var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+    }
+    val rdd = bitArrays.rdd
+    val merged =
+      if (rdd.getNumPartitions == 0) new Array[Long](words)
+      else rdd.treeReduce(or, depth = 2)
+    graft.core.Bloom.wrap(nb, nh, merged)
+  }
+
   /** Frequent-condition pruning via a broadcast Bloom filter instead of an
     * exact broadcast semi-join — the reference's own design (its frequency
     * BFs are the semantics, SURVEY §5). False positives only ADMIT extra
@@ -192,14 +237,12 @@ object CindEngine {
       expectedConditions: Long = 10000000L,
       projections: String = "spo"): DataFrame = {
     import triples.sparkSession.implicits._
-    val freqKeys = conditionCounts(triples)
-      .filter(col("cnt") >= minSupport)
-      .select(concat_ws("", col("cond_code"), col("v1"), col("v2")).as("k"))
-      .as[String]
-    val bf = buildBloom(freqKeys, expectedConditions, 0.01)
+    val freqKeys = frequentConditionHashes(triples, minSupport).as[Long]
+    val bf = buildBloomLongs(freqKeys, expectedConditions, 0.01)
     val bcast = triples.sparkSession.sparkContext.broadcast(bf)
     captureInstances(triples, projections)
-      .filter(bloomContains(bcast, concat_ws("", col("cond_code"), col("v1"), col("v2"))))
+      .filter(bloomContains(bcast,
+        condHash(col("cond_code"), col("v1"), col("v2"))))
   }
 
   /** Membership filter column via the native codegen'd expression
@@ -296,66 +339,103 @@ object CindEngine {
           Seq("cond_code", "v1", "v2"), "left_anti")
       case None => pruned0
     }
-    // 2. One dedup shuffle shared by the dictionary AND the join lines.
-    //    Persisted: separate DataFrame actions cannot reuse each other's
-    //    shuffle files, so without this the dedup would run twice.
-    val dedup = pruned.dropDuplicates("code", "v1", "v2", "join_val").persist()
-    // 3. Dictionary of frequent captures with deterministic dense int IDs —
-    //    small, broadcast both to encode instances and to decode results.
-    //    The quadratic pair fan-out then runs over packed longs instead of
-    //    6-column string tuples (the reference's ConditionCompressor idea,
-    //    Spark-style).
-    val grouped = dedup.groupBy("code", "v1", "v2")
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
-    // Dense IDs via zipWithIndex, NOT row_number over a global window: the
-    // unpartitioned window funnels every frequent capture through a single
-    // task (the 100 TB killer). zipWithIndex numbers partitions in place
-    // after one tiny partition-size job; IDs only need distinctness and
-    // < 2^31 (they feed the packed-long pair key), not global order.
-    // The low bit tags unary captures so arity predicates evaluate on the
-    // encoded id arrays MAP-SIDE (no decode join before a fan-out filter).
     val spark = triples.sparkSession
-    val dict = spark.createDataFrame(
+    if (!bloomCaptures) {
+      // 2. ONE full-data shuffle: group instances by join value directly,
+      //    with a partial-aggregating collect_set — the map side dedups
+      //    (capture, join value) duplicates while it combines, so the old
+      //    shape's separate dropDuplicates shuffle and the re-group of the
+      //    encoded stream into lines both disappear. Caveat at scale: each
+      //    aggregation buffer holds one join value's distinct
+      //    condition-frequent captures; for adversarial hub values use
+      //    bloomCaptures=true, which keeps the two-pass shape below.
+      val lines0 = pruned.groupBy("join_val")
+        .agg(collect_set(struct(col("code"), col("v1"), col("v2"))).as("caps"))
+        .persist()
+      lines0.count() // the supports pass AND the encode both read this cache
+      // 3. Capture supports from the cached lines: each line is one DISTINCT
+      //    join value, so explode+count == count_distinct(join_val).
+      val grouped = lines0.select(explode(col("caps")).as("c"))
+        .groupBy(col("c.code").as("code"), col("c.v1").as("v1"), col("c.v2").as("v2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+      val dict = dictWithIds(spark, grouped)
+      dict.count()
+      // 4. Map-side encode: the frequent-capture dictionary (small by
+      //    construction — it is broadcast-joined everywhere else anyway)
+      //    ships once per executor as a broadcast hash map, and the native
+      //    dict_encode_ids expression rewrites each line's capture array to
+      //    frequent-capture ids in place. The grouped lines never
+      //    re-shuffle; lines reduced to zero frequent captures drop out
+      //    (they fed neither pairs nor the histogram before either).
+      val dictMap = new java.util.HashMap[String, java.lang.Long]()
+      dict.select("code", "v1", "v2", "id").collect().foreach { r =>
+        dictMap.put(graft.functions.DictEncodeIds.key(
+          r.getInt(0), r.getString(1), r.getString(2)), r.getLong(3))
+      }
+      val bcast = spark.sparkContext.broadcast(dictMap)
+      val encoded = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.DictEncodeIds(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("caps")), bcast))
+      val lines = lines0.select(col("join_val"), encoded.as("ids"))
+        .filter(size(col("ids")) > 0)
+      (dict, lines)
+    } else {
+      // bloomCaptures — the reference's `--find-frequent-captures` valve
+      // (programs/RDFind.scala:376-399: pack frequent captures into a BF)
+      // and this engine's skew valve: the two-pass shape never materializes
+      // a per-value capture SET before the frequency filter, so hub join
+      // values with huge distinct-capture sets stay row-shaped. Pass 1:
+      // dedup shuffle + capture supports; pass 2: BF drops
+      // infrequent-capture instances MAP-SIDE, the exact encode join runs
+      // un-hinted (AQE picks the shape), and lines re-group from ids.
+      // False positives only let extra instances reach the inner join,
+      // where the dictionary membership removes them — results identical.
+      val dedup = pruned.dropDuplicates("code", "v1", "v2", "join_val").persist()
+      val grouped = dedup.groupBy("code", "v1", "v2")
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+      val dict = dictWithIds(spark, grouped)
+      dict.count()
+      import triples.sparkSession.implicits._
+      val keyOf = condHash(col("code"), col("v1"), col("v2"))
+      val bf = buildBloomLongs(grouped.select(keyOf.as("k")).as[Long],
+        expectedCaptures, 0.01)
+      val bfBcast = spark.sparkContext.broadcast(bf)
+      val toEncode = dedup.filter(bloomContains(bfBcast, keyOf))
+      val ided = toEncode
+        .join(dict.select(col("code"), col("v1"), col("v2"), col("id")),
+          Seq("code", "v1", "v2"))
+        .select(col("join_val"), col("id"))
+      // collect_list suffices: inputs are already (capture, value)-distinct
+      val lines = ided.groupBy("join_val").agg(collect_list(col("id")).as("ids"))
+      (dict, lines)
+    }
+  }
+
+  /** Dictionary of frequent captures with deterministic dense int IDs —
+    * small, broadcast both to encode instances and to decode results. The
+    * quadratic pair fan-out then runs over packed longs instead of 6-column
+    * string tuples (the reference's ConditionCompressor idea, Spark-style).
+    *
+    * Dense IDs via zipWithIndex, NOT row_number over a global window: the
+    * unpartitioned window funnels every frequent capture through a single
+    * task (the 100 TB killer). zipWithIndex numbers partitions in place
+    * after one tiny partition-size job; IDs only need distinctness and
+    * < 2^31 (they feed the packed-long pair key), not global order.
+    * The low bit tags unary captures so arity predicates evaluate on the
+    * encoded id arrays MAP-SIDE (no decode join before a fan-out filter).
+    * Persisted: downstream plans reference the dict from several broadcast
+    * exchanges, which Spark computes eagerly on parallel threads — with a
+    * lazy cache each would recompute the whole lineage. The caller's
+    * count() fills the cache once. */
+  private def dictWithIds(spark: SparkSession, grouped: DataFrame): DataFrame =
+    spark.createDataFrame(
       grouped.rdd.zipWithIndex.map { case (r, i) =>
         val unaryBit = if (Integer.bitCount(r.getInt(0) & 7) == 1) 1L else 0L
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (((i + 1L) << 1) | unaryBit)) },
       grouped.schema.add("id", org.apache.spark.sql.types.LongType, nullable = false))
       .persist()
-    // Materialize NOW: downstream plans reference dict from several
-    // broadcast exchanges, which Spark computes eagerly on parallel threads
-    // — with a lazy cache each would recompute the whole lineage (and the
-    // dedup shuffle) instead of reading it. One action fills both caches.
-    dict.count()
-    // 4. Encode instances with their capture IDs. Default: broadcast the
-    //    dictionary (frequent captures are small after pruning). The
-    //    bloomCaptures flag is the reference's `--find-frequent-captures`
-    //    valve (programs/RDFind.scala:376-399: pack frequent captures into a
-    //    BF): when the dictionary is too big to broadcast comfortably, a
-    //    fixed-size filter drops infrequent-capture instances MAP-SIDE and
-    //    the exact encode join runs un-hinted (AQE picks the join shape).
-    //    False positives only let extra instances reach the inner join,
-    //    where the dictionary membership removes them — results identical.
-    val toEncode =
-      if (!bloomCaptures) dedup
-      else {
-        import triples.sparkSession.implicits._
-        val keyOf = (df: DataFrame) =>
-          concat_ws(" ", col("code"), col("v1"), col("v2"))
-        val bf = buildBloom(grouped.select(keyOf(grouped).as("k")).as[String],
-          expectedCaptures, 0.01)
-        val bcast = spark.sparkContext.broadcast(bf)
-        dedup.filter(bloomContains(bcast, keyOf(dedup)))
-      }
-    val dictKeyed = dict.select(col("code"), col("v1"), col("v2"), col("id"))
-    val ided = toEncode
-      .join(if (bloomCaptures) dictKeyed else broadcast(dictKeyed),
-        Seq("code", "v1", "v2"))
-      .select(col("join_val"), col("id"))
-    // collect_list suffices: inputs are already (capture, value)-distinct
-    val lines = ided.groupBy("join_val").agg(collect_list(col("id")).as("ids"))
-    (dict, lines)
-  }
 
   /** Histogram of join-line widths after pruning (reference `--create-join-
     * histogram`, programs/RDFind.scala:449-452 + AnnotateJoinLineSizes):

@@ -120,25 +120,35 @@ object TripleStats {
   def dictionaryRoundTrip(triples: DataFrame): DataFrame = {
     val values = triples.select(explode(array(col("subj"), col("pred"), col("obj"))).as("v"))
       .distinct()
-    val hashed = values.withColumn("h", substring(md5(col("v")), 1, 6))
-    // collision handling: a hash maps to its value only if unambiguous
-    val dict = hashed.groupBy("h").agg(collect_list(col("v")).as("vs"))
-      .filter(size(col("vs")) === 1)
-      .select(col("h"), element_at(col("vs"), 1).as("v"))
+    // ONE distinct pass over the vocabulary feeds the collision set AND the
+    // dictionary — persist it, or each derives its own distinct shuffle
+    val hashed = values.withColumn("h", substring(md5(col("v")), 1, 6)).persist()
+    hashed.count()
+    // collision handling: a hash maps to its value only if unambiguous.
+    // The AMBIGUOUS hashes are the tiny exception set (collisions of a
+    // properly-sized hash over the vocabulary — cf. the reference's
+    // HashCollisionHandler, which also special-cases them): broadcast that
+    // set, so compression is decided MAP-SIDE per value and the triple
+    // stream never joins the full dictionary on the compress side.
+    val colliding = hashed.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h").persist()
+    val dict = hashed
+      .join(broadcast(colliding.withColumnRenamed("h", "ch")),
+        col("h") === col("ch"), "left_anti")
       .persist()
-    dict.count() // materialize before the six broadcast uses below
-    // no broadcast() hints below: the dictionary is the FULL distinct value
-    // vocabulary — forcing it onto the driver/executor heap makes memory the
-    // scale bound. AQE broadcasts it when (and only when) it is small; at
-    // scale these become plain shuffle joins, the reference's own
-    // ConditionDecompressor coGroup shape.
+    dict.count() // materialize before the broadcast/join uses below
     def compress(c: String) = {
-      val d = dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c"))
-      (df: DataFrame) => df.join(d, df(c) === col(s"v_$c"), "left")
-        .withColumn(c, when(col(s"h_$c").isNotNull, concat(lit("#"), col(s"h_$c")))
-          .otherwise(concat(lit("~"), col(c))))
-        .drop(s"h_$c", s"v_$c")
+      val d = broadcast(colliding.select(col("h").as(s"ch_$c")))
+      (df: DataFrame) => df.join(d, substring(md5(df(c)), 1, 6) === col(s"ch_$c"), "left")
+        .withColumn(c, when(col(s"ch_$c").isNotNull, concat(lit("~"), col(c)))
+          .otherwise(concat(lit("#"), substring(md5(col(c)), 1, 6))))
+        .drop(s"ch_$c")
     }
+    // no broadcast() hints on the DECOMPRESS joins: the dictionary is the
+    // FULL distinct value vocabulary — forcing it onto the driver/executor
+    // heap makes memory the scale bound. AQE broadcasts it when (and only
+    // when) it is small; at scale these become plain shuffle joins, the
+    // reference's own ConditionDecompressor coGroup shape.
     def decompress(c: String) = {
       val d = dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c"))
       (df: DataFrame) => df.join(d,

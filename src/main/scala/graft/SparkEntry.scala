@@ -282,6 +282,8 @@ object SparkEntry {
       TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")),
     "text_rolling_fingerprint" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(docs(s, dir)).orderBy("doc_id")),
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdf(docs(s, dir)).orderBy("doc_id", "rank")),
     // --- similarity search ---
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
@@ -305,6 +307,8 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(e.unionByName(dups), 0.95, dims = 64)
         .select("vec_id_a", "vec_id_b").orderBy("vec_id_a", "vec_id_b")
     }),
+    "sim_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id", "dim")),
     // --- multimodal plumbing ---
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(Multimodal.blobTable(docs(s, dir))).toDF()
@@ -414,6 +418,10 @@ object SparkEntry {
       }.mkString(" + ")
       s"WITH w AS (SELECT doc_id, unnest(generate_series(1, length(text) - 15)) AS i FROM documents), h AS (SELECT w.doc_id, CAST(($terms) % $M AS BIGINT) AS wh FROM w JOIN documents d ON d.doc_id = w.doc_id), m AS (SELECT doc_id, MIN(wh) AS fp FROM h GROUP BY 1) SELECT d.doc_id, CAST(COALESCE(m.fp, -1) AS BIGINT) AS rolling_fp FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id ORDER BY d.doc_id"
     },
+    // integer tf-idf: idf = floor(log2(N/df)) via binary-string length, so
+    // no floating log can flip a ranking between engines
+    "text_tfidf" ->
+      "WITH tok2 AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1,2), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), n AS (SELECT COUNT(*) AS n_docs FROM documents), sc AS (SELECT tf.doc_id, tf.term, tf.tf * (length(bin(CAST(n.n_docs // df.df AS BIGINT))) - 1) AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc) SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, CAST(score AS BIGINT) AS score FROM r WHERE rnk <= 5 ORDER BY doc_id, rank",
     "sim_topk_brute" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id), r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s) SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank",
     // full replication of the LSH pipeline: the integer signature is exact
@@ -434,6 +442,10 @@ object SparkEntry {
         "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank"
     },
     "sim_topk_ivf" -> ivfOracleSql,
+    // integer quantization codes: double division + floor over identical
+    // float inputs is bit-deterministic across engines
+    "sim_quantize_int8" ->
+      "WITH s AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(x))) AS scale FROM embeddings), q AS (SELECT vec_id, unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(scale AS DOUBLE)) AS INTEGER))) AS q, generate_subscripts(embedding, 1) - 1 AS dim FROM s WHERE scale > 0) SELECT vec_id, CAST(dim AS INTEGER) AS dim, q FROM q ORDER BY vec_id, dim",
     "sim_near_dup_pairs" ->
       "WITH e2 AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 50 = 0) SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY 1, 2",
     "mm_decode_meta" ->

@@ -204,6 +204,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Int8 scalar quantization of an embedding column — the storage/transfer
+    * compression step of a large-scale vector pipeline (4x smaller than
+    * FLOAT, dequantizes to within scale/254 per dimension). Per vector the
+    * scale is its max |x|; each dimension quantizes to
+    * floor(x * 127 / scale) in [-128, 127]. Pure map-side (no shuffle, no
+    * UDF), and every output is an INTEGER: IEEE double division and floor
+    * on identical float inputs are bit-deterministic across engines, so a
+    * SQL oracle reproduces the codes exactly (a rounding mode like
+    * round-half-up would not be safely portable; floor is).
+    * Output: (vec_id, dim, q) — dim 0-based. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val mx = array_max(transform(col("embedding"), x => abs(x)))
+    emb
+      .select(col("vec_id"), col("embedding"), mx.as("scale"))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(127.0) / col("scale").cast("double")).cast("int")))
+        .as(Seq("dim", "q")))
+  }
+
   /** Embedding near-duplicate pairs with cosine >= minCosine: banded-LSH
     * candidate generation (same multi-table banding as [[lshTopK]] — a pair
     * is a candidate iff it agrees on >= 1 of the 4 4-bit bands, which bounds

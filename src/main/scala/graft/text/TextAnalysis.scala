@@ -109,6 +109,29 @@ object TextAnalysis {
       .otherwise(array())
   }
 
+  /** Corpus TF-IDF: the top-k characteristic terms per document, scored
+    * with INTEGER arithmetic so any SQL engine reproduces it bit-for-bit —
+    * idf = floor(log2(N / df)) via the length of the binary rendering
+    * (no floating log whose last ulp could flip a ranking). Three shuffles
+    * at scale: (doc, term) tf counts, term df counts, and the per-doc
+    * ranking window (partitioned by doc_id — never global). Output:
+    * (doc_id, rank, term, score). */
+  def tfIdf(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("idf", (length(bin(expr("n_docs DIV df"))) - 1).cast("long"))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
   /** Winnowing-style document fingerprint: the minimum md5 over all 3-token
     * shingles — a 1-permutation MinHash, stable under small edits and exactly
     * reproducible in SQL (md5 is engine-independent). */

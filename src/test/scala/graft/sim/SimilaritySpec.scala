@@ -57,4 +57,18 @@ class SimilaritySpec extends SparkSpec {
     val want = (0L until 100L by 10).map(i => (i, i + 1000)).toSet
     assert(got == want, s"\nmissed=${want -- got}\nextra=${got -- want}")
   }
+
+  test("quantizeInt8 codes bound dequantization error by scale/127") {
+    val e = emb((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(2.0f, 0f, -4.0f)))
+    val q = Similarity.quantizeInt8(e).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(q((1L, 0)) == 63 && q((1L, 1)) == -127 && q((1L, 2)) == 31)
+    assert(q((2L, 0)) == 63 && q((2L, 1)) == 0 && q((2L, 2)) == -127)
+    // floor(x*127/scale) reconstructs to within scale/127 + one code step
+    for (((vid, dim), code) <- q) {
+      val orig = (if (vid == 1L) Seq(0.5f, -1.0f, 0.25f) else Seq(2.0f, 0f, -4.0f))(dim)
+      val scale = if (vid == 1L) 1.0 else 4.0
+      assert(math.abs(code * scale / 127.0 - orig) <= scale / 127.0 + 1e-9)
+    }
+  }
 }

@@ -48,4 +48,16 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getInt(4))).toMap
     assert(r == Map(1L -> 0, 2L -> 1, 3L -> 3))
   }
+
+  test("tfIdf ranks rare terms above common ones with integer scores") {
+    // 4 docs: "rare" appears in 1 doc (idf=floor(log2(4))=2), "the" in all
+    // 4 (idf=0); doc 1's top term must be "rare" with score tf*2
+    val d = docs(
+      (1L, "the rare rare the"), (2L, "the x"), (3L, "the y"), (4L, "the z"))
+    val top = TextAnalysis.tfIdf(d, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(top((1L, 1)) == (("rare", 4L))) // tf=2 * idf=2
+    // "the" scores 0 everywhere (idf = floor(log2(4/4)) = 0)
+    assert(top.collect { case ((_, _), ("the", s)) => s }.forall(_ == 0L))
+  }
 }

@@ -38,4 +38,30 @@ class TripleStreamSpec extends SparkSpec {
     assert(streamed.contains((2, "<p:name>", "", 3L)))
     assert(streamed.contains((4, "\"alpha\"", "", 3L)))
   }
+
+  test("snapshot discovery over micro-batches converges to batch discovery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // minSupport 1 so the tiny fixture yields CINDs at all
+    val tmp = java.nio.file.Files.createTempDirectory("snap").toString
+    val mem = MemoryStream[String]
+    @volatile var last: Set[(Int, String, String, Int, String, String, Long)] = Set.empty
+    val q = TripleStream.discoverSnapshots(
+      TripleStream.parseLines(mem.toDS()), 1, s"$tmp/data", s"$tmp/ckpt") {
+      (cinds, _) =>
+        last = cinds.collect()
+          .map(c => (c.dep_code, c.dep_v1, c.dep_v2, c.ref_code, c.ref_v1, c.ref_v2, c.support))
+          .toSet
+    }
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = CindEngine.allCinds(
+      TripleStream.parseLines((batch1 ++ batch2).toDS()), 1).collect()
+      .map(c => (c.dep_code, c.dep_v1, c.dep_v2, c.ref_code, c.ref_v1, c.ref_v2, c.support))
+      .toSet
+    assert(last == batch && last.nonEmpty)
+  }
 }

@@ -29,15 +29,32 @@ object Bench {
       SparkEntry.queries("events_props_sum")(spark, sfDir).count()
     } catch { case _: Throwable => () } // warmup must never fail the bench
     spark.catalog.clearCache()
+    // Per-query repetitions, reporting the MIN: a shared box spikes single
+    // runs 2-5x at random (observed: different queries each round, none
+    // reproducible), so one sample measures scheduler luck, not the query.
+    // min-of-n is the standard noise filter; the budget guard keeps total
+    // wall bounded if the suite itself slows down.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "900").toDouble
+    val suiteStart = System.nanoTime()
+    def elapsed = (System.nanoTime() - suiteStart) / 1e9
     val results = selected.map { case (name, fn) =>
-      // isolate queries: drop persisted intermediates of earlier ones
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      // failures must be LOUD: a swallowed exception would read as a fast
-      // bench number instead of a broken query
-      val err = try { fn(spark, sfDir).count(); None }
-                catch { case e: Throwable => Some(e.toString.take(300)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      def once(): (Double, Option[String]) = {
+        // isolate queries: drop persisted intermediates of earlier ones
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // failures must be LOUD: a swallowed exception would read as a fast
+        // bench number instead of a broken query
+        val err = try { fn(spark, sfDir).count(); None }
+                  catch { case e: Throwable => Some(e.toString.take(300)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val first = once()
+      val best = (2 to reps).foldLeft(first) { case (acc, _) =>
+        if (acc._2.isDefined || elapsed > budgetSec) acc
+        else { val r = once(); if (r._1 < acc._1) r else acc }
+      }
+      (name, best._1, best._2)
     }
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

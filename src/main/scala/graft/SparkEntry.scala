@@ -117,6 +117,34 @@ object SparkEntry {
   /** Shared body of the exact-Jaccard pair oracles. */
   private val jaccardSql =
     s"$pairCtes SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.n AS n_a, sb.n AS n_b, CAST(floor(100*i.inter/(sa.n+sb.n-i.inter)) AS BIGINT) AS jaccard_pct FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50 ORDER BY 1,2"
+  /** Connected-component clustering CTEs over near-dup pairs (min reachable
+    * id via recursive closure) — body shared by the dedup_clusters and
+    * curate_docs oracles; requires WITH RECURSIVE. Final CTE: cl(doc_id,
+    * cluster_id). */
+  private val clusterCtes =
+    s"$tokCte, $shCte, $shcCte, $pairCtes, " +
+      "p AS (SELECT i.doc_id_a AS a, i.doc_id_b AS b FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50), " +
+      "e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p), " +
+      "reach AS (SELECT doc_id AS node, doc_id AS lab FROM documents UNION SELECT e.a AS node, r.lab FROM e JOIN reach r ON r.node = e.b), " +
+      "cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1)"
+
+  /** Language-ID CTEs (marker-hit argmax, alphabetical tiebreak) — shared by
+    * text_langid and curate_docs. Final CTE: lg(doc_id, lang_guess,
+    * lang_score). */
+  private val langCtes: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (l, ws) => langScoreSql(l, ws) }.mkString(", ")
+    val cases = TextAnalysis.LangMarkers.map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")
+    s"ls AS (SELECT doc_id, $scores FROM documents), " +
+      s"lg AS (SELECT doc_id, CASE $cases END AS lang_guess, mx AS lang_score FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM ls))"
+  }
+
+  /** Quality-signal CTEs — shared by text_quality and curate_docs. Final
+    * CTE: qual(doc_id, n_tokens, repetition_pct, stopword_pct,
+    * quality_bucket). */
+  private val qualCtes =
+    "qt AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n, CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS nd, CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INTEGER) AS ns FROM documents), " +
+      "qual AS (SELECT doc_id, n AS n_tokens, CAST(floor(100*(n-nd)/n) AS BIGINT) AS repetition_pct, CAST(floor(100*ns/n) AS BIGINT) AS stopword_pct, CASE WHEN n < 10 THEN 0 WHEN floor(100*(n-nd)/n) >= 80 THEN 1 WHEN floor(100*ns/n) >= 30 THEN 2 ELSE 3 END AS quality_bucket FROM qt)"
+
   /** SimHash signatures reproduced hex-digit by hex-digit in SQL: per token
     * the first 16 hex chars of md5 are the 64-bit token hash (matching
     * graft.functions.SimHash64); per signature bit the +1/-1 vote sum over
@@ -284,6 +312,17 @@ object SparkEntry {
       TextAnalysis.rollingFingerprint(docs(s, dir)).orderBy("doc_id")),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(docs(s, dir)).orderBy("doc_id", "rank")),
+    // --- curation pipeline (composed: lang + quality + dedup clusters) ---
+    "curate_docs" -> ((s, dir) =>
+      graft.pipeline.Curation.curate(docs(s, dir), 50).orderBy("doc_id")),
+    "text_budget_sample" -> ((s, dir) => {
+      // budget = half the corpus tokens, so both branches of in_budget are
+      // exercised at every scale factor
+      val d = docs(s, dir)
+      val budget = d.select(sum(size(TextAnalysis.tokens(col("text"))))
+        .cast("long")).head.getLong(0) / 2
+      graft.pipeline.Curation.budgetSample(d, budget).orderBy("doc_id")
+    }),
     // --- similarity search ---
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
@@ -394,18 +433,15 @@ object SparkEntry {
     "dedup_simhash_pairs" ->
       s"WITH $simhashSigCtes SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY 1,2",
     "dedup_clusters" ->
-      s"WITH RECURSIVE $tokCte, $shCte, $shcCte, $pairCtes, p AS (SELECT i.doc_id_a AS a, i.doc_id_b AS b FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50), e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p), reach AS (SELECT doc_id AS node, doc_id AS lab FROM documents UNION SELECT e.a AS node, r.lab FROM e JOIN reach r ON r.node = e.b), c AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1) SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM c ORDER BY doc_id",
+      s"WITH RECURSIVE $clusterCtes SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cl ORDER BY doc_id",
     "text_token_stats" ->
       "SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens, CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct_tokens, CAST(length(text) AS INTEGER) AS n_chars, CAST(list_aggregate(list_transform(string_split(text,' '), x -> length(x)), 'max') AS INTEGER) AS max_token_len, CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INTEGER) AS n_stopwords FROM documents ORDER BY doc_id",
     "text_subtokens" ->
       "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER) AS n_word_runs, CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS INTEGER) AS n_digit_runs, CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS INTEGER) AS n_marks, CAST(len(regexp_extract_all(lower(text), '[a-z]+')) + len(regexp_extract_all(lower(text), '[0-9]+')) + len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS INTEGER) AS n_subtokens FROM documents ORDER BY doc_id",
-    "text_langid" -> {
-      val scores = TextAnalysis.LangMarkers.map { case (l, ws) => langScoreSql(l, ws) }.mkString(", ")
-      val cases = TextAnalysis.LangMarkers.map { case (l, _) => s"WHEN s_$l = mx THEN '$l'" }.mkString(" ")
-      s"WITH s AS (SELECT doc_id, $scores FROM documents), g AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s) SELECT doc_id, CASE $cases END AS lang_guess, mx AS lang_score FROM g ORDER BY doc_id"
-    },
+    "text_langid" ->
+      s"WITH $langCtes SELECT doc_id, lang_guess, lang_score FROM lg ORDER BY doc_id",
     "text_quality" ->
-      "WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n, CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS nd, CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INTEGER) AS ns FROM documents) SELECT doc_id, n AS n_tokens, CAST(floor(100*(n-nd)/n) AS BIGINT) AS repetition_pct, CAST(floor(100*ns/n) AS BIGINT) AS stopword_pct, CASE WHEN n < 10 THEN 0 WHEN floor(100*(n-nd)/n) >= 80 THEN 1 WHEN floor(100*ns/n) >= 30 THEN 2 ELSE 3 END AS quality_bucket FROM t ORDER BY doc_id",
+      s"WITH $qualCtes SELECT doc_id, n_tokens, repetition_pct, stopword_pct, quality_bucket FROM qual ORDER BY doc_id",
     "text_fingerprint" ->
       s"WITH $tokCte, $shCte SELECT d.doc_id, s.fp AS fingerprint FROM documents d LEFT JOIN (SELECT doc_id, MIN(md5(sh)) AS fp FROM sh GROUP BY 1) s ON s.doc_id = d.doc_id ORDER BY 1",
     // same polynomial evaluated per window (quadratic in SQL, HUGEINT
@@ -422,6 +458,12 @@ object SparkEntry {
     // no floating log can flip a ranking between engines
     "text_tfidf" ->
       "WITH tok2 AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1,2), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), n AS (SELECT COUNT(*) AS n_docs FROM documents), sc AS (SELECT tf.doc_id, tf.term, tf.tf * (length(bin(CAST(n.n_docs // df.df AS BIGINT))) - 1) AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc) SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, CAST(score AS BIGINT) AS score FROM r WHERE rnk <= 5 ORDER BY doc_id, rank",
+    // drop_reason priority mirrors Curation.curate: quality > duplicate > ''
+    "curate_docs" ->
+      s"WITH RECURSIVE $clusterCtes, $langCtes, $qualCtes SELECT d.doc_id, lg.lang_guess, qual.quality_bucket, cl.cluster_id, CASE WHEN qual.quality_bucket < 3 THEN 'quality' WHEN cl.cluster_id <> d.doc_id THEN 'duplicate' ELSE '' END AS drop_reason, (qual.quality_bucket >= 3 AND cl.cluster_id = d.doc_id) AS keep FROM documents d JOIN lg ON lg.doc_id = d.doc_id JOIN qual ON qual.doc_id = d.doc_id JOIN cl ON cl.doc_id = d.doc_id ORDER BY d.doc_id",
+    // running total over doc_id order; budget = half the corpus tokens
+    "text_budget_sample" ->
+      "WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents), b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t), c AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) SELECT c.doc_id, c.n_tokens, c.cum_tokens, c.cum_tokens <= b.budget AS in_budget FROM c CROSS JOIN b ORDER BY c.doc_id",
     "sim_topk_brute" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id), r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s) SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank",
     // full replication of the LSH pipeline: the integer signature is exact

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-curation operators: the decision tables a large-scale
+  * training-data pipeline derives before materializing a corpus. These are
+  * COMPOSITIONS of the kernel operators (TextAnalysis / Dedup), wired so
+  * the whole pipeline stays one declarative plan — the annotators are
+  * map-side column adds, clustering is the only shuffle producer, and no
+  * step funnels data through the driver or a global window.
+  */
+object Curation {
+
+  /** Per-document keep/drop decision table:
+    * (doc_id, lang_guess, quality_bucket, cluster_id, drop_reason, keep).
+    *
+    * Stages — the canonical curation order (cheap row-local signals first,
+    * pairwise dedup last):
+    *   1. language-ID + quality bucketing: map-side column adds over one
+    *      scan (no join, no shuffle — see TextAnalysis.withLangId/
+    *      withQuality);
+    *   2. near-duplicate clustering over the FULL corpus
+    *      (Dedup.duplicateClusters — exact-verified Jaccard pairs +
+    *      min-label connected components);
+    *   3. decision: drop_reason = 'quality' (bucket below
+    *      `minQualityBucket`) takes priority over 'duplicate' (not the
+    *      cluster canonical); '' = kept.
+    *
+    * Clustering runs on the full corpus, not the quality-filtered one, so a
+    * low-quality canonical never resurrects its higher-id duplicates — the
+    * duplicate verdict is independent of the quality verdict (and the two
+    * stages can run concurrently; Spark schedules them independently until
+    * the final join). One shuffle join on doc_id attaches cluster ids. */
+  def curate(docs: DataFrame, minJaccardPct: Int = 50,
+      maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
+      minQualityBucket: Int = 3): DataFrame = {
+    val clusters = Dedup.duplicateClusters(docs, minJaccardPct, maxShingleDf)
+      .select(col("doc_id"), col("cluster_id"))
+    val annotated = TextAnalysis.withQuality(TextAnalysis.withLangId(docs))
+      .select(col("doc_id"), col("lang_guess"), col("quality_bucket"))
+    annotated.join(clusters, "doc_id")
+      .withColumn("drop_reason",
+        when(col("quality_bucket") < minQualityBucket, "quality")
+          .when(col("doc_id") =!= col("cluster_id"), "duplicate")
+          .otherwise(""))
+      .withColumn("keep", col("drop_reason") === "")
+  }
+
+  /** Token-budget sampling: running token total in doc_id order and
+    * `in_budget` = (cumulative tokens <= budgetTokens) — the "take documents
+    * until the budget is hit" step of corpus assembly.
+    * Output: (doc_id, n_tokens, cum_tokens, in_budget).
+    *
+    * An ordered prefix sum is the textbook global-window trap
+    * (`Window.orderBy` with no partitioning = every row through ONE task).
+    * Scalable shape instead:
+    *   1. bucket docs by deterministic id range (numBuckets buckets);
+    *   2. one tiny aggregation collects per-bucket token totals to the
+    *      driver (numBuckets rows — KBs, independent of corpus size);
+    *   3. exclusive prefix sums over the bucket totals become a literal
+    *      lookup map folded into the plan;
+    *   4. the within-bucket running sum is a PARTITIONED window
+    *      (partitionBy bucket), shifted by the bucket's offset.
+    * Every stage is bounded per-task; only bucket TOTALS ever serialize.
+    * Requires non-negative doc_ids (holds for the fixture tables). */
+  def budgetSample(docs: DataFrame, budgetTokens: Long,
+      numBuckets: Int = 256): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val maxRow = toks.agg(max("doc_id")).head()
+    if (maxRow.isNullAt(0))
+      return toks.withColumn("cum_tokens", lit(0L))
+        .withColumn("in_budget", lit(false))
+    val span = maxRow.getLong(0) / numBuckets + 1
+    val bucketed = toks.withColumn("bucket",
+      floor(col("doc_id") / lit(span)).cast("long"))
+    val totals = bucketed.groupBy("bucket").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Long, Long] = totals
+      .scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toMap
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(w) + element_at(typedLit(offsets), col("bucket")))
+      .withColumn("in_budget", col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "n_tokens", "cum_tokens", "in_budget")
+  }
+}

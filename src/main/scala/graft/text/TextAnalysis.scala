@@ -64,12 +64,13 @@ object TextAnalysis {
         col("n_word_runs") + col("n_digit_runs") + col("n_marks"))
   }
 
-  /** Language-ID: argmax of marker hits, ties broken alphabetically
-    * (CASE order). Output: (doc_id, lang_guess, lang_score). */
-  def langId(docs: DataFrame): DataFrame = {
+  /** Adds `lang_guess` and `lang_score` columns map-side (no shuffle, no
+    * join) — the composable form consumed by [[langId]] and the curation
+    * pipeline. Argmax of marker hits, ties broken alphabetically. */
+  def withLangId(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val scored = docs.select(
-      (col("doc_id") +: LangMarkers.map { case (lang, words) =>
+      (col("*") +: LangMarkers.map { case (lang, words) =>
         countIn(t, words).as(s"s_$lang")
       }): _*)
     val mx = greatest(LangMarkers.map(m => col(s"s_${m._1}")): _*)
@@ -78,26 +79,38 @@ object TextAnalysis {
     }
     // foldRight builds WHEN de ... WHEN zh ELSE null: first (alphabetically
     // smallest) matching lang wins, mirroring the oracle's CASE order
-    scored.select(col("doc_id"), guess.as("lang_guess"), mx.as("lang_score"))
+    scored.withColumn("lang_guess", guess).withColumn("lang_score", mx)
+      .drop(LangMarkers.map(m => s"s_${m._1}"): _*)
   }
 
-  /** Quality signals, all integer-valued: repetition and stopword rates as
-    * floor(percent), plus a coarse quality bucket (0 = worst). */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** Language-ID: (doc_id, lang_guess, lang_score). */
+  def langId(docs: DataFrame): DataFrame =
+    withLangId(docs).select("doc_id", "lang_guess", "lang_score")
+
+  /** Adds `n_tokens`, `repetition_pct`, `stopword_pct`, `quality_bucket`
+    * columns map-side — the composable form consumed by [[qualityScore]]
+    * and the curation pipeline. All integer-valued; bucket 0 = worst. */
+  def withQuality(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t)
     val nd = size(array_distinct(t))
     val ns = countIn(t, Stopwords)
-    docs.select(
-      col("doc_id"), n.as("n_tokens"),
-      floor(lit(100) * (n - nd) / n).as("repetition_pct"),
-      floor(lit(100) * ns / n).as("stopword_pct"))
+    docs
+      .withColumn("n_tokens", n)
+      .withColumn("repetition_pct", floor(lit(100) * (n - nd) / n))
+      .withColumn("stopword_pct", floor(lit(100) * ns / n))
       .withColumn("quality_bucket",
         when(col("n_tokens") < 10, 0)
           .when(col("repetition_pct") >= 80, 1)
           .when(col("stopword_pct") >= 30, 2)
           .otherwise(3))
   }
+
+  /** Quality signals: (doc_id, n_tokens, repetition_pct, stopword_pct,
+    * quality_bucket). */
+  def qualityScore(docs: DataFrame): DataFrame =
+    withQuality(docs).select("doc_id", "n_tokens", "repetition_pct",
+      "stopword_pct", "quality_bucket")
 
   /** 3-token shingles of a document (the unit for fingerprinting and
     * near-dup detection). Empty array when the document has < 3 tokens. */

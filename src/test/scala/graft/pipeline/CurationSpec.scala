@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // >= 10 tokens, low repetition, low stopword rate -> bucket 3
+  private val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  test("curate: quality verdict outranks duplicate; canonical survives") {
+    val d = docs(
+      (1L, good),                       // canonical of {1,2} -> keep
+      (2L, good + " extra"),            // near-dup of 1 -> duplicate
+      (3L, "short doc"),                // < 10 tokens -> quality
+      (4L, "p q r s t u v w x y z"))    // unique, good -> keep
+    val r = Curation.curate(d, 50).collect()
+      .map(x => x.getLong(0) -> (x.getString(4), x.getBoolean(5))).toMap
+    assert(r(1L) == (("", true)))
+    assert(r(2L) == (("duplicate", false)))
+    assert(r(3L) == (("quality", false)))
+    assert(r(4L) == (("", true)))
+  }
+
+  test("curate: a low-quality canonical does not resurrect its duplicates") {
+    // 5 and 6 are near-dups (7 of 10 shingles shared -> jaccard 70%); the
+    // canonical 5 fails quality (9 tokens < 10) while 6 passes -> both are
+    // dropped, each with its OWN reason (quality for 5, duplicate for 6):
+    // clustering on the full corpus means a dropped canonical never
+    // resurrects its duplicates
+    val base = "b c d e f g h i j"
+    val r = Curation.curate(docs((5L, base), (6L, base + " k l m")), 50).collect()
+      .map(x => x.getLong(0) -> x.getString(4)).toMap
+    assert(r(5L) == "quality")
+    assert(r(6L) == "duplicate")
+  }
+
+  test("curate: cluster_id is the min doc_id of the near-dup component") {
+    val r = Curation.curate(docs((7L, good), (9L, good + " x"), (8L, good + " y")), 50)
+      .collect().map(x => (x.getLong(0), x.getLong(3))).toMap
+    assert(r == Map(7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("budgetSample: cumulative sums in doc_id order, cutoff at budget") {
+    val d = docs((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"))
+    val r = Curation.budgetSample(d, budgetTokens = 5, numBuckets = 2)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getBoolean(3))))
+      .toMap
+    assert(r(1L) == ((3L, 3L, true)))
+    assert(r(2L) == ((2L, 5L, true)))
+    assert(r(3L) == ((4L, 9L, false)))
+    assert(r(4L) == ((1L, 10L, false)))
+  }
+
+  test("budgetSample: bucketed prefix sum equals the single-partition truth") {
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 97L).map(i => (i * 3 % 97, ("tok " * (i % 7 + 1).toInt).trim))
+    val d = docs(rows: _*)
+    // numBuckets exceeding, equal to, and far below the doc count
+    for (nb <- Seq(1, 4, 64, 500)) {
+      val got = Curation.budgetSample(d, 100, numBuckets = nb)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+      val want = got.map(_._1).zip(
+        got.map(_._1).map(id => rows.filter(_._1 <= id).map(_._2.split(" ").length.toLong).sum))
+      assert(got.toSeq == want.toSeq, s"numBuckets=$nb")
+    }
+  }
+
+  test("budgetSample: empty input yields empty output with the right schema") {
+    val d = docs().select(col("doc_id"), col("text"))
+    val r = Curation.budgetSample(d, 10)
+    assert(r.columns.toSeq == Seq("doc_id", "n_tokens", "cum_tokens", "in_budget"))
+    assert(r.count() == 0)
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}

@@ -94,6 +94,11 @@ object SparkEntry {
 
   private val cindCols = Seq("dep_code", "dep_v1", "dep_v2", "ref_code", "ref_v1", "ref_v2", "support")
 
+  /** Profiled lineitem columns — integer/string only, where min/max render
+    * identically across engines (floats/timestamps format differently). */
+  private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -315,6 +320,10 @@ object SparkEntry {
     // --- curation pipeline (composed: lang + quality + dedup clusters) ---
     "curate_docs" -> ((s, dir) =>
       graft.pipeline.Curation.curate(docs(s, dir), 50).orderBy("doc_id")),
+    "profile_lineitem" -> ((s, dir) =>
+      graft.stats.Profile.profile(
+        s.read.parquet(s"$dir/lineitem.parquet"), profileCols)
+        .orderBy("column_name")),
     "text_budget_sample" -> ((s, dir) => {
       // budget = half the corpus tokens, so both branches of in_budget are
       // exercised at every scale factor
@@ -461,6 +470,9 @@ object SparkEntry {
     // drop_reason priority mirrors Curation.curate: quality > duplicate > ''
     "curate_docs" ->
       s"WITH RECURSIVE $clusterCtes, $langCtes, $qualCtes SELECT d.doc_id, lg.lang_guess, qual.quality_bucket, cl.cluster_id, CASE WHEN qual.quality_bucket < 3 THEN 'quality' WHEN cl.cluster_id <> d.doc_id THEN 'duplicate' ELSE '' END AS drop_reason, (qual.quality_bucket >= 3 AND cl.cluster_id = d.doc_id) AS keep FROM documents d JOIN lg ON lg.doc_id = d.doc_id JOIN qual ON qual.doc_id = d.doc_id JOIN cl ON cl.doc_id = d.doc_id ORDER BY d.doc_id",
+    "profile_lineitem" -> (profileCols.map { c =>
+      s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
+    }.mkString(" UNION ALL ") + " ORDER BY column_name"),
     // running total over doc_id order; budget = half the corpus tokens
     "text_budget_sample" ->
       "WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents), b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t), c AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) SELECT c.doc_id, c.n_tokens, c.cum_tokens, c.cum_tokens <= b.budget AS in_budget FROM c CROSS JOIN b ORDER BY c.doc_id",

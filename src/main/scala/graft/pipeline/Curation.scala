@@ -50,6 +50,23 @@ object Curation {
       .withColumn("keep", col("drop_reason") === "")
   }
 
+  /** Streaming corpus intake: the same quality gate as [[curate]] applied
+    * map-side to a document STREAM, then cross-batch first-seen exact dedup
+    * via the hash-partitioned state store
+    * (graft.streaming.StreamingDedup.firstSeen). Emits each surviving
+    * document once, in arrival order — the continuous-ingest front half of
+    * curation. Near-duplicate clustering stays batch-only by design: the
+    * cluster fixpoint is a global property (one late document can merge two
+    * clusters), so the scalable streaming shape is this intake filter plus
+    * periodic batch [[curate]] over the accumulated snapshot (the
+    * TripleStream.discoverSnapshots pattern). */
+  def curateStream(docs: DataFrame, minQualityBucket: Int = 3)
+      : org.apache.spark.sql.Dataset[graft.streaming.HashedDoc] =
+    graft.streaming.StreamingDedup.firstSeen(
+      TextAnalysis.withQuality(docs)
+        .filter(col("quality_bucket") >= minQualityBucket)
+        .select("doc_id", "text"))
+
   /** Token-budget sampling: running token total in doc_id order and
     * `in_budget` = (cumulative tokens <= budgetTokens) — the "take documents
     * until the budget is hit" step of corpus assembly.

@@ -175,7 +175,14 @@ object Dedup {
       .unionAll(pairs.select(col("doc_id_b").as("doc_id_a"), col("doc_id_a").as("doc_id_b")))
       .persist()
     edges.count()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // localCheckpoint (eager), NOT persist: each iteration's plan must build
+    // on the MATERIALIZED previous labels, not its unrolled lineage —
+    // with plain persist the logical plan grows by one join+agg per
+    // iteration (persist caches data but never truncates lineage), so
+    // planning cost and plan size are O(iterations^2) and every consumer
+    // of the final labels re-plans the whole loop history.
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val prev = labels
@@ -184,7 +191,7 @@ object Dedup {
         .select(col("doc_id_a").as("doc_id"), col("cluster_id"))
         .unionAll(prev)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .persist()
+        .localCheckpoint()
       changed = next.join(prev.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
       prev.unpersist()

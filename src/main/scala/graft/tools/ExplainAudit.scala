@@ -33,6 +33,16 @@ object ExplainAudit {
     if (which == "all" || which == "minhash")
       show("dedup_minhash_pairs", graft.dedup.Dedup.minhashLshPairs(
         spark.read.parquet(s"$dir/documents.parquet"), 50))
+    if (which == "all" || which == "curate")
+      show("curate_docs", graft.pipeline.Curation.curate(
+        spark.read.parquet(s"$dir/documents.parquet"), 50))
+    if (which == "all" || which == "budget")
+      show("text_budget_sample", graft.pipeline.Curation.budgetSample(
+        spark.read.parquet(s"$dir/documents.parquet"), 1000L))
+    if (which == "all" || which == "profile")
+      show("profile_lineitem", graft.stats.Profile.profile(
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_orderkey", "l_returnflag")))
     spark.stop()
   }
 }

@@ -320,6 +320,11 @@ object SparkEntry {
     // --- curation pipeline (composed: lang + quality + dedup clusters) ---
     "curate_docs" -> ((s, dir) =>
       graft.pipeline.Curation.curate(docs(s, dir), 50).orderBy("doc_id")),
+    "curate_mix" -> ((s, dir) => // data mixing: deterministic mod-100 draw
+      graft.pipeline.Curation.mixBySource(docs(s, dir),
+        Map("src0" -> 80, "src1" -> 50), 25).orderBy("doc_id")),
+    "corpus_stats" -> ((s, dir) =>
+      graft.pipeline.Curation.corpusStats(docs(s, dir)).orderBy("source", "lang")),
     "profile_lineitem" -> ((s, dir) =>
       graft.stats.Profile.profile(
         s.read.parquet(s"$dir/lineitem.parquet"), profileCols)
@@ -470,6 +475,11 @@ object SparkEntry {
     // drop_reason priority mirrors Curation.curate: quality > duplicate > ''
     "curate_docs" ->
       s"WITH RECURSIVE $clusterCtes, $langCtes, $qualCtes SELECT d.doc_id, lg.lang_guess, qual.quality_bucket, cl.cluster_id, CASE WHEN qual.quality_bucket < 3 THEN 'quality' WHEN cl.cluster_id <> d.doc_id THEN 'duplicate' ELSE '' END AS drop_reason, (qual.quality_bucket >= 3 AND cl.cluster_id = d.doc_id) AS keep FROM documents d JOIN lg ON lg.doc_id = d.doc_id JOIN qual ON qual.doc_id = d.doc_id JOIN cl ON cl.doc_id = d.doc_id ORDER BY d.doc_id",
+    "curate_mix" ->
+      "SELECT doc_id, source, CAST(CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 ELSE 25 END AS INTEGER) AS sample_pct, (doc_id % 100) < (CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 ELSE 25 END) AS kept FROM documents ORDER BY doc_id",
+    // quality_bucket = 3 unrolled: n >= 10 AND repetition < 80 AND stopwords < 30
+    "corpus_stats" ->
+      "WITH q AS (SELECT source, lang, len(string_split(text,' ')) AS n, len(list_distinct(string_split(text,' '))) AS nd, len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS ns FROM documents) SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens, CAST(SUM(CASE WHEN n >= 10 AND floor(100*(n-nd)/n) < 80 AND floor(100*ns/n) < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_docs FROM q GROUP BY 1,2 ORDER BY 1,2",
     "profile_lineitem" -> (profileCols.map { c =>
       s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
     }.mkString(" UNION ALL ") + " ORDER BY column_name"),

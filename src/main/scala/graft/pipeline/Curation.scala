@@ -50,6 +50,38 @@ object Curation {
       .withColumn("keep", col("drop_reason") === "")
   }
 
+  /** Deterministic source-proportional downsampling — the data-mixing step
+    * of corpus assembly (hold web text at 30%, keep code at 100%, ...).
+    * Per document: sample_pct = pctBySource(source) (defaultPct when the
+    * source is unlisted; the map ships as a plan literal, never a join) and
+    * kept = (doc_id mod 100) < sample_pct. The mod-100 draw is the
+    * SAMPLING CONTRACT, chosen for exact reproducibility anywhere (any
+    * engine, any run — no seeded RNG to disagree over); ids uncorrelated
+    * with content make it uniform per source. Pure map-side: no shuffle,
+    * no UDF. Output: (doc_id, source, sample_pct, kept). */
+  def mixBySource(docs: DataFrame, pctBySource: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    require(pctBySource.values.forall(p => p >= 0 && p <= 100) &&
+      defaultPct >= 0 && defaultPct <= 100, "sample percentages must be 0..100")
+    val pct =
+      if (pctBySource.isEmpty) lit(defaultPct)
+      else coalesce(element_at(typedLit(pctBySource), col("source")), lit(defaultPct))
+    docs.select(col("doc_id"), col("source"), pct.as("sample_pct"))
+      .withColumn("kept", pmod(col("doc_id"), lit(100)) < col("sample_pct"))
+  }
+
+  /** Corpus composition report: per (source, lang), document and token
+    * totals plus quality-bucket breakdown — the summary table a mixing
+    * decision is made FROM. One map-side-combinable aggregation (the
+    * annotators add columns without shuffling). Output: (source, lang,
+    * n_docs, n_tokens, n_quality_docs). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    TextAnalysis.withQuality(docs)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(when(col("quality_bucket") === 3, 1L).otherwise(0L)).as("n_quality_docs"))
+
   /** Streaming corpus intake: the same quality gate as [[curate]] applied
     * map-side to a document STREAM, then cross-batch first-seen exact dedup
     * via the hash-partitioned state store

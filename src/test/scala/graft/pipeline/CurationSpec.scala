@@ -70,6 +70,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixBySource: per-source rates, default for unlisted, mod-100 draw") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, "keep me", "web"), (90L, "drop me", "web"),   // web@50: 10<50, 90>=50
+      (99L, "always", "code"),                            // code@100: kept
+      (24L, "default", "misc"), (25L, "default", "misc")) // default 25
+      .toDF("doc_id", "text", "source")
+    val r = Curation.mixBySource(d, Map("web" -> 50, "code" -> 100), 25)
+      .collect().map(x => x.getLong(0) -> (x.getInt(2), x.getBoolean(3))).toMap
+    assert(r(10L) == ((50, true)) && r(90L) == ((50, false)))
+    assert(r(99L) == ((100, true)))
+    assert(r(24L) == ((25, true)) && r(25L) == ((25, false)))
+  }
+
+  test("corpusStats: per (source, lang) doc/token/quality totals") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, good, "en", "web"),            // 10 tokens, bucket 3
+      (2L, "tiny doc", "en", "web"),      // 2 tokens, bucket 0
+      (3L, good + " more", "de", "web"),  // 11 tokens, bucket 3
+      (4L, good, "en", "code"))           // 10 tokens, bucket 3
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Curation.corpusStats(d).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(("web", "en")) == ((2L, 12L, 1L)))
+    assert(r(("web", "de")) == ((1L, 11L, 1L)))
+    assert(r(("code", "en")) == ((1L, 10L, 1L)))
+  }
+
   test("budgetSample: empty input yields empty output with the right schema") {
     val d = docs().select(col("doc_id"), col("text"))
     val r = Curation.budgetSample(d, 10)

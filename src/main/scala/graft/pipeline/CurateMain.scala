@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Runnable corpus-curation program — the training-data counterpart of the
+  * CIND CLI (graft.Main): a documents table in, the keep/drop decision
+  * table (and optionally a corpus report) out.
+  *
+  * {{{
+  * graft.pipeline.CurateMain [flags] <documents path (parquet)>
+  *   --output PATH        decision-table parquet (doc_id, lang_guess,
+  *                        quality_bucket, cluster_id, drop_reason, keep
+  *                        [, sample_pct, kept_mix][, cum_tokens, in_budget])
+  *   --stats PATH         corpus composition report parquet (source, lang,
+  *                        n_docs, n_tokens, n_quality_docs)
+  *   --min-jaccard N      near-dup threshold percent        (default 50)
+  *   --min-quality N      minimum quality bucket to keep    (default 3)
+  *   --mix SRC:PCT,...    source-proportional sampling rates (mod-100 draw);
+  *                        unlisted sources keep --mix-default
+  *   --mix-default N      rate for unlisted sources         (default 100)
+  *   --budget N           token budget: annotate the running token total
+  *                        over surviving docs and cut at N
+  *   --master M           Spark master                      (default local[*])
+  * }}}
+  *
+  * Stage order = the batch curation contract: quality/dedup verdicts first
+  * ([[Curation.curate]]), then mixing over survivors, then the budget
+  * cutoff over what mixing kept — so the budget is spent on documents that
+  * would actually ship.
+  */
+object CurateMain {
+
+  final case class Config(
+      input: Option[String] = None,
+      output: Option[String] = None,
+      statsOut: Option[String] = None,
+      minJaccard: Int = 50,
+      minQuality: Int = 3,
+      mix: Map[String, Int] = Map.empty,
+      mixDefault: Int = 100,
+      budget: Option[Long] = None,
+      master: String = "local[*]")
+
+  def parseArgs(args: Seq[String]): Config = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: Config): Config = rest match {
+      case Nil => c
+      case "--output" :: v :: t      => loop(t, c.copy(output = Some(v)))
+      case "--stats" :: v :: t       => loop(t, c.copy(statsOut = Some(v)))
+      case "--min-jaccard" :: v :: t => loop(t, c.copy(minJaccard = v.toInt))
+      case "--min-quality" :: v :: t => loop(t, c.copy(minQuality = v.toInt))
+      case "--mix" :: v :: t =>
+        val m = v.split(",").map { kv =>
+          val Array(src, pct) = kv.split(":")
+          src -> pct.toInt
+        }.toMap
+        loop(t, c.copy(mix = c.mix ++ m))
+      case "--mix-default" :: v :: t => loop(t, c.copy(mixDefault = v.toInt))
+      case "--budget" :: v :: t      => loop(t, c.copy(budget = Some(v.toLong)))
+      case "--master" :: v :: t      => loop(t, c.copy(master = v))
+      case flag :: _ if flag.startsWith("--") =>
+        throw new IllegalArgumentException(s"unknown flag $flag")
+      case path :: t =>
+        require(c.input.isEmpty, s"exactly one input path expected, got extra $path")
+        loop(t, c.copy(input = Some(path)))
+    }
+    val c = loop(args.toList, Config())
+    require(c.input.nonEmpty, "a documents parquet path is required")
+    c
+  }
+
+  /** The composed decision table for `docs`; columns grow with the enabled
+    * stages (mix -> sample_pct/kept_mix; budget -> cum_tokens/in_budget).
+    * The final `keep` column reflects ALL enabled stages. */
+  def decide(docs: DataFrame, c: Config): DataFrame = {
+    var table = Curation.curate(docs, c.minJaccard, minQualityBucket = c.minQuality)
+    if (c.mix.nonEmpty || c.mixDefault != 100) {
+      val mixed = Curation.mixBySource(docs, c.mix, c.mixDefault)
+        .select(col("doc_id"), col("sample_pct"), col("kept").as("kept_mix"))
+      table = table.join(mixed, "doc_id")
+        .withColumn("keep", col("keep") && col("kept_mix"))
+    }
+    c.budget.foreach { b =>
+      // the budget is spent over the documents every earlier stage kept,
+      // in doc_id order; dropped docs carry in_budget=false. The decision
+      // table carries no text column, so surviving ids semi-join back to
+      // the source docs for token counting.
+      val kept = docs.join(table.filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val sampled = Curation.budgetSample(kept, b)
+        .select(col("doc_id"), col("cum_tokens"), col("in_budget"))
+      table = table.join(sampled, Seq("doc_id"), "left")
+        .withColumn("in_budget", coalesce(col("in_budget"), lit(false)))
+        .withColumn("keep", col("keep") && col("in_budget"))
+    }
+    table
+  }
+
+  def run(spark: SparkSession, c: Config): Unit = {
+    val docs = spark.read.parquet(c.input.get)
+    c.output.foreach { path =>
+      decide(docs, c).write.mode("overwrite").parquet(path)
+      println(s"Outputting curation decisions to $path.")
+    }
+    c.statsOut.foreach { path =>
+      Curation.corpusStats(docs).write.mode("overwrite").parquet(path)
+      println(s"Outputting corpus stats to $path.")
+    }
+    if (c.output.isEmpty && c.statsOut.isEmpty) {
+      val d = decide(docs, c)
+      println(s"${d.filter(col("keep")).count()} of ${d.count()} documents kept " +
+        "(no --output given).")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val c = parseArgs(args.toIndexedSeq)
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(c.master)
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, c) finally spark.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class CurateMainSpec extends SparkSpec {
+
+  private val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  def docs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("parseArgs: flags, mix map, single input") {
+    val c = CurateMain.parseArgs(Seq("--output", "/tmp/o", "--mix", "web:30,code:100",
+      "--mix-default", "10", "--budget", "5000", "--min-quality", "2", "/tmp/in.parquet"))
+    assert(c.input.contains("/tmp/in.parquet") && c.output.contains("/tmp/o"))
+    assert(c.mix == Map("web" -> 30, "code" -> 100) && c.mixDefault == 10)
+    assert(c.budget.contains(5000L) && c.minQuality == 2)
+    intercept[IllegalArgumentException](CurateMain.parseArgs(Seq("--nope", "x")))
+    intercept[IllegalArgumentException](CurateMain.parseArgs(Seq("--output", "/tmp/o")))
+  }
+
+  test("decide: curation, mixing and budget compose into one keep column") {
+    val d = docs(
+      (10L, good, "web"),            // good, canonical, web@100 -> budget decides
+      (60L, good + " xx", "web"),    // near-dup of 10 -> duplicate
+      (20L, "tiny", "web"),          // quality drop
+      (30L, "p q r s t u v w x y z1 z2", "junk"), // good but junk@0 -> mix drop
+      (40L, "m n o p2 q2 r2 s2 t2 u2 v2 w2", "web")) // good, kept, budget decides
+    val c = CurateMain.Config(mix = Map("junk" -> 0), mixDefault = 100,
+      budget = Some(15L))
+    val r = CurateMain.decide(d, c).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
+    // budget 15: doc 10 (10 tokens, cum 10) fits; doc 40 (11 tokens, cum 21) not
+    assert(r == Map(10L -> true, 60L -> false, 20L -> false, 30L -> false, 40L -> false))
+  }
+
+  test("decide without mix/budget equals plain curate keep") {
+    val d = docs((1L, good, "a"), (2L, "small", "b"))
+    val r = CurateMain.decide(d, CurateMain.Config()).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
+    assert(r == Map(1L -> true, 2L -> false))
+  }
+}

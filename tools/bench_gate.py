@@ -8,9 +8,13 @@ Usage:
 
 Default mode prints per-query ratio vs floor, flags >2x (the policy bound
 from BASELINE.md) and exits 1 if any query exceeds it or failed.
---update recomputes the floors file from the per-query MEDIANS of the
-given run files (n>=3 recommended; medians absorb the high run-to-run
-variance of a shared local[32] box).
+--update recomputes the floors file from the per-query MINIMA of the
+given run files (n>=3 recommended). Minimum, not median: the shared box
+randomly spikes 2.5-3x on a DIFFERENT query each run (measured: cind_all
+[40.1, 99.3, 33.8] across three otherwise-idle runs), so with n=3 a
+median still carries a spike whenever two runs were hit. The minimum is
+the query's reproducible cost; Bench counters the same noise on the
+measurement side by reporting min-of-REPS.
 """
 import json
 import statistics
@@ -32,13 +36,13 @@ def update(paths):
         vals = [r["queries"][q] for r in runs
                 if q in r["queries"] and r["queries"][q] >= 0]
         if vals:
-            floors[q] = round(statistics.median(vals), 2)
+            floors[q] = round(min(vals), 2)
     out = {"n_runs": len(runs), "floors": floors,
            "total": round(sum(floors.values()), 1)}
     with open(FLOORS, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"wrote {FLOORS}: {len(floors)} queries, "
-          f"median-total {out['total']}s over n={len(runs)} runs")
+          f"min-total {out['total']}s over n={len(runs)} runs")
 
 
 def gate(path):

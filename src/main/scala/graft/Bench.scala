@@ -27,6 +27,11 @@ object Bench {
       SparkEntry.queries("text_token_stats")(spark, sfDir).count()
       SparkEntry.queries("sim_topk_brute")(spark, sfDir).count()
       SparkEntry.queries("events_props_sum")(spark, sfDir).count()
+      // full CIND discovery on the TINY fixture: compiles the discovery
+      // codegen (fan-out, dict encode, pair agg, decode) for ~1s of data,
+      // so the alphabetically-first heavy queries (cind_all, cind_all_bloom)
+      // stop paying a 10-15% first-run JIT tax at the measured sf
+      SparkEntry.queries("cind_all")(spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () } // warmup must never fail the bench
     spark.catalog.clearCache()
     // Per-query repetitions, reporting the MIN: a shared box spikes single

@@ -303,8 +303,14 @@ object CindEngine {
     * equals dep's support. The whole plan is relational — explode fan-outs,
     * hash aggregates, broadcast joins — so it runs inside whole-stage
     * codegen with map-side partial aggregation; no typed Aggregator and no
-    * per-row JVM collections (cf. `allCindsIntersect`, the strategy-0 shape,
-    * which this strictly dominates on Spark). Frequent-capture pruning
+    * per-row JVM collections. The strategy-0 shape (`allCindsIntersect`,
+    * typed-Aggregator k-way intersection) is kept as a first-class
+    * alternative: on narrow-join-line data its per-dep ref arrays stay
+    * short and it measures FASTER than the pair fan-out (19.6s vs 28.4s
+    * at sf0.1, min-of-2); the count-match plan is the scale default
+    * because its memory per aggregation buffer is O(1) — a packed-long
+    * count — where the intersect buffer holds a ref ARRAY whose size is
+    * unbounded on hub-heavy data. Frequent-capture pruning
     * (support >= minSupport on BOTH sides — sound because a reported ref's
     * value set contains its dep's, so its support is >= dep's) is what keeps
     * hub join lines narrow and the pair fan-out quadratic-safe.

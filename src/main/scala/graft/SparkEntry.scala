@@ -292,6 +292,24 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) =>
       EventStream.sessions(events(s, dir), watermark = false)
         .orderBy("user_id", "session_start")),
+    "events_asof" -> ((s, dir) => {
+      // point-in-time enrichment: each click gets the latest preceding view
+      // (same user). The join runs at MICROsecond precision on both sides:
+      // DuckDB reads the nanos parquet timestamp as a micros TIMESTAMP, so
+      // joining on raw nanos here would see ties differently. No-match
+      // sentinel -1 instead of NULL (engines hash NULL/NaN differently).
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("ts div 1000")) // nanos -> micros, exact
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("v"))
+      EventStream.asOfJoin(clicks, views, "user_id", "ts", Seq("ts", "v"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("asof_ts"), lit(-1L)).as("asof_ts"),
+          coalesce(floor(col("asof_v") * 1000), lit(-1L)).as("asof_value_milli"))
+        .orderBy("event_id")
+    }),
     // --- training-data pipeline: dedup ---
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDups(docs(s, dir)).orderBy("doc_id")),
@@ -435,6 +453,8 @@ object SparkEntry {
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2",
     "events_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
+    "events_asof" ->
+      "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), r AS (SELECT user_id, ts, MAX(value) AS v FROM events WHERE event_type = 'view' GROUP BY 1,2) SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, COALESCE(epoch_us(r.ts), -1) AS asof_ts, COALESCE(CAST(floor(r.v * 1000) AS BIGINT), -1) AS asof_value_milli FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id",
     "dedup_exact" ->
       "SELECT doc_id, md5(text) AS content_hash, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents ORDER BY doc_id",
     "dedup_jaccard_pairs" ->

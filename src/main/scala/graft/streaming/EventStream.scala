@@ -33,4 +33,42 @@ object EventStream {
       .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
         col("n_events"))
   }
+
+  /** As-of join: each left row gets the LATEST right row with the same key
+    * and right.ts <= left.ts (an enrichment/point-in-time lookup — prices
+    * to trades, last page view to a click). Spark has no native as-of
+    * join; the naive shapes are a range join (quadratic per key) or a
+    * per-left-row subquery (unusable). Spark-first shape instead:
+    * UNION the two sides with a side tag and compute
+    * `last(right payload, ignoreNulls)` over ONE window partitioned by key
+    * and ordered by (ts, side) — a single shuffle on the key, linear work
+    * per partition, and partitioned-window parallelism at any key
+    * cardinality (never a global window).
+    *
+    * Contract: `right` must be unique per (key, ts) — pre-aggregate if
+    * not, or which duplicate wins is engine-dependent (DuckDB's ASOF JOIN,
+    * the oracle, has the same ambiguity). Ties right.ts == left.ts MATCH
+    * (side order sorts the right row first, mirroring ASOF's `>=`).
+    *
+    * Output: left.* plus `asof_<p>` for each payload column (null when no
+    * right row precedes the left row). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rStruct = struct(payload.map(col): _*)
+    val rType = right.select(rStruct).schema.head.dataType
+    val lStruct = struct(left.columns.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val lTagged = left.select(col(key).as("_k"), col(ts).as("_ts"),
+      lit(1).as("_side"), lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(col(key).as("_k"), col(ts).as("_ts"),
+      lit(0).as("_side"), lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(c => col(s"_l.$c").as(c)) ++
+        payload.map(p => col(s"_asof.$p").as(s"asof_$p")): _*)
+  }
 }

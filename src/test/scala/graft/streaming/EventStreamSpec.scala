@@ -55,4 +55,31 @@ class EventStreamSpec extends SparkSpec {
     assert(s.length == 2) // 10:00-10:06 block and 10:40 block
     assert(s.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("asOfJoin: latest preceding right row per key, ties match, no-match is null") {
+    import spark.implicits._
+    val left = Seq( // (id, user, ts)
+      (1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 5L), (4L, 2L, 10L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq( // (user, ts, v): user 1 has prices at 5, 10, 15
+      (1L, 5L, 50.0), (1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("user_id", "ts", "v")
+    val r = EventStream.asOfJoin(left, right, "user_id", "ts", Seq("ts", "v"))
+      .collect().map(x => x.getLong(0) ->
+        (Option(x.get(3)).map(_.asInstanceOf[Long]),
+         Option(x.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(r(1L) == ((Some(10L), Some(100.0)))) // tie ts=10 matches (>=)
+    assert(r(2L) == ((Some(15L), Some(150.0)))) // latest preceding, not first
+    assert(r(3L) == ((Some(5L), Some(50.0))))
+    assert(r(4L) == ((None, None)))             // user 2 has no right rows
+  }
+
+  test("asOfJoin keeps every left row and column") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, 3L, "x")).toDF("event_id", "user_id", "ts", "extra")
+    val out = EventStream.asOfJoin(left,
+      Seq((7L, 1L, 1.0)).toDF("user_id", "ts", "v"), "user_id", "ts", Seq("v"))
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "extra", "asof_v"))
+    assert(out.count() == 1)
+  }
 }

@@ -292,6 +292,16 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) =>
       EventStream.sessions(events(s, dir), watermark = false)
         .orderBy("user_id", "session_start")),
+    "events_range" -> ((s, dir) => {
+      // value-band classification via the bucketized range join (bands
+      // overlap on [5,10) to exercise multi-match)
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet").select("event_id", "value")
+      val bands = Seq((0.0, 10.0, "xs"), (5.0, 50.0, "mid"),
+        (50.0, 200.0, "large"), (200.0, 1000.0, "xl")).toDF("lo", "hi", "tier")
+      EventStream.rangeJoin(ev, bands, "value", bucketWidth = 50.0)
+        .select(col("event_id"), col("tier")).orderBy("event_id", "tier")
+    }),
     "events_asof" -> ((s, dir) => {
       // point-in-time enrichment: each click gets the latest preceding view
       // (same user). The join runs at MICROsecond precision on both sides:
@@ -453,6 +463,8 @@ object SparkEntry {
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2",
     "events_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
+    "events_range" ->
+      "WITH b(lo, hi, tier) AS (VALUES (0.0, 10.0, 'xs'), (5.0, 50.0, 'mid'), (50.0, 200.0, 'large'), (200.0, 1000.0, 'xl')) SELECT e.event_id, b.tier FROM events e JOIN b ON b.lo <= e.value AND e.value < b.hi ORDER BY 1, 2",
     "events_asof" ->
       "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), r AS (SELECT user_id, ts, MAX(value) AS v FROM events WHERE event_type = 'view' GROUP BY 1,2) SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, COALESCE(epoch_us(r.ts), -1) AS asof_ts, COALESCE(CAST(floor(r.v * 1000) AS BIGINT), -1) AS asof_value_milli FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id",
     "dedup_exact" ->

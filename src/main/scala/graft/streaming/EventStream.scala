@@ -34,6 +34,39 @@ object EventStream {
         col("n_events"))
   }
 
+  /** Range join: each left row gets the ranges [lo, hi) that contain
+    * `valueCol`. Spark plans a plain `lo <= v AND v < hi` join as
+    * BroadcastNestedLoopJoin — fine for a literal band table, quadratic
+    * death once the range table is large. Scalable shape instead:
+    * ranges EXPLODE into fixed-width buckets (a range spans
+    * ceil(len/width) buckets), both sides equi-join on the bucket id —
+    * a hash join Spark shuffles/broadcasts like any other — and the
+    * exact containment predicate filters the survivors. Cost is
+    * O(|left| + Σ range_len/width) join rows instead of |left|x|ranges|.
+    * `bucketWidth` trades fan-out for selectivity: ~ the median range
+    * length is right.
+    *
+    * Inner semantics (unmatched left rows drop); ranges may overlap —
+    * a row matches each containing range. Output: left.* + the range
+    * table's payload columns. */
+  def rangeJoin(left: DataFrame, ranges: DataFrame, valueCol: String,
+      lo: String = "lo", hi: String = "hi",
+      bucketWidth: Double = 1.0): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    // empty ranges would make sequence() run DESCENDING (start > stop)
+    // and fabricate buckets — they can match nothing, drop them first
+    val bucketed = ranges.filter(col(hi) > col(lo)).withColumn("_b",
+      explode(sequence(floor(col(lo) / bucketWidth).cast("long"),
+        // hi is EXCLUSIVE: an integral hi/width needs no bucket of its own,
+        // but any fractional part does — use ceil(hi/width)-1 via negation
+        (-floor(-col(hi) / bucketWidth)).cast("long") - 1)))
+    left
+      .withColumn("_b", floor(col(valueCol) / bucketWidth).cast("long"))
+      .join(bucketed, Seq("_b"))
+      .filter(col(lo) <= col(valueCol) && col(valueCol) < col(hi))
+      .drop("_b")
+  }
+
   /** As-of join: each left row gets the LATEST right row with the same key
     * and right.ts <= left.ts (an enrichment/point-in-time lookup — prices
     * to trades, last page view to a click). Spark has no native as-of

@@ -74,6 +74,22 @@ class EventStreamSpec extends SparkSpec {
     assert(r(4L) == ((None, None)))             // user 2 has no right rows
   }
 
+  test("rangeJoin: bucketized join equals the brute-force theta join") {
+    import spark.implicits._
+    val left = (0 until 200).map(i => (i.toLong, i * 0.37 % 25)).toDF("id", "v")
+    val ranges = Seq((0.0, 3.0, "a"), (2.5, 7.25, "b"), (7.25, 7.25, "empty"),
+      (6.0, 20.0, "c"), (24.9, 25.1, "d")).toDF("lo", "hi", "tier")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1))
+    val brute = left.join(ranges, col("lo") <= col("v") && col("v") < col("hi"))
+      .select(col("id"), col("tier")).collect().map(key).toSet
+    for (w <- Seq(0.5, 1.0, 7.0, 100.0)) {
+      val got = EventStream.rangeJoin(left, ranges, "v", bucketWidth = w)
+        .select(col("id"), col("tier")).collect().map(key).toSet
+      assert(got == brute, s"width=$w")
+    }
+    assert(!brute.exists(_._2 == "empty")) // empty range matches nothing
+  }
+
   test("asOfJoin keeps every left row and column") {
     import spark.implicits._
     val left = Seq((1L, 7L, 3L, "x")).toDF("event_id", "user_id", "ts", "extra")

@@ -43,6 +43,16 @@ object ExplainAudit {
       show("profile_lineitem", graft.stats.Profile.profile(
         spark.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_orderkey", "l_returnflag")))
+    if (which == "all" || which == "asof") {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
+      show("events_asof", graft.streaming.EventStream.asOfJoin(
+        ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(org.apache.spark.sql.functions.col("event_type") === "view")
+          .select("user_id", "ts", "value"),
+        "user_id", "ts", Seq("ts", "value")))
+    }
     spark.stop()
   }
 }

@@ -391,6 +391,8 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(e.unionByName(dups), 0.95, dims = 64)
         .select("vec_id_a", "vec_id_b").orderBy("vec_id_a", "vec_id_b")
     }),
+    "sim_label_purity" -> ((s, dir) =>
+      Similarity.labelPurity(emb(s, dir)).orderBy("vec_id")),
     "sim_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id", "dim")),
     // --- multimodal plumbing ---
@@ -543,6 +545,10 @@ object SparkEntry {
         "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank"
     },
     "sim_topk_ivf" -> ivfOracleSql,
+    // float-cast centroids absorb double summation noise (the IVF oracle's
+    // determinism contract); argmax ties break toward the smaller label
+    "sim_label_purity" ->
+      "WITH m AS (SELECT label, i, CAST(AVG(v) AS FLOAT) AS mv FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding,1) AS i FROM embeddings) GROUP BY 1,2), cb AS (SELECT label, list(mv ORDER BY i) AS c FROM m GROUP BY 1), a AS (SELECT vec_id, label, cent AS pred_label FROM (SELECT e.vec_id, e.label, s.label AS cent, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.label) AS rn FROM embeddings e CROSS JOIN cb s) WHERE rn = 1) SELECT vec_id, label, CAST(pred_label AS BIGINT) AS pred_label, label = pred_label AS correct FROM a ORDER BY vec_id",
     // integer quantization codes: double division + floor over identical
     // float inputs is bit-deterministic across engines
     "sim_quantize_int8" ->

@@ -204,6 +204,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** Per-label centroids: (label, centroid ARRAY<FLOAT>). Element-wise mean
+    * via posexplode + one map-side-combinable (label, dim) aggregation —
+    * n x dims scalar rows through one shuffle, the same shape k-means
+    * refinement uses. Means are computed in double and CAST TO FLOAT per
+    * dimension: double summation-order noise (~2^-52 relative) is far
+    * below float's rounding grid, so any engine lands on the same float —
+    * the cross-engine determinism contract the IVF oracle established. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v")).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+      .select(col("label"), transform(col("ms.m"), x => x.cast("float")).as("centroid"))
+
+  /** Label purity — the embedding-space diagnostic a training pipeline runs
+    * on labeled data: every vector is classified to its nearest label
+    * centroid (map-side argmax against the collected codebook — labels are
+    * few by definition, so the codebook is tiny; ZERO shuffle after the
+    * centroid aggregation) and compared with its own label. Ties break
+    * toward the smaller label, mirroring the SQL oracle's ROW_NUMBER
+    * order. Output: (vec_id, label, pred_label, correct). */
+  def labelPurity(emb: DataFrame): DataFrame = {
+    val cents: Array[(Long, Array[Float])] = labelCentroids(emb).collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    withNearestCentroid(emb.select("vec_id", "label", "embedding"), cents, 1)
+      .select(col("vec_id"), col("label"), col("cent_id").as("pred_label"),
+        (col("label") === col("cent_id")).as("correct"))
+  }
+
   /** Int8 scalar quantization of an embedding column — the storage/transfer
     * compression step of a large-scale vector pipeline (4x smaller than
     * FLOAT, dequantizes to within scale/254 per dimension). Per vector the

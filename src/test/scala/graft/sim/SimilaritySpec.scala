@@ -71,4 +71,28 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(code * scale / 127.0 - orig) <= scale / 127.0 + 1e-9)
     }
   }
+
+  test("labelPurity: tight clusters classify to their own centroid") {
+    import spark.implicits._
+    // two well-separated clusters on orthogonal axes + one planted outlier
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f), 0), (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.1f), 1), (4L, Array(0.1f, 0.9f, 0.0f), 1),
+      (5L, Array(0.0f, 1.0f, 0.0f), 0)) // labeled 0, sits in cluster 1
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelPurity(rows).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getBoolean(3))).toMap
+    assert(r(1L) == ((0L, true)) && r(2L) == ((0L, true)))
+    assert(r(3L) == ((1L, true)) && r(4L) == ((1L, true)))
+    assert(r(5L)._2 == false) // the mislabeled outlier is flagged
+  }
+
+  test("labelCentroids: element-wise float means per label") {
+    import spark.implicits._
+    val rows = Seq((1L, Array(1.0f, 3.0f), 7), (2L, Array(3.0f, 5.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val c = Similarity.labelCentroids(rows).collect()
+    assert(c.length == 1 && c.head.getInt(0) == 7)
+    assert(c.head.getSeq[Float](1) == Seq(2.0f, 4.0f))
+  }
 }

@@ -348,6 +348,8 @@ object SparkEntry {
       TextAnalysis.rollingFingerprint(docs(s, dir)).orderBy("doc_id")),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(docs(s, dir)).orderBy("doc_id", "rank")),
+    "text_bigram_score" -> ((s, dir) =>
+      TextAnalysis.bigramScore(docs(s, dir)).orderBy("doc_id")),
     // --- curation pipeline (composed: lang + quality + dedup clusters) ---
     "curate_docs" -> ((s, dir) =>
       graft.pipeline.Curation.curate(docs(s, dir), 50).orderBy("doc_id")),
@@ -511,6 +513,10 @@ object SparkEntry {
     // no floating log can flip a ranking between engines
     "text_tfidf" ->
       "WITH tok2 AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1,2), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), n AS (SELECT COUNT(*) AS n_docs FROM documents), sc AS (SELECT tf.doc_id, tf.term, tf.tf * (length(bin(CAST(n.n_docs // df.df AS BIGINT))) - 1) AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc) SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, CAST(score AS BIGINT) AS score FROM r WHERE rnk <= 5 ORDER BY doc_id, rank",
+    // corpus bigram LM: score = sum over bigram occurrences of
+    // floor(log2(corpus count)) via binary-string length (integer-exact)
+    "text_bigram_score" ->
+      s"WITH $tokCte, bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1), cnt AS (SELECT bg, COUNT(*) AS n FROM bg GROUP BY 1), sc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(length(bin(CAST(cnt.n AS BIGINT))) - 1) AS BIGINT) AS score FROM bg JOIN cnt USING (bg) GROUP BY 1) SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, COALESCE(sc.score, 0) AS score FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id ORDER BY d.doc_id",
     // drop_reason priority mirrors Curation.curate: quality > duplicate > ''
     "curate_docs" ->
       s"WITH RECURSIVE $clusterCtes, $langCtes, $qualCtes SELECT d.doc_id, lg.lang_guess, qual.quality_bucket, cl.cluster_id, CASE WHEN qual.quality_bucket < 3 THEN 'quality' WHEN cl.cluster_id <> d.doc_id THEN 'duplicate' ELSE '' END AS drop_reason, (qual.quality_bucket >= 3 AND cl.cluster_id = d.doc_id) AS keep FROM documents d JOIN lg ON lg.doc_id = d.doc_id JOIN qual ON qual.doc_id = d.doc_id JOIN cl ON cl.doc_id = d.doc_id ORDER BY d.doc_id",

@@ -145,6 +145,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("score"))
   }
 
+  /** Adjacent token pairs of a document ("a b", "b c", ...); empty array
+    * below 2 tokens. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array())
+  }
+
+  /** Corpus-bigram language-model scoring — the n-gram perplexity proxy of
+    * quality filtering: documents whose adjacent-token pairs are common in
+    * the corpus score high, word-salad scores low. Integer arithmetic
+    * end-to-end (score = sum over bigram occurrences of
+    * floor(log2(corpus count)), via binary-string length like tfIdf) so a
+    * SQL oracle reproduces it bit-for-bit. Two shuffles: the corpus model
+    * (bigram counts, map-side combinable) and the per-doc sum; the
+    * model-attach join is a plain equi-join on the bigram — hot bigrams
+    * (stopword pairs) are exactly the AQE skew-join case, and the model
+    * relation can swap to a broadcast under a frequency cap at scale.
+    * Output: (doc_id, n_bigrams, score) — 0/0 for sub-2-token docs. */
+  def bigramScore(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+    val model = bg.groupBy("bg").agg(count(lit(1)).as("n"))
+    val scored = bg.join(model, "bg")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("n"))) - 1).as("score"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Winnowing-style document fingerprint: the minimum md5 over all 3-token
     * shingles — a 1-permutation MinHash, stable under small edits and exactly
     * reproducible in SQL (md5 is engine-independent). */

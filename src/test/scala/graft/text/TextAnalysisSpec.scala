@@ -49,6 +49,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == Map(1L -> 0, 2L -> 1, 3L -> 3))
   }
 
+  test("bigramScore: common-pattern docs outscore word salad; short docs get 0") {
+    import spark.implicits._
+    // "a b" appears in 3 docs (count 3, log2 -> 1 per hit); doc 3's bigrams
+    // are unique (count 1, log2 -> 0); doc 4 has one token -> no bigrams
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramScore(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // doc 1: bigrams "a b"(3) + "b c"(2) -> floor(log2(3)) + floor(log2(2)) = 1 + 1
+    assert(r(1L) == ((2L, 2L)) && r(2L) == ((2L, 2L)))
+    assert(r(3L) == ((2L, 0L))) // "x y","y z" unique -> log2(1) = 0
+    assert(r(4L) == ((0L, 0L)))
+  }
+
   test("tfIdf ranks rare terms above common ones with integer scores") {
     // 4 docs: "rare" appears in 1 doc (idf=floor(log2(4))=2), "the" in all
     // 4 (idf=0); doc 1's top term must be "rare" with score tf*2

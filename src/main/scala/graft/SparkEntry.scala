@@ -108,6 +108,17 @@ object SparkEntry {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
 
+  /** dHash32 CTEs over a (doc_id, text) relation named `$src`: 33 evenly
+    * sampled byte positions, 32 gradient-sign bits packed into a positive
+    * BIGINT (mirrors Multimodal.dHash32; ASCII corpus => ascii == byte).
+    * Final CTE: ph(doc_id, phash). */
+  private def phashCtes(src: String): String =
+    s"pg AS (SELECT unnest(generate_series(0, 32)) AS i), " +
+      s"pb AS (SELECT doc_id, text, length(text) AS n FROM $src), " +
+      "ps AS (SELECT pb.doc_id, pg.i, ascii(substr(pb.text, CAST((pg.i*(pb.n-1))//32 AS INTEGER)+1, 1)) AS v FROM pb, pg WHERE pb.n > 0), " +
+      "pd AS (SELECT doc_id, i, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM ps), " +
+      "ph AS (SELECT doc_id, CAST(SUM(CASE WHEN v > pv THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END) AS BIGINT) AS phash FROM pd WHERE i >= 1 GROUP BY 1)"
+
   /** SQL fragments shared by the document oracles. */
   private val tokCte =
     "tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w, generate_subscripts(string_split(text,' '),1) AS i FROM documents)"
@@ -409,7 +420,25 @@ object SparkEntry {
         .orderBy("doc_id")),
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.blobTable(docs(s, dir))).toDF()
-        .orderBy("doc_id", "bucket"))
+        .orderBy("doc_id", "bucket")),
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.perceptualHash(Multimodal.blobTable(docs(s, dir)))
+        .orderBy("doc_id")),
+    "mm_phash_pairs" -> ((s, dir) => {
+      // the natural fixture has no media pairs within the banding bound
+      // (measured min pairwise hamming = 4), so near-duplicates are
+      // INJECTED deterministically: every 25th doc re-appears with ONE
+      // in-place byte changed — same length, so dHash sampling positions
+      // align and the pair lands within Hamming 2, inside the banded
+      // search's completeness bound (same approach as sim_near_dup_pairs)
+      val d = docs(s, dir).select("doc_id", "text")
+      val edited = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            expr("substring(text, 11)")).as("text"))
+      Multimodal.nearDupMedia(Multimodal.blobTable(d.unionByName(edited)))
+        .orderBy("doc_id_a", "doc_id_b")
+    })
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -568,6 +597,12 @@ object SparkEntry {
     "mm_resize" ->
       "WITH m AS (SELECT doc_id, CAST(64 + ascii(substr(text,1,1)) % 64 AS INTEGER) AS width, CAST(64 + ascii(substr(text,2,1)) % 64 AS INTEGER) AS height FROM documents) SELECT doc_id, width, height, CAST(CASE WHEN greatest(width,height) <= 64 THEN width ELSE greatest(1, CAST(floor(width*64/greatest(width,height)) AS INTEGER)) END AS INTEGER) AS out_w, CAST(CASE WHEN greatest(width,height) <= 64 THEN height ELSE greatest(1, CAST(floor(height*64/greatest(width,height)) AS INTEGER)) END AS INTEGER) AS out_h FROM m ORDER BY doc_id",
     "mm_features" ->
-      "WITH ch AS (SELECT doc_id, ascii(unnest(string_split(text,''))) % 16 AS bucket FROM documents), cnt AS (SELECT doc_id, bucket, COUNT(*) AS n FROM ch GROUP BY 1,2), bk AS (SELECT unnest(generate_series(0,15)) AS bucket) SELECT d.doc_id, CAST(bk.bucket AS INTEGER) AS bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_bytes FROM documents d CROSS JOIN bk LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bucket = bk.bucket ORDER BY 1, 2"
+      "WITH ch AS (SELECT doc_id, ascii(unnest(string_split(text,''))) % 16 AS bucket FROM documents), cnt AS (SELECT doc_id, bucket, COUNT(*) AS n FROM ch GROUP BY 1,2), bk AS (SELECT unnest(generate_series(0,15)) AS bucket) SELECT d.doc_id, CAST(bk.bucket AS INTEGER) AS bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_bytes FROM documents d CROSS JOIN bk LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bucket = bk.bucket ORDER BY 1, 2",
+    "mm_phash" ->
+      s"WITH ${phashCtes("documents")} SELECT doc_id, phash FROM ph ORDER BY doc_id",
+    // edited copies (one in-place byte) injected exactly like the Spark side;
+    // all-pairs filter is the oracle for the banded search (complete <= 3)
+    "mm_phash_pairs" ->
+      s"WITH e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), ${phashCtes("e2")} SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming FROM ph a JOIN ph b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY 1, 2"
   )
 }

@@ -59,6 +59,61 @@ object Multimodal {
     }
   }
 
+  /** 32-bit perceptual difference hash (dHash) of a blob: the sign of the
+    * "brightness" gradient between 33 evenly-sampled positions — here the
+    * raw bytes stand in for the decoded pixel row a real codec would
+    * yield (swap the byte reads for pixel luminance and nothing else
+    * changes). 32 gradient bits keep the hash positive in any engine's
+    * 64-bit integer, so a SQL oracle reproduces it exactly. Stable under
+    * in-place byte edits (sampling positions depend only on length);
+    * length changes shift every sample — the standard dHash tradeoff. */
+  def dHash32(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    var h = 0L
+    var prev = bytes(0) & 0xFF
+    var i = 1
+    while (i <= 32) {
+      val cur = bytes((i * (n - 1)) / 32) & 0xFF
+      if (cur > prev) h |= 1L << (i - 1)
+      prev = cur
+      i += 1
+    }
+    h
+  }
+
+  /** Per-blob perceptual hashes, in the per-partition batch loop (one
+    * codec/hash kernel per partition): (doc_id, phash). */
+  def perceptualHash(blobs: DataFrame): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      it.map(b => (b.doc_id, dHash32(b.blob)))
+    }.toDF("doc_id", "phash")
+  }
+
+  /** Media near-duplicate pairs with Hamming distance <= maxHamming over
+    * the perceptual hash — image dedup with the same banded self-join as
+    * text SimHash (graft.dedup.Dedup.simhashPairs): two 32-bit hashes at
+    * distance <= 3 agree on >= 1 of 4 8-bit bands (pigeonhole), so only
+    * band-equal buckets are probed. Output: (doc_id_a, doc_id_b, hamming). */
+  def nearDupMedia(blobs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x8-bit banding is complete only for Hamming distance <= 3; " +
+        s"maxHamming=$maxHamming would silently miss pairs — add bands instead")
+    val sigs = perceptualHash(blobs)
+    val banded = sigs.select(col("doc_id"), col("phash"), posexplode(
+      array((0 until 4).map(b =>
+        shiftrightunsigned(col("phash"), b * 8).bitwiseAND(lit(0xFFL))): _*))
+      .as(Seq("band", "bucket")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Resize planning over decoded metadata: aspect-preserving fit of
     * (width, height) into a maxDim box, downscale only (scale capped at 1).
     * Pure integer column math — the actual pixel resample would live in the

@@ -54,4 +54,29 @@ class MultimodalSpec extends SparkSpec {
     assert(r.count { case (d, b, n) => d == 1L && b == 2 && n == 1L } == 1)
     assert(r.filter(_._1 == 2L).forall(_._3 == 0L))
   }
+
+  test("dHash32: gradient-sign bits; in-place edit moves few bits, empty is 0") {
+    val asc = ("a" * 10 + ('a' to 'z').mkString + "a" * 10).getBytes("UTF-8")
+    val h = Multimodal.dHash32(asc)
+    assert(h >= 0L) // 32 bits always fit positive
+    assert(Multimodal.dHash32(Array.empty[Byte]) == 0L)
+    // one in-place byte change, same length -> few gradient bits flip
+    val edited = asc.clone(); edited(15) = 'Z'.toByte
+    assert(java.lang.Long.bitCount(h ^ Multimodal.dHash32(edited)) <= 3)
+    // a length change shifts every sample (documented tradeoff)
+    assert(Multimodal.dHash32(asc) == h) // determinism
+  }
+
+  test("nearDupMedia finds the planted edited copy via banded search") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different content with other words entirely here"
+    val docs = Seq((1L, base), (2L, other),
+      (3L, base.substring(0, 20) + "X" + base.substring(21))) // near-dup of 1
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.nearDupMedia(Multimodal.blobTable(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)))
+  }
 }

@@ -26,13 +26,22 @@ object Profile {
     * min/max are rendered as strings AFTER aggregating on the native type
     * (so numeric columns order numerically, not lexicographically).
     * Restrict to integer/string/date columns when bit-exact cross-engine
-    * rendering matters — float formatting is engine-specific. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * rendering matters — float formatting is engine-specific.
+    *
+    * `approx = true` swaps exact distinct counts for HyperLogLog++
+    * (`approx_count_distinct`, ~2% relative error): the Expand replication
+    * disappears, so the profile of a 100 TB table costs ONE plain scan +
+    * aggregation — the right default when the count only feeds a
+    * cardinality decision (broadcast or not, dictionary or not). */
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile of zero columns")
+    def distinctAgg(c: String) =
+      if (approx) approx_count_distinct(col(c), rsd = 0.02).as(s"nd_$c")
+      else count_distinct(col(c)).as(s"nd_$c")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-        count_distinct(col(c)).as(s"nd_$c"),
+        distinctAgg(c),
         min(col(c)).cast("string").as(s"mn_$c"),
         max(col(c)).cast("string").as(s"mx_$c"))
     }

@@ -64,4 +64,35 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS bspec CASCADE")
     }
   }
+
+  test("topKPerKey equals the ranking-window top-k, ties broken by id") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 2000).map { i =>
+      (i % 7L, i.toLong, ((i * 37) % 100).toDouble) // many score ties
+    }.toDF("key", "id", "score")
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    val windowed = rows.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10).select("key", "rank", "id", "score")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val agg = TopK.topKPerKey(rows, "key", "id", "score", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(agg == windowed)
+  }
+
+  test("approx profile: HLL distincts within 5 percent of exact, rest identical") {
+    import spark.implicits._
+    val df = (1 to 20000).map(i => (i.toLong % 5000, s"s${i % 1234}")).toDF("a", "b")
+    val exact = graft.stats.Profile.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.stats.Profile.profile(df, Seq("a", "b"), approx = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("a", "b")) {
+      val (e, ap) = (exact(c), approx(c))
+      assert(ap.getLong(1) == e.getLong(1) && ap.getLong(2) == e.getLong(2))
+      assert(ap.getString(4) == e.getString(4) && ap.getString(5) == e.getString(5))
+      val err = math.abs(ap.getLong(3) - e.getLong(3)).toDouble / e.getLong(3)
+      assert(err <= 0.05, s"col $c: approx ${ap.getLong(3)} vs exact ${e.getLong(3)}")
+    }
+  }
 }

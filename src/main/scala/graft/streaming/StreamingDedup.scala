@@ -30,4 +30,47 @@ object StreamingDedup {
             Iterator.single(rows.minBy(_.doc_id))
           })
   }
+
+  /** [[firstSeen]] with BOUNDED state: on an unbounded stream the plain
+    * variant keeps one state entry per content hash forever — state grows
+    * with all-time distinct content. Here each hash's entry carries an
+    * event-time TTL (timeout = first-seen event time + ttl, fired once the
+    * watermark passes it), so state size is bounded by the distinct hashes
+    * arriving within one TTL window. The documented tradeoff: a duplicate
+    * arriving more than `ttl` after its original is re-admitted as new —
+    * the standard bounded-state dedup contract (same as any windowed
+    * dedup / dropDuplicatesWithinWatermark). `docs` must carry an event
+    * timestamp `ts`; `watermarkDelay` bounds lateness as usual. */
+  def firstSeenTtl(docs: DataFrame, ttl: String,
+      watermarkDelay: String = "0 seconds"): Dataset[HashedDoc] = {
+    import docs.sparkSession.implicits._
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    val ttlMillis = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .getDuration(ttlMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    docs
+      // project BEFORE the watermark: a projection that re-derives the
+      // event-time column after withWatermark would drop the watermark tag
+      .select(col("doc_id"), col("ts").cast("timestamp").as("ts"),
+        md5(col("text")).as("content_hash"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (hash: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove() // TTL passed: forget the hash, bound the store
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // duplicate within TTL: suppressed, TTL NOT refreshed
+          } else {
+            val batch = rows.toArray
+            state.update(true)
+            state.setTimeoutTimestamp(
+              batch.iterator.map(_._2.getTime).max + ttlMillis)
+            val first = batch.minBy(_._1)
+            Iterator.single(HashedDoc(first._1, hash))
+          })
+  }
 }

@@ -63,32 +63,22 @@ object Multimodal {
     * "brightness" gradient between 33 evenly-sampled positions — here the
     * raw bytes stand in for the decoded pixel row a real codec would
     * yield (swap the byte reads for pixel luminance and nothing else
-    * changes). 32 gradient bits keep the hash positive in any engine's
-    * 64-bit integer, so a SQL oracle reproduces it exactly. Stable under
-    * in-place byte edits (sampling positions depend only on length);
-    * length changes shift every sample — the standard dHash tradeoff. */
-  def dHash32(bytes: Array[Byte]): Long = {
-    val n = bytes.length
-    if (n == 0) return 0L
-    var h = 0L
-    var prev = bytes(0) & 0xFF
-    var i = 1
-    while (i <= 32) {
-      val cur = bytes((i * (n - 1)) / 32) & 0xFF
-      if (cur > prev) h |= 1L << (i - 1)
-      prev = cur
-      i += 1
-    }
-    h
-  }
+    * changes). Stable under in-place byte edits (sampling positions
+    * depend only on length); length changes shift every sample — the
+    * standard dHash tradeoff. Kernel: [[graft.functions.DHash32]]. */
+  def dHash32(bytes: Array[Byte]): Long = graft.functions.DHash32.compute(bytes)
 
-  /** Per-blob perceptual hashes, in the per-partition batch loop (one
-    * codec/hash kernel per partition): (doc_id, phash). */
+  /** Per-blob perceptual hashes via the NATIVE codegen'd expression
+    * (graft.functions.DHash32, also SQL-callable as `dhash32(blob)`):
+    * pure byte math stays inside whole-stage codegen — no typed
+    * mapPartitions boundary around the scan. A real pipeline decodes in
+    * mapPartitions first (see [[decodeMeta]]) and applies the same
+    * expression to the decoded pixels. Output: (doc_id, phash). */
   def perceptualHash(blobs: DataFrame): DataFrame = {
-    import blobs.sparkSession.implicits._
-    blobs.as[MediaBlob].mapPartitions { it =>
-      it.map(b => (b.doc_id, dHash32(b.blob)))
-    }.toDF("doc_id", "phash")
+    import org.apache.spark.sql.graft.ColumnBridge
+    blobs.select(col("doc_id"),
+      ColumnBridge.column(graft.functions.DHash32(
+        ColumnBridge.expression(col("blob")))).as("phash"))
   }
 
   /** Media near-duplicate pairs with Hamming distance <= maxHamming over

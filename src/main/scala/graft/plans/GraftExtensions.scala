@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.simhash64)
     ext.injectFunction(GraftExtensions.rollingHashMin)
+    ext.injectFunction(GraftExtensions.dhash32)
   }
 }
 
@@ -23,6 +24,13 @@ object GraftExtensions {
     FunctionIdentifier("simhash64"),
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
     (children: Seq[Expression]) => SimHash64(children.head))
+
+  /** `dhash32(blob)` — 32-bit perceptual difference hash of a BINARY
+    * column (media near-dup fingerprint). */
+  val dhash32: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dhash32"),
+    new ExpressionInfo(classOf[graft.functions.DHash32].getName, "dhash32"),
+    (children: Seq[Expression]) => graft.functions.DHash32(children.head))
 
   /** `rolling_hash_min(text, window)` — window must be an integer literal
     * (it parameterizes the generated code, like a window frame size). */

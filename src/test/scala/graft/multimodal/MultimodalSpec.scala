@@ -79,4 +79,16 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
     assert(!pairs.contains((1L, 2L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("dhash32 is SQL-callable and matches the kernel (codegen path)") {
+    import spark.implicits._
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    d.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text").cast("binary").as("blob"))
+      .createOrReplaceTempView("blobs_v")
+    val viaSql = spark.sql("SELECT dhash32(blob) AS h FROM blobs_v").head.getLong(0)
+    val viaKernel = Multimodal.dHash32(
+      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+    assert(viaSql == viaKernel)
+  }
 }

@@ -385,6 +385,9 @@ object SparkEntry {
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
         .orderBy("query_id", "rank")),
+    "sim_topk_agg" -> ((s, dir) => // bounded-aggregator top-k, same semantics
+      Similarity.bruteForceTopKAgg(emb(s, dir), col("vec_id") % 100 === 0, 10)
+        .orderBy("query_id", "rank")),
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), col("vec_id") % 100 === 0, 10, dims = 64)
         .orderBy("query_id", "rank")),
@@ -561,6 +564,9 @@ object SparkEntry {
     "text_budget_sample" ->
       "WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents), b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t), c AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) SELECT c.doc_id, c.n_tokens, c.cum_tokens, c.cum_tokens <= b.budget AS in_budget FROM c CROSS JOIN b ORDER BY c.doc_id",
     "sim_topk_brute" ->
+      "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id), r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s) SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank",
+    // bounded-aggregator formulation is result-identical -> same oracle
+    "sim_topk_agg" ->
       "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id), r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s) SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank",
     // full replication of the LSH pipeline: the integer signature is exact
     // in both engines (products < 2^53), banding/candidates/ranking mirror

@@ -36,19 +36,35 @@ object Similarity {
     * (query_id, rank, neighbor_id), rank 1..k by descending cosine with
     * vec_id as the deterministic tiebreak. Self-pairs excluded. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    bruteForceScores(emb, queryPred).withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** All (query, candidate) cosine scores — shared by the window and
+    * aggregator top-k formulations. */
+  private def bruteForceScores(emb: DataFrame, queryPred: Column): DataFrame = {
     val en = emb.withColumn("nrm", norm(col("embedding")))
     val q = en.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val scored = en.crossJoin(broadcast(q))
+    en.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
+
+  /** [[bruteForceTopK]] with the bounded typed Aggregator
+    * (graft.scale.TopK) in place of the ranking window: identical output
+    * (same score comparisons, same id tiebreak), but each aggregation
+    * buffer holds k entries instead of sorting a query's full candidate
+    * list — the scale formulation when candidates-per-query is huge.
+    * Driver-checked against the SAME oracle as the window version. */
+  def bruteForceTopKAgg(emb: DataFrame, queryPred: Column, k: Int): DataFrame =
+    graft.scale.TopK.topKPerKey(
+      bruteForceScores(emb, queryPred), "query_id", "vec_id", "score", k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
 
   val NumPlanes = 16
 

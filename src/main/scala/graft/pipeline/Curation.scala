@@ -82,6 +82,27 @@ object Curation {
         sum(col("n_tokens").cast("long")).as("n_tokens"),
         sum(when(col("quality_bucket") === 3, 1L).otherwise(0L)).as("n_quality_docs"))
 
+  /** Windowed corpus monitoring — the continuous form of [[corpusStats]]:
+    * per (event-time window, source), document/token/quality totals over a
+    * document stream. The quality annotator is the same map-side column
+    * add, so the aggregation is an ordinary watermarked windowed groupBy —
+    * state per (window, source) only, emitted on window close (append
+    * mode). `docs` must carry an event timestamp `ts`. Batch/stream
+    * parity is spec-pinned (the identical plan runs on a bounded frame).
+    * Output: (window_start epoch-seconds, source, n_docs, n_tokens,
+    * n_quality_docs). */
+  def corpusStatsWindowed(docs: DataFrame, windowLen: String = "5 minutes",
+      watermark: Boolean = true): DataFrame = {
+    val src = if (watermark) docs.withWatermark("ts", "10 minutes") else docs
+    TextAnalysis.withQuality(src)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(when(col("quality_bucket") === 3, 1L).otherwise(0L)).as("n_quality_docs"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("source"),
+        col("n_docs"), col("n_tokens"), col("n_quality_docs"))
+  }
+
   /** Streaming corpus intake: the same quality gate as [[curate]] applied
     * map-side to a document STREAM, then cross-batch first-seen exact dedup
     * via the hash-partitioned state store

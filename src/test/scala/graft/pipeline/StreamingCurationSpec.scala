@@ -25,6 +25,33 @@ class StreamingCurationSpec extends SparkSpec {
     assert(out == Set(1L, 4L))
   }
 
+  test("corpusStatsWindowed: stream equals the batch plan on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, t(0), good, "web"), (2L, t(1), "tiny", "web"),
+      (3L, t(2), good + " x", "code"), (4L, t(7), good, "web"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val q = Curation.corpusStatsWindowed(
+        mem.toDF().toDF("doc_id", "ts", "text", "source"))
+      .writeStream.format("memory").queryName("cw").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cw").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    q.stop()
+    val batch = Curation.corpusStatsWindowed(
+        rows.toDF("doc_id", "ts", "text", "source"), watermark = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed == batch)
+    // two web docs in the 10:00 window, one of them quality
+    assert(batch.exists { case (_, s, d, _, ql) => s == "web" && d == 2 && ql == 1 })
+  }
+
   test("curateStream quality gate agrees with batch curate on the same docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -313,6 +313,13 @@ object SparkEntry {
       EventStream.rangeJoin(ev, bands, "value", bucketWidth = 50.0)
         .select(col("event_id"), col("tier")).orderBy("event_id", "tier")
     }),
+    "events_funnel" -> ((s, dir) =>
+      // view -> click -> purchase conversion; micros so both engines see
+      // identical ts comparisons (DuckDB truncates the nanos timestamps)
+      EventStream.funnel(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", expr("ts div 1000")),
+        Seq("view", "click", "purchase")).orderBy("stage")),
     "events_asof" -> ((s, dir) => {
       // point-in-time enrichment: each click gets the latest preceding view
       // (same user). The join runs at MICROsecond precision on both sides:
@@ -499,6 +506,8 @@ object SparkEntry {
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2",
     "events_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
+    "events_funnel" ->
+      "WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), q2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q1 ON q1.user_id = e.user_id AND e.ts >= q1.t WHERE e.event_type = 'click' GROUP BY 1), q3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q2 ON q2.user_id = e.user_id AND e.ts >= q2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM q1 UNION ALL SELECT 2, 'click', COUNT(*) FROM q2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM q3 ORDER BY 1",
     "events_range" ->
       "WITH b(lo, hi, tier) AS (VALUES (0.0, 10.0, 'xs'), (5.0, 50.0, 'mid'), (50.0, 200.0, 'large'), (200.0, 1000.0, 'xl')) SELECT e.event_id, b.tier FROM events e JOIN b ON b.lo <= e.value AND e.value < b.hi ORDER BY 1, 2",
     "events_asof" ->

@@ -34,6 +34,31 @@ object EventStream {
         col("n_events"))
   }
 
+  /** Ordered conversion funnel: stage k counts the users whose FIRST
+    * qualifying stage-k event occurs at-or-after their stage-(k-1)
+    * qualifying time (stage 1 qualifies unconditionally) — events in the
+    * wrong order do NOT count. Relational shape: per stage one equi-join
+    * on the user against the previous stage's per-user qualifying times
+    * plus a min aggregation — no per-user event-sequence materialization,
+    * no windows; every step is a map-side-combinable aggregate over a
+    * hash join on user_id. Output: (stage, event_type, n_users). */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    var prev: DataFrame = null
+    val counts = stages.zipWithIndex.map { case (st, i) =>
+      val ev = events.filter(col("event_type") === st)
+      val q =
+        if (i == 0) ev.groupBy("user_id").agg(min("ts").as("qts"))
+        else ev.join(prev.select(col("user_id"), col("qts").as("pts")), "user_id")
+          .filter(col("ts") >= col("pts"))
+          .groupBy("user_id").agg(min("ts").as("qts"))
+      prev = q
+      q.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"), col("n_users"))
+    }
+    counts.reduce(_.unionAll(_))
+  }
+
   /** Range join: each left row gets the ranges [lo, hi) that contain
     * `valueCol`. Spark plans a plain `lo <= v AND v < hi` join as
     * BroadcastNestedLoopJoin — fine for a literal band table, quadratic

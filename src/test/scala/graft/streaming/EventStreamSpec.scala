@@ -74,6 +74,21 @@ class EventStreamSpec extends SparkSpec {
     assert(r(4L) == ((None, None)))             // user 2 has no right rows
   }
 
+  test("funnel: order matters, wrong-order users do not convert") {
+    import spark.implicits._
+    val ev = Seq( // (user, ts, type)
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full funnel
+      (2L, 10L, "view"), (2L, 20L, "click"),                        // stops at click
+      (3L, 20L, "click"), (3L, 30L, "view"),                        // wrong order
+      (4L, 10L, "view"), (4L, 10L, "click"), (4L, 9L, "purchase"))  // tie counts; early purchase doesn't
+      .toDF("user_id", "ts", "event_type")
+    val r = EventStream.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(x => x.getInt(0) -> x.getLong(2)).toMap
+    assert(r(1) == 4L) // users 1..4 all viewed
+    assert(r(2) == 3L) // 1, 2, 4 clicked at/after their first view; 3 did not
+    assert(r(3) == 1L) // only user 1 purchased after clicking
+  }
+
   test("rangeJoin: bucketized join equals the brute-force theta join") {
     import spark.implicits._
     val left = (0 until 200).map(i => (i.toLong, i * 0.37 % 25)).toDF("id", "v")

@@ -53,6 +53,10 @@ object ExplainAudit {
           .select("user_id", "ts", "value"),
         "user_id", "ts", Seq("ts", "value")))
     }
+    if (which == "all" || which == "funnel")
+      show("events_funnel", graft.streaming.EventStream.funnel(
+        spark.read.parquet(s"$dir/events.parquet"),
+        Seq("view", "click", "purchase")))
     spark.stop()
   }
 }

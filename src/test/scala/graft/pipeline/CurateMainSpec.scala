@@ -36,6 +36,28 @@ class CurateMainSpec extends SparkSpec {
     assert(r == Map(10L -> true, 60L -> false, 20L -> false, 30L -> false, 40L -> false))
   }
 
+  test("run: parquet in -> decision table + stats parquet out (e2e)") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("curate").toString
+    docs((1L, good, "web"), (2L, "tiny", "web"), (3L, good + " more", "code"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.parquet(s"$tmp/in")
+    CurateMain.run(spark, CurateMain.parseArgs(Seq(
+      "--output", s"$tmp/out", "--stats", s"$tmp/stats",
+      "--mix", "code:0", s"$tmp/in")))
+    val out = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    // 1 kept; 2 fails quality; 3 good but its source is mixed out
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+    val stats = spark.read.parquet(s"$tmp/stats")
+    assert(stats.columns.toSet ==
+      Set("source", "lang", "n_docs", "n_tokens", "n_quality_docs"))
+    assert(stats.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head.getLong(0) == 3L)
+    assert(spark.read.parquet(s"$tmp/out")
+      .filter(col("kept_mix")).count() == 2) // web docs survive mixing
+  }
+
   test("decide without mix/budget equals plain curate keep") {
     val d = docs((1L, good, "a"), (2L, "small", "b"))
     val r = CurateMain.decide(d, CurateMain.Config()).collect()

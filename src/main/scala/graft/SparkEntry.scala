@@ -202,6 +202,33 @@ object SparkEntry {
       "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank"
   }
 
+  /** Shared quantized-embedding CTE for the LSH oracles (mirrors
+    * Similarity.signatureInt's floor(x*1024) quantization). */
+  private val q0Cte: String =
+    s"q0 AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*${Similarity.QuantScale}) AS BIGINT)) AS qe FROM embeddings)"
+
+  /** LSH top-k CTE chain for one (numPlanes, bandBits) signature config over
+    * the shared `q0` CTE — full SQL replication of Similarity.lshTopK (the
+    * integer signature is exact in both engines: products < 2^53). Final
+    * CTE: r$sfx(query_id, vec_id, rnk). */
+  private def lshTopKCtes(numPlanes: Int, bandBits: Int, sfx: String): String = {
+    val sigBits = Similarity.intPlanes(64, numPlanes).zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product(qe, ${p.mkString("[", ",", "]")}) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+    }.mkString(" | ")
+    val bands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    s"sig$sfx AS (SELECT vec_id, ($sigBits) AS sg FROM q0), " +
+      s"b$sfx AS (SELECT vec_id, band, ((sg >> (band*$bandBits)) & $mask) AS bucket FROM sig$sfx CROSS JOIN (SELECT unnest(generate_series(0,${bands - 1})) AS band)), " +
+      s"qb$sfx AS (SELECT vec_id AS query_id, band, bucket FROM b$sfx WHERE vec_id % 100 = 0), " +
+      s"cand$sfx AS (SELECT DISTINCT q.query_id, x.vec_id FROM b$sfx x JOIN qb$sfx q ON x.band = q.band AND x.bucket = q.bucket AND x.vec_id <> q.query_id), " +
+      s"sc$sfx AS (SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.embedding, ev.embedding) AS score FROM cand$sfx c JOIN embeddings eq ON eq.vec_id = c.query_id JOIN embeddings ev ON ev.vec_id = c.vec_id), " +
+      s"r$sfx AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM sc$sfx)"
+  }
+
+  /** Band configs swept by sim_lsh_recall: the pinned 16/4 default and the
+    * scale layout (64 planes / 16-bit bands = 65k buckets per band). */
+  private val lshRecallConfigs = Seq((16, 4), (64, 16))
+
   private def langScoreSql(lang: String, words: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text,' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS INTEGER) AS s_$lang"
 
@@ -398,6 +425,9 @@ object SparkEntry {
     "sim_topk_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), col("vec_id") % 100 === 0, 10, dims = 64)
         .orderBy("query_id", "rank")),
+    "sim_lsh_recall" -> ((s, dir) => // band-layout tuning sweep vs brute force
+      Similarity.lshRecall(emb(s, dir), col("vec_id") % 100 === 0, 10, dims = 64,
+        lshRecallConfigs).orderBy("num_planes")),
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
         .orderBy("query_id", "rank")),
@@ -581,18 +611,24 @@ object SparkEntry {
     // in both engines (products < 2^53), banding/candidates/ranking mirror
     // Similarity.lshTopK, and scoring reuses the brute-force oracle's
     // list_cosine_similarity
-    "sim_topk_lsh" -> {
-      val sigBits = Similarity.intPlanes(64).zipWithIndex.map { case (p, i) =>
-        s"CASE WHEN list_dot_product(qe, ${p.mkString("[", ",", "]")}) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
-      }.mkString(" | ")
-      s"WITH q0 AS (SELECT vec_id, embedding, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*${Similarity.QuantScale}) AS BIGINT)) AS qe FROM embeddings), " +
-        s"sig AS (SELECT vec_id, ($sigBits) AS sg FROM q0), " +
-        "b AS (SELECT vec_id, band, ((sg >> (band*4)) & 15) AS bucket FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS band)), " +
-        "qb AS (SELECT vec_id AS query_id, band, bucket FROM b WHERE vec_id % 100 = 0), " +
-        "cand AS (SELECT DISTINCT q.query_id, x.vec_id FROM b x JOIN qb q ON x.band = q.band AND x.bucket = q.bucket AND x.vec_id <> q.query_id), " +
-        "sc AS (SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.embedding, ev.embedding) AS score FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id JOIN embeddings ev ON ev.vec_id = c.vec_id), " +
-        "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
-        "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank"
+    "sim_topk_lsh" ->
+      s"WITH $q0Cte, ${lshTopKCtes(16, 4, "")} SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank",
+    // per-config LSH replicas joined against the brute-force top-k; both
+    // pipelines are the already-proven oracles, so the hit counts are exact
+    "sim_lsh_recall" -> {
+      val ctes = lshRecallConfigs.zipWithIndex.map { case ((np, bb), i) =>
+        lshTopKCtes(np, bb, s"_$i")
+      }.mkString(", ")
+      val hits = lshRecallConfigs.indices.map(i =>
+        s"h_$i AS (SELECT COUNT(*) AS n FROM r_$i l JOIN br b ON b.query_id = l.query_id AND b.vec_id = l.vec_id WHERE l.rnk <= 10)").mkString(", ")
+      val branches = lshRecallConfigs.zipWithIndex.map { case ((np, bb), i) =>
+        s"SELECT $np AS num_planes, $bb AS band_bits, nq.n AS n_queries, h_$i.n AS n_hits, CAST(floor(100*h_$i.n/(10*nq.n)) AS BIGINT) AS recall_pct FROM h_$i CROSS JOIN nq"
+      }.mkString(" UNION ALL ")
+      s"WITH $q0Cte, qq AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id % 100 = 0), " +
+        "bs AS (SELECT qq.query_id, e.vec_id, list_cosine_similarity(qq.qemb, e.embedding) AS score FROM qq, embeddings e WHERE e.vec_id <> qq.query_id), " +
+        "br AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM bs) WHERE rnk <= 10), " +
+        "nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n FROM br), " +
+        s"$ctes, $hits SELECT * FROM ($branches) ORDER BY num_planes"
     },
     "sim_topk_ivf" -> ivfOracleSql,
     // float-cast centroids absorb double summation noise (the IVF oracle's

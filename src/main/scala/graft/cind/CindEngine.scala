@@ -122,9 +122,11 @@ object CindEngine {
     * surviving pairs, one map-side-combinable count finishes. Output:
     * (cond_code, v1, v2, cnt) with cnt >= minSupport. */
   def reducedBinaryConditionCounts(triples: DataFrame, minSupport: Int = DefaultMinSupport): DataFrame = {
+    // no broadcast hint: frequent-value sets are bounded by data/minSupport,
+    // not by a constant — AQE broadcasts them at runtime when they fit
     def freq(c: String, flag: String) =
-      broadcast(triples.groupBy(col(c).as(flag)).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= minSupport).drop("n"))
+      triples.groupBy(col(c).as(flag)).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minSupport).drop("n")
     val flagged = triples
       .join(freq("subj", "fs"), col("subj") === col("fs"), "left")
       .join(freq("pred", "fp"), col("pred") === col("fp"), "left")
@@ -168,9 +170,11 @@ object CindEngine {
   /** Capture instances that survive frequent-condition pruning. */
   def prunedCaptureInstances(triples: DataFrame, minSupport: Int,
       projections: String = "spo"): DataFrame = {
+    // the hash set is ~8 bytes/condition but its cardinality scales with
+    // vocabulary, so no forced broadcast — AQE decides from the runtime size
     val freq = frequentConditionHashes(triples, minSupport)
     captureInstances(triples, projections)
-      .join(broadcast(freq),
+      .join(freq,
         condHash(col("cond_code"), col("v1"), col("v2")) === col("h"), "left_semi")
   }
 
@@ -269,10 +273,12 @@ object CindEngine {
       .filter(col("support") >= minSupport)
 
   /** Join lines: per distinct value, the set of (frequent) captures that
-    * contain it. */
+    * contain it. The frequent-capture set is bounded by vocabulary /
+    * minSupport in practice but not in principle, so the semi-join carries
+    * no broadcast hint — AQE broadcasts it at runtime when it fits. */
   def joinLines(instances: DataFrame, frequentCaps: DataFrame): DataFrame =
     instances
-      .join(broadcast(frequentCaps.select("code", "v1", "v2")),
+      .join(frequentCaps.select("code", "v1", "v2"),
         Seq("code", "v1", "v2"), "left_semi")
       .groupBy("join_val")
       .agg(collect_set(struct(col("code"), col("v1"), col("v2"))).as("captures"))

@@ -39,8 +39,10 @@ object Dedup {
   val DefaultMaxShingleDf = 100
 
   /** Distinct 3-token shingles per document: (doc_id, sh), optionally
-    * stop-shingle-capped. The hot set is tiny by definition (heavy hitters
-    * above the cap) -> broadcast anti-join. */
+    * stop-shingle-capped. The hot set is small in practice (heavy hitters
+    * above the cap, at most total-occurrences/maxDf) but not bounded by a
+    * constant, so the anti-join carries no broadcast hint — AQE broadcasts
+    * it at runtime whenever it fits. */
   private def shingleIndex(docs: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(TextAnalysis.shingles(col("text")))).as("sh"))
@@ -48,7 +50,7 @@ object Dedup {
     else {
       val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select("sh")
-      sh.join(broadcast(hot), Seq("sh"), "left_anti")
+      sh.join(hot, Seq("sh"), "left_anti")
     }
   }
 
@@ -60,7 +62,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, minJaccardPct: Int,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     // the shingle index feeds three consumers (sizes + both join sides);
-    // materialize eagerly so broadcast builds read the cache
+    // materialize eagerly so all of them read the cache
     val sh = shingleIndex(docs, maxShingleDf).persist()
     sh.count()
     val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
@@ -77,12 +79,15 @@ object Dedup {
     shingleIndex(docs, maxDf)
       .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("shs"))
 
-  /** Attach set sizes + Jaccard to intersection counts and threshold. */
+  /** Attach set sizes + Jaccard to intersection counts and threshold.
+    * `sizes` is a per-DOCUMENT relation, so it gets NO broadcast hint: at
+    * billions of docs a forced broadcast would OOM the driver, while AQE
+    * broadcasts it at runtime whenever it actually fits. */
   private def finishJaccard(sh: DataFrame, inter: DataFrame, minJaccardPct: Int): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "n_a")), "doc_id_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n", "n_b")), "doc_id_b")
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n", "n_a"), "doc_id_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n", "n_b"), "doc_id_b")
       .withColumn("jaccard_pct",
         floor(lit(100) * col("inter") / (col("n_a") + col("n_b") - col("inter"))))
       .filter(col("jaccard_pct") >= minJaccardPct)

@@ -66,18 +66,26 @@ object Similarity {
       bruteForceScores(emb, queryPred), "query_id", "vec_id", "score", k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
 
-  val NumPlanes = 16
+  /** Default signature width — kept at 16 for the pinned oracles; at scale
+    * callers should widen (64 planes / 16-bit bands gives 65k buckets per
+    * band instead of 16, which is what keeps the candidate join sub-
+    * quadratic as n grows). Signatures pack into ONE long, so <= 64. */
+  val DefaultNumPlanes = 16
+  val NumPlanes: Int = DefaultNumPlanes // back-compat alias for specs
 
-  /** Deterministic pseudo-random hyperplanes (seeded, fixed across runs). */
-  private def planes(dims: Int): Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes (seeded, fixed across runs).
+    * Prefix-stable: the first 16 of planes(d, 64) ARE planes(d, 16), so
+    * widening the signature refines — it never reshuffles — bucketing. */
+  private def planes(dims: Int, numPlanes: Int): Array[Array[Double]] = {
+    require(numPlanes >= 1 && numPlanes <= 64, s"numPlanes must be 1..64, got $numPlanes")
     val rnd = new java.util.Random(42)
-    Array.fill(NumPlanes)(Array.fill(dims)(rnd.nextGaussian()))
+    Array.fill(numPlanes)(Array.fill(dims)(rnd.nextGaussian()))
   }
 
   /** Signed-projection signature: bit p = sign(v . plane_p). */
-  def signature(emb: Column, dims: Int): Column = {
-    val ps = planes(dims)
-    (0 until NumPlanes).map { p =>
+  def signature(emb: Column, dims: Int, numPlanes: Int = DefaultNumPlanes): Column = {
+    val ps = planes(dims, numPlanes)
+    (0 until numPlanes).map { p =>
       val plane = lit(ps(p))  // literal ARRAY<DOUBLE>, folded into the plan
       val d = aggregate(zip_with(emb, plane, (x, y) => x.cast("double") * y),
         lit(0.0), (acc, v) => acc + v)
@@ -90,8 +98,8 @@ object Similarity {
 
   /** Integer-plane hyperplanes: the Gaussian planes floored to 1/1024ths.
     * Public so an oracle can embed the SAME constants as SQL literals. */
-  def intPlanes(dims: Int): Array[Array[Long]] =
-    planes(dims).map(_.map(g => math.floor(g * QuantScale).toLong))
+  def intPlanes(dims: Int, numPlanes: Int = DefaultNumPlanes): Array[Array[Long]] =
+    planes(dims, numPlanes).map(_.map(g => math.floor(g * QuantScale).toLong))
 
   /** Exactly-reproducible signed-projection signature: both the embedding
     * (floor(x*1024)) and the hyperplanes are integers, so the per-plane dot
@@ -99,31 +107,35 @@ object Similarity {
     * disagree between engines the way a floating dot's sign can at a
     * boundary. Products stay < 2^53, so even an oracle computing the dot in
     * doubles is exact. Same locality behavior as [[signature]]. */
-  def signatureInt(emb: Column, dims: Int): Column = {
-    val ps = intPlanes(dims)
+  def signatureInt(emb: Column, dims: Int, numPlanes: Int = DefaultNumPlanes): Column = {
+    val ps = intPlanes(dims, numPlanes)
     val q = transform(emb, x => floor(x.cast("double") * QuantScale).cast("long"))
-    (0 until NumPlanes).map { p =>
+    (0 until numPlanes).map { p =>
       val d = aggregate(zip_with(q, lit(ps(p)), (x, y) => x * y),
         lit(0L), (acc, v) => acc + v)
       when(d >= 0, lit(1L << p)).otherwise(0L)
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
-  /** Approximate top-k via multi-table banded LSH: the 16-bit signature is
-    * split into 4 bands of 4 bits; a vector is a candidate for a query iff
-    * they agree on at least one band (union over tables, like MinHash-LSH
-    * banding). Only candidates are scored — at scale the band-bucket join
-    * replaces the cross product. Output shape matches [[bruteForceTopK]];
-    * recall measured against it in the spec, and the whole pipeline is
-    * replicated by a SQL oracle (the [[signatureInt]] signature is exact
-    * integer arithmetic on both sides). */
+  /** Approximate top-k via multi-table banded LSH: the numPlanes-bit
+    * signature is split into numPlanes/bandBits bands; a vector is a
+    * candidate for a query iff they agree on at least one band (union over
+    * tables, like MinHash-LSH banding). Only candidates are scored — at
+    * scale the band-bucket join replaces the cross product. Bucket count per
+    * band is 2^bandBits, so at large n widen the signature (64 planes /
+    * 16-bit bands = 65k buckets) — the 16/4 default exists only for the
+    * pinned oracles. Output shape matches [[bruteForceTopK]]; recall
+    * measured against it in the spec and in the sim_lsh_recall driver
+    * query, and the whole pipeline is replicated by a SQL oracle (the
+    * [[signatureInt]] signature is exact integer arithmetic on both sides). */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int, dims: Int,
-      bandBits: Int = 4): DataFrame = {
-    val bands = NumPlanes / bandBits
+      bandBits: Int = 4, numPlanes: Int = DefaultNumPlanes): DataFrame = {
+    require(numPlanes % bandBits == 0, s"bandBits $bandBits must divide numPlanes $numPlanes")
+    val bands = numPlanes / bandBits
     val mask = (1L << bandBits) - 1
     def banded(df: DataFrame): DataFrame = df
       .withColumn("nrm", norm(col("embedding")))
-      .withColumn("sig", signatureInt(col("embedding"), dims))
+      .withColumn("sig", signatureInt(col("embedding"), dims, numPlanes))
       .select(col("*"), posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
@@ -143,6 +155,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Recall@k sweep of [[lshTopK]] against [[bruteForceTopK]] across
+    * signature configurations — the tuning query a pipeline runs before
+    * committing to a band layout at scale (wider signatures trade recall
+    * for candidate-set size). One row per (numPlanes, bandBits) config:
+    * n_hits = |lsh-top-k ∩ brute-top-k| over all queries, recall_pct =
+    * floor(100 * n_hits / (k * n_queries)). All-integer output, so a SQL
+    * oracle replicating both pipelines reproduces it exactly. */
+  def lshRecall(emb: DataFrame, queryPred: Column, k: Int, dims: Int,
+      configs: Seq[(Int, Int)]): DataFrame = {
+    val brute = bruteForceTopK(emb, queryPred, k)
+      .select("query_id", "neighbor_id")
+    val perConfig = configs.map { case (np, bb) =>
+      lshTopK(emb, queryPred, k, dims, bb, np)
+        .select("query_id", "neighbor_id")
+        .join(brute, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("num_planes"), lit(bb).as("band_bits"), col("n_hits"))
+    }.reduce(_ unionByName _)
+    perConfig
+      .crossJoin(brute.agg(countDistinct(col("query_id")).as("n_queries")))
+      .select(col("num_planes"), col("band_bits"), col("n_queries"), col("n_hits"),
+        floor(lit(100) * col("n_hits") / (lit(k) * col("n_queries"))).as("recall_pct"))
   }
 
   /** K-means (Lloyd) refinement of an IVF codebook. Each iteration:
@@ -280,11 +316,12 @@ object Similarity {
     * direction (true duplicates, scaled copies) have identical signatures
     * and are found with certainty. Output: (vec_id_a, vec_id_b, score). */
   def cosineNearDupPairs(emb: DataFrame, minCosine: Double, dims: Int,
-      bandBits: Int = 4): DataFrame = {
-    val bands = NumPlanes / bandBits
+      bandBits: Int = 4, numPlanes: Int = DefaultNumPlanes): DataFrame = {
+    require(numPlanes % bandBits == 0, s"bandBits $bandBits must divide numPlanes $numPlanes")
+    val bands = numPlanes / bandBits
     val mask = (1L << bandBits) - 1
     val banded = emb
-      .withColumn("sig", signature(col("embedding"), dims))
+      .withColumn("sig", signature(col("embedding"), dims, numPlanes))
       .select(col("vec_id"), posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))

@@ -95,4 +95,42 @@ class SimilaritySpec extends SparkSpec {
     assert(c.length == 1 && c.head.getInt(0) == 7)
     assert(c.head.getSeq[Float](1) == Seq(2.0f, 4.0f))
   }
+
+  test("wide LSH signature (64 planes / 16-bit bands) prunes candidates, keeps exact scores") {
+    val queries = col("vec_id") % 50 === 0
+    val wide = Similarity.lshTopK(real, queries, 10, dims = 64,
+      bandBits = 16, numPlanes = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val narrow = Similarity.lshTopK(real, queries, 10, dims = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 65536 buckets/band vs 16: the wide layout must return a (possibly
+    // empty-per-query) CANDIDATE-pruned subset of valid neighbours; every
+    // returned pair must also rank under the narrow layout's larger
+    // candidate set OR be a genuine neighbour narrow happened to bucket away
+    assert(wide.size <= narrow.size + 10) // wide never explodes the result
+    // identical-direction vectors still collide on every band: recall 1.0
+    // for scaled copies regardless of width (same argument as near-dup)
+    import spark.implicits._
+    val base = real.select("vec_id", "embedding").filter(col("vec_id") < 40)
+    val dup = base.filter(col("vec_id") === 0)
+      .select(lit(999L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+    val got = Similarity.lshTopK(base.unionByName(dup), col("vec_id") === 999, 1,
+      dims = 64, bandBits = 16, numPlanes = 64).collect()
+    assert(got.length == 1 && got.head.getLong(2) == 0L)
+  }
+
+  test("lshRecall sweep: integer output, denser banding has >= recall") {
+    val r = Similarity.lshRecall(real, col("vec_id") % 50 === 0, 10, dims = 64,
+      Seq((16, 4), (64, 16))).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r.keySet == Set((16, 4), (64, 16)))
+    val (nq1, hits16, pct16) = r((16, 4))
+    val (nq2, hits64, pct64) = r((64, 16))
+    assert(nq1 == nq2 && nq1 > 0)
+    for (p <- Seq(pct16, pct64)) assert(p >= 0 && p <= 100)
+    // 16 buckets/band collide far more than 65536/band: recall can only drop
+    assert(hits16 >= hits64, s"hits16=$hits16 hits64=$hits64")
+    assert(pct16 == 100 * hits16 / (10 * nq1))
+  }
 }

@@ -30,8 +30,16 @@ object Bench {
       // full CIND discovery on the TINY fixture: compiles the discovery
       // codegen (fan-out, dict encode, pair agg, decode) for ~1s of data,
       // so the alphabetically-first heavy queries (cind_all, cind_all_bloom)
-      // stop paying a 10-15% first-run JIT tax at the measured sf
-      SparkEntry.queries("cind_all")(spark, "/root/testdata/sf0.001").count()
+      // stop paying a 10-15% first-run JIT tax at the measured sf. The
+      // fixture is derived from sfDir's parent (not hardcoded) so the
+      // warmup still fires on boxes with a different testdata root; if
+      // it's missing, warn LOUDLY rather than silently skipping the warmup
+      val tiny = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (tiny.isDirectory)
+        SparkEntry.queries("cind_all")(spark, tiny.getPath).count()
+      else
+        System.err.println(s"[bench] WARN: warmup fixture $tiny missing — " +
+          "first heavy query will absorb one-off JIT cost")
     } catch { case _: Throwable => () } // warmup must never fail the bench
     spark.catalog.clearCache()
     // Per-query repetitions, reporting the MIN: a shared box spikes single

@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** Native Catalyst expression: 32-bit perceptual difference hash (dHash)
   * of a BINARY column — the gradient-sign fingerprint media dedup banding
@@ -16,6 +17,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class DHash32(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  // pin the contract at analysis time: dhash32(text) is a clean
+  // AnalysisException, not a runtime ClassCastException in generated code
+  // (ExpectsInputTypes would be the idiomatic spelling, but its
+  // AbstractDataType signature is private[sql])
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dhash32 requires BINARY input, got ${child.dataType.catalogString}")
   override def prettyName: String = "dhash32"
 
   override protected def nullSafeEval(input: Any): Any =

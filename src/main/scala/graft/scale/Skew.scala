@@ -13,8 +13,11 @@ object Skew {
 
   /** Inner equi-join where `left` is large and skewed on `key` and `right`
     * is mid-sized (too big to broadcast, small enough to replicate
-    * `salts`x). Each left row takes a DETERMINISTIC salt from its own
-    * content hash; the right side replicates once per salt value; the join
+    * `salts`x). Each left row's salt mixes its content hash with a
+    * per-row uniform component (monotonically_increasing_id — stable
+    * within a run): content hash alone would send fully-duplicate rows of
+    * a hub key to ONE salt, re-creating exactly the skew the salt exists
+    * to spread. The right side replicates once per salt value; the join
     * key becomes (key, salt) — a hub key's rows now land in `salts`
     * different partitions. AQE's skew-join split handles sort-merge skew
     * at runtime, but only at partition granularity AFTER a shuffle exists;
@@ -24,7 +27,8 @@ object Skew {
       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(left.columns.map(col) :+ monotonically_increasing_id(): _*),
+        lit(salts)).cast("int"))
     val saltedRight = right.crossJoin(
       right.sparkSession.range(salts).select(col("id").cast("int").as("_salt")))
     saltedLeft.join(saltedRight,
@@ -50,8 +54,4 @@ object Skew {
       .agg(array_sort(array_distinct(flatten(collect_list(col("_part")))))
         .as("values"))
   }
-
-  /** The salt expression used for left rows, exposed for composition. */
-  def saltOf(cols: Seq[Column], salts: Int): Column =
-    pmod(xxhash64(cols: _*), lit(salts)).cast("int")
 }

@@ -34,13 +34,16 @@ object StreamingDedup {
   /** [[firstSeen]] with BOUNDED state: on an unbounded stream the plain
     * variant keeps one state entry per content hash forever — state grows
     * with all-time distinct content. Here each hash's entry carries an
-    * event-time TTL (timeout = first-seen event time + ttl, fired once the
+    * event-time TTL (timeout = the LATEST event time in the first-seen
+    * micro-batch + ttl, clamped above the current watermark, fired once the
     * watermark passes it), so state size is bounded by the distinct hashes
     * arriving within one TTL window. The documented tradeoff: a duplicate
     * arriving more than `ttl` after its original is re-admitted as new —
     * the standard bounded-state dedup contract (same as any windowed
     * dedup / dropDuplicatesWithinWatermark). `docs` must carry an event
-    * timestamp `ts`; `watermarkDelay` bounds lateness as usual. */
+    * timestamp `ts`; `watermarkDelay` bounds lateness as usual — rows
+    * strictly behind the watermark are dropped by the engine before they
+    * reach the group function (spec-pinned). */
   def firstSeenTtl(docs: DataFrame, ttl: String,
       watermarkDelay: String = "0 seconds"): Dataset[HashedDoc] = {
     import docs.sparkSession.implicits._
@@ -67,8 +70,15 @@ object StreamingDedup {
           } else {
             val batch = rows.toArray
             state.update(true)
+            // the timeout must sit strictly beyond the current watermark or
+            // setTimeoutTimestamp throws and kills the whole query: a first
+            // arrival already more than ttl behind the watermark (late data
+            // admitted by a generous watermarkDelay) clamps to watermark+1ms
+            // — it expires at the next trigger, the closest legal encoding
+            // of "already expired"
+            val raw = batch.iterator.map(_._2.getTime).max + ttlMillis
             state.setTimeoutTimestamp(
-              batch.iterator.map(_._2.getTime).max + ttlMillis)
+              math.max(raw, state.getCurrentWatermarkMs() + 1))
             val first = batch.minBy(_._1)
             Iterator.single(HashedDoc(first._1, hash))
           })

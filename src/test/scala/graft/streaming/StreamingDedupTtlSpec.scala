@@ -30,6 +30,35 @@ class StreamingDedupTtlSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 4L))
   }
 
+  test("firstSeenTtl: rows behind the watermark are dropped pre-operator; boundary rows clamp, not crash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingDedup.firstSeenTtl(
+        mem.toDF().toDF("doc_id", "ts", "text"), ttl = "30 minutes",
+        watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("ttl3").outputMode("append").start()
+    mem.addData((1L, ts(300), "future content")) // watermark -> 15:00 - 2h = 13:00
+    q.processAllAvailable()
+    // strictly-late first arrival (10:00 < watermark 13:00): the engine's
+    // late-row filter drops it BEFORE the group function, so it neither
+    // emits nor reaches setTimeoutTimestamp — no crash path
+    mem.addData((2L, ts(0), "stale content"))
+    q.processAllAvailable()
+    // boundary first arrival: ts just past the watermark (equality is
+    // dropped too) survives the late filter, and ts + ttl lands past the
+    // watermark — legal timeout (the max(.., watermark+1ms) clamp covers
+    // ttl ~ 0 configurations where ts + ttl would NOT clear the watermark
+    // and would otherwise kill the query)
+    mem.addData((4L, ts(181), "boundary content"))
+    q.processAllAvailable()
+    mem.addData((3L, ts(310), "third content"))
+    q.processAllAvailable()
+    val out = spark.table("ttl3").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(out == Set(1L, 4L, 3L)) // stale row dropped; boundary row emitted
+  }
+
   test("firstSeenTtl: within-TTL behavior matches plain firstSeen") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

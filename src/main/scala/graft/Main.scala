@@ -16,15 +16,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *   --output PATH         write CINDs as text (reference data/Cind.scala:31-34 format)
   *   --ar-output PATH      write association rules as text
   *   --support N           minimum support (default 10)
-  *   --strategy S          count-match | intersect | tworound  (default count-match;
-  *                         reference traversal strategies 0/1 vs 2/3 analog)
-  *   --use-ars             association-rule pruning (reference --use-ars)
+  *   --strategy S          count-match | intersect | tworound | small-to-large
+  *                         (default count-match; reference traversal
+  *                         strategies 0 / 1 / 2-3 analogs — small-to-large is
+  *                         the reference default's staged arity ladder)
+  *   --use-ars             association-rule pruning (reference --use-ars);
+  *                         composes with every strategy
   *   --use-bloom           Bloom-filtered frequency pruning, filters sized by
   *                         a sampled triple-count estimate (reference
-  *                         --use-fis sizing rule; results identical)
+  *                         --use-fis sizing rule; results identical);
+  *                         composes with every strategy
   *   --projection ATTRS    which of s/p/o to project (reference --projection,
-  *                         default spo)
+  *                         default spo); composes with every strategy
   *   --clean-implied       minimality pruning (reference --clean-implied)
+  *   --debug-counts        print per-stage row counters (reference
+  *                         accumulator counters, operators/CountItems.scala)
   *   --distinct-triples    dedup triples first
   *   --asciify-triples     7-bit-fold non-ASCII values
   *   --apply-hash          replace terms by short hashes
@@ -48,6 +54,7 @@ object Main {
       asciify: Boolean = false,
       applyHash: Boolean = false,
       prefixFiles: Vector[String] = Vector.empty,
+      debugCounts: Boolean = false,
       master: String = "local[*]")
 
   def parseArgs(args: Seq[String]): Config = {
@@ -66,6 +73,7 @@ object Main {
       case "--asciify-triples" :: t   => loop(t, c.copy(asciify = true))
       case "--apply-hash" :: t        => loop(t, c.copy(applyHash = true))
       case "--prefixes" :: v :: t     => loop(t, c.copy(prefixFiles = c.prefixFiles :+ v))
+      case "--debug-counts" :: t      => loop(t, c.copy(debugCounts = true))
       case "--master" :: v :: t       => loop(t, c.copy(master = v))
       case flag :: _ if flag.startsWith("--") =>
         throw new IllegalArgumentException(s"unknown flag $flag")
@@ -73,7 +81,7 @@ object Main {
     }
     val c = loop(args.toList, Config())
     require(c.inputs.nonEmpty, "at least one input path is required")
-    require(Set("count-match", "intersect", "tworound")(c.strategy),
+    require(Set("count-match", "intersect", "tworound", "small-to-large")(c.strategy),
       s"unknown strategy ${c.strategy}")
     require(c.projections.nonEmpty && c.projections.forall("spo".contains(_)),
       s"--projection must be a non-empty subset of spo, got ${c.projections}")
@@ -112,32 +120,42 @@ object Main {
     triples
   }
 
-  /** Discovery per configured strategy + pruning flags. */
+  /** Discovery per configured strategy. `--projection`, `--use-ars` and
+    * `--use-bloom` compose freely with every strategy (the reference
+    * composes them the same way, programs/RDFind.scala:639-721): AR rules
+    * feed the shared fan-out anti-join + output filter, the Bloom filters
+    * are sized from a sampled triple-count estimate (estTriples /
+    * minSupport, reference FrequentConditionPlanner.scala:34-38), and the
+    * projection restriction narrows the capture fan-out at the source. */
   def discover(triples: DataFrame, c: Config): Dataset[CindRow] = {
-    if (c.projections != "spo" && (c.useArs || c.useBloom || c.strategy != "count-match"))
-      throw new IllegalArgumentException(
-        "--projection composes with the plain count-match strategy only")
-    if (c.useArs && c.strategy != "count-match")
-      throw new IllegalArgumentException(
-        "--use-ars requires the count-match strategy (the AR anti-join lives in its fan-out)")
-    if (c.useBloom && (c.useArs || c.strategy != "count-match"))
-      throw new IllegalArgumentException(
-        "--use-bloom applies to the plain count-match strategy")
-    val cinds = c.strategy match {
-      case "count-match" if c.useArs => CindEngine.allCindsPruned(triples, c.support)
-      case "count-match" if c.useBloom =>
-        // the reference's Bloom-filtered pipeline: filters sized from a
-        // sampled triple-count estimate (estTriples / minSupport,
-        // FrequentConditionPlanner.scala:34-38) instead of a fixed default
+    val rules =
+      if (c.useArs) Some(CindEngine.preparedRules(triples, c.support)) else None
+    val expected =
+      if (c.useBloom) {
         val est = graft.rdf.TripleSource
           .estimateTripleCount(triples.sparkSession, c.inputs)
+        math.max(1000L, est / math.max(1, c.support))
+      } else 10000000L
+    val cinds = c.strategy match {
+      case "count-match" =>
         CindEngine.allCinds(triples, c.support,
-          bloomConditions = true, bloomCaptures = true,
-          expectedFrequentKeys = math.max(1000L, est / math.max(1, c.support)))
-      case "count-match"             =>
-        CindEngine.allCinds(triples, c.support, projections = c.projections)
-      case "intersect"               => CindEngine.allCindsIntersect(triples, c.support)
-      case "tworound"                => CindEngine.allCindsTwoRound(triples, c.support)
+          bloomConditions = c.useBloom, bloomCaptures = c.useBloom,
+          expectedFrequentKeys = expected, projections = c.projections,
+          arRules = rules)
+      case "intersect" =>
+        CindEngine.allCindsIntersect(triples, c.support,
+          bloomConditions = c.useBloom, expectedFrequentKeys = expected,
+          projections = c.projections, arRules = rules)
+      case "tworound" =>
+        CindEngine.allCindsTwoRound(triples, c.support,
+          bloomConditions = c.useBloom, bloomCaptures = c.useBloom,
+          expectedFrequentKeys = expected, projections = c.projections,
+          arRules = rules)
+      case "small-to-large" =>
+        CindEngine.allCindsSmallToLarge(triples, c.support,
+          bloomConditions = c.useBloom, bloomCaptures = c.useBloom,
+          expectedFrequentKeys = expected, projections = c.projections,
+          arRules = rules)
     }
     if (c.cleanImplied) {
       import triples.sparkSession.implicits._
@@ -145,9 +163,24 @@ object Main {
     } else cinds
   }
 
+  /** Per-stage row counters behind `--debug-counts` (reference S9 — the
+    * Flink accumulator counters of operators/CountItems.scala:11-33, here
+    * first-class Spark counts over the same relations the pipeline uses). */
+  def printDebugCounts(triples: DataFrame, c: Config): Unit = {
+    println(s"[counts] triples: ${triples.count()}")
+    val inst = CindEngine.prunedCaptureInstances(triples, c.support, c.projections)
+    println(s"[counts] condition-frequent capture instances: ${inst.count()}")
+    println(s"[counts] frequent captures: " +
+      s"${CindEngine.frequentCaptures(inst, c.support).count()}")
+    if (c.useArs)
+      println(s"[counts] association rules: " +
+        s"${CindEngine.associationRules(triples, c.support).count()}")
+  }
+
   def run(spark: SparkSession, c: Config): Unit = {
     import spark.implicits._
     val triples = loadTriples(spark, c)
+    if (c.debugCounts) printDebugCounts(triples, c)
     val cinds = discover(triples, c)
     c.output match {
       case Some(path) =>

@@ -261,6 +261,9 @@ object SparkEntry {
     "cind_all_intersect" -> ((s, dir) => // strategy 0: typed-Aggregator k-way
       CindEngine.allCindsIntersect(triples(s, dir), MS).toDF()
         .orderBy(cindCols.map(col): _*)),
+    "cind_all_s2l" -> ((s, dir) => // reference default: staged arity ladder
+      CindEngine.allCindsSmallToLarge(triples(s, dir), MS).toDF()
+        .orderBy(cindCols.map(col): _*)),
     "cind_all_bloom" -> ((s, dir) => // 100 TB valves: both Bloom paths ON
       CindEngine.allCinds(triples(s, dir), MS,
         bloomConditions = true, bloomCaptures = true).toDF()
@@ -494,6 +497,8 @@ object SparkEntry {
     "cind_all_tworound" -> // sketch pruning is exact -> same oracle
       s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
     "cind_all_intersect" -> // strategy 0 is result-identical -> same oracle
+      s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
+    "cind_all_s2l" -> // the staged ladder is result-identical -> same oracle
       s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
     "cind_all_bloom" -> // Bloom pruning admits-only -> same oracle
       s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",

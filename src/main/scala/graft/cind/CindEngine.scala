@@ -576,13 +576,16 @@ object CindEngine {
       bloomConditions: Boolean = false,
       bloomCaptures: Boolean = false,
       expectedFrequentKeys: Long = 10000000L,
-      projections: String = "spo"): Dataset[CindRow] = {
+      projections: String = "spo",
+      arRules: Option[DataFrame] = None): Dataset[CindRow] = {
     // expectedFrequentKeys sizes BOTH Bloom paths (reference rule:
     // estimated triples / minSupport, FrequentConditionPlanner.scala:34-38)
     val (dict, lines) = encodedJoinLines(triples, minSupport, bloomConditions,
+      arRules = arRules,
       bloomCaptures = bloomCaptures, expectedCaptures = expectedFrequentKeys,
       projections = projections)
-    decodeCinds(dict, overlapCounts(lines, splitThreshold))
+    val cinds = decodeCinds(dict, overlapCounts(lines, splitThreshold))
+    arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
   }
 
   /** A rule's merged binary condition as (cond_code, v1, v2), values ordered
@@ -611,16 +614,25 @@ object CindEngine {
     * Both prunings only REMOVE redundant output rows; every surviving CIND
     * is identical to its `allCinds` counterpart (same support). */
   def allCindsPruned(triples: DataFrame, minSupport: Int = DefaultMinSupport,
-      splitThreshold: Int = SplitThreshold): Dataset[CindRow] = {
-    import triples.sparkSession.implicits._
-    // consumed by the fan-out anti-join AND the output filter; tiny relation
+      splitThreshold: Int = SplitThreshold): Dataset[CindRow] =
+    allCinds(triples, minSupport, splitThreshold,
+      arRules = Some(preparedRules(triples, minSupport)))
+
+  /** Association rules persisted for the two places every AR-pruned
+    * strategy consumes them (the fan-out anti-join and the output filter). */
+  def preparedRules(triples: DataFrame, minSupport: Int): DataFrame = {
     val rules = associationRules(triples, minSupport).persist()
     rules.count()
-    val (dict, lines) = encodedJoinLines(triples, minSupport, arRules = Some(rules))
-    val cinds = decodeCinds(dict, overlapCounts(lines, splitThreshold)).toDF()
-    // implied 1/1 CIND: dep = proj[ante], ref = proj[cons], where proj is
-    // the attribute NOT conditioned by the rule (capture code = attr bits +
-    // projection bits << 3, core/ConditionCodes.scala)
+    rules
+  }
+
+  /** Output-side AR pruning shared by all strategies: drop 1/1 CINDs
+    * `proj[ante] ⊑ proj[cons]` directly implied by a confidence-1.0 rule
+    * (reference operators/FilterAssociationRuleImpliedCinds.scala:17-58:
+    * the projection attribute is the one attribute neither side conditions
+    * on; capture code = attr bits + projection bits << 3). */
+  private def arImpliedCindFilter(cinds: DataFrame, rules: DataFrame): Dataset[CindRow] = {
+    import cinds.sparkSession.implicits._
     val proj = shiftleft(lit(7) - col("ante_code") - col("cons_code"), 3)
     val implied = rules.select(
       (col("ante_code") + proj).as("i_dep_code"), col("ante_val").as("i_dep_v1"),
@@ -659,12 +671,21 @@ object CindEngine {
     */
   def allCindsTwoRound(triples: DataFrame, minSupport: Int = DefaultMinSupport,
       expectedPairs: Long = 4000000L,
-      splitThreshold: Int = SplitThreshold): Dataset[CindRow] = {
-    val (dict, lines0) = encodedJoinLines(triples, minSupport)
+      splitThreshold: Int = SplitThreshold,
+      bloomConditions: Boolean = false,
+      bloomCaptures: Boolean = false,
+      expectedFrequentKeys: Long = 10000000L,
+      projections: String = "spo",
+      arRules: Option[DataFrame] = None): Dataset[CindRow] = {
+    val (dict, lines0) = encodedJoinLines(triples, minSupport, bloomConditions,
+      arRules = arRules, bloomCaptures = bloomCaptures,
+      expectedCaptures = expectedFrequentKeys, projections = projections)
     val lines = lines0.persist()
     lines.count() // both rounds read the lines; materialize once
     val keys = pairKeys(lines, splitThreshold)
-    decodeCinds(dict, expandCounts(sketchPrunedKeys(keys, minSupport, expectedPairs)))
+    val cinds = decodeCinds(dict,
+      expandCounts(sketchPrunedKeys(keys, minSupport, expectedPairs)))
+    arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
   }
 
   /** Spectral-sketch pruning of an unordered pair-key stream (the shared
@@ -710,18 +731,187 @@ object CindEngine {
     keys.filter(bloomContains(bcast, col("pk")))
   }
 
+  /** Directed candidate verification: count co-occurrences of ONLY the
+    * candidate (dep_id, ref_id) pairs over encoded join lines. The
+    * candidate set rides map-side as a Bloom filter over packed directed
+    * keys (the reference's candidate-BF broadcast, plan/
+    * SmallToLargeTraversalStrategy.scala:380-407 and :450-470), pruning
+    * the pair stream BEFORE its shuffle; the exact semi-join after
+    * aggregation removes the filter's false positives. `pairPred` keeps
+    * only the arity shape a stage can produce (mixed arity for 1/2 + 2/1,
+    * anything for a pre-filtered binary-only line set), so the fan-out
+    * skips impossible pairs without a filter ever dropping a real
+    * candidate co-occurrence. */
+  private def candidateCounts(lines: DataFrame, cands: DataFrame,
+      pairPred: (Column, Column) => Column, splitThreshold: Int): DataFrame = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val cpks = cands
+      .select((shiftleft(col("dep_id"), 32) + col("ref_id")).as("cpk"))
+      .persist()
+    val nCands = cpks.count() // sizes the filter AND materializes the cache
+    val bf = buildBloomLongs(cpks.as[Long], math.max(nCands, 1024L), 0.01)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val narrow = lines.filter(size(col("ids")) <= splitThreshold)
+      .select(explode(col("ids")).as("dep"), col("ids"))
+    val wide = lines.filter(size(col("ids")) > splitThreshold)
+      .select(col("ids"), explode(sequence(lit(0),
+        floor((size(col("ids")) - 1) / lit(splitThreshold)).cast("int"))).as("slice"))
+      .repartition() // round-robin the few replicated hub slices
+      .select(explode(slice(col("ids"), col("slice") * splitThreshold + 1,
+        lit(splitThreshold))).as("dep"), col("ids"))
+    narrow.unionAll(wide)
+      .select(col("dep"), explode(col("ids")).as("ref"))
+      .filter(col("dep") =!= col("ref") && pairPred(col("dep"), col("ref")))
+      .select((shiftleft(col("dep"), 32) + col("ref")).as("dpk"))
+      .filter(bloomContains(bcast, col("dpk")))
+      .groupBy("dpk").agg(count(lit(1)).as("n"))
+      .join(cpks, col("dpk") === col("cpk"), "left_semi")
+      .select(shiftright(col("dpk"), 32).as("dep_id"),
+        col("dpk").bitwiseAND(lit(0xFFFFFFFFL)).as("ref_id"), col("n"))
+  }
+
+  /** Small-to-large staged discovery — the reference's DEFAULT traversal
+    * (strategy 1, plan/SmallToLargeTraversalStrategy.scala:38-171),
+    * re-expressed relationally: instead of counting every frequent-capture
+    * pair in one pass, results climb the arity ladder and each stage's
+    * candidates are GENERATED from the previous stage's results, so the
+    * binary extractions only shuffle candidate-filtered keys:
+    *
+    *   stage 1 — unary×unary co-occurrence counts (the reference's
+    *     OverlapSet relation); 1/1 CINDs fall out as overlap == support.
+    *   stage 2 — candidates in dictionary-ID space:
+    *       1/2: u ⊑ b(r1,r2) requires u ⊑ r1 AND u ⊑ r2 (1/1 CINDs,
+    *            augmented with the vacuous identity u ⊑ u — reference
+    *            GenerateUnaryBinaryCindCandidates.scala:17-45);
+    *       2/1: b(d1,d2) ⊑ r requires overlap(d_i, r) >= minSupport for
+    *            both subs (values(b) ⊆ values(d_i) ∩ values(r));
+    *     one BF-filtered extraction verifies both classes (the arity bit
+    *     on encoded ids keeps the fan-out to mixed-arity pairs).
+    *   stage 3 — 2/2 candidates from the VERIFIED 2/1 relation plus the
+    *     always-true trivial pairs b ⊑ own-sub (reference
+    *     GenerateBinaryBinaryCindCandidates.scala:20-42): bd ⊑ br(r1,r2)
+    *     requires bd ⊑ r1 AND bd ⊑ r2; a second extraction over
+    *     binary-only lines verifies.
+    *
+    * Result-identical to [[allCinds]] (spec-pinned and driver-checked
+    * against the same oracle): every stage's candidate condition is
+    * NECESSARY for the CINDs it feeds — nothing is missed — and
+    * verification is the exact count-match — nothing false survives; a BF
+    * false positive that passes count==support is by definition a true
+    * CIND that allCinds reports too. What the ladder buys on hub-heavy
+    * data: the quadratic pair SHUFFLE only ever carries unary×unary keys
+    * plus candidate-admitted binary keys, bounding aggregation state the
+    * way the reference's staged ladder bounded Flink combiner memory (the
+    * per-line emission work is unchanged — the reference's extractors also
+    * walk all pairs and probe their candidate BF). */
+  def allCindsSmallToLarge(triples: DataFrame, minSupport: Int = DefaultMinSupport,
+      splitThreshold: Int = SplitThreshold,
+      bloomConditions: Boolean = false,
+      bloomCaptures: Boolean = false,
+      expectedFrequentKeys: Long = 10000000L,
+      projections: String = "spo",
+      arRules: Option[DataFrame] = None): Dataset[CindRow] = {
+    val (dict, lines0) = encodedJoinLines(triples, minSupport, bloomConditions,
+      arRules = arRules, bloomCaptures = bloomCaptures,
+      expectedCaptures = expectedFrequentKeys, projections = projections)
+    val lines = lines0.persist()
+    lines.count() // stage-1 fan-out + both candidate extractions read these
+    val unaryBit = (id: Column) => id.bitwiseAND(lit(1L))
+    // ---- stage 1: unary×unary overlaps (arity bit filters lines map-side)
+    val unaryLines = lines.select(col("join_val"),
+      filter(col("ids"), id => unaryBit(id) === 1L).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val c11 = expandCounts(pairKeys(unaryLines, splitThreshold))
+      .filter(col("n") >= minSupport) // below minSupport certifies nothing
+      .persist()
+    c11.count() // 1/1 output + 1/2 + 2/1 candidate generation all read this
+    val sup = dict.select(col("id").as("dep_id"), col("support"))
+    val cinds11 = c11.join(sup, "dep_id")
+      .filter(col("n") === col("support"))
+      .select(col("dep_id"), col("ref_id"))
+    val cinds11WithSelf = cinds11.unionByName(
+      dict.filter(col("v2") === "")
+        .select(col("id").as("dep_id"), col("id").as("ref_id")))
+    // binary capture -> its two unary sub-capture ids (subs are frequent by
+    // containment, so the inner joins never drop a binary capture)
+    val unaryDict = dict.filter(col("v2") === "")
+    val binSubs = dict.filter(col("v2") =!= "")
+      .join(unaryDict.select(col("id").as("sub1_id"), col("code").as("s1c"),
+        col("v1").as("s1v")),
+        firstSubCode(col("code")) === col("s1c") && col("v1") === col("s1v"))
+      .join(unaryDict.select(col("id").as("sub2_id"), col("code").as("s2c"),
+        col("v1").as("s2v")),
+        secondSubCode(col("code")) === col("s2c") && col("v2") === col("s2v"))
+      .select(col("id").as("bin_id"), col("sub1_id"), col("sub2_id"))
+      .persist()
+    binSubs.count() // read by three candidate generations
+    // ---- stage 2: candidate generation + one mixed-arity extraction
+    val cand12 = binSubs
+      .join(cinds11WithSelf.toDF("u1", "s1"), col("s1") === col("sub1_id"))
+      .join(cinds11WithSelf.toDF("u2", "s2"),
+        col("s2") === col("sub2_id") && col("u2") === col("u1"))
+      .select(col("u1").as("dep_id"), col("bin_id").as("ref_id"))
+    val cand21 = binSubs
+      .join(c11.toDF("d1", "r1", "n1"), col("d1") === col("sub1_id"))
+      .join(c11.toDF("d2", "r2", "n2"),
+        col("d2") === col("sub2_id") && col("r2") === col("r1"))
+      // refs equal to the dep's own subs are trivially implied: skipped
+      // here and (for BF false positives) re-filtered at decode
+      .filter(col("r1") =!= col("sub1_id") && col("r1") =!= col("sub2_id"))
+      .select(col("bin_id").as("dep_id"), col("r1").as("ref_id"))
+    val mixedArity = (dep: Column, ref: Column) => unaryBit(dep) =!= unaryBit(ref)
+    val countsA = candidateCounts(lines,
+      cand12.unionByName(cand21), mixedArity, splitThreshold).persist()
+    countsA.count() // feeds the output AND the 2/2 candidate generation
+    // ---- stage 3: 2/2 candidates from verified 2/1s, binary-only lines
+    val v21full = countsA.join(sup, "dep_id")
+      .filter(col("n") === col("support") && unaryBit(col("dep_id")) === 0L)
+      .select(col("dep_id"), col("ref_id"))
+      .unionByName(binSubs.select(col("bin_id").as("dep_id"), col("sub1_id").as("ref_id")))
+      .unionByName(binSubs.select(col("bin_id").as("dep_id"), col("sub2_id").as("ref_id")))
+    val cand22 = binSubs
+      .join(v21full.toDF("b1", "s1"), col("s1") === col("sub1_id"))
+      .join(v21full.toDF("b2", "s2"),
+        col("s2") === col("sub2_id") && col("b2") === col("b1"))
+      .filter(col("b1") =!= col("bin_id"))
+      .select(col("b1").as("dep_id"), col("bin_id").as("ref_id"))
+    val binaryLines = lines.select(col("join_val"),
+      filter(col("ids"), id => unaryBit(id) === 0L).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val countsB = candidateCounts(binaryLines, cand22,
+      (_, _) => lit(true), splitThreshold)
+    // ---- assemble: one decode; count==support + trivial-ref filter live there
+    val cinds = decodeCinds(dict,
+      c11.unionByName(countsA).unionByName(countsB))
+    arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
+  }
+
   /** Strategy 0 (AllAtOnce, reference plan/AllAtOnceTraversalStrategy
     * .scala:33-85): evidence sets per dependent capture, k-way sorted-set
     * intersection via a typed Aggregator. Semantically identical to
     * `allCinds` (cross-checked in CindEngineSpec); kept as the faithful
     * intersect-merge shape — preferable when join lines are wide but
     * evidence arrays are short. */
-  def allCindsIntersect(triples: DataFrame, minSupport: Int = DefaultMinSupport): Dataset[CindRow] = {
+  def allCindsIntersect(triples: DataFrame, minSupport: Int = DefaultMinSupport,
+      bloomConditions: Boolean = false,
+      expectedFrequentKeys: Long = 10000000L,
+      projections: String = "spo",
+      arRules: Option[DataFrame] = None): Dataset[CindRow] = {
     import triples.sparkSession.implicits._
-    val instances = prunedCaptureInstances(triples, minSupport)
+    val instances0 =
+      if (bloomConditions)
+        bloomPrunedCaptureInstances(triples, minSupport, expectedFrequentKeys, projections)
+      else prunedCaptureInstances(triples, minSupport, projections)
+    // same AR fan-out anti-join the encoded path applies (see encodedJoinLines)
+    val instances = arRules match {
+      case Some(rules) => instances0.join(broadcast(arImpliedConditions(rules)),
+        Seq("cond_code", "v1", "v2"), "left_anti")
+      case None => instances0
+    }
     val freqCaps = frequentCaptures(instances, minSupport)
     val lines = joinLines(instances, freqCaps)
-    evidences(lines)
+    val cinds = evidences(lines)
       .groupByKey(_.dep)
       .agg(IntersectCindCandidates.toColumn)
       .filter(_._2.count >= minSupport)
@@ -729,6 +919,7 @@ object CindEngine {
         cs.refs.iterator.map(r =>
           CindRow(dep.code, dep.v1, dep.v2, r.code, r.v1, r.v2, cs.count))
       }
+    arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
   }
 
   /** Association rules with confidence 1.0 between unary conditions

@@ -134,6 +134,48 @@ class MainSpec extends SparkSpec {
     assert(exact.nonEmpty && bloom == exact)
   }
 
+  test("every strategy composes with --use-ars/--use-bloom/--projection, all result-equal") {
+    val dir = tmpDir
+    Files.write(Paths.get(s"$dir/in.nt"), ntLines.mkString("\n").getBytes)
+    var n = 0
+    def lines(extra: Seq[String]): Set[String] = {
+      n += 1; val out = s"$dir/out_$n"
+      Main.run(spark, Main.parseArgs(
+        extra ++ Seq("--support", "2", "--output", out, s"$dir/in.nt")))
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(out)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".txt"))
+        .flatMap(f => Files.readAllLines(f).asScala).toSet
+    }
+    val strategies = Seq("count-match", "intersect", "tworound", "small-to-large")
+    val variants = Seq(Seq.empty[String], Seq("--use-ars"), Seq("--use-bloom"),
+      Seq("--projection", "s"),
+      Seq("--use-ars", "--use-bloom", "--projection", "s"))
+    for (v <- variants) {
+      val results = strategies.map(s => s -> lines(Seq("--strategy", s) ++ v))
+      val (s0, first) = results.head
+      for ((s, r) <- results.tail)
+        assert(r == first, s"strategy $s != $s0 under flags $v:" +
+          s"\nmissing=${first -- r}\nextra=${r -- first}")
+      if (v.isEmpty) assert(first.nonEmpty)
+    }
+  }
+
+  test("--debug-counts prints per-stage row counters") {
+    val dir = tmpDir
+    Files.write(Paths.get(s"$dir/in.nt"), ntLines.mkString("\n").getBytes)
+    val baos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(baos, true)) {
+      Main.run(spark, Main.parseArgs(
+        Seq("--support", "2", "--debug-counts", "--use-ars", s"$dir/in.nt")))
+    }
+    val out = baos.toString
+    assert(out.contains("[counts] triples: 12"), out.take(500))
+    assert(out.contains("[counts] condition-frequent capture instances: "))
+    assert(out.contains("[counts] frequent captures: "))
+    assert(out.contains("[counts] association rules: "))
+  }
+
   test("--projection restricts the CLI output to the projected attribute") {
     val dir = tmpDir
     Files.write(Paths.get(s"$dir/in.nt"), ntLines.mkString("\n").getBytes)

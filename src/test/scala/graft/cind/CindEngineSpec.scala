@@ -148,6 +148,18 @@ class CindEngineSpec extends SparkSpec {
     assert(t == bruteForce(tiny, 2))
   }
 
+  test("small-to-large staged strategy equals the exact CIND set") {
+    def key(r: CindRow) = (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+      Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)
+    // the fixture has witnesses in all four arity classes, so every ladder
+    // stage (1/1 overlaps, 1/2 + 2/1 extraction, 2/2 extraction) is live
+    val got = CindEngine.allCindsSmallToLarge(toDF(tiny), minSupport = 2)
+      .collect().map(key).toSet
+    val want = bruteForce(tiny, 2)
+    assert(got == want, s"\nmissing=${want -- got}\nextra=${got -- want}")
+    assert(got.exists { case (d, r, _) => d.v2 != "" && r.v2 != "" }) // a 2/2 survived
+  }
+
   test("allCindsPruned drops AR-implied binary captures and implied 1/1 CINDs") {
     def key(r: CindRow) = (Capture(r.dep_code, r.dep_v1, r.dep_v2),
       Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)

@@ -47,4 +47,17 @@ object RandomizedCindProps extends Properties("graft.cind.e2e") {
         .collect().map(key).toSet
       got == BruteForce(ts, 2)
     }
+
+  property("small-to-large strategy matches brute force on random multisets") =
+    forAll(triples) { ts =>
+      import spark.implicits._
+      val df = ts.toDF("subj", "pred", "obj")
+      val got = CindEngine.allCindsSmallToLarge(df, minSupport = 2)
+        .collect().map(key).toSet
+      val want = BruteForce(ts, 2)
+      if (got != want) {
+        println(s"triples=$ts\nmissing=${want -- got}\nextra=${got -- want}")
+      }
+      got == want
+    }
 }

@@ -179,27 +179,57 @@ object SparkEntry {
       s"sig AS (SELECT doc_id, $bits AS sh FROM dig GROUP BY doc_id)"
   }
 
-  /** Full SQL replication of Similarity.ivfTopK: seed codebook = 16 smallest
-    * vec_ids, two unrolled Lloyd iterations (argmax-cosine assignment,
-    * per-dim mean, empty clusters keep their centroid), nProbe=4 probing,
-    * exact scoring + ranking. Float means absorb the engines' double-sum
-    * rounding differences (double noise ~2^-52 relative is far below float's
-    * 2^-24 rounding grid), so the codebooks agree bit-for-bit. */
-  private val ivfOracleSql: String = {
+  /** Codebook + inverted-list CTEs replicating Similarity.ivfCodebook: seed
+    * codebook = 16 smallest vec_ids, two unrolled Lloyd iterations
+    * (argmax-cosine assignment, per-dim mean, empty clusters keep their
+    * centroid). Float means absorb the engines' double-sum rounding
+    * differences (double noise ~2^-52 relative is far below float's 2^-24
+    * rounding grid), so the codebooks agree bit-for-bit. Final CTEs:
+    * cb2(cent_id, c) and lists(vec_id, embedding, cent_id). */
+  private val ivfCodebookCtes: String = {
     def assign(cb: String, out: String): String =
       s"$out AS (SELECT vec_id, embedding, cent_id FROM (SELECT e.vec_id, e.embedding, s.cent_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.cent_id) AS rn FROM embeddings e CROSS JOIN $cb s) WHERE rn = 1)"
     def refine(a: String, prev: String, out: String): String =
       s"${out}_m AS (SELECT cent_id, i, CAST(AVG(v) AS FLOAT) AS mv FROM (SELECT cent_id, unnest(embedding) AS v, generate_subscripts(embedding,1) AS i FROM $a) GROUP BY 1,2), " +
         s"${out}_arr AS (SELECT cent_id, list(mv ORDER BY i) AS c FROM ${out}_m GROUP BY 1), " +
         s"$out AS (SELECT p.cent_id, COALESCE(x.c, p.c) AS c FROM $prev p LEFT JOIN ${out}_arr x ON x.cent_id = p.cent_id)"
-    "WITH seed AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings ORDER BY vec_id LIMIT 16), " +
+    "seed AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings ORDER BY vec_id LIMIT 16), " +
       assign("seed", "a1") + ", " + refine("a1", "seed", "cb1") + ", " +
       assign("cb1", "a2") + ", " + refine("a2", "cb1", "cb2") + ", " +
-      assign("cb2", "lists") + ", " +
+      assign("cb2", "lists")
+  }
+
+  /** Full SQL replication of Similarity.ivfTopK (nProbe=4 pinned). */
+  private val ivfOracleSql: String =
+    s"WITH $ivfCodebookCtes, " +
       "probes AS (SELECT query_id, qe, cent_id FROM (SELECT e.vec_id AS query_id, e.embedding AS qe, s.cent_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.cent_id) AS rn FROM embeddings e CROSS JOIN cb2 s WHERE e.vec_id % 100 = 0) WHERE rn <= 4), " +
       "sc AS (SELECT p.query_id, l.vec_id, list_cosine_similarity(p.qe, l.embedding) AS score FROM lists l JOIN probes p ON p.cent_id = l.cent_id AND l.vec_id <> p.query_id), " +
       "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
       "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank"
+
+  /** nProbe values swept by sim_ivf_recall (16 = every list: recall 1.0). */
+  private val ivfRecallProbes = Seq(1, 4, 16)
+
+  /** Recall@10 of the IVF pipeline vs brute force per nProbe — one ranked
+    * probe/score pass (probe rank rides each scored pair), per-config rank
+    * + hit count against the brute-force top-k. */
+  private val ivfRecallOracleSql: String = {
+    val maxP = ivfRecallProbes.max
+    val per = ivfRecallProbes.zipWithIndex.map { case (np, i) =>
+      s"r_$i AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM scall WHERE prn <= $np), " +
+        s"h_$i AS (SELECT COUNT(*) AS n FROM r_$i l JOIN br b ON b.query_id = l.query_id AND b.vec_id = l.vec_id WHERE l.rnk <= 10)"
+    }.mkString(", ")
+    val branches = ivfRecallProbes.zipWithIndex.map { case (np, i) =>
+      s"SELECT $np AS n_probe, nq.n AS n_queries, h_$i.n AS n_hits, CAST(floor(100*h_$i.n/(10*nq.n)) AS BIGINT) AS recall_pct FROM h_$i CROSS JOIN nq"
+    }.mkString(" UNION ALL ")
+    s"WITH $ivfCodebookCtes, " +
+      s"prall AS (SELECT query_id, qe, cent_id, rn FROM (SELECT e.vec_id AS query_id, e.embedding AS qe, s.cent_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.cent_id) AS rn FROM embeddings e CROSS JOIN cb2 s WHERE e.vec_id % 100 = 0) WHERE rn <= $maxP), " +
+      "scall AS (SELECT p.query_id, l.vec_id, list_cosine_similarity(p.qe, l.embedding) AS score, p.rn AS prn FROM lists l JOIN prall p ON p.cent_id = l.cent_id AND l.vec_id <> p.query_id), " +
+      "qq AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id % 100 = 0), " +
+      "bs AS (SELECT qq.query_id, e.vec_id, list_cosine_similarity(qq.qemb, e.embedding) AS score FROM qq, embeddings e WHERE e.vec_id <> qq.query_id), " +
+      "br AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM bs) WHERE rnk <= 10), " +
+      "nq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n FROM br), " +
+      s"$per SELECT * FROM ($branches) ORDER BY n_probe"
   }
 
   /** Shared quantized-embedding CTE for the LSH oracles (mirrors
@@ -434,6 +464,9 @@ object SparkEntry {
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
         .orderBy("query_id", "rank")),
+    "sim_ivf_recall" -> ((s, dir) => // probe-budget tuning sweep vs brute force
+      Similarity.ivfRecall(emb(s, dir), col("vec_id") % 100 === 0, 10,
+        ivfRecallProbes).orderBy("n_probe")),
     "sim_near_dup_pairs" -> ((s, dir) => {
       // the natural fixture has no pairs >= 0.95 at any sf (max cosine
       // ~0.6), so near-duplicates are INJECTED deterministically: a scaled
@@ -636,6 +669,7 @@ object SparkEntry {
         s"$ctes, $hits SELECT * FROM ($branches) ORDER BY num_planes"
     },
     "sim_topk_ivf" -> ivfOracleSql,
+    "sim_ivf_recall" -> ivfRecallOracleSql,
     // float-cast centroids absorb double summation noise (the IVF oracle's
     // determinism contract); argmax ties break toward the smaller label
     "sim_label_purity" ->

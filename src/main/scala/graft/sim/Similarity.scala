@@ -206,23 +206,39 @@ object Similarity {
     codebook
   }
 
+  /** Ascending-sortable (negated score, cent_id) struct array vs the
+    * literal codebook — shared by plain and rank-aware assignment. */
+  private def centScores(cents: Array[(Long, Array[Float])]): Column = {
+    def centNorm(v: Array[Float]): Double =
+      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    array(cents.map { case (cid, v) =>
+      // ascending struct order == (best score, smallest cent_id) first
+      struct((-(dot(col("embedding"), typedLit(v)) / (col("nrm") * lit(centNorm(v))))).as("neg"),
+        lit(cid).as("cent_id"))
+    }: _*)
+  }
+
   /** Map-side nearest-centroid assignment: argmin over the literal codebook
     * (array of scored structs -> sort_array -> slice) — no crossJoin, no
     * per-vector window, ZERO shuffle. Adds (nrm, cent_id) columns; with
     * n > 1, one row per probed centroid. */
   private def withNearestCentroid(df: DataFrame,
-      cents: Array[(Long, Array[Float])], n: Int): DataFrame = {
-    def centNorm(v: Array[Float]): Double =
-      math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-    val scored = array(cents.map { case (cid, v) =>
-      // ascending struct order == (best score, smallest cent_id) first
-      struct((-(dot(col("embedding"), typedLit(v)) / (col("nrm") * lit(centNorm(v))))).as("neg"),
-        lit(cid).as("cent_id"))
-    }: _*)
+      cents: Array[(Long, Array[Float])], n: Int): DataFrame =
     df.withColumn("nrm", norm(col("embedding")))
-      .withColumn("p", explode(slice(sort_array(scored), 1, n)))
+      .withColumn("p", explode(slice(sort_array(centScores(cents)), 1, n)))
       .withColumn("cent_id", col("p.cent_id")).drop("p")
-  }
+
+  /** [[withNearestCentroid]] with the probe rank attached (1 = nearest
+    * centroid): one scored pass can then serve every nProbe in a sweep by
+    * filtering `probe_rank <= nProbe`. */
+  private def withNearestCentroidRanked(df: DataFrame,
+      cents: Array[(Long, Array[Float])], n: Int): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
+      .select(col("*"),
+        posexplode(slice(sort_array(centScores(cents)), 1, n)).as(Seq("pi", "p")))
+      .withColumn("cent_id", col("p.cent_id"))
+      .withColumn("probe_rank", col("pi") + 1)
+      .drop("p", "pi")
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
     * a small coarse-quantizer codebook partitions the collection into
@@ -234,14 +250,7 @@ object Similarity {
     * matches [[bruteForceTopK]]; recall bounded in the spec. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
       numCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 2): DataFrame = {
-    // The codebook is TINY (numCentroids x dims floats) — collect it once
-    // and fold it into the plan as literals. List assignment is then a pure
-    // map-side argmin: no crossJoin, ZERO shuffle before the probe join.
-    val seed: Array[(Long, Array[Float])] =
-      emb.orderBy("vec_id").limit(numCentroids)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val cents = kmeansRefine(emb, seed, kmeansIters)
+    val cents = ivfCodebook(emb, numCentroids, kmeansIters)
     val lists = withNearestCentroid(emb, cents, 1) // inverted lists
     val probes = withNearestCentroid(emb.filter(queryPred), cents, nProbe)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -254,6 +263,65 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** IVF coarse-quantizer codebook: seeded deterministically (numCentroids
+    * smallest vec_ids) and Lloyd-refined. numCentroids <= 0 auto-sizes to
+    * max(16, floor(sqrt(n))) — the standard IVF rule: list length n/k and
+    * probe cost k balance at k ~ sqrt(n), so a fixed centroid count would
+    * degenerate to linear scans as the collection grows. The codebook is
+    * TINY (numCentroids x dims floats) — collected once and folded into
+    * every consumer's plan as literals, so list assignment is a pure
+    * map-side argmin: no crossJoin, ZERO shuffle before the probe join. */
+  def ivfCodebook(emb: DataFrame, numCentroids: Int = 16,
+      kmeansIters: Int = 2): Array[(Long, Array[Float])] = {
+    val k =
+      if (numCentroids > 0) numCentroids
+      else math.max(16, math.sqrt(emb.count().toDouble).toInt)
+    val seed: Array[(Long, Array[Float])] =
+      emb.orderBy("vec_id").limit(k)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    kmeansRefine(emb, seed, kmeansIters)
+  }
+
+  /** Recall@k sweep of [[ivfTopK]] against [[bruteForceTopK]] across nProbe
+    * values — the probe-budget tuning query (recall rises with probes,
+    * reaching 1.0 when every list is probed). ONE ranked scoring pass
+    * serves every nProbe: candidates carry the rank of the probed list, so
+    * config `p` is the `probe_rank <= p` slice. Output per config:
+    * (n_probe, n_queries, n_hits, recall_pct) — all integers, SQL-oracle
+    * exact. */
+  def ivfRecall(emb: DataFrame, queryPred: Column, k: Int, nProbes: Seq[Int],
+      numCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    val cents = ivfCodebook(emb, numCentroids, kmeansIters)
+    val lists = withNearestCentroid(emb, cents, 1)
+    val probes = withNearestCentroidRanked(emb.filter(queryPred), cents, nProbes.max)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cent_id"), col("probe_rank"))
+    // each vector lives in exactly one list, so a (query, vec) pair scores
+    // at most once, tagged with its list's probe rank
+    val scored = lists.join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("probe_rank"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("score"))
+      .persist()
+    val brute = bruteForceTopK(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    val perConfig = nProbes.map { np =>
+      scored.filter(col("probe_rank") <= np)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+        .join(brute, Seq("query_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("n_probe"), col("n_hits"))
+    }.reduce(_ unionByName _)
+    perConfig
+      .crossJoin(brute.agg(countDistinct(col("query_id")).as("n_queries")))
+      .select(col("n_probe"), col("n_queries"), col("n_hits"),
+        floor(lit(100) * col("n_hits") / (lit(k) * col("n_queries"))).as("recall_pct"))
   }
 
   /** Per-label centroids: (label, centroid ARRAY<FLOAT>). Element-wise mean

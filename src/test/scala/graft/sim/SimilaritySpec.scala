@@ -120,6 +120,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(2) == 0L)
   }
 
+  test("ivfRecall sweep: recall rises with nProbe and hits 100 at full probe") {
+    val r = Similarity.ivfRecall(real, col("vec_id") % 50 === 0, 10, Seq(1, 4, 16))
+      .collect().map(x => x.getInt(0) -> (x.getLong(2), x.getLong(3))).toMap
+    val hits = Seq(1, 4, 16).map(r(_)._1)
+    assert(hits == hits.sorted) // more probes can only add candidates
+    assert(r(16)._2 == 100L) // probing every one of the 16 lists == brute force
+  }
+
+  test("ivfCodebook auto-sizes to ~sqrt(n) when numCentroids <= 0") {
+    val cb = Similarity.ivfCodebook(real, numCentroids = 0, kmeansIters = 0)
+    val n = real.count()
+    assert(cb.length == math.max(16, math.sqrt(n.toDouble).toInt))
+  }
+
   test("lshRecall sweep: integer output, denser banding has >= recall") {
     val r = Similarity.lshRecall(real, col("vec_id") % 50 === 0, 10, dims = 64,
       Seq((16, 4), (64, 16))).collect()

@@ -99,6 +99,10 @@ object SparkEntry {
   private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_returnflag", "l_linestatus")
 
+  /** Quantile-profiled columns: the numeric subset (integer-valued, so the
+    * DOUBLE quantile values are exact in both engines). */
+  private val quantileCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -440,6 +444,28 @@ object SparkEntry {
       graft.stats.Profile.profile(
         s.read.parquet(s"$dir/lineitem.parquet"), profileCols)
         .orderBy("column_name")),
+    "profile_lineitem_approx" -> ((s, dir) => {
+      // the HLL++ sketch value is engine-specific, so the GATE is the
+      // bounded-accuracy CONTRACT: the approx count must land within 5% of
+      // the exact one (deterministic for fixed data + implementation; HLL
+      // rsd here is 2%). The oracle predicts `true` per column from the
+      // exact profile alone.
+      val df = s.read.parquet(s"$dir/lineitem.parquet")
+      val exact = graft.stats.Profile.profile(df, profileCols)
+        .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+      val approx = graft.stats.Profile.profile(df, profileCols, approx = true)
+        .select(col("column_name"), col("n_distinct").as("nd_approx"))
+      exact.join(approx, "column_name")
+        .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          (abs(col("nd_approx") - col("n_distinct")) <=
+            greatest(lit(1L), floor(col("n_distinct") * 0.05))).as("approx_within_5pct"))
+        .orderBy("column_name")
+    }),
+    "profile_quantiles" -> ((s, dir) =>
+      graft.stats.Profile.quantiles(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        quantileCols, Seq(0, 25, 50, 75, 100))
+        .orderBy("column_name", "q_pct")),
     "text_budget_sample" -> ((s, dir) => {
       // budget = half the corpus tokens, so both branches of in_budget are
       // exercised at every scale factor
@@ -637,6 +663,24 @@ object SparkEntry {
     "profile_lineitem" -> (profileCols.map { c =>
       s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
     }.mkString(" UNION ALL ") + " ORDER BY column_name"),
+    // the oracle asserts the accuracy CONTRACT (exact stats + always-true
+    // bound flag); the sketch value itself is engine-specific by nature
+    "profile_lineitem_approx" -> (profileCols.map { c =>
+      s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, true AS approx_within_5pct FROM lineitem"
+    }.mkString(" UNION ALL ") + " ORDER BY column_name"),
+    // same histogram + cumulative-count construction as Profile.quantiles;
+    // rank-at-floor((n-1)q) over integer-valued doubles is engine-exact
+    "profile_quantiles" -> {
+      val longRel = quantileCols.map(c =>
+        s"SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem WHERE $c IS NOT NULL")
+        .mkString(" UNION ALL ")
+      s"WITH l AS ($longRel), " +
+        "h AS (SELECT column_name, v, COUNT(*) AS cnt FROM l GROUP BY 1,2), " +
+        "c AS (SELECT column_name, v, SUM(cnt) OVER (PARTITION BY column_name ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM h), " +
+        "n AS (SELECT column_name, COUNT(*) AS n FROM l GROUP BY 1), " +
+        "t AS (SELECT n.column_name, q.q_pct, floor((n.n-1)*q.q_pct/100.0) AS target FROM n CROSS JOIN (SELECT unnest([0,25,50,75,100]) AS q_pct) q) " +
+        "SELECT t.column_name, t.q_pct, MIN(c.v) AS q_val FROM c JOIN t ON t.column_name = c.column_name AND c.cum >= t.target + 1 GROUP BY 1,2 ORDER BY 1,2"
+    },
     // running total over doc_id order; budget = half the corpus tokens
     "text_budget_sample" ->
       "WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents), b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t), c AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) SELECT c.doc_id, c.n_tokens, c.cum_tokens, c.cum_tokens <= b.budget AS in_budget FROM c CROSS JOIN b ORDER BY c.doc_id",

@@ -1,6 +1,7 @@
 package graft.stats
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling over an arbitrary table — the
@@ -53,5 +54,38 @@ object Profile {
         col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
         col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val")))
     one.select(explode(array(arms: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Exact rank-based quantiles of numeric columns: per (column, q), the
+    * value at 0-indexed rank floor((n-1) * q/100) in ascending order — the
+    * one quantile definition every engine reproduces bit-for-bit (no
+    * interpolation, no engine-specific midpoint rules), per the
+    * rank-at-floor((n-1)q) convention.
+    *
+    * Computed by COUNTING, not global sorting: one shuffle builds a
+    * (column, value) histogram, a per-column cumulative sum over DISTINCT
+    * values finds the smallest value whose running count reaches the
+    * target rank. The per-column window is serial in the column's DISTINCT
+    * value count (vocabulary), never in its row count — fine for the
+    * integer/categorical columns a profile targets; for huge-vocabulary
+    * doubles at 100 TB use approx_percentile instead (one pass, no
+    * window). Output: (column_name, q_pct, q_val DOUBLE). */
+  def quantiles(df: DataFrame, cols: Seq[String], qPcts: Seq[Int]): DataFrame = {
+    require(cols.nonEmpty && qPcts.nonEmpty, "quantiles of zero columns/points")
+    val longRel = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("double").as("v"))): _*)).as("p"))
+      .select(col("p.*")).filter(col("v").isNotNull)
+      .persist() // histogram + per-column counts both read this
+    val hist = longRel.groupBy("column_name", "v").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("column_name").orderBy("v")
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w)) // rows with value <= v
+    val targets = longRel.groupBy("column_name").agg(count(lit(1)).as("n"))
+      .select(col("column_name"), col("n"),
+        explode(array(qPcts.map(q => lit(q)): _*)).as("q_pct"))
+      .select(col("column_name"), col("q_pct"),
+        floor((col("n") - 1) * col("q_pct") / 100.0).as("target"))
+    cum.join(targets, "column_name")
+      .filter(col("cum") >= col("target") + 1) // first value reaching the rank
+      .groupBy("column_name", "q_pct").agg(min(col("v")).as("q_val"))
   }
 }

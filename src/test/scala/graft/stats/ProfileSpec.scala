@@ -29,4 +29,33 @@ class ProfileSpec extends SparkSpec {
     val df = Seq((1, "x", 2.0)).toDF("a", "b", "c")
     assert(Profile.profile(df, Seq("a", "b", "c")).count() == 3)
   }
+
+  test("quantiles: rank-at-floor((n-1)q) over a hand-checked column") {
+    import spark.implicits._
+    // n=5 sorted values [1,2,4,8,16]: ranks floor(4q/100) = 0,1,2,3,4
+    val df = Seq(8, 1, 16, 2, 4).toDF("v")
+    val r = Profile.quantiles(df, Seq("v"), Seq(0, 25, 50, 75, 100)).collect()
+      .map(x => x.getInt(1) -> x.getDouble(2)).toMap
+    assert(r == Map(0 -> 1.0, 25 -> 2.0, 50 -> 4.0, 75 -> 8.0, 100 -> 16.0))
+    // n=4 [1,2,4,8]: q50 -> rank floor(1.5)=1 -> value 2 (no interpolation)
+    val r4 = Profile.quantiles(Seq(1, 2, 4, 8).toDF("v"), Seq("v"), Seq(50))
+      .collect().head.getDouble(2)
+    assert(r4 == 2.0)
+    // duplicates count as rows, not distinct values: [1,1,1,9] q50 -> 1
+    val rd = Profile.quantiles(Seq(1, 1, 1, 9).toDF("v"), Seq("v"), Seq(50))
+      .collect().head.getDouble(2)
+    assert(rd == 1.0)
+  }
+
+  test("approx profile stays within the documented rsd of the exact counts") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, i % 97)).toDF("u", "m")
+    val exact = Profile.profile(df, Seq("u", "m")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.profile(df, Seq("u", "m"), approx = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    for ((c, e) <- exact)
+      assert(math.abs(approx(c) - e) <= math.max(1L, (e * 0.05).toLong),
+        s"$c: approx ${approx(c)} vs exact $e")
+  }
 }

@@ -1,7 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Side-tagged row of the streaming as-of union (side 1 = left, 0 = right). */
+final case class AsOfTagged(key: Long, ts: java.sql.Timestamp, side: Int,
+    id: Long, v: Double)
+
+/** Streaming as-of output: left row + latest preceding right (None when no
+  * right row precedes). */
+final case class AsOfOut(id: Long, key: Long, ts: java.sql.Timestamp,
+    asof_ts: Option[java.sql.Timestamp], asof_v: Option[Double])
+
+/** Per-key as-of state: lefts awaiting maturity + candidate rights. */
+final case class AsOfBuf(lefts: List[AsOfTagged], rights: List[AsOfTagged])
 
 /** Structured Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value). The transforms are
@@ -110,6 +123,69 @@ object EventStream {
     *
     * Output: left.* plus `asof_<p>` for each payload column (null when no
     * right row precedes the left row). */
+  /** STREAM-STREAM as-of join — the watermarked two-stream variant of
+    * [[asOfJoin]] (batch-parity spec-pinned). Spark's built-in
+    * stream-stream joins cannot express "latest right at-or-before", so
+    * this is custom state over a side-tagged UNION of the two streams,
+    * keyed by the join key:
+    *
+    *   - both sides buffer per key; a LEFT row matures once the watermark
+    *     passes its event time — at that point no right row at-or-before
+    *     it can still arrive, so its answer is final (the engine drops
+    *     rows at-or-behind the watermark before they reach the operator);
+    *   - matured lefts emit joined to the latest buffered right with
+    *     right.ts <= left.ts (ties match, like the batch contract);
+    *   - state is BOUNDED: matured lefts leave, and of the rights behind
+    *     the watermark only the single LATEST one survives (it alone can
+    *     still be the answer for a pending left) — per key the state is
+    *     one right + one in-flight watermark window of rows;
+    *   - an event-time timeout re-visits keys with pending lefts on every
+    *     watermark advance, so quiet keys still flush.
+    *
+    * Input shapes: left (id, key, ts), right (key, ts, v); output
+    * [[AsOfOut]]. Same contract as the batch operator: right unique per
+    * (key, ts). */
+  def asOfJoinStream(left: DataFrame, right: DataFrame,
+      watermarkDelay: String = "0 seconds"): Dataset[AsOfOut] = {
+    import left.sparkSession.implicits._
+    val l = left.select(col("key").cast("long").as("key"),
+      col("ts").cast("timestamp").as("ts"), lit(1).as("side"),
+      col("id").cast("long").as("id"), lit(0.0).as("v"))
+    val r = right.select(col("key").cast("long").as("key"),
+      col("ts").cast("timestamp").as("ts"), lit(0).as("side"),
+      lit(-1L).as("id"), col("v").cast("double").as("v"))
+    l.unionByName(r)
+      .withWatermark("ts", watermarkDelay)
+      .as[AsOfTagged]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        asOfStep)
+  }
+
+  private def asOfStep(key: Long, rows: Iterator[AsOfTagged],
+      state: GroupState[AsOfBuf]): Iterator[AsOfOut] = {
+    val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+    val incoming = if (state.hasTimedOut) Nil else rows.toList
+    val lefts = st.lefts ++ incoming.filter(_.side == 1)
+    val rights = (st.rights ++ incoming.filter(_.side == 0)).sortBy(_.ts.getTime)
+    val wm = state.getCurrentWatermarkMs()
+    val (mature, pending) = lefts.partition(_.ts.getTime <= wm)
+    val out = mature.sortBy(l => (l.ts.getTime, l.id)).map { l =>
+      val m = rights.takeWhile(_.ts.getTime <= l.ts.getTime).lastOption
+      AsOfOut(l.id, key, l.ts, m.map(_.ts), m.map(_.v))
+    }
+    val (behind, inFlight) = rights.partition(_.ts.getTime <= wm)
+    val kept = behind.lastOption.toList ::: inFlight
+    if (pending.isEmpty && kept.isEmpty) state.remove()
+    else {
+      state.update(AsOfBuf(pending, kept))
+      // wake on the next watermark advance so pending lefts flush even if
+      // this key never sees another row (legal: wm + 1 > watermark)
+      if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+    }
+    out.iterator
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       payload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window

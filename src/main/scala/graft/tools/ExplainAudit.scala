@@ -15,13 +15,27 @@ object ExplainAudit {
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
+    // executed first so the printed AdaptiveSparkPlan is the FINAL one —
+    // join strategies here are AQE's runtime choices (the un-hinted joins
+    // show what actually ran, not the pre-runtime sort-merge placeholder)
+    def showFinal(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.count()
+      println(s"\n======== $name (final adaptive plan, after execution) ========")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
     if (which == "all" || which == "triples")
       show("rdf_triples (derivation)", graft.rdf.TripleSource.derive(spark, dir))
     if (which == "all" || which == "cind")
-      show("cind_all", graft.cind.CindEngine.allCinds(
+      showFinal("cind_all", graft.cind.CindEngine.allCinds(
+        graft.rdf.TripleSource.derive(spark, dir)).toDF())
+    if (which == "all" || which == "s2l")
+      // stage jobs (overlap counts, candidate generation) run during
+      // construction; the printed plan is the final assembly/decode
+      showFinal("cind_all_s2l", graft.cind.CindEngine.allCindsSmallToLarge(
         graft.rdf.TripleSource.derive(spark, dir)).toDF())
     if (which == "all" || which == "dedup")
-      show("dedup_jaccard", graft.dedup.Dedup.jaccardPairs(
+      showFinal("dedup_jaccard", graft.dedup.Dedup.jaccardPairs(
         spark.read.parquet(s"$dir/documents.parquet"), 50))
     if (which == "all" || which == "sim")
       show("sim_topk_brute", graft.sim.Similarity.bruteForceTopK(

@@ -731,27 +731,17 @@ object CindEngine {
     keys.filter(bloomContains(bcast, col("pk")))
   }
 
-  /** Directed candidate verification: count co-occurrences of ONLY the
-    * candidate (dep_id, ref_id) pairs over encoded join lines. The
-    * candidate set rides map-side as a Bloom filter over packed directed
-    * keys (the reference's candidate-BF broadcast, plan/
-    * SmallToLargeTraversalStrategy.scala:380-407 and :450-470), pruning
-    * the pair stream BEFORE its shuffle; the exact semi-join after
-    * aggregation removes the filter's false positives. `pairPred` keeps
-    * only the arity shape a stage can produce (mixed arity for 1/2 + 2/1,
-    * anything for a pre-filtered binary-only line set), so the fan-out
-    * skips impossible pairs without a filter ever dropping a real
-    * candidate co-occurrence. */
-  private def candidateCounts(lines: DataFrame, cands: DataFrame,
+  /** Directed pair counts over encoded join lines, map-side-filtered by a
+    * candidate predicate BEFORE the shuffle: only admitted directed pairs
+    * ever reach the count aggregation. The predicate plays the role of
+    * the reference's candidate Bloom filter broadcast (plan/
+    * SmallToLargeTraversalStrategy.scala:380-407 and :450-470) — but the
+    * candidate set is never ENUMERATED: the necessary conditions are
+    * probed directly against filters built over the stage relations
+    * (see [[allCindsSmallToLarge]]). Over-admission is harmless — a pair
+    * that later passes count == support is by definition a true CIND. */
+  private def filteredPairCounts(lines: DataFrame,
       pairPred: (Column, Column) => Column, splitThreshold: Int): DataFrame = {
-    val spark = lines.sparkSession
-    import spark.implicits._
-    val cpks = cands
-      .select((shiftleft(col("dep_id"), 32) + col("ref_id")).as("cpk"))
-      .persist()
-    val nCands = cpks.count() // sizes the filter AND materializes the cache
-    val bf = buildBloomLongs(cpks.as[Long], math.max(nCands, 1024L), 0.01)
-    val bcast = spark.sparkContext.broadcast(bf)
     val narrow = lines.filter(size(col("ids")) <= splitThreshold)
       .select(explode(col("ids")).as("dep"), col("ids"))
     val wide = lines.filter(size(col("ids")) > splitThreshold)
@@ -764,9 +754,7 @@ object CindEngine {
       .select(col("dep"), explode(col("ids")).as("ref"))
       .filter(col("dep") =!= col("ref") && pairPred(col("dep"), col("ref")))
       .select((shiftleft(col("dep"), 32) + col("ref")).as("dpk"))
-      .filter(bloomContains(bcast, col("dpk")))
       .groupBy("dpk").agg(count(lit(1)).as("n"))
-      .join(cpks, col("dpk") === col("cpk"), "left_semi")
       .select(shiftright(col("dpk"), 32).as("dep_id"),
         col("dpk").bitwiseAND(lit(0xFFFFFFFFL)).as("ref_id"), col("n"))
   }
@@ -774,37 +762,49 @@ object CindEngine {
   /** Small-to-large staged discovery — the reference's DEFAULT traversal
     * (strategy 1, plan/SmallToLargeTraversalStrategy.scala:38-171),
     * re-expressed relationally: instead of counting every frequent-capture
-    * pair in one pass, results climb the arity ladder and each stage's
-    * candidates are GENERATED from the previous stage's results, so the
-    * binary extractions only shuffle candidate-filtered keys:
+    * pair in one pass, results climb the arity ladder and each binary
+    * stage's pair emission is pruned MAP-SIDE by the previous stage's
+    * results, so the binary extractions only shuffle plausible keys:
     *
     *   stage 1 — unary×unary co-occurrence counts (the reference's
     *     OverlapSet relation); 1/1 CINDs fall out as overlap == support.
-    *   stage 2 — candidates in dictionary-ID space:
-    *       1/2: u ⊑ b(r1,r2) requires u ⊑ r1 AND u ⊑ r2 (1/1 CINDs,
-    *            augmented with the vacuous identity u ⊑ u — reference
+    *   stage 2 — ONE mixed-arity extraction verifies 1/2 and 2/1 pairs.
+    *     The necessary conditions are probed per emitted pair instead of
+    *     ever ENUMERATING a candidate set (the first cut materialized the
+    *     candidate joins: ~5.6 GB of (dep, ref) keys at sf0.1 — two
+    *     orders of magnitude larger than the relations that generate
+    *     them; probing those relations directly prunes identically):
+    *       1/2 pair (u, b): (u, sub_i(b)) ∈ 1/1-CINDs for BOTH subs —
+    *            u ⊑ b(r1,r2) requires u ⊑ r1 AND u ⊑ r2 (identity u ⊑ u
+    *            included, reference
     *            GenerateUnaryBinaryCindCandidates.scala:17-45);
-    *       2/1: b(d1,d2) ⊑ r requires overlap(d_i, r) >= minSupport for
-    *            both subs (values(b) ⊆ values(d_i) ∩ values(r));
-    *     one BF-filtered extraction verifies both classes (the arity bit
-    *     on encoded ids keeps the fan-out to mixed-arity pairs).
-    *   stage 3 — 2/2 candidates from the VERIFIED 2/1 relation plus the
-    *     always-true trivial pairs b ⊑ own-sub (reference
-    *     GenerateBinaryBinaryCindCandidates.scala:20-42): bd ⊑ br(r1,r2)
-    *     requires bd ⊑ r1 AND bd ⊑ r2; a second extraction over
-    *     binary-only lines verifies.
+    *       2/1 pair (b, r): (sub_i(b), r) ∈ overlaps for BOTH subs —
+    *            values(b) ⊆ values(sub_i) ∩ values(r); refs equal to b's
+    *            own subs are trivially implied and skipped.
+    *     The sub-capture lookup is a literal id→sub-id MAP folded into
+    *     the plan (dictionary-sized); the membership filters are Bloom
+    *     filters built from c11/cinds11 themselves — the reference's
+    *     candidate-BF broadcast (SmallToLargeTraversalStrategy
+    *     .scala:380-407), with the BF over the GENERATING relation
+    *     instead of the blown-up candidate product.
+    *   stage 3 — a second extraction over binary-only lines verifies 2/2
+    *     pairs: (bd, br) admitted iff (bd, sub_i(br)) ∈ the VERIFIED 2/1
+    *     relation (plus the always-true trivial pairs b ⊑ own-sub,
+    *     reference GenerateBinaryBinaryCindCandidates.scala:20-42) —
+    *     bd ⊑ br(r1,r2) requires bd ⊑ r1 AND bd ⊑ r2.
     *
     * Result-identical to [[allCinds]] (spec-pinned and driver-checked
-    * against the same oracle): every stage's candidate condition is
-    * NECESSARY for the CINDs it feeds — nothing is missed — and
-    * verification is the exact count-match — nothing false survives; a BF
-    * false positive that passes count==support is by definition a true
-    * CIND that allCinds reports too. What the ladder buys on hub-heavy
-    * data: the quadratic pair SHUFFLE only ever carries unary×unary keys
-    * plus candidate-admitted binary keys, bounding aggregation state the
-    * way the reference's staged ladder bounded Flink combiner memory (the
-    * per-line emission work is unchanged — the reference's extractors also
-    * walk all pairs and probe their candidate BF). */
+    * against the same oracle): every probe condition is NECESSARY for the
+    * CINDs it feeds — nothing is missed — and verification is the exact
+    * count-match — nothing false survives; an over-admitted pair (Bloom
+    * false positive) that passes count == support is by definition a true
+    * CIND that allCinds reports too, so no exact candidate re-join is
+    * needed anywhere. What the ladder buys on hub-heavy data: the
+    * quadratic pair SHUFFLE only ever carries unary×unary keys plus
+    * probe-admitted binary keys, bounding aggregation state the way the
+    * reference's staged ladder bounded Flink combiner memory (per-line
+    * emission work is unchanged — the reference's extractors also walk
+    * all pairs and probe their candidate BF). */
   def allCindsSmallToLarge(triples: DataFrame, minSupport: Int = DefaultMinSupport,
       splitThreshold: Int = SplitThreshold,
       bloomConditions: Boolean = false,
@@ -812,12 +812,15 @@ object CindEngine {
       expectedFrequentKeys: Long = 10000000L,
       projections: String = "spo",
       arRules: Option[DataFrame] = None): Dataset[CindRow] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
     val (dict, lines0) = encodedJoinLines(triples, minSupport, bloomConditions,
       arRules = arRules, bloomCaptures = bloomCaptures,
       expectedCaptures = expectedFrequentKeys, projections = projections)
     val lines = lines0.persist()
-    lines.count() // stage-1 fan-out + both candidate extractions read these
+    lines.count() // stage-1 fan-out + both extractions read these
     val unaryBit = (id: Column) => id.bitwiseAND(lit(1L))
+    def pk(a: Column, b: Column) = shiftleft(a, 32) + b
     // ---- stage 1: unary×unary overlaps (arity bit filters lines map-side)
     val unaryLines = lines.select(col("join_val"),
       filter(col("ids"), id => unaryBit(id) === 1L).as("ids"))
@@ -825,62 +828,80 @@ object CindEngine {
     val c11 = expandCounts(pairKeys(unaryLines, splitThreshold))
       .filter(col("n") >= minSupport) // below minSupport certifies nothing
       .persist()
-    c11.count() // 1/1 output + 1/2 + 2/1 candidate generation all read this
+    val nC11 = c11.count() // 1/1 output + both stage-2 probe filters read this
     val sup = dict.select(col("id").as("dep_id"), col("support"))
     val cinds11 = c11.join(sup, "dep_id")
       .filter(col("n") === col("support"))
       .select(col("dep_id"), col("ref_id"))
-    val cinds11WithSelf = cinds11.unionByName(
-      dict.filter(col("v2") === "")
-        .select(col("id").as("dep_id"), col("id").as("ref_id")))
-    // binary capture -> its two unary sub-capture ids (subs are frequent by
-    // containment, so the inner joins never drop a binary capture)
+    // binary capture -> its two unary sub-capture ids; dictionary-sized,
+    // collected once and folded into the plans as literal maps (the same
+    // move the encode step makes with the capture dictionary)
     val unaryDict = dict.filter(col("v2") === "")
-    val binSubs = dict.filter(col("v2") =!= "")
+    val subsArr: Array[(Long, Long, Long)] = dict.filter(col("v2") =!= "")
       .join(unaryDict.select(col("id").as("sub1_id"), col("code").as("s1c"),
         col("v1").as("s1v")),
         firstSubCode(col("code")) === col("s1c") && col("v1") === col("s1v"))
       .join(unaryDict.select(col("id").as("sub2_id"), col("code").as("s2c"),
         col("v1").as("s2v")),
         secondSubCode(col("code")) === col("s2c") && col("v2") === col("s2v"))
-      .select(col("id").as("bin_id"), col("sub1_id"), col("sub2_id"))
+      .select(col("id"), col("sub1_id"), col("sub2_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // dense LITERAL ARRAYS indexed by (id >> 1): dictionary ids are dense
+    // by construction (zipWithIndex), so the lookup is O(1) element_at —
+    // a literal MAP would be an O(|dict|) linear scan per probe, which at
+    // 4 lookups per emitted pair dominated the whole extraction. Unary
+    // slots hold 0 (never a valid id); every probe using them is already
+    // vetoed by the arity conjunct.
+    val nDict = dict.count().toInt
+    val sub1Arr = new Array[Long](nDict)
+    val sub2Arr = new Array[Long](nDict)
+    subsArr.foreach { case (b, s1, s2) =>
+      sub1Arr((b >> 1).toInt - 1) = s1; sub2Arr((b >> 1).toInt - 1) = s2 }
+    val sub1Lit = lit(sub1Arr)
+    val sub2Lit = lit(sub2Arr)
+    def sub1Of(id: Column) = element_at(sub1Lit, shiftright(id, 1).cast("int"))
+    def sub2Of(id: Column) = element_at(sub2Lit, shiftright(id, 1).cast("int"))
+    // ---- stage 2: one mixed-arity extraction, probe-filtered map-side
+    val bfC11 = spark.sparkContext.broadcast(buildBloomLongs(
+      c11.select(pk(col("dep_id"), col("ref_id")).as("k")).as[Long],
+      math.max(nC11, 1024L), 0.01))
+    val bf11 = spark.sparkContext.broadcast(buildBloomLongs(
+      cinds11.select(pk(col("dep_id"), col("ref_id")).as("k")).as[Long]
+        // vacuous identity u ⊑ u, for 1/2 refs sharing the dep's condition
+        .union(unaryDict.select(pk(col("id"), col("id")).as("k")).as[Long]),
+      math.max(nC11, 1024L), 0.01))
+    val mixedPred = (dep: Column, ref: Column) => {
+      val s1r = sub1Of(ref); val s2r = sub2Of(ref)
+      val s1d = sub1Of(dep); val s2d = sub2Of(dep)
+      val p12 = unaryBit(dep) === 1L && unaryBit(ref) === 0L &&
+        bloomContains(bf11, pk(dep, s1r)) && bloomContains(bf11, pk(dep, s2r))
+      val p21 = unaryBit(dep) === 0L && unaryBit(ref) === 1L &&
+        ref =!= s1d && ref =!= s2d && // own-sub refs are trivially implied
+        bloomContains(bfC11, pk(s1d, ref)) && bloomContains(bfC11, pk(s2d, ref))
+      p12 || p21
+    }
+    val mixedLines = lines.filter(
+      exists(col("ids"), id => unaryBit(id) === 1L) &&
+        exists(col("ids"), id => unaryBit(id) === 0L))
+    val countsA = filteredPairCounts(mixedLines, mixedPred, splitThreshold)
       .persist()
-    binSubs.count() // read by three candidate generations
-    // ---- stage 2: candidate generation + one mixed-arity extraction
-    val cand12 = binSubs
-      .join(cinds11WithSelf.toDF("u1", "s1"), col("s1") === col("sub1_id"))
-      .join(cinds11WithSelf.toDF("u2", "s2"),
-        col("s2") === col("sub2_id") && col("u2") === col("u1"))
-      .select(col("u1").as("dep_id"), col("bin_id").as("ref_id"))
-    val cand21 = binSubs
-      .join(c11.toDF("d1", "r1", "n1"), col("d1") === col("sub1_id"))
-      .join(c11.toDF("d2", "r2", "n2"),
-        col("d2") === col("sub2_id") && col("r2") === col("r1"))
-      // refs equal to the dep's own subs are trivially implied: skipped
-      // here and (for BF false positives) re-filtered at decode
-      .filter(col("r1") =!= col("sub1_id") && col("r1") =!= col("sub2_id"))
-      .select(col("bin_id").as("dep_id"), col("r1").as("ref_id"))
-    val mixedArity = (dep: Column, ref: Column) => unaryBit(dep) =!= unaryBit(ref)
-    val countsA = candidateCounts(lines,
-      cand12.unionByName(cand21), mixedArity, splitThreshold).persist()
-    countsA.count() // feeds the output AND the 2/2 candidate generation
-    // ---- stage 3: 2/2 candidates from verified 2/1s, binary-only lines
-    val v21full = countsA.join(sup, "dep_id")
+    countsA.count() // feeds the output AND the stage-3 probe filter
+    // ---- stage 3: binary-binary extraction probed against verified 2/1s
+    val v21 = countsA.join(sup, "dep_id")
       .filter(col("n") === col("support") && unaryBit(col("dep_id")) === 0L)
-      .select(col("dep_id"), col("ref_id"))
-      .unionByName(binSubs.select(col("bin_id").as("dep_id"), col("sub1_id").as("ref_id")))
-      .unionByName(binSubs.select(col("bin_id").as("dep_id"), col("sub2_id").as("ref_id")))
-    val cand22 = binSubs
-      .join(v21full.toDF("b1", "s1"), col("s1") === col("sub1_id"))
-      .join(v21full.toDF("b2", "s2"),
-        col("s2") === col("sub2_id") && col("b2") === col("b1"))
-      .filter(col("b1") =!= col("bin_id"))
-      .select(col("b1").as("dep_id"), col("bin_id").as("ref_id"))
+      .select(pk(col("dep_id"), col("ref_id")).as("k")).as[Long]
+    val trivial21 = spark.createDataset(
+      subsArr.toSeq.flatMap(t => Seq((t._1 << 32) + t._2, (t._1 << 32) + t._3)))
+    val bfV21 = spark.sparkContext.broadcast(buildBloomLongs(
+      v21.union(trivial21),
+      math.max(countsA.count() + 2L * subsArr.length, 1024L), 0.01))
+    val binPred = (dep: Column, ref: Column) =>
+      bloomContains(bfV21, pk(dep, sub1Of(ref))) &&
+        bloomContains(bfV21, pk(dep, sub2Of(ref)))
     val binaryLines = lines.select(col("join_val"),
       filter(col("ids"), id => unaryBit(id) === 0L).as("ids"))
       .filter(size(col("ids")) > 1)
-    val countsB = candidateCounts(binaryLines, cand22,
-      (_, _) => lit(true), splitThreshold)
+    val countsB = filteredPairCounts(binaryLines, binPred, splitThreshold)
     // ---- assemble: one decode; count==support + trivial-ref filter live there
     val cinds = decodeCinds(dict,
       c11.unionByName(countsA).unionByName(countsB))

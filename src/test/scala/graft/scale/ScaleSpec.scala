@@ -95,4 +95,35 @@ class ScaleSpec extends SparkSpec {
       assert(err <= 0.05, s"col $c: approx ${ap.getLong(3)} vs exact ${e.getLong(3)}")
     }
   }
+
+  test("LoadPack.pack: LPT balances skewed weights within the 4/3 bound") {
+    // one giant + many small keys: hash partitioning would stack smalls
+    // on the giant's bin with probability ~ (bins-1)/bins per key
+    val weights = ("hub", 900L) +: (1 to 30).map(i => (s"k$i", 10L))
+    val bins = 4
+    val a = LoadPack.pack(weights, bins)
+    assert(a.values.toSet.subsetOf((0 until bins).toSet))
+    val ms = LoadPack.makespan(weights, a, bins)
+    assert(ms == 900L, s"makespan $ms: smalls must avoid the hub's bin")
+    // determinism: same inputs -> same placement
+    assert(LoadPack.pack(weights, bins) == a)
+  }
+
+  test("repartitionByLoad pins bins exactly and loses no rows") {
+    import spark.implicits._
+    val df = (("hub", 0) +: (1 to 199).map(i => (s"k${i % 5}", i))).toDF("k", "v")
+      .union((1 to 299).map(_ => ("hub", 1)).toDF("k", "v"))
+    val packed = LoadPack.repartitionByLoad(df, "k", 3)
+    assert(packed.count() == 499) // 1 + 199 + 299 input rows
+    assert(packed.rdd.getNumPartitions == 3)
+    // every key's rows land in ONE partition, matching the packing
+    val perPart = packed.rdd.mapPartitionsWithIndex { (i, it) =>
+      it.map(r => (r.getString(0), i))
+    }.distinct().collect().groupBy(_._1)
+    assert(perPart.forall(_._2.length == 1), s"split keys: $perPart")
+    // the hub's 300 rows sit alone-ish: its partition holds <= 300 + the
+    // LPT remainder, never hub + everything
+    val sizes = packed.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.max <= 300, s"partition sizes ${sizes.toSeq}")
+  }
 }

@@ -153,7 +153,10 @@ object Dedup {
       .withColumn("jaccard_pct",
         floor(lit(100) * col("inter") / (col("n_a") + col("n_b") - col("inter"))))
       .filter(col("jaccard_pct") >= minJaccardPct)
-    banded.unpersist()
+    // NO unpersist here: the returned frame is LAZY — dropping the banded
+    // cache at construction time would discard the just-materialized
+    // blocks before the caller's action reads them, recomputing the
+    // banding for both self-join sides (caller/session owns cleanup)
     out
   }
 

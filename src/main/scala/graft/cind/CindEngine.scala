@@ -399,10 +399,14 @@ object CindEngine {
       // a per-value capture SET before the frequency filter, so hub join
       // values with huge distinct-capture sets stay row-shaped. Pass 1:
       // dedup shuffle + capture supports; pass 2: BF drops
-      // infrequent-capture instances MAP-SIDE, the exact encode join runs
-      // un-hinted (AQE picks the shape), and lines re-group from ids.
-      // False positives only let extra instances reach the inner join,
-      // where the dictionary membership removes them — results identical.
+      // infrequent-capture instances MAP-SIDE, the survivors encode
+      // MAP-SIDE through the same dict_encode_ids broadcast hash map the
+      // exact path uses (an encode JOIN here shuffled the full deduped
+      // instance stream twice — ~180 MB of map writes at sf0.1 — for a
+      // dictionary that ships everywhere else as a broadcast anyway), and
+      // lines re-group from ids. BF false positives only let extra
+      // instances reach the encode, where the dictionary-map miss drops
+      // them — results identical.
       val dedup = pruned.dropDuplicates("code", "v1", "v2", "join_val").persist()
       val grouped = dedup.groupBy("code", "v1", "v2")
         .agg(count(lit(1)).as("support"))
@@ -415,10 +419,18 @@ object CindEngine {
         expectedCaptures, 0.01)
       val bfBcast = spark.sparkContext.broadcast(bf)
       val toEncode = dedup.filter(bloomContains(bfBcast, keyOf))
+      val dictMap = new java.util.HashMap[String, java.lang.Long]()
+      dict.select("code", "v1", "v2", "id").collect().foreach { r =>
+        dictMap.put(graft.functions.DictEncodeIds.key(
+          r.getInt(0), r.getString(1), r.getString(2)), r.getLong(3))
+      }
+      val mapBcast = spark.sparkContext.broadcast(dictMap)
+      val encoded = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.DictEncodeIds(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            array(struct(col("code"), col("v1"), col("v2")))), mapBcast))
       val ided = toEncode
-        .join(dict.select(col("code"), col("v1"), col("v2"), col("id")),
-          Seq("code", "v1", "v2"))
-        .select(col("join_val"), col("id"))
+        .select(col("join_val"), explode(encoded).as("id"))
       // collect_list suffices: inputs are already (capture, value)-distinct
       val lines = ided.groupBy("join_val").agg(collect_list(col("id")).as("ids"))
       (dict, lines)

@@ -60,4 +60,22 @@ object RandomizedCindProps extends Properties("graft.cind.e2e") {
       }
       got == want
     }
+
+  // the full option stack (AR pruning + both Bloom paths) composed onto two
+  // structurally different strategies must agree on arbitrary inputs — the
+  // randomized counterpart of MainSpec's fixture flag matrix
+  property("AR + Bloom composition: count-match and small-to-large agree") =
+    forAll(triples) { ts =>
+      import spark.implicits._
+      val df = ts.toDF("subj", "pred", "obj")
+      val rules = CindEngine.preparedRules(df, 2)
+      val a = CindEngine.allCinds(df, minSupport = 2,
+        bloomConditions = true, bloomCaptures = true, arRules = Some(rules))
+        .collect().map(key).toSet
+      val b = CindEngine.allCindsSmallToLarge(df, minSupport = 2,
+        bloomConditions = true, bloomCaptures = true, arRules = Some(rules))
+        .collect().map(key).toSet
+      if (a != b) println(s"triples=$ts\nonly-cm=${a -- b}\nonly-s2l=${b -- a}")
+      a == b
+    }
 }

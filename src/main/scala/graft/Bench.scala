@@ -83,7 +83,18 @@ object Bench {
     results.foreach { case (k, _, e) =>
       e.foreach(m => System.err.println(s"[bench] FAILED $k: $m")) }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO write to a file: the driver captures stdout with a bounded tail,
+    // and round-5's capture truncated away the four heaviest queries plus
+    // the total ("parsed": null). The on-disk copy is the durable record.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN: could not write $outPath: $e") }
     spark.stop()
   }
 }

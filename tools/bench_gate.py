@@ -61,9 +61,13 @@ def gate(path):
             print(f"{q:32} {sec:8.1f} {'new':>8}")
             continue
         ratio = sec / fl if fl > 0 else float("inf")
-        flag = " <-- >2x" if ratio > 2.0 else ""
+        # ratio alone false-positives on sub-second floors (a 0.1s query
+        # reading 0.21s is timer/startup noise, not a regression): require
+        # both >2x AND a material absolute delta
+        slow = ratio > 2.0 and (sec - fl) > 0.5
+        flag = " <-- >2x" if slow else ""
         print(f"{q:32} {sec:8.1f} {fl:8.1f} {ratio:6.2f}{flag}")
-        if ratio > 2.0:
+        if slow:
             bad.append(q)
     total = sum(bench["queries"].values())
     print(f"{'TOTAL':32} {total:8.1f} {ref['total']:8.1f} "

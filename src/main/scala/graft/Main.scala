@@ -17,9 +17,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *   --ar-output PATH      write association rules as text
   *   --support N           minimum support (default 10)
   *   --strategy S          count-match | intersect | tworound | small-to-large
-  *                         (default count-match; reference traversal
+  *                         | hybrid (default count-match; reference traversal
   *                         strategies 0 / 1 / 2-3 analogs — small-to-large is
-  *                         the reference default's staged arity ladder)
+  *                         the reference default's staged arity ladder,
+  *                         hybrid the single-pass exact/Bloom merge of
+  *                         IntersectHalfApproximateCindCandidates)
+  *   --hybrid-spill N      hybrid only: refs-per-evidence above which an
+  *                         evidence spills to Bloom bits (default 64)
+  *   --merge-window-size N accepted for reference-CLI compatibility
+  *                         (BulkMergeDependencies' memory-adaptive merge
+  *                         window). Subsumed: Spark's ObjectHashAggregate
+  *                         spills partial buffers to disk itself, so there
+  *                         is no window to size — the value is ignored
   *   --use-ars             association-rule pruning (reference --use-ars);
   *                         composes with every strategy
   *   --use-bloom           Bloom-filtered frequency pruning, filters sized by
@@ -46,6 +55,8 @@ object Main {
       arOutput: Option[String] = None,
       support: Int = CindEngine.DefaultMinSupport,
       strategy: String = "count-match",
+      hybridSpill: Int = CindEngine.HybridSpillThreshold,
+      mergeWindowSize: Option[Int] = None,
       useArs: Boolean = false,
       useBloom: Boolean = false,
       projections: String = "spo",
@@ -65,6 +76,9 @@ object Main {
       case "--ar-output" :: v :: t    => loop(t, c.copy(arOutput = Some(v)))
       case "--support" :: v :: t      => loop(t, c.copy(support = v.toInt))
       case "--strategy" :: v :: t     => loop(t, c.copy(strategy = v))
+      case "--hybrid-spill" :: v :: t => loop(t, c.copy(hybridSpill = v.toInt))
+      case "--merge-window-size" :: v :: t =>
+        loop(t, c.copy(mergeWindowSize = Some(v.toInt)))
       case "--use-ars" :: t           => loop(t, c.copy(useArs = true))
       case "--use-bloom" :: t         => loop(t, c.copy(useBloom = true))
       case "--projection" :: v :: t   => loop(t, c.copy(projections = v))
@@ -81,8 +95,9 @@ object Main {
     }
     val c = loop(args.toList, Config())
     require(c.inputs.nonEmpty, "at least one input path is required")
-    require(Set("count-match", "intersect", "tworound", "small-to-large")(c.strategy),
+    require(Set("count-match", "intersect", "tworound", "small-to-large", "hybrid")(c.strategy),
       s"unknown strategy ${c.strategy}")
+    require(c.hybridSpill > 0, s"--hybrid-spill must be positive, got ${c.hybridSpill}")
     require(c.projections.nonEmpty && c.projections.forall("spo".contains(_)),
       s"--projection must be a non-empty subset of spo, got ${c.projections}")
     c
@@ -153,6 +168,12 @@ object Main {
           arRules = rules)
       case "small-to-large" =>
         CindEngine.allCindsSmallToLarge(triples, c.support,
+          bloomConditions = c.useBloom, bloomCaptures = c.useBloom,
+          expectedFrequentKeys = expected, projections = c.projections,
+          arRules = rules)
+      case "hybrid" =>
+        CindEngine.allCindsHybrid(triples, c.support,
+          spillThreshold = c.hybridSpill,
           bloomConditions = c.useBloom, bloomCaptures = c.useBloom,
           expectedFrequentKeys = expected, projections = c.projections,
           arRules = rules)

@@ -17,6 +17,25 @@ final case class CindRow(
     ref_code: Int, ref_v1: String, ref_v2: String,
     support: Long)
 
+/** One hybrid evidence over encoded ids: a dependent capture plus its
+  * co-occurring refs from ONE join line — exact (`bits` empty) for narrow
+  * lines, Bloom bits (`refs` empty) for wide ones (reference
+  * CreateHalfApproximateCindCandidates semantics). */
+final case class HybridEvidence(dep: Long, refs: Array[Long], bits: Array[Long])
+
+/** Hybrid aggregation buffer: exact sorted-intersection ∧ bitwise-AND'd
+  * Bloom bits, with flags for which halves have been fed (reference
+  * HalfApproximateCindSet's (refConditions, approximateRefConditions,
+  * isExact) triple). `count == 0` marks the zero buffer. */
+final case class HybridCindSet(count: Long, refs: Array[Long], hasExact: Boolean,
+    bits: Array[Long], hasBits: Boolean)
+
+/** Exact second-round evidence: refs pre-filtered by round-1 state. */
+final case class LongRefsEvidence(dep: Long, refs: Array[Long])
+
+/** Exact intersection state for the second round. */
+final case class LongRefsSet(count: Long, refs: Array[Long])
+
 /** The CIND discovery pipeline, re-expressed Spark-first.
   *
   * Default plan (`allCinds`, count-match — README "The CIND pipeline"):
@@ -533,6 +552,7 @@ object CindEngine {
     val unaryLines = lines0.select(col("join_val"),
       filter(col("ids"), id => id.bitwiseAND(lit(1L)) === 1L).as("ids"))
       .filter(size(col("ids")) > 1)
+    val internal = Seq.newBuilder[Dataset[_]]
     val keys =
       if (!sketch) pairKeys(unaryLines, SplitThreshold)
       else {
@@ -542,6 +562,7 @@ object CindEngine {
         // candidates, not to every co-occurrence
         val cached = unaryLines.persist()
         cached.count() // sketch pass + count pass both read the lines
+        internal += cached
         val raw = pairKeys(cached, SplitThreshold)
         sketchPrunedKeys(raw, minSupport, expectedPairs)
       }
@@ -550,7 +571,7 @@ object CindEngine {
       col("v1").as("dep_v1"), col("support").as("dep_support"))
     val refSide = unary.select(col("id").as("ref_id"), col("code").as("ref_code"),
       col("v1").as("ref_v1"))
-    expandCounts(keys)
+    val out = expandCounts(keys)
       // overlaps below minSupport can never certify a CIND nor survive the
       // reference's candidate filters — dropping them pre-decode keeps the
       // materialized relation proportional to the useful candidates
@@ -559,6 +580,7 @@ object CindEngine {
       .join(broadcast(refSide), "ref_id")
       .select(col("dep_code"), col("dep_v1"), col("ref_code"), col("ref_v1"),
         col("n").as("overlap"), col("dep_support"))
+    graft.core.CacheOps.cacheResult(out, internal.result())
   }
 
   /** Decode directed counts into CIND rows: keep pairs whose co-count
@@ -626,17 +648,19 @@ object CindEngine {
     * Both prunings only REMOVE redundant output rows; every surviving CIND
     * is identical to its `allCinds` counterpart (same support). */
   def allCindsPruned(triples: DataFrame, minSupport: Int = DefaultMinSupport,
-      splitThreshold: Int = SplitThreshold): Dataset[CindRow] =
-    allCinds(triples, minSupport, splitThreshold,
-      arRules = Some(preparedRules(triples, minSupport)))
+      splitThreshold: Int = SplitThreshold): Dataset[CindRow] = {
+    val rules = preparedRules(triples, minSupport)
+    val out = allCinds(triples, minSupport, splitThreshold, arRules = Some(rules))
+    graft.core.CacheOps.cacheResult(out, Seq(rules))
+  }
 
   /** Association rules persisted for the two places every AR-pruned
-    * strategy consumes them (the fan-out anti-join and the output filter). */
-  def preparedRules(triples: DataFrame, minSupport: Int): DataFrame = {
-    val rules = associationRules(triples, minSupport).persist()
-    rules.count()
-    rules
-  }
+    * strategy consumes them (the fan-out anti-join and the output filter).
+    * [[associationRules]] already returns its result persisted and
+    * materialized (CacheOps contract), so this is now an alias kept for
+    * call-site clarity; the caller owns the one cached handle. */
+  def preparedRules(triples: DataFrame, minSupport: Int): DataFrame =
+    associationRules(triples, minSupport)
 
   /** Output-side AR pruning shared by all strategies: drop 1/1 CINDs
     * `proj[ante] ⊑ proj[cons]` directly implied by a confidence-1.0 rule
@@ -697,7 +721,8 @@ object CindEngine {
     val keys = pairKeys(lines, splitThreshold)
     val cinds = decodeCinds(dict,
       expandCounts(sketchPrunedKeys(keys, minSupport, expectedPairs)))
-    arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
+    val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
+    graft.core.CacheOps.cacheResult(out, Seq(lines))
   }
 
   /** Spectral-sketch pruning of an unordered pair-key stream (the shared
@@ -741,6 +766,132 @@ object CindEngine {
       .toBloomFilter(minSupport)
     val bcast = spark.sparkContext.broadcast(candidateFilter)
     keys.filter(bloomContains(bcast, col("pk")))
+  }
+
+  /** Refs arrays longer than this spill to Bloom-filter bits in the hybrid
+    * strategy (reference `--merge-window-size` territory: the explicit
+    * threshold at which exact per-evidence state becomes sketch state). */
+  val HybridSpillThreshold = 64
+
+  /** Single-pass hybrid exact/Bloom intersection — the literal shape of the
+    * reference's half-approximate merge (candidate_merging/
+    * IntersectHalfApproximateCindCandidates.scala:16-109 over
+    * CreateHalfApproximateCindCandidates): each join line contributes, per
+    * dependent capture, either its EXACT co-occurring refs (narrow lines)
+    * or a Bloom filter of them (wide lines, refs > spillThreshold — the
+    * explicit-threshold spill bounding aggregation state the way the
+    * reference bounded Flink combiner memory); ONE typed aggregation then
+    * intersects exact arrays exactly and BF bits bitwise, in the same
+    * buffer.
+    *
+    * Exactness recovery (the reference refines `!isExact` results in its
+    * next round; same move here, restricted to the unsure deps):
+    *   - deps whose every evidence was exact emit directly;
+    *   - deps that saw any BF evidence get a SECOND exact pass over their
+    *     lines with refs pre-filtered by the round-1 state (exact-part
+    *     refs ∩ BF bits — a superset of the truth, so the exact
+    *     re-intersection returns exactly the truth; Bloom false positives
+    *     only widen the filtered arrays, never the result).
+    *
+    * Result-identical to [[allCinds]] (spec-pinned + driver oracle). Versus
+    * [[allCindsTwoRound]] (sketch round + exact round over ALL deps), the
+    * hybrid resolves narrow-line deps in round 1 and re-touches only deps
+    * that met a hub line — the trade the reference's one-pass hybrid buffer
+    * made. Round-2 driver state is dictionary-scale (the dictionary is
+    * already collected for the encode broadcast), never data-scale. */
+  def allCindsHybrid(triples: DataFrame, minSupport: Int = DefaultMinSupport,
+      spillThreshold: Int = HybridSpillThreshold,
+      bloomConditions: Boolean = false,
+      bloomCaptures: Boolean = false,
+      expectedFrequentKeys: Long = 10000000L,
+      projections: String = "spo",
+      arRules: Option[DataFrame] = None): Dataset[CindRow] = {
+    require(spillThreshold > 0, "spillThreshold must be positive")
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val (dict, lines0) = encodedJoinLines(triples, minSupport, bloomConditions,
+      arRules = arRules, bloomCaptures = bloomCaptures,
+      expectedCaptures = expectedFrequentKeys, projections = projections)
+    val lines = lines0.persist()
+    lines.count() // round 1 + round 2 both read the lines
+    // ONE shared BF geometry: bitwise AND of filters is only meaningful
+    // when every evidence uses the same (numBits, numHashes). Sized from
+    // the spill threshold, not the data: a hub line saturates its filter
+    // (admits everything) and degrades to the exact round-2 path for its
+    // deps — graceful, never wrong.
+    val proto = graft.core.Bloom.create(math.max(1024L, spillThreshold * 8L), 0.05)
+    val (nb, nh) = (proto.numBits, proto.numHashes)
+    val words = (nb + 63) >>> 6
+    val spill = spillThreshold
+    val evid = lines.select(col("ids")).as[Array[Long]].flatMap { ids0 =>
+      val ids = ids0.sorted
+      if (ids.length - 1 <= spill) {
+        // narrow: exact refs per dep (sorted by construction)
+        Iterator.range(0, ids.length).map { d =>
+          val refs = new Array[Long](ids.length - 1)
+          var i = 0; var k = 0
+          while (i < ids.length) { if (i != d) { refs(k) = ids(i); k += 1 }; i += 1 }
+          HybridEvidence(ids(d), refs, Array.emptyLongArray)
+        }
+      } else {
+        // wide: ONE filter over the whole line, shared by all its deps —
+        // O(w) insertions, not O(w^2). It admits dep itself as a ref; the
+        // round-2 `r != dep` guard removes the only effect.
+        val bf = graft.core.Bloom.wrap(nb, nh, new Array[Long](words))
+        var i = 0; while (i < ids.length) { bf.put(ids(i)); i += 1 }
+        ids.iterator.map(dep => HybridEvidence(dep, Array.emptyLongArray, bf.bits))
+      }
+    }
+    val agged = evid.groupByKey(_.dep).agg(IntersectHybridCandidates.toColumn)
+      .filter(_._2.count >= minSupport) // belt: dict deps satisfy this anyway
+      .persist()
+    agged.count() // exact split + unsure collect both read this
+    val exactPairs = agged.flatMap { case (dep, s) =>
+      if (!s.hasBits) s.refs.iterator.map(r => (dep, r)) else Iterator.empty
+    }.toDF("dep_id", "ref_id")
+    // unsure deps -> driver: per dep either the BF-filtered exact candidate
+    // array or (dep seen ONLY in wide lines) the intersected bits
+    val exactCands = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    val bitsCands = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    agged.filter(_._2.hasBits).collect().foreach { case (dep, s) =>
+      if (s.hasExact) {
+        val bf = graft.core.Bloom.wrap(nb, nh, s.bits)
+        exactCands.put(dep, s.refs.filter(bf.mightContain))
+      } else bitsCands.put(dep, s.bits)
+    }
+    val bcExact = spark.sparkContext.broadcast(exactCands)
+    val bcBits = spark.sparkContext.broadcast(bitsCands)
+    val round2 = lines.select(col("ids")).as[Array[Long]].flatMap { ids0 =>
+      val ids = ids0.sorted
+      val exactM = bcExact.value
+      val bitsM = bcBits.value
+      ids.iterator.flatMap { dep =>
+        val cand = exactM.get(dep)
+        if (cand != null) {
+          Iterator.single(LongRefsEvidence(dep,
+            ids.filter(r => r != dep && java.util.Arrays.binarySearch(cand, r) >= 0)))
+        } else {
+          val bits = bitsM.get(dep)
+          if (bits != null) {
+            val bf = graft.core.Bloom.wrap(nb, nh, bits)
+            Iterator.single(LongRefsEvidence(dep,
+              ids.filter(r => r != dep && bf.mightContain(r))))
+          } else Iterator.empty
+        }
+      }
+    }
+    val verifiedPairs = round2.groupByKey(_.dep).agg(IntersectLongRefs.toColumn)
+      .flatMap { case (dep, s) => s.refs.iterator.map(r => (dep, r)) }
+      .toDF("dep_id", "ref_id")
+    // decode reuses the count==support filter trivially: every surviving
+    // pair IS at full support by construction of the intersections
+    val withN = exactPairs.unionByName(verifiedPairs)
+      .join(broadcast(dict.select(col("id").as("dep_id"), col("support").as("sup_"))),
+        "dep_id")
+      .select(col("dep_id"), col("ref_id"), col("sup_").as("n"))
+    val cinds = decodeCinds(dict, withN)
+    val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
+    graft.core.CacheOps.cacheResult(out, Seq(lines, agged))
   }
 
   /** Directed pair counts over encoded join lines, map-side-filtered by a
@@ -793,8 +944,8 @@ object CindEngine {
     *       2/1 pair (b, r): (sub_i(b), r) ∈ overlaps for BOTH subs —
     *            values(b) ⊆ values(sub_i) ∩ values(r); refs equal to b's
     *            own subs are trivially implied and skipped.
-    *     The sub-capture lookup is a literal id→sub-id MAP folded into
-    *     the plan (dictionary-sized); the membership filters are Bloom
+    *     The sub-capture lookup is a broadcast dense id→sub-id array
+    *     probed by a native expression; the membership filters are Bloom
     *     filters built from c11/cinds11 themselves — the reference's
     *     candidate-BF broadcast (SmallToLargeTraversalStrategy
     *     .scala:380-407), with the BF over the GENERATING relation
@@ -858,21 +1009,30 @@ object CindEngine {
         secondSubCode(col("code")) === col("s2c") && col("v2") === col("s2v"))
       .select(col("id"), col("sub1_id"), col("sub2_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // dense LITERAL ARRAYS indexed by (id >> 1): dictionary ids are dense
-    // by construction (zipWithIndex), so the lookup is O(1) element_at —
-    // a literal MAP would be an O(|dict|) linear scan per probe, which at
-    // 4 lookups per emitted pair dominated the whole extraction. Unary
-    // slots hold 0 (never a valid id); every probe using them is already
-    // vetoed by the arity conjunct.
+    // dense ARRAYS indexed by (id >> 1) - 1: dictionary ids are dense by
+    // construction (zipWithIndex), so the lookup is O(1) — a MAP would be
+    // an O(|dict|) linear scan per probe, which at 4 lookups per emitted
+    // pair dominated the whole extraction. Unary slots hold 0 (never a
+    // valid id); every probe using them is already vetoed by the arity
+    // conjunct. Shipped per EXECUTOR through a Broadcast read by the
+    // native bcast_array_get expression, NOT folded into the plan as
+    // lit(Array[Long]): a literal re-serializes the whole |dict|-sized
+    // array into every task's plan for both probing stages — megabytes
+    // per task once the dictionary reaches cluster-scale cardinality.
     val nDict = dict.count().toInt
     val sub1Arr = new Array[Long](nDict)
     val sub2Arr = new Array[Long](nDict)
     subsArr.foreach { case (b, s1, s2) =>
       sub1Arr((b >> 1).toInt - 1) = s1; sub2Arr((b >> 1).toInt - 1) = s2 }
-    val sub1Lit = lit(sub1Arr)
-    val sub2Lit = lit(sub2Arr)
-    def sub1Of(id: Column) = element_at(sub1Lit, shiftright(id, 1).cast("int"))
-    def sub2Of(id: Column) = element_at(sub2Lit, shiftright(id, 1).cast("int"))
+    val bcSub1 = spark.sparkContext.broadcast(sub1Arr)
+    val bcSub2 = spark.sparkContext.broadcast(sub2Arr)
+    def arrGet(bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+        idx: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.BroadcastArrayGet(
+          org.apache.spark.sql.graft.ColumnBridge.expression(idx), bc))
+    def sub1Of(id: Column) = arrGet(bcSub1, shiftright(id, 1) - 1)
+    def sub2Of(id: Column) = arrGet(bcSub2, shiftright(id, 1) - 1)
     // ---- stage 2: one mixed-arity extraction, probe-filtered map-side
     val bfC11 = spark.sparkContext.broadcast(buildBloomLongs(
       c11.select(pk(col("dep_id"), col("ref_id")).as("k")).as[Long],
@@ -917,7 +1077,10 @@ object CindEngine {
     // ---- assemble: one decode; count==support + trivial-ref filter live there
     val cinds = decodeCinds(dict,
       c11.unionByName(countsA).unionByName(countsB))
-    arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
+    val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
+    // materialize the compact CIND result, then release the staged caches —
+    // without this every call leaks lines/c11/countsA blocks for the session
+    graft.core.CacheOps.cacheResult(out, Seq(lines, c11, countsA))
   }
 
   /** Strategy 0 (AllAtOnce, reference plan/AllAtOnceTraversalStrategy
@@ -966,7 +1129,6 @@ object CindEngine {
     // consumed twice (unary and binary splits) — persist + materialize so
     // the broadcast build sides read the cache instead of re-aggregating
     val counts = conditionCounts(triples).persist()
-    counts.count()
     val unary = counts.filter(col("cond_code").isin(1, 2, 4))
       .select(col("cond_code").as("u_code"), col("v1").as("u_v"), col("cnt").as("u_cnt"))
     val binary = counts.filter(col("cond_code").isin(3, 5, 6))
@@ -986,7 +1148,9 @@ object CindEngine {
       .filter(col("cnt") === col("u_cnt") && col("u_cnt") >= minSupport)
       .select(col("u_code").as("ante_code"), col("v2").as("ante_val"),
         fstCode.as("cons_code"), col("v1").as("cons_val"), col("cnt").as("support"))
-    d1.unionAll(d2)
+    // the rule set is the compact result every AR consumer broadcasts:
+    // cache IT, release the condition-count intermediate
+    graft.core.CacheOps.cacheResult(d1.unionAll(d2), Seq(counts))
   }
 
   // -1 sentinel (never a valid capture code) instead of NULL: these feed
@@ -1052,7 +1216,9 @@ object CindEngine {
     }
 
     val afterA = pruneA(pruneA(c, firstSubCode, "dep_v1"), secondSubCode, "dep_v2")
-    pruneB(pruneB(afterA, firstSubCode, "ref_v1"), secondSubCode, "ref_v2")
+    val out = pruneB(pruneB(afterA, firstSubCode, "ref_v1"), secondSubCode, "ref_v2")
+    // release the input cache once the pruned (still-compact) result holds
+    graft.core.CacheOps.cacheResult(out, Seq(c))
   }
 }
 
@@ -1063,6 +1229,78 @@ object CindEngine {
   * partial+final ObjectHashAggregate automatically). `count == 0` marks the
   * zero buffer; a real evidence always contributes count 1.
   */
+/** Single-pass hybrid merge (reference candidate_merging/
+  * IntersectHalfApproximateCindCandidates.scala:16-109): exact ref arrays
+  * intersect via the sorted two-pointer walk, Bloom halves intersect by
+  * bitwise AND (`BloomFilter.intersect` in the reference), both inside ONE
+  * buffer. Arrays share one (numBits, numHashes) geometry by construction
+  * (the caller builds every evidence filter from the same prototype). */
+object IntersectHybridCandidates
+    extends Aggregator[HybridEvidence, HybridCindSet, HybridCindSet] {
+  override def zero: HybridCindSet =
+    HybridCindSet(0L, Array.empty, hasExact = false, Array.empty, hasBits = false)
+
+  private def andBits(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) & b(i); i += 1 }
+    out
+  }
+
+  override def reduce(b: HybridCindSet, e: HybridEvidence): HybridCindSet =
+    if (e.bits.isEmpty)
+      HybridCindSet(b.count + 1L,
+        if (b.hasExact) SortedOps.intersect(b.refs, e.refs) else e.refs,
+        hasExact = true, b.bits, b.hasBits)
+    else
+      HybridCindSet(b.count + 1L, b.refs, b.hasExact,
+        if (b.hasBits) andBits(b.bits, e.bits) else e.bits, hasBits = true)
+
+  override def merge(a: HybridCindSet, b: HybridCindSet): HybridCindSet =
+    if (a.count == 0L) b
+    else if (b.count == 0L) a
+    else HybridCindSet(a.count + b.count,
+      if (a.hasExact && b.hasExact) SortedOps.intersect(a.refs, b.refs)
+      else if (a.hasExact) a.refs else b.refs,
+      a.hasExact || b.hasExact,
+      if (a.hasBits && b.hasBits) andBits(a.bits, b.bits)
+      else if (a.hasBits) a.bits else b.bits,
+      a.hasBits || b.hasBits)
+
+  override def finish(r: HybridCindSet): HybridCindSet = r
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[HybridCindSet] =
+    org.apache.spark.sql.Encoders.product[HybridCindSet]
+  override def outputEncoder: org.apache.spark.sql.Encoder[HybridCindSet] =
+    org.apache.spark.sql.Encoders.product[HybridCindSet]
+}
+
+/** Exact sorted-intersection over pre-filtered long refs — the hybrid's
+  * refinement round (the reference refines `!isExact` CindSets in its
+  * follow-up round the same way). `count == 0` marks the zero buffer; an
+  * evidence with EMPTY refs still counts (it must zero the intersection —
+  * a line containing dep with no surviving candidate kills every ref). */
+object IntersectLongRefs
+    extends Aggregator[LongRefsEvidence, LongRefsSet, LongRefsSet] {
+  override def zero: LongRefsSet = LongRefsSet(0L, Array.empty)
+
+  override def reduce(b: LongRefsSet, e: LongRefsEvidence): LongRefsSet =
+    if (b.count == 0L) LongRefsSet(1L, e.refs)
+    else LongRefsSet(b.count + 1L, SortedOps.intersect(b.refs, e.refs))
+
+  override def merge(a: LongRefsSet, b: LongRefsSet): LongRefsSet =
+    if (a.count == 0L) b
+    else if (b.count == 0L) a
+    else LongRefsSet(a.count + b.count, SortedOps.intersect(a.refs, b.refs))
+
+  override def finish(r: LongRefsSet): LongRefsSet = r
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[LongRefsSet] =
+    org.apache.spark.sql.Encoders.product[LongRefsSet]
+  override def outputEncoder: org.apache.spark.sql.Encoder[LongRefsSet] =
+    org.apache.spark.sql.Encoders.product[LongRefsSet]
+}
+
 object IntersectCindCandidates extends Aggregator[CindEvidence, CindSet, CindSet] {
   override def zero: CindSet = CindSet(0L, Array.empty)
 

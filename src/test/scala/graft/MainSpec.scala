@@ -33,6 +33,15 @@ class MainSpec extends SparkSpec {
     assert(c.output.contains("/tmp/x") && c.inputs == Vector("in1.nt", "in2.nq.gz"))
     intercept[IllegalArgumentException](Main.parseArgs(Seq("--nope", "x.nt")))
     intercept[IllegalArgumentException](Main.parseArgs(Seq("--support", "2")))
+    // hybrid knobs: --hybrid-spill feeds the strategy, --merge-window-size
+    // is accepted for reference-CLI compatibility (Spark's spilling
+    // aggregation subsumes the reference's memory-adaptive merge window)
+    val h = Main.parseArgs(Seq("--strategy", "hybrid", "--hybrid-spill", "16",
+      "--merge-window-size", "1000", "in.nt"))
+    assert(h.strategy == "hybrid" && h.hybridSpill == 16 &&
+      h.mergeWindowSize.contains(1000))
+    intercept[IllegalArgumentException](
+      Main.parseArgs(Seq("--hybrid-spill", "0", "in.nt")))
   }
 
   test("readTriples reads plain, gzip'd, and N-Quads files uniformly") {
@@ -147,7 +156,8 @@ class MainSpec extends SparkSpec {
         .filter(_.getFileName.toString.endsWith(".txt"))
         .flatMap(f => Files.readAllLines(f).asScala).toSet
     }
-    val strategies = Seq("count-match", "intersect", "tworound", "small-to-large")
+    val strategies = Seq("count-match", "intersect", "tworound", "small-to-large",
+      "hybrid")
     val variants = Seq(Seq.empty[String], Seq("--use-ars"), Seq("--use-bloom"),
       Seq("--projection", "s"),
       Seq("--use-ars", "--use-bloom", "--projection", "s"))

@@ -160,6 +160,22 @@ class CindEngineSpec extends SparkSpec {
     assert(got.exists { case (d, r, _) => d.v2 != "" && r.v2 != "" }) // a 2/2 survived
   }
 
+  test("hybrid single-pass strategy equals the exact CIND set at every spill threshold") {
+    def key(r: CindRow) = (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+      Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)
+    val want = bruteForce(tiny, 2)
+    // spill 1: essentially every line spills to Bloom bits (the all-approx
+    // extreme — every dep resolves through the round-2 refinement);
+    // spill 4: mixed exact + Bloom evidence per dep (the hybrid buffer's
+    // reason to exist); spill 1024: nothing spills (pure-exact path)
+    for (spill <- Seq(1, 4, 1024)) {
+      val got = CindEngine.allCindsHybrid(toDF(tiny), minSupport = 2,
+        spillThreshold = spill).collect().map(key).toSet
+      assert(got == want,
+        s"spill=$spill\nmissing=${want -- got}\nextra=${got -- want}")
+    }
+  }
+
   test("allCindsPruned drops AR-implied binary captures and implied 1/1 CINDs") {
     def key(r: CindRow) = (Capture(r.dep_code, r.dep_v1, r.dep_v2),
       Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)

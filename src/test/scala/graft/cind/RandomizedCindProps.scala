@@ -61,6 +61,21 @@ object RandomizedCindProps extends Properties("graft.cind.e2e") {
       got == want
     }
 
+  property("hybrid strategy matches brute force on random multisets") =
+    forAll(triples) { ts =>
+      import spark.implicits._
+      val df = ts.toDF("subj", "pred", "obj")
+      // spill 2 forces a dense mix of exact and Bloom evidences on these
+      // small lines — both halves of the hybrid buffer stay live
+      val got = CindEngine.allCindsHybrid(df, minSupport = 2, spillThreshold = 2)
+        .collect().map(key).toSet
+      val want = BruteForce(ts, 2)
+      if (got != want) {
+        println(s"triples=$ts\nmissing=${want -- got}\nextra=${got -- want}")
+      }
+      got == want
+    }
+
   // the full option stack (AR pruning + both Bloom paths) composed onto two
   // structurally different strategies must agree on arbitrary inputs — the
   // randomized counterpart of MainSpec's fixture flag matrix

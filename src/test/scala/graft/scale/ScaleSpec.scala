@@ -20,6 +20,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin: fully-duplicate hub rows keep multiset semantics, deterministically") {
+    import spark.implicits._
+    // 400 IDENTICAL rows — the case a pure content-hash salt would stack
+    // on one salt value; the duplicate ordinal spreads them and stays
+    // deterministic (same multiset of salted rows on every computation)
+    val left = ((1 to 400).map(_ => (1L, 7L)) ++
+      (1 to 10).map(i => (2L, i.toLong))).toDF("k", "lv")
+    val right = Seq((1L, "r1"), (2L, "r2")).toDF("k", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lv", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val plain = rows(left.join(right, "k"))
+    val salted1 = rows(Skew.saltedJoin(left, right, "k", 8))
+    val salted2 = rows(Skew.saltedJoin(left, right, "k", 8))
+    assert(salted1 == plain) // 400 duplicate join rows preserved
+    assert(salted1 == salted2) // deterministic across recomputation
+  }
+
   test("saltedCollectSet equals plain distinct sets, including hub keys") {
     import spark.implicits._
     val df = ((1 to 300).map(i => (1L, s"v${i % 50}")) ++
@@ -125,5 +143,38 @@ class ScaleSpec extends SparkSpec {
     // LPT remainder, never hub + everything
     val sizes = packed.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
     assert(sizes.max <= 300, s"partition sizes ${sizes.toSeq}")
+  }
+
+  test("repartitionByLoad caps the driver collect: heavy keys exact, tail hashed") {
+    import spark.implicits._
+    // 2000 distinct tail keys + 2 heavy hubs, cap far below the cardinality:
+    // the driver must only ever see maxExactKeys rows, hubs still get LPT
+    // placement, and no row is lost or duplicated
+    val df = ((1 to 400).map(_ => ("hubA", 1)) ++
+      (1 to 300).map(_ => ("hubB", 2)) ++
+      (1 to 2000).map(i => (s"t$i", i))).toDF("k", "v")
+    val packed = LoadPack.repartitionByLoad(df, "k", 4, maxExactKeys = 8)
+    assert(packed.count() == 2700)
+    assert(packed.rdd.getNumPartitions == 4)
+    // the two hubs were inside the top-8 -> exact placement puts them in
+    // DIFFERENT bins (LPT never stacks the two heaviest with 4 empty bins)
+    val hubBins = packed.rdd.mapPartitionsWithIndex { (i, it) =>
+      it.collect { case r if r.getString(0).startsWith("hub") => (r.getString(0), i) }
+    }.distinct().collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(hubBins("hubA").size == 1 && hubBins("hubB").size == 1)
+    assert(hubBins("hubA") != hubBins("hubB"), s"hubs stacked: $hubBins")
+  }
+
+  test("repartitionByLoad: null key and the string 'null' stay distinct") {
+    import spark.implicits._
+    val df = Seq((null.asInstanceOf[String], 1), ("null", 2), ("null", 3), ("k", 4))
+      .toDF("k", "v")
+    val packed = LoadPack.repartitionByLoad(df, "k", 2)
+    // no rows lost and the values survive attached to the right keys
+    val byKey = packed.collect().map(r => (Option(r.getString(0)), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byKey(None) == Set(1))
+    assert(byKey(Some("null")) == Set(2, 3))
+    assert(byKey(Some("k")) == Set(4))
   }
 }

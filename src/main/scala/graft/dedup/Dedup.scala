@@ -69,7 +69,10 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
       .agg(count(lit(1)).as("inter"))
-    finishJaccard(sh, inter, minJaccardPct)
+    // materialize the compact pair result, release the exploded index cache
+    // (CacheOps contract: the one cached handle left is the returned frame)
+    graft.core.CacheOps.cacheResult(
+      finishJaccard(sh, inter, minJaccardPct), Seq(sh))
   }
 
   /** Per-doc distinct shingle SETS as sorted arrays: (doc_id, shs). One row
@@ -153,11 +156,12 @@ object Dedup {
       .withColumn("jaccard_pct",
         floor(lit(100) * col("inter") / (col("n_a") + col("n_b") - col("inter"))))
       .filter(col("jaccard_pct") >= minJaccardPct)
-    // NO unpersist here: the returned frame is LAZY — dropping the banded
-    // cache at construction time would discard the just-materialized
-    // blocks before the caller's action reads them, recomputing the
-    // banding for both self-join sides (caller/session owns cleanup)
-    out
+    // materialize the compact verified-pair result, THEN release sets and
+    // banded (round-5 left them cached forever: the caller has no handle
+    // to them, so repeated calls leaked blocks for the session lifetime;
+    // an unpersist BEFORE materialization — the round-4 bug — would
+    // instead recompute the banding for both self-join sides)
+    graft.core.CacheOps.cacheResult(out, Seq(sets, banded))
   }
 
   /** Duplicate clusters: the canonical-document decision table a dedup
@@ -176,13 +180,14 @@ object Dedup {
     * changed-label COUNT, never data. Output: (doc_id, cluster_id, keep). */
   def duplicateClusters(docs: DataFrame, minJaccardPct: Int,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val pairs = jaccardPairs(docs, minJaccardPct, maxShingleDf)
-      .select(col("doc_id_a"), col("doc_id_b"))
+    val pairRel = jaccardPairs(docs, minJaccardPct, maxShingleDf)
+    val pairs = pairRel.select(col("doc_id_a"), col("doc_id_b"))
     // both directions: label flows toward larger ids AND across to smaller
     val edges = pairs
       .unionAll(pairs.select(col("doc_id_b").as("doc_id_a"), col("doc_id_a").as("doc_id_b")))
       .persist()
     edges.count()
+    pairRel.unpersist() // jaccardPairs hands back one cached handle; edges own it now
     // localCheckpoint (eager), NOT persist: each iteration's plan must build
     // on the MATERIALIZED previous labels, not its unrolled lineage —
     // with plain persist the logical plan grows by one join+agg per

@@ -73,6 +73,12 @@ object Similarity {
   val DefaultNumPlanes = 16
   val NumPlanes: Int = DefaultNumPlanes // back-compat alias for specs
 
+  /** Query rows above which [[lshTopK]] stops forcing the query-side
+    * broadcast and lets the bucket join shuffle instead: 100k queries x
+    * ~KB-scale embedding rows x `bands` replication is the order where a
+    * forced driver-built broadcast turns into an OOM. */
+  val DefaultMaxBroadcastQueries = 100000L
+
   /** Deterministic pseudo-random hyperplanes (seeded, fixed across runs).
     * Prefix-stable: the first 16 of planes(d, 64) ARE planes(d, 16), so
     * widening the signature refines — it never reshuffles — bucketing. */
@@ -129,7 +135,8 @@ object Similarity {
     * query, and the whole pipeline is replicated by a SQL oracle (the
     * [[signatureInt]] signature is exact integer arithmetic on both sides). */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int, dims: Int,
-      bandBits: Int = 4, numPlanes: Int = DefaultNumPlanes): DataFrame = {
+      bandBits: Int = 4, numPlanes: Int = DefaultNumPlanes,
+      maxBroadcastQueries: Long = DefaultMaxBroadcastQueries): DataFrame = {
     require(numPlanes % bandBits == 0, s"bandBits $bandBits must divide numPlanes $numPlanes")
     val bands = numPlanes / bandBits
     val mask = (1L << bandBits) - 1
@@ -143,7 +150,16 @@ object Similarity {
     val q = banded(emb.filter(queryPred))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("band").as("q_band"), col("bucket").as("q_bucket"))
-    val candidates = b.join(broadcast(q),
+    // broadcast contract: forcing the query side is only correct while
+    // queryPred is SELECTIVE. Guard with an explicit count — a
+    // non-selective predicate (think "all docs from last month") must
+    // degrade to a shuffled bucket join, not OOM the driver building an
+    // n-sized broadcast. The count is one scan of the filtered side; the
+    // threshold is in QUERY rows (banding multiplies rows by `bands`, so
+    // the broadcast carries nQueries x bands rows — sized accordingly).
+    val nQueries = emb.filter(queryPred).count()
+    val qSide = if (nQueries <= maxBroadcastQueries) broadcast(q) else q
+    val candidates = b.join(qSide,
         col("band") === col("q_band") && col("bucket") === col("q_bucket") &&
           col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"),
@@ -318,10 +334,12 @@ object Similarity {
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(np).as("n_probe"), col("n_hits"))
     }.reduce(_ unionByName _)
-    perConfig
+    val out = perConfig
       .crossJoin(brute.agg(countDistinct(col("query_id")).as("n_queries")))
       .select(col("n_probe"), col("n_queries"), col("n_hits"),
         floor(lit(100) * col("n_hits") / (lit(k) * col("n_queries"))).as("recall_pct"))
+    // one row per config — cache it, release the shared scored pass
+    graft.core.CacheOps.cacheResult(out, Seq(scored))
   }
 
   /** Per-label centroids: (label, centroid ARRAY<FLOAT>). Element-wise mean

@@ -84,8 +84,10 @@ object Profile {
         explode(array(qPcts.map(q => lit(q)): _*)).as("q_pct"))
       .select(col("column_name"), col("q_pct"),
         floor((col("n") - 1) * col("q_pct") / 100.0).as("target"))
-    cum.join(targets, "column_name")
+    val out = cum.join(targets, "column_name")
       .filter(col("cum") >= col("target") + 1) // first value reaching the rank
       .groupBy("column_name", "q_pct").agg(min(col("v")).as("q_val"))
+    // cols x qPcts rows — cache the result, release the exploded relation
+    graft.core.CacheOps.cacheResult(out, Seq(longRel))
   }
 }

@@ -120,6 +120,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 1 && got.head.getLong(2) == 0L)
   }
 
+  test("lshTopK shuffle fallback (query set over the broadcast cap) matches the broadcast path") {
+    // every vector is a query — the non-selective predicate the broadcast
+    // contract must survive: with the cap forced to 0 the bucket join runs
+    // shuffled, and the result must be identical to the broadcast path
+    val queries = col("vec_id") < 200
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bcast = rows(Similarity.lshTopK(real, queries, 5, dims = 64))
+    val shuffled = rows(Similarity.lshTopK(real, queries, 5, dims = 64,
+      maxBroadcastQueries = 0L))
+    assert(shuffled == bcast)
+    assert(bcast.nonEmpty)
+  }
+
   test("ivfRecall sweep: recall rises with nProbe and hits 100 at full probe") {
     val r = Similarity.ivfRecall(real, col("vec_id") % 50 === 0, 10, Seq(1, 4, 16))
       .collect().map(x => x.getInt(0) -> (x.getLong(2), x.getLong(3))).toMap

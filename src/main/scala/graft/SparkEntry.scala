@@ -298,6 +298,11 @@ object SparkEntry {
     "cind_all_s2l" -> ((s, dir) => // reference default: staged arity ladder
       CindEngine.allCindsSmallToLarge(triples(s, dir), MS).toDF()
         .orderBy(cindCols.map(col): _*)),
+    "cind_all_hybrid" -> ((s, dir) => // single-pass exact/Bloom merge (A3)
+      // spill LOW so the fixture genuinely exercises all three result
+      // paths (exact deps, mixed deps, BF-only deps), not just the exact one
+      CindEngine.allCindsHybrid(triples(s, dir), MS, spillThreshold = 8).toDF()
+        .orderBy(cindCols.map(col): _*)),
     "cind_all_bloom" -> ((s, dir) => // 100 TB valves: both Bloom paths ON
       CindEngine.allCinds(triples(s, dir), MS,
         bloomConditions = true, bloomCaptures = true).toDF()
@@ -399,6 +404,32 @@ object SparkEntry {
       EventStream.asOfJoin(clicks, views, "user_id", "ts", Seq("ts", "v"))
         .select(col("event_id"), col("user_id"), col("ts"),
           coalesce(col("asof_ts"), lit(-1L)).as("asof_ts"),
+          coalesce(floor(col("asof_v") * 1000), lit(-1L)).as("asof_value_milli"))
+        .orderBy("event_id")
+    }),
+    "events_asof_stream" -> ((s, dir) => {
+      // the SAME as-of question as events_asof, but executed through the
+      // STREAMING engine (MemoryStream -> watermark ->
+      // flatMapGroupsWithState -> memory sink) via StreamDriver — the
+      // driver-level check that the stream state machine, not just the
+      // batch window, computes the oracle answer. MemoryStream is
+      // driver-fed by design, so the bounded fixture slices are collected
+      // to feed it; the operator under test runs distributed.
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("ts div 1000")) // nanos -> micros, exact
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("ts")).as("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("v"))
+        .select(col("user_id"), timestamp_micros(col("ts")).as("ts"), col("v"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+      graft.streaming.StreamDriver.asOfStreamed(s, clicks, views)
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          unix_micros(col("ts")).as("ts"),
+          coalesce(unix_micros(col("asof_ts")), lit(-1L)).as("asof_ts"),
           coalesce(floor(col("asof_v") * 1000), lit(-1L)).as("asof_value_milli"))
         .orderBy("event_id")
     }),
@@ -557,6 +588,8 @@ object SparkEntry {
       s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
     "cind_all_intersect" -> // strategy 0 is result-identical -> same oracle
       s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
+    "cind_all_hybrid" -> // hybrid merge is result-identical -> same oracle
+      s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
     "cind_all_s2l" -> // the staged ladder is result-identical -> same oracle
       s"WITH $cte, $capsCte, $cindsSqlBody SELECT * FROM cinds ORDER BY 1,2,3,4,5,6",
     "cind_all_bloom" -> // Bloom pruning admits-only -> same oracle
@@ -605,6 +638,9 @@ object SparkEntry {
     "events_range" ->
       "WITH b(lo, hi, tier) AS (VALUES (0.0, 10.0, 'xs'), (5.0, 50.0, 'mid'), (50.0, 200.0, 'large'), (200.0, 1000.0, 'xl')) SELECT e.event_id, b.tier FROM events e JOIN b ON b.lo <= e.value AND e.value < b.hi ORDER BY 1, 2",
     "events_asof" ->
+      "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), r AS (SELECT user_id, ts, MAX(value) AS v FROM events WHERE event_type = 'view' GROUP BY 1,2) SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, COALESCE(epoch_us(r.ts), -1) AS asof_ts, COALESCE(CAST(floor(r.v * 1000) AS BIGINT), -1) AS asof_value_milli FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id",
+    // the streaming execution answers the SAME as-of question -> same oracle
+    "events_asof_stream" ->
       "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), r AS (SELECT user_id, ts, MAX(value) AS v FROM events WHERE event_type = 'view' GROUP BY 1,2) SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, COALESCE(epoch_us(r.ts), -1) AS asof_ts, COALESCE(CAST(floor(r.v * 1000) AS BIGINT), -1) AS asof_value_milli FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id",
     "dedup_exact" ->
       "SELECT doc_id, md5(text) AS content_hash, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents ORDER BY doc_id",

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Drives [[EventStream.asOfJoinStream]] END-TO-END through the streaming
+  * engine on bounded data — the harness behind the `events_asof_stream`
+  * driver query, which checks the STREAM execution path (MemoryStream
+  * source -> watermark -> flatMapGroupsWithState -> memory sink) against
+  * the same SQL oracle as the batch as-of join, rather than only pinning
+  * batch/stream parity in a spec.
+  *
+  * Mechanics: every row feeds in ONE batch (the initial watermark admits
+  * everything, so no input is dropped as late); a far-future sentinel
+  * RIGHT row on a reserved key then advances the watermark past every
+  * left (maturing them all), and one more sentinel batch fires the
+  * event-time timeouts for keys that saw no further data. Sentinels never
+  * join (reserved key, rights emit nothing) so the output is exactly the
+  * as-of answer. MemoryStream is driver-fed by design; the inputs here
+  * are the bounded click/view slices of the fixture — the operator under
+  * test is the same state machine a production readStream would run.
+  */
+object StreamDriver {
+
+  private val SentinelKey = Long.MinValue
+
+  /** Run the streaming as-of join over bounded (id, key, ts) lefts and
+    * (key, ts, v) rights; returns the MATERIALIZED output (one row per
+    * left: id, key, ts, asof_ts, asof_v — nulls where nothing precedes). */
+  def asOfStreamed(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],
+      rights: Seq[(Long, Timestamp, Double)]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lm = MemoryStream[(Long, Long, Timestamp)]
+    val rm = MemoryStream[(Long, Timestamp, Double)]
+    val name = "asof_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.asOfJoinStream(
+        lm.toDF().toDF("id", "key", "ts"), rm.toDF().toDF("key", "ts", "v"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val maxTs = (lefts.map(_._3.getTime) ++ rights.map(_._2.getTime) :+ 0L).max
+      if (lefts.nonEmpty) lm.addData(lefts)
+      if (rights.nonEmpty) rm.addData(rights)
+      q.processAllAvailable()
+      // watermark now = max event time; sentinel batches mature every left
+      // and fire the timeouts for keys with no further input
+      rm.addData((SentinelKey, new Timestamp(maxTs + 3600L * 1000), 0.0))
+      q.processAllAvailable()
+      rm.addData((SentinelKey, new Timestamp(maxTs + 7200L * 1000), 0.0))
+      q.processAllAvailable()
+      val out = spark.table(name)
+      // materialize: the memory-sink view dies with the query/cleanup, the
+      // returned frame must not reference it
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+}

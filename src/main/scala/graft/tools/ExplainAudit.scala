@@ -34,6 +34,11 @@ object ExplainAudit {
       // construction; the printed plan is the final assembly/decode
       showFinal("cind_all_s2l", graft.cind.CindEngine.allCindsSmallToLarge(
         graft.rdf.TripleSource.derive(spark, dir)).toDF())
+    if (which == "all" || which == "hybrid")
+      // round-1 aggregation + round-2 refinement run during construction;
+      // the printed plan is the pair union + decode assembly
+      showFinal("cind_all_hybrid", graft.cind.CindEngine.allCindsHybrid(
+        graft.rdf.TripleSource.derive(spark, dir), spillThreshold = 8).toDF())
     if (which == "all" || which == "dedup")
       showFinal("dedup_jaccard", graft.dedup.Dedup.jaccardPairs(
         spark.read.parquet(s"$dir/documents.parquet"), 50))

@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cind.CindEngine
+import graft.dedup.Dedup
+import graft.rdf.TripleSource
+
+/** 10x scale soak (round-6 verdict item 5): run the three heaviest
+  * pipelines once at ~sf1 — ~23M triples / 50k docs — and report wall
+  * seconds plus shuffle-write volume, so the skew-slicing / probe-admission
+  * / banding scale claims rest on an order-of-magnitude datapoint instead
+  * of extrapolation from sf0.1.
+  *
+  * The sf1-scale inputs are DERIVED from the driver's sf0.1 fixtures
+  * (TESTDATA.md ships sf<=0.1): ten shards of the sf0.1 relation, each
+  * shard suffixing subj/obj (triples) or offsetting doc_id (documents).
+  * Sharded triples scale the capture dictionary and join-line COUNT 10x
+  * while keeping per-line width — the reference's own scaling behavior
+  * (more conditions, not wider hubs). Identical cross-shard documents give
+  * every doc a 10-clique of exact near-dups — the duplication-heavy shape
+  * a web-scale corpus actually has.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt 'runMain graft.tools.Soak /root/testdata/sf0.1'
+  * Prints one JSON line per query: wall sec, total shuffle-write MB, and
+  * the largest single-stage shuffle write (the would-be cluster bottleneck).
+  */
+object Soak {
+
+  private final class ShuffleTally extends SparkListener {
+    @volatile var totalWrite = 0L
+    @volatile var maxStageWrite = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        val w = m.shuffleWriteMetrics.bytesWritten
+        totalWrite += w
+        if (w > maxStageWrite) maxStageWrite = w
+      }
+    }
+    def reset(): Unit = { totalWrite = 0L; maxStageWrite = 0L }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val shards = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .config("spark.log.level", "WARN")
+      .getOrCreate()
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    // ---- sharded sf1-scale inputs, materialized once so query timings
+    // measure the pipelines, not the input expansion
+    val shardIds = spark.range(shards).select(col("id").cast("int").as("shard"))
+    val triples1 = TripleSource.derive(spark, sfDir)
+      .crossJoin(shardIds)
+      .select(concat(col("subj"), lit("#"), col("shard")).as("subj"),
+        col("pred"),
+        concat(col("obj"), lit("#"), col("shard")).as("obj"))
+      .persist()
+    val nTriples = triples1.count()
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .crossJoin(shardIds)
+      .withColumn("doc_id", col("doc_id") + col("shard").cast("long") * 10000000L)
+      .drop("shard")
+      .persist()
+    val nDocs = docs1.count()
+    System.err.println(s"soak inputs: $nTriples triples, $nDocs docs")
+
+    def run(name: String, body: => DataFrame): Unit = {
+      tally.reset()
+      val t0 = System.nanoTime()
+      val rows = body.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"query":"$name","rows":$rows,"sec":$sec%.1f,""" +
+        f""""shuffle_write_mb":${tally.totalWrite / 1e6}%.0f,""" +
+        f""""max_stage_shuffle_mb":${tally.maxStageWrite / 1e6}%.0f}""")
+    }
+
+    run("cind_all_sf1", CindEngine.allCinds(triples1).toDF())
+    run("cind_all_s2l_sf1", CindEngine.allCindsSmallToLarge(triples1).toDF())
+    run("dedup_minhash_pairs_sf1", Dedup.minhashLshPairs(docs1, 50))
+    spark.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins the StreamDriver harness itself — the sentinel mechanics that turn
+  * the unbounded stream operator into a bounded driver query: every left
+  * emits exactly once (matured by the sentinel watermark advance, timeouts
+  * included), sentinels never leak into the output, and the no-preceding-
+  * right case surfaces as nulls. The operator's join semantics are pinned
+  * separately in StreamAsOfSpec; the events_asof_stream driver query
+  * checks the whole path against the DuckDB ASOF oracle. */
+class StreamDriverSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("asOfStreamed: every left emits once; sentinels invisible; no-match is null") {
+    val lefts = Seq(
+      (1L, 10L, ts(100)), // after r@50 -> matches 1.0
+      (2L, 10L, ts(40)),  // before any right -> null
+      (3L, 10L, ts(200)), // after r@150 -> matches 2.0
+      (4L, 99L, ts(120))  // key with NO rights at all -> null (timeout path)
+    )
+    val rights = Seq((10L, ts(50), 1.0), (10L, ts(150), 2.0))
+    val out = StreamDriver.asOfStreamed(spark, lefts, rights)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(3)).map(_.getTime / 1000),
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.doubleValue())))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, Some(50L), Some(1.0)),
+      (2L, None, None),
+      (3L, Some(150L), Some(2.0)),
+      (4L, None, None)))
+  }
+
+  test("asOfStreamed matches the batch asOfJoin on a shared fixture") {
+    import spark.implicits._
+    // deterministic pseudo-random fixture, keys with and without rights
+    val lefts = (1 to 60).map { i =>
+      (i.toLong, (i % 7).toLong, ts(100 + (i * 37) % 500)) }
+    val rights = (1 to 25).map { j =>
+      ((j % 5).toLong, ts(80 + (j * 53) % 500), j / 10.0) }
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, ts)
+    val streamed = StreamDriver.asOfStreamed(spark, lefts, rights)
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.getTime),
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.doubleValue()))).toSet
+    val batch = EventStream.asOfJoin(
+        lefts.toDF("id", "key", "ts"), rights.toDF("key", "ts", "v"),
+        "key", "ts", Seq("ts", "v"))
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.getTime),
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.doubleValue()))).toSet
+    assert(streamed == batch)
+  }
+}

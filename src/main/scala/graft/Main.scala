@@ -17,11 +17,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *   --ar-output PATH      write association rules as text
   *   --support N           minimum support (default 10)
   *   --strategy S          count-match | intersect | tworound | small-to-large
-  *                         | hybrid (default count-match; reference traversal
-  *                         strategies 0 / 1 / 2-3 analogs — small-to-large is
-  *                         the reference default's staged arity ladder,
-  *                         hybrid the single-pass exact/Bloom merge of
-  *                         IntersectHalfApproximateCindCandidates)
+  *                         | hybrid | auto (default count-match; reference
+  *                         traversal strategies 0 / 1 / 2-3 analogs —
+  *                         small-to-large is the reference default's staged
+  *                         arity ladder, hybrid the single-pass exact/Bloom
+  *                         merge of IntersectHalfApproximateCindCandidates,
+  *                         auto picks count-match or small-to-large by the
+  *                         sampled input-size estimate: the measured sf1
+  *                         crossover, BASELINE.md "10x scale soak")
   *   --hybrid-spill N      hybrid only: refs-per-evidence above which an
   *                         evidence spills to Bloom bits (default 64)
   *   --merge-window-size N accepted for reference-CLI compatibility
@@ -95,8 +98,8 @@ object Main {
     }
     val c = loop(args.toList, Config())
     require(c.inputs.nonEmpty, "at least one input path is required")
-    require(Set("count-match", "intersect", "tworound", "small-to-large", "hybrid")(c.strategy),
-      s"unknown strategy ${c.strategy}")
+    require(Set("count-match", "intersect", "tworound", "small-to-large", "hybrid",
+      "auto")(c.strategy), s"unknown strategy ${c.strategy}")
     require(c.hybridSpill > 0, s"--hybrid-spill must be positive, got ${c.hybridSpill}")
     require(c.projections.nonEmpty && c.projections.forall("spo".contains(_)),
       s"--projection must be a non-empty subset of spo, got ${c.projections}")
@@ -151,7 +154,10 @@ object Main {
           .estimateTripleCount(triples.sparkSession, c.inputs)
         math.max(1000L, est / math.max(1, c.support))
       } else 10000000L
-    val cinds = c.strategy match {
+    val strategy =
+      if (c.strategy == "auto") chooseStrategy(triples.sparkSession, c)
+      else c.strategy
+    val cinds = strategy match {
       case "count-match" =>
         CindEngine.allCinds(triples, c.support,
           bloomConditions = c.useBloom, bloomCaptures = c.useBloom,
@@ -182,6 +188,29 @@ object Main {
       import triples.sparkSession.implicits._
       CindEngine.minimalCinds(cinds.toDF()).as[CindRow]
     } else cinds
+  }
+
+  /** Inputs above which `--strategy auto` switches from count-match to the
+    * single-pass hybrid merge. The crossover is measured (BASELINE.md "10x
+    * scale soak"): count-match wins below ~sf1 (its single pair-count
+    * shuffle beats everything on small dictionaries), but that Exchange
+    * shuffles every co-occurrence it counts — at 23M triples the hybrid is
+    * 10.4x faster with 15x less shuffle, because its combiner-side
+    * intersection collapses each dependent's evidence to ONE bounded
+    * buffer per map task before the shuffle (exactly why the reference
+    * built its hybrid buffers), with small-to-large (2.9x, probe-pruned)
+    * the runner-up. 10M sits safely inside the measured win region on
+    * both sides. */
+  val AutoStrategyTriplesCutoff = 10000000L
+
+  /** `--strategy auto`: count-match for small inputs, hybrid at scale,
+    * decided by the same sampled size estimate that sizes the Bloom
+    * filters (reference RDFind.scala:109-136 — the reference likewise uses
+    * its input-size estimate to pick plan parameters up front). */
+  def chooseStrategy(spark: SparkSession, c: Config,
+      cutoff: Long = AutoStrategyTriplesCutoff): String = {
+    val est = graft.rdf.TripleSource.estimateTripleCount(spark, c.inputs)
+    if (est > cutoff) "hybrid" else "count-match"
   }
 
   /** Per-stage row counters behind `--debug-counts` (reference S9 — the

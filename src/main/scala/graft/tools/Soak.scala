@@ -85,9 +85,19 @@ object Soak {
         f""""max_stage_shuffle_mb":${tally.maxStageWrite / 1e6}%.0f}""")
     }
 
-    run("cind_all_sf1", CindEngine.allCinds(triples1).toDF())
-    run("cind_all_s2l_sf1", CindEngine.allCindsSmallToLarge(triples1).toDF())
-    run("dedup_minhash_pairs_sf1", Dedup.minhashLshPairs(docs1, 50))
+    val which: Set[String] =
+      sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").toSet)
+        .getOrElse(Set("count-match", "s2l", "minhash"))
+    if (which("count-match"))
+      run("cind_all_sf1", CindEngine.allCinds(triples1).toDF())
+    if (which("s2l"))
+      run("cind_all_s2l_sf1", CindEngine.allCindsSmallToLarge(triples1).toDF())
+    if (which("tworound"))
+      run("cind_all_tworound_sf1", CindEngine.allCindsTwoRound(triples1).toDF())
+    if (which("hybrid"))
+      run("cind_all_hybrid_sf1", CindEngine.allCindsHybrid(triples1).toDF())
+    if (which("minhash"))
+      run("dedup_minhash_pairs_sf1", Dedup.minhashLshPairs(docs1, 50))
     spark.stop()
   }
 }

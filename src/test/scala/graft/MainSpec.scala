@@ -171,6 +171,22 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("--strategy auto picks by the sampled size estimate and runs end-to-end") {
+    val dir = tmpDir
+    Files.write(Paths.get(s"$dir/in.nt"), ntLines.mkString("\n").getBytes)
+    val c = Main.parseArgs(Seq("--strategy", "auto", "--support", "2",
+      "--output", s"$dir/out_auto", s"$dir/in.nt"))
+    // tiny fixture -> count-match; a cutoff of 0 forces the scale branch
+    assert(Main.chooseStrategy(spark, c) == "count-match")
+    assert(Main.chooseStrategy(spark, c, cutoff = 0L) == "hybrid")
+    Main.run(spark, c) // e2e through discover's auto dispatch
+    import scala.jdk.CollectionConverters._
+    val lines = Files.list(Paths.get(s"$dir/out_auto")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".txt"))
+      .flatMap(f => Files.readAllLines(f).asScala).toSet
+    assert(lines.nonEmpty)
+  }
+
   test("--debug-counts prints per-stage row counters") {
     val dir = tmpDir
     Files.write(Paths.get(s"$dir/in.nt"), ntLines.mkString("\n").getBytes)

@@ -436,6 +436,19 @@ object SparkEntry {
     // --- training-data pipeline: dedup ---
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDups(docs(s, dir)).orderBy("doc_id")),
+    "dedup_stream_first_seen" -> ((s, dir) => {
+      // the batch dedup's keep-set computed THROUGH the streaming engine:
+      // four ascending-id micro-batches exercise cross-batch duplicate
+      // suppression in flatMapGroupsWithState state; fed in id order the
+      // stream's first-seen pick equals "min doc_id per content hash",
+      // which is what the SQL oracle asserts
+      import s.implicits._
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+      graft.streaming.StreamDriver.firstSeenStreamed(s, batches)
+        .orderBy("doc_id")
+    }),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), 50).orderBy("doc_id_a", "doc_id_b")),
     "dedup_minhash_pairs" -> ((s, dir) => // LSH candidates, exact-verified
@@ -644,6 +657,10 @@ object SparkEntry {
       "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), r AS (SELECT user_id, ts, MAX(value) AS v FROM events WHERE event_type = 'view' GROUP BY 1,2) SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, COALESCE(epoch_us(r.ts), -1) AS asof_ts, COALESCE(CAST(floor(r.v * 1000) AS BIGINT), -1) AS asof_value_milli FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id",
     "dedup_exact" ->
       "SELECT doc_id, md5(text) AS content_hash, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents ORDER BY doc_id",
+    // the streaming first-seen keep-set, fed in ascending id order ->
+    // exactly the min-id representative per content hash
+    "dedup_stream_first_seen" ->
+      "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text) ORDER BY 1",
     "dedup_jaccard_pairs" ->
       s"WITH $tokCte, $shCte, $shcCte, $jaccardSql",
     // minhashLshPairs is fully deterministic (xxhash64 signatures) and its

@@ -26,6 +26,34 @@ object StreamDriver {
 
   private val SentinelKey = Long.MinValue
 
+  /** Run the streaming first-seen dedup over bounded (doc_id, text)
+    * batches fed IN ORDER — each inner Seq is one micro-batch, so
+    * cross-batch duplicate suppression (the stateful part) is genuinely
+    * exercised. When batches partition the docs by ascending doc_id
+    * ranges, the output is exactly "min doc_id per content hash": the
+    * earliest batch containing a hash also contains its smallest id.
+    * Returns the MATERIALIZED (doc_id, content_hash) rows. */
+  def firstSeenStreamed(spark: SparkSession,
+      batches: Seq[Seq[(Long, String)]]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val name = "dedup_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingDedup.firstSeen(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { in.addData(b); q.processAllAvailable() }
+      }
+      val out = spark.table(name)
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Run the streaming as-of join over bounded (id, key, ts) lefts and
     * (key, ts, v) rights; returns the MATERIALIZED output (one row per
     * left: id, key, ts, asof_ts, asof_v — nulls where nothing precedes). */

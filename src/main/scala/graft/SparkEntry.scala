@@ -484,6 +484,15 @@ object SparkEntry {
         Map("src0" -> 80, "src1" -> 50), 25).orderBy("doc_id")),
     "corpus_stats" -> ((s, dir) =>
       graft.pipeline.Curation.corpusStats(docs(s, dir)).orderBy("source", "lang")),
+    "text_decontaminate" -> ((s, dir) => { // benchmark n-gram decontamination
+      val d = docs(s, dir)
+      graft.pipeline.Curation.decontaminate(
+        d.filter(col("doc_id") % 20 =!= 0), d.filter(col("doc_id") % 20 === 0))
+        .orderBy("doc_id")
+    }),
+    "curate_source_cap" -> ((s, dir) => // per-source top-k via bounded aggregator
+      graft.pipeline.Curation.capPerSource(docs(s, dir), 10)
+        .orderBy("source", "rank")),
     "profile_lineitem" -> ((s, dir) =>
       graft.stats.Profile.profile(
         s.read.parquet(s"$dir/lineitem.parquet"), profileCols)
@@ -713,6 +722,20 @@ object SparkEntry {
     // quality_bucket = 3 unrolled: n >= 10 AND repetition < 80 AND stopwords < 30
     "corpus_stats" ->
       "WITH q AS (SELECT source, lang, len(string_split(text,' ')) AS n, len(list_distinct(string_split(text,' '))) AS nd, len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS ns FROM documents) SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens, CAST(SUM(CASE WHEN n >= 10 AND floor(100*(n-nd)/n) < 80 AND floor(100*ns/n) < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_docs FROM q GROUP BY 1,2 ORDER BY 1,2",
+    // the Bloom prefilter is admit-only (FPs removed by the exact join), so
+    // the oracle is the plain exact-overlap count; bench = doc_id % 20 = 0
+    "text_decontaminate" ->
+      (s"WITH $tokCte, $shCte, bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0), " +
+        "hits AS (SELECT s.doc_id, COUNT(*) AS n_overlap FROM sh s JOIN bsh USING (sh) WHERE s.doc_id % 20 <> 0 GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap, COALESCE(h.n_overlap, 0) > 0 AS contaminated " +
+        "FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id WHERE d.doc_id % 20 <> 0 ORDER BY 1"),
+    // bounded top-k aggregator == ranking window (quality desc, doc_id asc)
+    "curate_source_cap" ->
+      (s"WITH $qualCtes, r AS (SELECT d.source, q.doc_id, q.quality_bucket, " +
+        "ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY q.quality_bucket DESC, q.doc_id) AS rnk " +
+        "FROM qual q JOIN documents d ON d.doc_id = q.doc_id) " +
+        "SELECT source, CAST(rnk AS INTEGER) AS rank, doc_id, CAST(quality_bucket AS INTEGER) AS quality_bucket " +
+        "FROM r WHERE rnk <= 10 ORDER BY source, rnk"),
     "profile_lineitem" -> (profileCols.map { c =>
       s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
     }.mkString(" UNION ALL ") + " ORDER BY column_name"),

@@ -120,6 +120,82 @@ object Curation {
         .filter(col("quality_bucket") >= minQualityBucket)
         .select("doc_id", "text"))
 
+  /** Benchmark decontamination — flag training documents that share any
+    * 3-token shingle with a held-out evaluation set (the n-gram-overlap
+    * rule public training pipelines apply before pretraining; GPT-3's
+    * 13-gram and PaLM's 8-gram variants are this same shape with a
+    * different n). Output per training document:
+    * (doc_id, n_overlap, contaminated) where n_overlap counts the
+    * document's DISTINCT shingles that occur anywhere in the benchmark.
+    *
+    * Scale shape: the benchmark is orders of magnitude smaller than the
+    * training corpus, so the training shingle stream — the 100 TB side —
+    * is filtered MAP-SIDE by a Bloom filter of the benchmark shingles
+    * (native `bloom_might_contain` over xxhash64 keys, built with the
+    * executor-side tree merge from the CIND engine) before anything
+    * shuffles: the join Exchange carries only probable hits, and the exact
+    * equi-join then discards the ~1% false positives, keeping the result
+    * exact. The benchmark side is scanned twice (Bloom build + verify
+    * join) plus one narrow sizing aggregate — the small side pays so the
+    * big side moves once. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      bloomPrefilter: Boolean = true): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    def docShingles(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.shingles(col("text")))).as("sh"))
+    val benchSh = docShingles(bench).select("sh").distinct()
+    val trainSh = docShingles(train)
+    val probed = if (bloomPrefilter) {
+      // exact upper bound on benchmark shingle count (n_tokens - 2 per
+      // doc): one narrow scan of the small side sizes the filter, no cache
+      val r = bench.agg(
+        sum(greatest(size(TextAnalysis.tokens(col("text"))) - 2, lit(0)))).head()
+      val bound = math.max(64L, if (r.isNullAt(0)) 0L else r.getLong(0))
+      val bf = graft.cind.CindEngine.buildBloomLongs(
+        benchSh.select(xxhash64(col("sh"))).as[Long], bound, 0.01)
+      val bcast = spark.sparkContext.broadcast(bf)
+      import org.apache.spark.sql.graft.ColumnBridge
+      trainSh.filter(ColumnBridge.column(graft.functions.BloomMightContain(
+        ColumnBridge.expression(xxhash64(col("sh"))), bcast)))
+    } else trainSh
+    val hits = probed.join(benchSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    train.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Per-source document cap — keep the k best documents of every source
+    * (quality_bucket desc, doc_id asc as the deterministic tiebreak), the
+    * "domain cap" that stops one crawl source from dominating a mixed
+    * corpus. Ranking runs through the bounded
+    * [[graft.scale.TopKAggregator]], NOT a ranking window: a window
+    * partitioned by source funnels an ENTIRE source through one task
+    * (sources are few and huge at corpus scale — the one partitioning
+    * guaranteed to skew), while the aggregator holds O(k) state per source
+    * per map task and merges partials, so no task ever materializes a
+    * source's full document list. The source vocabulary is
+    * dictionary-encoded through a collected map (bounded: it is the
+    * corpus's source-label set, KB-scale by construction).
+    * Output: (source, rank, doc_id, quality_bucket), rank 1..k. */
+  def capPerSource(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val annotated = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("source"), col("quality_bucket"))
+    val sources = annotated.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val enc = typedLit(sources.zipWithIndex.map { case (s, i) => (s, i.toLong) }.toMap)
+    val dec = typedLit(sources.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toMap)
+    val scored = annotated.select(
+      element_at(enc, col("source")).as("key"),
+      col("doc_id").as("id"),
+      col("quality_bucket").cast("double").as("score"))
+    graft.scale.TopK.topKPerKey(scored, "key", "id", "score", k)
+      .select(element_at(dec, col("key")).as("source"), col("rank"),
+        col("id").as("doc_id"), col("score").cast("int").as("quality_bucket"))
+  }
+
   /** Token-budget sampling: running token total in doc_id order and
     * `in_budget` = (cumulative tokens <= budgetTokens) — the "take documents
     * until the budget is hit" step of corpus assembly.

@@ -100,6 +100,54 @@ class CurationSpec extends SparkSpec {
     assert(r(("code", "en")) == ((1L, 10L, 1L)))
   }
 
+  test("decontaminate: shared shingles flag a train doc; clean docs pass") {
+    val train = docs(
+      (1L, "alpha beta gamma delta epsilon"), // shares 3 shingles with bench
+      (2L, "one two three four five"),        // disjoint -> clean
+      (3L, "xx yy"))                          // < 3 tokens -> no shingles
+    val bench = docs((100L, "alpha beta gamma delta epsilon zeta"))
+    val r = Curation.decontaminate(train, bench).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L) == ((3L, true)))
+    assert(r(2L) == ((0L, false)))
+    assert(r(3L) == ((0L, false)))
+  }
+
+  test("decontaminate: bloom prefilter does not change the exact result") {
+    val rows = (0L until 40L).map(i =>
+      (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} tail$i end$i"))
+    val train = docs(rows.filter(_._1 % 5 != 0): _*)
+    val bench = docs(rows.filter(_._1 % 5 == 0): _*)
+    val a = Curation.decontaminate(train, bench, bloomPrefilter = true)
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.decontaminate(train, bench, bloomPrefilter = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.exists(_.getBoolean(2))) // the fixture does contaminate
+  }
+
+  test("capPerSource: bounded aggregator equals the ranking window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col => c, row_number}
+    val d = (0L until 60L).map { i =>
+      val text = if (i % 3 == 0) good else "short doc" // bucket 3 vs 0
+      (i, text, s"src${i % 4}")
+    }.toDF("doc_id", "text", "source")
+    val got = Curation.capPerSource(d, 5)
+      .orderBy("source", "rank").collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2), x.getInt(3))).toSeq
+    val w = Window.partitionBy("source")
+      .orderBy(c("quality_bucket").desc, c("doc_id"))
+    val want = graft.text.TextAnalysis.withQuality(d)
+      .withColumn("rank", row_number().over(w)).filter(c("rank") <= 5)
+      .select("source", "rank", "doc_id", "quality_bucket")
+      .orderBy("source", "rank").collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2), x.getInt(3))).toSeq
+    assert(got == want)
+    assert(got.count(_._1 == "src0") == 5) // the cap binds (15 docs/src)
+  }
+
   test("budgetSample: empty input yields empty output with the right schema") {
     val d = docs().select(col("doc_id"), col("text"))
     val r = Curation.budgetSample(d, 10)

@@ -21,13 +21,19 @@ import org.apache.spark.sql.functions._
   *   --mix-default N      rate for unlisted sources         (default 100)
   *   --budget N           token budget: annotate the running token total
   *                        over surviving docs and cut at N
+  *   --benchmark PATH     held-out eval parquet: drop training docs sharing
+  *                        any 3-token shingle with it (adds n_overlap,
+  *                        contaminated columns)
+  *   --source-cap N       keep at most N docs per source (quality desc,
+  *                        doc_id asc) among the survivors so far
   *   --master M           Spark master                      (default local[*])
   * }}}
   *
-  * Stage order = the batch curation contract: quality/dedup verdicts first
-  * ([[Curation.curate]]), then mixing over survivors, then the budget
-  * cutoff over what mixing kept — so the budget is spent on documents that
-  * would actually ship.
+  * Stage order = the batch curation contract: quality/dedup verdicts and
+  * benchmark decontamination first (hard exclusions over the full corpus),
+  * then the per-source cap over the survivors, then mixing, then the
+  * budget cutoff over what mixing kept — so caps and budget are spent on
+  * documents that would actually ship.
   */
 object CurateMain {
 
@@ -40,6 +46,8 @@ object CurateMain {
       mix: Map[String, Int] = Map.empty,
       mixDefault: Int = 100,
       budget: Option[Long] = None,
+      benchmark: Option[String] = None,
+      sourceCap: Option[Int] = None,
       master: String = "local[*]")
 
   def parseArgs(args: Seq[String]): Config = {
@@ -58,6 +66,8 @@ object CurateMain {
         loop(t, c.copy(mix = c.mix ++ m))
       case "--mix-default" :: v :: t => loop(t, c.copy(mixDefault = v.toInt))
       case "--budget" :: v :: t      => loop(t, c.copy(budget = Some(v.toLong)))
+      case "--benchmark" :: v :: t   => loop(t, c.copy(benchmark = Some(v)))
+      case "--source-cap" :: v :: t  => loop(t, c.copy(sourceCap = Some(v.toInt)))
       case "--master" :: v :: t      => loop(t, c.copy(master = v))
       case flag :: _ if flag.startsWith("--") =>
         throw new IllegalArgumentException(s"unknown flag $flag")
@@ -73,8 +83,26 @@ object CurateMain {
   /** The composed decision table for `docs`; columns grow with the enabled
     * stages (mix -> sample_pct/kept_mix; budget -> cum_tokens/in_budget).
     * The final `keep` column reflects ALL enabled stages. */
-  def decide(docs: DataFrame, c: Config): DataFrame = {
+  def decide(docs: DataFrame, c: Config,
+      bench: Option[DataFrame] = None): DataFrame = {
     var table = Curation.curate(docs, c.minJaccard, minQualityBucket = c.minQuality)
+    bench.foreach { b =>
+      // hard exclusion like quality: a contaminated doc never ships
+      val dec = Curation.decontaminate(docs, b)
+        .select(col("doc_id"), col("n_overlap"), col("contaminated"))
+      table = table.join(dec, "doc_id")
+        .withColumn("keep", col("keep") && !col("contaminated"))
+    }
+    c.sourceCap.foreach { n =>
+      // cap binds over the survivors so far, so excluded docs don't use up
+      // a source's slots; in_cap joins back as a left-semi membership flag
+      val kept = docs.join(table.filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val capped = Curation.capPerSource(kept, n).select("doc_id")
+      table = table.join(capped.withColumn("in_cap", lit(true)), Seq("doc_id"), "left")
+        .withColumn("in_cap", coalesce(col("in_cap"), lit(false)))
+        .withColumn("keep", col("keep") && col("in_cap"))
+    }
     if (c.mix.nonEmpty || c.mixDefault != 100) {
       val mixed = Curation.mixBySource(docs, c.mix, c.mixDefault)
         .select(col("doc_id"), col("sample_pct"), col("kept").as("kept_mix"))
@@ -99,8 +127,9 @@ object CurateMain {
 
   def run(spark: SparkSession, c: Config): Unit = {
     val docs = spark.read.parquet(c.input.get)
+    val bench = c.benchmark.map(spark.read.parquet(_))
     c.output.foreach { path =>
-      decide(docs, c).write.mode("overwrite").parquet(path)
+      decide(docs, c, bench).write.mode("overwrite").parquet(path)
       println(s"Outputting curation decisions to $path.")
     }
     c.statsOut.foreach { path =>
@@ -108,7 +137,7 @@ object CurateMain {
       println(s"Outputting corpus stats to $path.")
     }
     if (c.output.isEmpty && c.statsOut.isEmpty) {
-      val d = decide(docs, c)
+      val d = decide(docs, c, bench)
       println(s"${d.filter(col("keep")).count()} of ${d.count()} documents kept " +
         "(no --output given).")
     }

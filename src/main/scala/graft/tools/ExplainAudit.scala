@@ -52,6 +52,14 @@ object ExplainAudit {
     if (which == "all" || which == "minhash")
       show("dedup_minhash_pairs", graft.dedup.Dedup.minhashLshPairs(
         spark.read.parquet(s"$dir/documents.parquet"), 50))
+    if (which == "all" || which == "decon") {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val mod = org.apache.spark.sql.functions.col("doc_id") % 20
+      // final plan shows the bloom_might_contain Filter BELOW the join
+      // Exchange: the train shingle stream is pruned before it shuffles
+      showFinal("text_decontaminate", graft.pipeline.Curation.decontaminate(
+        d.filter(mod =!= 0), d.filter(mod === 0)))
+    }
     if (which == "all" || which == "curate")
       show("curate_docs", graft.pipeline.Curation.curate(
         spark.read.parquet(s"$dir/documents.parquet"), 50))

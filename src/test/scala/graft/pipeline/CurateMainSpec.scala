@@ -58,6 +58,39 @@ class CurateMainSpec extends SparkSpec {
       .filter(col("kept_mix")).count() == 2) // web docs survive mixing
   }
 
+  test("parseArgs: benchmark and source-cap flags") {
+    val c = CurateMain.parseArgs(Seq("--benchmark", "/tmp/b.parquet",
+      "--source-cap", "7", "/tmp/in.parquet"))
+    assert(c.benchmark.contains("/tmp/b.parquet") && c.sourceCap.contains(7))
+  }
+
+  test("decide: benchmark decontamination is a hard exclusion") {
+    val d = docs(
+      (1L, good, "web"),                               // overlaps bench -> dropped
+      (2L, "p q r s t u v w x y z1 z2", "web"))        // clean -> kept
+    val bench = docs((100L, good + " tail", "eval")).select("doc_id", "text")
+    val r = CurateMain.decide(d, CurateMain.Config(), Some(bench)).collect()
+      .map(x => (x.getAs[Long]("doc_id"),
+        (x.getAs[Boolean]("contaminated"), x.getAs[Boolean]("keep")))).toMap
+    assert(r(1L) == ((true, false)))
+    assert(r(2L) == ((false, true)))
+  }
+
+  test("decide: source cap binds over survivors, not the full corpus") {
+    // src0 has 3 good docs (distinct texts — no near-dup clustering) and 1
+    // quality-dropped doc; cap 2 keeps the two best surviving ids and the
+    // quality drop does not consume a slot
+    val d = docs(
+      (1L, good, "src0"),
+      (2L, "lambda mu nu xi omicron pi rho sigma tau upsilon", "src0"),
+      (3L, "phi chi psi omega aleph beth gimel daleth he waw", "src0"),
+      (4L, "tiny", "src0"),
+      (5L, "zero one two three four five six seven eight nine", "src1"))
+    val r = CurateMain.decide(d, CurateMain.Config(sourceCap = Some(2))).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
+    assert(r == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> true))
+  }
+
   test("decide without mix/budget equals plain curate keep") {
     val d = docs((1L, good, "a"), (2L, "small", "b"))
     val r = CurateMain.decide(d, CurateMain.Config()).collect()

@@ -126,6 +126,25 @@ class CurationSpec extends SparkSpec {
     assert(a.exists(_.getBoolean(2))) // the fixture does contaminate
   }
 
+  test("decontaminate: randomized agreement with a brute-force shingle check") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    def text() = Seq.fill(rnd.nextInt(9) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val all = (0L until 80L).map(i => (i, text()))
+    val (benchRows, trainRows) = all.partition(_._1 % 4 == 0)
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val benchSet = benchRows.flatMap(r => sh(r._2)).toSet
+    val want = trainRows.map { case (id, t) =>
+      val n = sh(t).count(benchSet.contains)
+      (id, n.toLong, n > 0)
+    }.sortBy(_._1)
+    val got = Curation.decontaminate(docs(trainRows: _*), docs(benchRows: _*))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
+    assert(got == want)
+  }
+
   test("capPerSource: bounded aggregator equals the ranking window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

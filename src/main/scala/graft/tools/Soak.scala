@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.cind.CindEngine
 import graft.dedup.Dedup
+import graft.pipeline.Curation
 import graft.rdf.TripleSource
+import graft.sim.Similarity
 
 /** 10x scale soak (round-6 verdict item 5): run the three heaviest
   * pipelines once at ~sf1 — ~23M triples / 50k docs — and report wall
@@ -73,7 +75,17 @@ object Soak {
       .drop("shard")
       .persist()
     val nDocs = docs1.count()
-    System.err.println(s"soak inputs: $nTriples triples, $nDocs docs")
+    // identical vectors across shards: every embedding gains a 10-clique of
+    // cosine-1.0 duplicates — the dedup-shaped load an ANN/near-dup pass
+    // sees on a web-scale corpus (vec_id offsets are multiples of 100, so
+    // the `% 100 === 0` query predicate keeps its per-shard meaning)
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .crossJoin(shardIds)
+      .withColumn("vec_id", col("vec_id") + col("shard").cast("long") * 10000000L)
+      .drop("shard")
+      .persist()
+    val nEmb = emb1.count()
+    System.err.println(s"soak inputs: $nTriples triples, $nDocs docs, $nEmb embeddings")
 
     def run(name: String, body: => DataFrame): Unit = {
       tally.reset()
@@ -98,6 +110,24 @@ object Soak {
       run("cind_all_hybrid_sf1", CindEngine.allCindsHybrid(triples1).toDF())
     if (which("minhash"))
       run("dedup_minhash_pairs_sf1", Dedup.minhashLshPairs(docs1, 50))
+    // ---- LLM-pipeline heavies at 10x (SPARK_GRAFT_SOAK_ONLY selects):
+    // each duplicates the matching sf0.1 bench query's parameters exactly,
+    // so the 10x reading divides by the floor for a clean scaling factor
+    if (which("jaccard"))
+      run("dedup_jaccard_pairs_sf1", Dedup.jaccardPairs(docs1, 50))
+    if (which("clusters"))
+      run("dedup_clusters_sf1", Dedup.duplicateClusters(docs1, 50))
+    if (which("curate"))
+      run("curate_docs_sf1", Curation.curate(docs1, 50))
+    if (which("decon"))
+      run("text_decontaminate_sf1", Curation.decontaminate(
+        docs1.filter(col("doc_id") % 20 =!= 0), docs1.filter(col("doc_id") % 20 === 0)))
+    if (which("neardup"))
+      run("sim_near_dup_pairs_sf1",
+        Similarity.cosineNearDupPairs(emb1, 0.95, dims = 64))
+    if (which("ivf"))
+      run("sim_topk_ivf_sf1",
+        Similarity.ivfTopK(emb1, col("vec_id") % 100 === 0, 10))
     spark.stop()
   }
 }

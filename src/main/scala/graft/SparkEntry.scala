@@ -493,6 +493,17 @@ object SparkEntry {
     "curate_source_cap" -> ((s, dir) => // per-source top-k via bounded aggregator
       graft.pipeline.Curation.capPerSource(docs(s, dir), 10)
         .orderBy("source", "rank")),
+    "curate_stream" -> ((s, dir) => {
+      // the streaming corpus intake (quality gate + cross-batch first-seen
+      // dedup) executed THROUGH the engine: four ascending-id micro-batches,
+      // so the keep-set equals "min doc_id per content hash among
+      // quality-passing docs" — the SQL oracle below
+      import s.implicits._
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+      graft.streaming.StreamDriver.curateStreamed(s, batches).orderBy("doc_id")
+    }),
     "profile_lineitem" -> ((s, dir) =>
       graft.stats.Profile.profile(
         s.read.parquet(s"$dir/lineitem.parquet"), profileCols)
@@ -736,6 +747,12 @@ object SparkEntry {
         "FROM qual q JOIN documents d ON d.doc_id = q.doc_id) " +
         "SELECT source, CAST(rnk AS INTEGER) AS rank, doc_id, CAST(quality_bucket AS INTEGER) AS quality_bucket " +
         "FROM r WHERE rnk <= 10 ORDER BY source, rnk"),
+    // fed in ascending-id batches, the streaming intake's first-seen pick
+    // is the min doc_id of each content hash among quality survivors
+    "curate_stream" ->
+      (s"WITH $qualCtes SELECT MIN(d.doc_id) AS doc_id, md5(d.text) AS content_hash " +
+        "FROM documents d JOIN qual ON qual.doc_id = d.doc_id " +
+        "WHERE qual.quality_bucket >= 3 GROUP BY md5(d.text) ORDER BY 1"),
     "profile_lineitem" -> (profileCols.map { c =>
       s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
     }.mkString(" UNION ALL ") + " ORDER BY column_name"),

@@ -26,20 +26,16 @@ object StreamDriver {
 
   private val SentinelKey = Long.MinValue
 
-  /** Run the streaming first-seen dedup over bounded (doc_id, text)
-    * batches fed IN ORDER — each inner Seq is one micro-batch, so
-    * cross-batch duplicate suppression (the stateful part) is genuinely
-    * exercised. When batches partition the docs by ascending doc_id
-    * ranges, the output is exactly "min doc_id per content hash": the
-    * earliest batch containing a hash also contains its smallest id.
-    * Returns the MATERIALIZED (doc_id, content_hash) rows. */
-  def firstSeenStreamed(spark: SparkSession,
-      batches: Seq[Seq[(Long, String)]]): DataFrame = {
+  /** Shared harness: feed (doc_id, text) micro-batches through `build`'s
+    * streaming Dataset and return the MATERIALIZED append-mode output. */
+  private def docBatchesStreamed(spark: SparkSession, prefix: String,
+      batches: Seq[Seq[(Long, String)]])(
+      build: DataFrame => org.apache.spark.sql.Dataset[HashedDoc]): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
-    val name = "dedup_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = StreamingDedup.firstSeen(in.toDF().toDF("doc_id", "text"))
+    val name = prefix + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = build(in.toDF().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       batches.foreach { b =>
@@ -53,6 +49,27 @@ object StreamDriver {
       spark.catalog.dropTempView(name)
     }
   }
+
+  /** Run the streaming first-seen dedup over bounded (doc_id, text)
+    * batches fed IN ORDER — each inner Seq is one micro-batch, so
+    * cross-batch duplicate suppression (the stateful part) is genuinely
+    * exercised. When batches partition the docs by ascending doc_id
+    * ranges, the output is exactly "min doc_id per content hash": the
+    * earliest batch containing a hash also contains its smallest id.
+    * Returns the MATERIALIZED (doc_id, content_hash) rows. */
+  def firstSeenStreamed(spark: SparkSession,
+      batches: Seq[Seq[(Long, String)]]): DataFrame =
+    docBatchesStreamed(spark, "dedup_stream_", batches)(StreamingDedup.firstSeen)
+
+  /** Run the streaming curation intake ([[graft.pipeline.Curation
+    * .curateStream]]: map-side quality gate, then cross-batch first-seen
+    * dedup) over bounded batches fed in doc_id order — so the keep-set is
+    * exactly "min doc_id per content hash among quality-passing docs",
+    * which is what the `curate_stream` SQL oracle asserts. */
+  def curateStreamed(spark: SparkSession,
+      batches: Seq[Seq[(Long, String)]]): DataFrame =
+    docBatchesStreamed(spark, "curate_stream_", batches)(
+      df => graft.pipeline.Curation.curateStream(df))
 
   /** Run the streaming as-of join over bounded (id, key, ts) lefts and
     * (key, ts, v) rights; returns the MATERIALIZED output (one row per

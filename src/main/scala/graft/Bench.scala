@@ -76,14 +76,20 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // ms precision: full-precision doubles made the line ~2.7 KB and the
+    // driver's bounded stdout-tail capture truncated its head two rounds
+    // running ("parsed": null). 3 decimals keeps the whole line inside the
+    // tail window; ms resolution is far below run-to-run noise anyway.
+    def sec(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
     results.foreach { case (k, _, e) =>
       e.foreach(m => System.err.println(s"[bench] FAILED $k: $m")) }
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // ALSO write to a file: the driver captures stdout with a bounded tail,
     // and round-5's capture truncated away the four heaviest queries plus

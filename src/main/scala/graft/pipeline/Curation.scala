@@ -183,16 +183,23 @@ object Curation {
     require(k > 0, "k must be positive")
     val annotated = TextAnalysis.withQuality(docs)
       .select(col("doc_id"), col("source"), col("quality_bucket"))
+    // null sources get their own reserved bucket (-1): a typedLit map can't
+    // carry a null key, and the driver-side sort would NPE on one — so
+    // nulls bypass the dictionary entirely instead of poisoning it
     val sources = annotated.select("source").distinct()
-      .collect().map(_.getString(0)).sorted
+      .collect().map(r => Option(r.getString(0))).flatten.sorted
     val enc = typedLit(sources.zipWithIndex.map { case (s, i) => (s, i.toLong) }.toMap)
     val dec = typedLit(sources.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toMap)
     val scored = annotated.select(
-      element_at(enc, col("source")).as("key"),
+      when(col("source").isNull, lit(-1L))
+        .otherwise(element_at(enc, col("source"))).as("key"),
       col("doc_id").as("id"),
       col("quality_bucket").cast("double").as("score"))
     graft.scale.TopK.topKPerKey(scored, "key", "id", "score", k)
-      .select(element_at(dec, col("key")).as("source"), col("rank"),
+      .select(
+        when(col("key") === -1L, lit(null).cast("string"))
+          .otherwise(element_at(dec, col("key"))).as("source"),
+        col("rank"),
         col("id").as("doc_id"), col("score").cast("int").as("quality_bucket"))
   }
 

@@ -79,13 +79,20 @@ object Soak {
     // cosine-1.0 duplicates — the dedup-shaped load an ANN/near-dup pass
     // sees on a web-scale corpus (vec_id offsets are multiples of 100, so
     // the `% 100 === 0` query predicate keeps its per-shard meaning)
-    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .crossJoin(shardIds)
-      .withColumn("vec_id", col("vec_id") + col("shard").cast("long") * 10000000L)
-      .drop("shard")
-      .persist()
-    val nEmb = emb1.count()
-    System.err.println(s"soak inputs: $nTriples triples, $nDocs docs, $nEmb embeddings")
+    // lazy: the default selection (count-match, s2l, minhash) and every
+    // non-embedding run otherwise pays the 10x embeddings materialization
+    // up front for nothing — built and counted only when an embedding
+    // query (neardup/ivf) is actually selected
+    lazy val emb1 = {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .crossJoin(shardIds)
+        .withColumn("vec_id", col("vec_id") + col("shard").cast("long") * 10000000L)
+        .drop("shard")
+        .persist()
+      System.err.println(s"soak embeddings: ${e.count()}")
+      e
+    }
+    System.err.println(s"soak inputs: $nTriples triples, $nDocs docs")
 
     def run(name: String, body: => DataFrame): Unit = {
       tally.reset()

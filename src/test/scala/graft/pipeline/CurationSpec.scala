@@ -167,6 +167,20 @@ class CurationSpec extends SparkSpec {
     assert(got.count(_._1 == "src0") == 5) // the cap binds (15 docs/src)
   }
 
+  test("capPerSource: null sources form their own capped bucket") {
+    import spark.implicits._
+    val d = (0L until 20L).map { i =>
+      val src = if (i % 2 == 0) null else s"src${i % 3}"
+      (i, if (i % 3 == 0) good else "short doc", src)
+    }.toDF("doc_id", "text", "source")
+    val got = Curation.capPerSource(d, 3).collect()
+      .map(x => (Option(x.getString(0)), x.getInt(1), x.getLong(2)))
+    val nulls = got.filter(_._1.isEmpty)
+    assert(nulls.length == 3)                       // capped like any source
+    assert(nulls.map(_._2).sorted.toSeq == Seq(1, 2, 3))
+    assert(got.filter(_._1.contains("src1")).nonEmpty)
+  }
+
   test("budgetSample: empty input yields empty output with the right schema") {
     val d = docs().select(col("doc_id"), col("text"))
     val r = Curation.budgetSample(d, 10)

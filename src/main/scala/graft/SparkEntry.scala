@@ -190,18 +190,19 @@ object SparkEntry {
     * differences (double noise ~2^-52 relative is far below float's 2^-24
     * rounding grid), so the codebooks agree bit-for-bit. Final CTEs:
     * cb2(cent_id, c) and lists(vec_id, embedding, cent_id). */
-  private val ivfCodebookCtes: String = {
+  private def ivfCodebookCtesOver(tbl: String): String = {
     def assign(cb: String, out: String): String =
-      s"$out AS (SELECT vec_id, embedding, cent_id FROM (SELECT e.vec_id, e.embedding, s.cent_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.cent_id) AS rn FROM embeddings e CROSS JOIN $cb s) WHERE rn = 1)"
+      s"$out AS (SELECT vec_id, embedding, cent_id FROM (SELECT e.vec_id, e.embedding, s.cent_id, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.cent_id) AS rn FROM $tbl e CROSS JOIN $cb s) WHERE rn = 1)"
     def refine(a: String, prev: String, out: String): String =
       s"${out}_m AS (SELECT cent_id, i, CAST(AVG(v) AS FLOAT) AS mv FROM (SELECT cent_id, unnest(embedding) AS v, generate_subscripts(embedding,1) AS i FROM $a) GROUP BY 1,2), " +
         s"${out}_arr AS (SELECT cent_id, list(mv ORDER BY i) AS c FROM ${out}_m GROUP BY 1), " +
         s"$out AS (SELECT p.cent_id, COALESCE(x.c, p.c) AS c FROM $prev p LEFT JOIN ${out}_arr x ON x.cent_id = p.cent_id)"
-    "seed AS (SELECT vec_id AS cent_id, embedding AS c FROM embeddings ORDER BY vec_id LIMIT 16), " +
+    s"seed AS (SELECT vec_id AS cent_id, embedding AS c FROM $tbl ORDER BY vec_id LIMIT 16), " +
       assign("seed", "a1") + ", " + refine("a1", "seed", "cb1") + ", " +
       assign("cb1", "a2") + ", " + refine("a2", "cb1", "cb2") + ", " +
       assign("cb2", "lists")
   }
+  private val ivfCodebookCtes: String = ivfCodebookCtesOver("embeddings")
 
   /** Full SQL replication of Similarity.ivfTopK (nProbe=4 pinned). */
   private val ivfOracleSql: String =
@@ -476,6 +477,29 @@ object SparkEntry {
       TextAnalysis.tfIdf(docs(s, dir)).orderBy("doc_id", "rank")),
     "text_bigram_score" -> ((s, dir) =>
       TextAnalysis.bigramScore(docs(s, dir)).orderBy("doc_id")),
+    "text_repetition" -> ((s, dir) => // Gopher-style repetition rules, map-side
+      TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")),
+    "text_pii_redact" -> ((s, dir) => {
+      // the natural fixture contains no PII, so deterministic PII is
+      // INJECTED per doc_id class (email / phone / IP / none) — the oracle
+      // augments identically, so every redaction branch is exercised
+      TextAnalysis.redactPii(docs(s, dir).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+            .when(col("doc_id") % 5 === 1,
+              concat(lit(" call 555-867-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .when(col("doc_id") % 5 === 2,
+              concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+                lit(".1 up")))
+            .otherwise(lit("")))))
+        .orderBy("doc_id")
+    }),
+    "text_pack_sequences" -> ((s, dir) => // concat-and-chunk training layout
+      graft.pipeline.Curation.packSequences(docs(s, dir), 512)
+        .orderBy("doc_id")),
     // --- curation pipeline (composed: lang + quality + dedup clusters) ---
     "curate_docs" -> ((s, dir) =>
       graft.pipeline.Curation.curate(docs(s, dir), 50).orderBy("doc_id")),
@@ -572,6 +596,18 @@ object SparkEntry {
     }),
     "sim_label_purity" -> ((s, dir) =>
       Similarity.labelPurity(emb(s, dir)).orderBy("vec_id")),
+    "sim_semantic_dedup" -> ((s, dir) => {
+      // same injected scaled copies as sim_near_dup_pairs: cosine 1.0 to
+      // their originals and scale-invariant cluster assignment put every
+      // copy in its original's cluster, so the cluster-scoped search finds
+      // each with certainty; the natural max cosine (~0.6) keeps the
+      // threshold far from any float boundary
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val dups = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      Similarity.semanticDedup(e.unionByName(dups), 0.95).orderBy("vec_id")
+    }),
     "sim_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id", "dim")),
     // --- multimodal plumbing ---
@@ -725,6 +761,43 @@ object SparkEntry {
     // floor(log2(corpus count)) via binary-string length (integer-exact)
     "text_bigram_score" ->
       s"WITH $tokCte, bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1), cnt AS (SELECT bg, COUNT(*) AS n FROM bg GROUP BY 1), sc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(length(bin(CAST(cnt.n AS BIGINT))) - 1) AS BIGINT) AS score FROM bg JOIN cnt USING (bg) GROUP BY 1) SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, COALESCE(sc.score, 0) AS score FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id ORDER BY d.doc_id",
+    // most-frequent-token count (longest sorted run == max group count)
+    // + in-row duplicate bigrams; integer floor percentages
+    "text_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents), " +
+        "top AS (SELECT doc_id, MAX(c) AS topc FROM (SELECT doc_id, w, COUNT(*) AS c FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1,2) GROUP BY 1), " +
+        "bg AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n, CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1]) ELSE [] END AS b FROM t) " +
+        "SELECT bg.doc_id, bg.n AS n_tokens, CAST(topc AS BIGINT) AS top_token_cnt, " +
+        "CAST(floor(100*topc/bg.n) AS BIGINT) AS top_token_pct, " +
+        "CAST(len(b) AS BIGINT) AS n_bigrams, " +
+        "CAST(floor(100*(len(b)-len(list_distinct(b)))/GREATEST(len(b),1)) AS BIGINT) AS dup_bigram_pct, " +
+        "(floor(100*topc/bg.n) <= 12 AND floor(100*(len(b)-len(list_distinct(b)))/GREATEST(len(b),1)) <= 10) AS keep " +
+        "FROM bg JOIN top USING (doc_id) ORDER BY doc_id"),
+    // identical injection + identical pattern order (email, phone, IP);
+    // counts are per-pattern over the PRE-redaction text
+    "text_pii_redact" -> {
+      val (emailRe, phoneRe, ipRe) = (
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "\\d{3}-\\d{3}-\\d{4}",
+        "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}")
+      "WITH a AS (SELECT doc_id, text || CASE " +
+        "WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' " +
+        "WHEN doc_id % 5 = 1 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+        "WHEN doc_id % 5 = 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 up' " +
+        "ELSE '' END AS text FROM documents) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones, " +
+        s"CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ips, " +
+        s"md5(regexp_replace(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'), '$ipRe', '<IP>', 'g')) AS clean_md5 " +
+        "FROM a ORDER BY doc_id"
+    },
+    // exclusive prefix sum over doc_id order -> block arithmetic
+    "text_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cb FROM t) " +
+        "SELECT doc_id, n_tokens, CAST(floor(cb/512) AS BIGINT) AS start_seq, " +
+        "CAST(cb % 512 AS BIGINT) AS start_offset, " +
+        "CAST(floor((cb + n_tokens - 1)/512) AS BIGINT) AS end_seq FROM c ORDER BY doc_id"),
     // drop_reason priority mirrors Curation.curate: quality > duplicate > ''
     "curate_docs" ->
       s"WITH RECURSIVE $clusterCtes, $langCtes, $qualCtes SELECT d.doc_id, lg.lang_guess, qual.quality_bucket, cl.cluster_id, CASE WHEN qual.quality_bucket < 3 THEN 'quality' WHEN cl.cluster_id <> d.doc_id THEN 'duplicate' ELSE '' END AS drop_reason, (qual.quality_bucket >= 3 AND cl.cluster_id = d.doc_id) AS keep FROM documents d JOIN lg ON lg.doc_id = d.doc_id JOIN qual ON qual.doc_id = d.doc_id JOIN cl ON cl.doc_id = d.doc_id ORDER BY d.doc_id",
@@ -817,6 +890,14 @@ object SparkEntry {
       "WITH s AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(x))) AS scale FROM embeddings), q AS (SELECT vec_id, unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(scale AS DOUBLE)) AS INTEGER))) AS q, generate_subscripts(embedding, 1) - 1 AS dim FROM s WHERE scale > 0) SELECT vec_id, CAST(dim AS INTEGER) AS dim, q FROM q ORDER BY vec_id, dim",
     "sim_near_dup_pairs" ->
       "WITH e2 AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 50 = 0) SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY 1, 2",
+    // codebook + assignment replicated over the injected relation; pairs
+    // cluster-scoped, representative = min id among tau-neighbors + self
+    "sim_semantic_dedup" ->
+      ("WITH e2 AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 50 = 0), " +
+        ivfCodebookCtesOver("e2") + ", " +
+        "nbr AS (SELECT b.vec_id, MIN(a.vec_id) AS nbr_id FROM lists a JOIN lists b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 GROUP BY 1) " +
+        "SELECT l.vec_id, l.cent_id, COALESCE(n.nbr_id, l.vec_id) AS rep_id, COALESCE(n.nbr_id, l.vec_id) <> l.vec_id AS is_dup " +
+        "FROM lists l LEFT JOIN nbr n ON n.vec_id = l.vec_id ORDER BY l.vec_id"),
     "mm_decode_meta" ->
       "WITH ch AS (SELECT doc_id, CAST(SUM(ascii(c)) % 65536 AS BIGINT) AS checksum FROM (SELECT doc_id, unnest(string_split(text,'')) AS c FROM documents) GROUP BY 1) SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS byte_len, CAST(64 + ascii(substr(d.text,1,1)) % 64 AS INTEGER) AS width, CAST(64 + ascii(substr(d.text,2,1)) % 64 AS INTEGER) AS height, ch.checksum FROM documents d JOIN ch ON ch.doc_id = d.doc_id ORDER BY d.doc_id",
     "mm_frames" ->

@@ -244,4 +244,49 @@ object Curation {
       .withColumn("in_budget", col("cum_tokens") <= budgetTokens)
       .select("doc_id", "n_tokens", "cum_tokens", "in_budget")
   }
+
+  /** Sequence packing — the concat-and-chunk step that turns a curated
+    * corpus into fixed-length training sequences: all documents' tokens are
+    * conceptually concatenated in doc_id order and cut into blocks of
+    * `seqLen` tokens (documents straddle block boundaries, the standard
+    * GPT-style pretraining layout). Per document this is pure arithmetic on
+    * the exclusive prefix sum of token counts:
+    *   start_seq    = floor(cum_before / seqLen)
+    *   start_offset = cum_before mod seqLen     (token slot in that block)
+    *   end_seq      = floor((cum_before + n_tokens - 1) / seqLen)
+    * The prefix sum uses the same bucketed two-phase shape as
+    * [[budgetSample]] (per-bucket totals to the driver, partitioned
+    * within-bucket window) — no global-order window, every stage bounded
+    * per task. Output: (doc_id, n_tokens, start_seq, start_offset,
+    * end_seq), all BIGINT. */
+  def packSequences(docs: DataFrame, seqLen: Long,
+      numBuckets: Int = 256): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val maxRow = toks.agg(max("doc_id")).head()
+    if (maxRow.isNullAt(0))
+      return toks.select(col("doc_id"), col("n_tokens"),
+        lit(0L).as("start_seq"), lit(0L).as("start_offset"),
+        lit(0L).as("end_seq"))
+    val span = maxRow.getLong(0) / numBuckets + 1
+    val bucketed = toks.withColumn("bucket",
+      floor(col("doc_id") / lit(span)).cast("long"))
+    val totals = bucketed.groupBy("bucket").agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Long, Long] = totals
+      .scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toMap
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("cum_before",
+        sum("n_tokens").over(w) - col("n_tokens") +
+          element_at(typedLit(offsets), col("bucket")))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("cum_before") / seqLen).as("start_seq"),
+        (col("cum_before") % seqLen).as("start_offset"),
+        floor((col("cum_before") + col("n_tokens") - 1) / seqLen)
+          .as("end_seq"))
+  }
 }

@@ -428,4 +428,40 @@ object Similarity {
         (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("score"))
       .filter(col("score") >= minCosine)
   }
+
+  /** Semantic deduplication (SemDeDup-style): cluster the collection with
+    * the IVF coarse quantizer, then find cosine-near-duplicates ONLY within
+    * each cluster and elect the minimum vec_id of every duplicate
+    * neighborhood as its representative. The cluster scope is what makes
+    * embedding dedup tractable at corpus scale — the quadratic pair search
+    * runs per cluster (expected size n/k, k ~ sqrt(n) under the codebook
+    * auto-sizing), not over the full collection, and the per-cluster
+    * self-join is a plain shuffle join on cent_id that AQE can split on
+    * skewed clusters. Directional duplicates (scaled copies) always share a
+    * cluster (cosine is scale-invariant, assignment is argmax cosine), so
+    * exact-duplicate recall is 1.0 by construction.
+    * Output: (vec_id, cent_id, rep_id, is_dup) — rep_id = min id among
+    * {self} ∪ {same-cluster neighbors with cosine >= minCosine};
+    * is_dup = rep_id != vec_id (drop rows with is_dup for the deduped
+    * corpus). */
+  def semanticDedup(emb: DataFrame, minCosine: Double,
+      numCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    val cents = ivfCodebook(emb, numCentroids, kmeansIters)
+    val lists = withNearestCentroid(emb, cents, 1).persist()
+    val a = lists.select(col("cent_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = lists.select(col("cent_id"), col("vec_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    // smaller-id neighbors only: each vec needs just the MIN qualifying
+    // neighbor id, so the pair stream is half the full candidate set
+    val reps = a.join(b, Seq("cent_id"))
+      .filter(col("a_id") < col("vec_id"))
+      .filter(dot(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm")) >= minCosine)
+      .groupBy("vec_id").agg(min("a_id").as("nbr_id"))
+    lists.join(reps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("nbr_id"), col("vec_id")).as("rep_id"))
+      .withColumn("is_dup", col("rep_id") =!= col("vec_id"))
+  }
 }

@@ -196,4 +196,76 @@ object TextAnalysis {
       ColumnBridge.column(graft.functions.RollingHashMin(
         ColumnBridge.expression(col("text")), window)).as("rolling_fp"))
   }
+
+  /** Gopher-style repetition filtering — the "most frequent token" and
+    * "duplicate n-gram" rules of quality filtering, entirely MAP-SIDE: the
+    * most-frequent-token count is the longest run in the SORTED token
+    * array (one `aggregate` over `array_sort`, no explode/groupBy — a
+    * per-token shuffle would be the single biggest shuffle in a 100 TB
+    * curation pass), duplicate bigrams come from `array_distinct` on the
+    * in-row bigram array. Integer percentages (floor) keep the SQL oracle
+    * bit-exact. keep = top_token_pct <= maxTopTokenPct AND
+    * dup_bigram_pct <= maxDupBigramPct.
+    * Output: (doc_id, n_tokens, top_token_cnt, top_token_pct, n_bigrams,
+    * dup_bigram_pct, keep). */
+  def repetitionStats(docs: DataFrame, maxTopTokenPct: Int = 12,
+      maxDupBigramPct: Int = 10): DataFrame = {
+    val t = tokens(col("text"))
+    // longest run in the sorted array == count of the most frequent token;
+    // accumulator: (prev token, current run, best run)
+    val topCnt = aggregate(
+      array_sort(t),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val bg = bigrams(col("text"))
+    docs
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        topCnt.as("top_token_cnt"),
+        size(bg).cast("long").as("n_bigrams"),
+        (size(bg) - size(array_distinct(bg))).cast("long").as("dup_bigrams"))
+      .select(col("doc_id"), col("n_tokens"), col("top_token_cnt"),
+        floor(lit(100) * col("top_token_cnt") / col("n_tokens"))
+          .as("top_token_pct"),
+        col("n_bigrams"),
+        floor(lit(100) * col("dup_bigrams") / greatest(col("n_bigrams"), lit(1L)))
+          .as("dup_bigram_pct"))
+      .withColumn("keep",
+        col("top_token_pct") <= maxTopTokenPct &&
+          col("dup_bigram_pct") <= maxDupBigramPct)
+  }
+
+  /** PII redaction patterns shared with the SQL oracle — portable regex
+    * only (character classes + bounded repetition; no backreferences, no
+    * lookaround) so the Java and RE2 engines agree match-for-match. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement) — applied in this order
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\d{3}-\\d{3}-\\d{4}", "<PHONE>"),
+    ("ip", "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"))
+
+  /** PII scrubbing — redact emails, phone numbers, and IPv4 literals with
+    * typed placeholder tokens, counting each. Pure map-side
+    * `regexp_replace`/`regexp_extract_all` (codegen'd, no UDF); the
+    * redacted text is returned as its md5 so downstream equality checks
+    * move 32 bytes, not documents. Patterns apply in [[PiiPatterns]] order
+    * (emails first: an IP-like substring inside a hostname must not
+    * pre-empt the email match).
+    * Output: (doc_id, n_emails, n_phones, n_ips, clean_md5). */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as(s"n_${name}s")
+    }
+    val cleaned = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, rep)) => regexp_replace(c, lit(pat), lit(rep))
+    }
+    docs.select(col("doc_id") +: counts :+ md5(cleaned).as("clean_md5"): _*)
+  }
 }

@@ -161,4 +161,52 @@ class SimilaritySpec extends SparkSpec {
     assert(hits16 >= hits64, s"hits16=$hits16 hits64=$hits64")
     assert(pct16 == 100 * hits16 / (10 * nq1))
   }
+
+  test("semanticDedup: scaled copies dedup to their originals; originals kept") {
+    val dups = real.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val r = Similarity.semanticDedup(real.unionByName(dups), 0.95)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(r.length == real.count() + dups.count())
+    // every injected copy is a duplicate of exactly its original
+    dups.select("vec_id").collect().map(_.getLong(0)).foreach { cid =>
+      val (_, _, rep, isDup) = byId(cid)
+      assert(isDup && rep == cid - 100000, s"copy $cid -> $rep")
+    }
+    // natural max cosine ~0.6 < 0.95: every original is its own representative
+    r.filter(_._1 < 100000).foreach { case (id, _, rep, isDup) =>
+      assert(!isDup && rep == id)
+    }
+    // representative ids are always <= their member ids (min-id election)
+    r.foreach { case (id, _, rep, _) => assert(rep <= id) }
+  }
+
+  test("semanticDedup matches brute-force within-cluster search on real embeddings") {
+    val e = real.unionByName(real.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+    val got = Similarity.semanticDedup(e, 0.95)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // brute force: same codebook, nearest centroid, min tau-neighbor per cluster
+    val cents = Similarity.ivfCodebook(e, 16, 2)
+    val vecs = e.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assign = vecs.map { case (id, v) =>
+      val best = cents.map { case (cid, c) => (cid, cos(v, c)) }
+        .maxBy { case (cid, s) => (s, -cid) } // argmax cosine, min cent_id tie
+      (id, v, best._1)
+    }
+    val want = assign.map { case (id, v, cl) =>
+      val nbrs = assign.filter { case (oid, ov, ocl) =>
+        ocl == cl && oid < id && cos(v, ov) >= 0.95 }
+      id -> ((cl, if (nbrs.isEmpty) id else nbrs.map(_._1).min))
+    }.toMap
+    assert(got == want)
+  }
 }

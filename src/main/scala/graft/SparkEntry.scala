@@ -107,10 +107,12 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
-  /** events.parquet has TIMESTAMP(NANOS) -> long ts; restore a timestamp. */
+  /** The ONE events adapter (see [[graft.streaming.EventSource]]): `ts` is
+    * normalized to a micros TIMESTAMP whatever the parquet carries. ALL
+    * events queries go through here — inline per-query ts conversions are
+    * what broke five queries when the testdata's ts type changed. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    graft.streaming.EventSource.events(s, dir)
 
   /** dHash32 CTEs over a (doc_id, text) relation named `$src`: 33 evenly
     * sampled byte positions, 32 gradient-sign bits packed into a positive
@@ -355,21 +357,21 @@ object SparkEntry {
       CindEngine.unaryOverlaps(triples(s, dir), MS)
         .orderBy("dep_code", "dep_v1", "ref_code", "ref_v1")),
     "events_props_sum" -> ((s, dir) =>
-      s.read.parquet(s"$dir/events.parquet")
+      events(s, dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
         .orderBy("event_type")),
     "stats_count_triples" -> ((s, dir) =>
       triples(s, dir).agg(count(lit(1)).as("n_triples"))),
-    "events_window_counts" -> ((s, dir) => {
-      // ts arrives as epoch-nanos long (spark.sql.legacy.parquet.nanosAsLong)
-      s.read.parquet(s"$dir/events.parquet")
-        .groupBy(((col("ts") / lit(300000000000L)).cast("long") * 300).as("bucket_start"),
+    "events_window_counts" -> ((s, dir) =>
+      // 5-minute tumbling buckets keyed by epoch seconds: integer-divide the
+      // canonical micros timestamp (positive epochs -> div == floor)
+      events(s, dir)
+        .groupBy(expr("(unix_micros(ts) div 300000000) * 300").as("bucket_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
-        .orderBy("bucket_start", "event_type")
-    }),
+        .orderBy("bucket_start", "event_type")),
     "events_sessions" -> ((s, dir) =>
       EventStream.sessions(events(s, dir), watermark = false)
         .orderBy("user_id", "session_start")),
@@ -377,34 +379,30 @@ object SparkEntry {
       // value-band classification via the bucketized range join (bands
       // overlap on [5,10) to exercise multi-match)
       import s.implicits._
-      val ev = s.read.parquet(s"$dir/events.parquet").select("event_id", "value")
+      val ev = events(s, dir).select("event_id", "value")
       val bands = Seq((0.0, 10.0, "xs"), (5.0, 50.0, "mid"),
         (50.0, 200.0, "large"), (200.0, 1000.0, "xl")).toDF("lo", "hi", "tier")
       EventStream.rangeJoin(ev, bands, "value", bucketWidth = 50.0)
         .select(col("event_id"), col("tier")).orderBy("event_id", "tier")
     }),
     "events_funnel" -> ((s, dir) =>
-      // view -> click -> purchase conversion; micros so both engines see
-      // identical ts comparisons (DuckDB truncates the nanos timestamps)
-      EventStream.funnel(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", expr("ts div 1000")),
+      // view -> click -> purchase conversion over the canonical micros
+      // timestamps — both engines compare the same instants
+      EventStream.funnel(events(s, dir),
         Seq("view", "click", "purchase")).orderBy("stage")),
     "events_asof" -> ((s, dir) => {
       // point-in-time enrichment: each click gets the latest preceding view
-      // (same user). The join runs at MICROsecond precision on both sides:
-      // DuckDB reads the nanos parquet timestamp as a micros TIMESTAMP, so
-      // joining on raw nanos here would see ties differently. No-match
-      // sentinel -1 instead of NULL (engines hash NULL/NaN differently).
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("ts div 1000")) // nanos -> micros, exact
+      // (same user), joined on the canonical micros timestamps (both engines
+      // see identical tie comparisons). No-match sentinel -1 instead of
+      // NULL (engines hash NULL/NaN differently).
+      val ev = events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts")
       val views = ev.filter(col("event_type") === "view")
         .groupBy("user_id", "ts").agg(max("value").as("v"))
       EventStream.asOfJoin(clicks, views, "user_id", "ts", Seq("ts", "v"))
-        .select(col("event_id"), col("user_id"), col("ts"),
-          coalesce(col("asof_ts"), lit(-1L)).as("asof_ts"),
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts"),
+          coalesce(unix_micros(col("asof_ts")), lit(-1L)).as("asof_ts"),
           coalesce(floor(col("asof_v") * 1000), lit(-1L)).as("asof_value_milli"))
         .orderBy("event_id")
     }),
@@ -417,15 +415,13 @@ object SparkEntry {
       // driver-fed by design, so the bounded fixture slices are collected
       // to feed it; the operator under test runs distributed.
       import s.implicits._
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("ts div 1000")) // nanos -> micros, exact
+      val ev = events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"),
-          timestamp_micros(col("ts")).as("ts"))
+        .select(col("event_id"), col("user_id"), col("ts"))
         .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
       val views = ev.filter(col("event_type") === "view")
         .groupBy("user_id", "ts").agg(max("value").as("v"))
-        .select(col("user_id"), timestamp_micros(col("ts")).as("ts"), col("v"))
+        .select(col("user_id"), col("ts"), col("v"))
         .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
       graft.streaming.StreamDriver.asOfStreamed(s, clicks, views)
         .select(col("id").as("event_id"), col("key").as("user_id"),

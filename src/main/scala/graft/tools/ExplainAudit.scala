@@ -5,6 +5,7 @@ object ExplainAudit {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,8 +72,7 @@ object ExplainAudit {
         spark.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_orderkey", "l_returnflag")))
     if (which == "all" || which == "asof") {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("ts div 1000"))
+      val ev = graft.streaming.EventSource.events(spark, dir)
       show("events_asof", graft.streaming.EventStream.asOfJoin(
         ev.filter(org.apache.spark.sql.functions.col("event_type") === "click")
           .select("event_id", "user_id", "ts"),
@@ -82,7 +82,7 @@ object ExplainAudit {
     }
     if (which == "all" || which == "funnel")
       show("events_funnel", graft.streaming.EventStream.funnel(
-        spark.read.parquet(s"$dir/events.parquet"),
+        graft.streaming.EventSource.events(spark, dir),
         Seq("view", "click", "purchase")))
     spark.stop()
   }

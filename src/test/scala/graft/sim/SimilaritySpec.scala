@@ -166,7 +166,8 @@ class SimilaritySpec extends SparkSpec {
     val dups = real.filter(col("vec_id") % 40 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-    val r = Similarity.semanticDedup(real.unionByName(dups), 0.95)
+    val r = Similarity.semanticDedup(
+      real.select("vec_id", "embedding").unionByName(dups), 0.95)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
     val byId = r.map(x => x._1 -> x).toMap
     assert(r.length == real.count() + dups.count())
@@ -184,7 +185,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("semanticDedup matches brute-force within-cluster search on real embeddings") {
-    val e = real.unionByName(real.filter(col("vec_id") % 40 === 0)
+    val e = real.select("vec_id", "embedding")
+      .unionByName(real.filter(col("vec_id") % 40 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
     val got = Similarity.semanticDedup(e, 0.95)

@@ -602,7 +602,10 @@ object SparkEntry {
       val dups = e.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
-      Similarity.semanticDedup(e.unionByName(dups), 0.95).orderBy("vec_id")
+      // numCentroids PINNED to 16 — the SQL oracle replicates this exact
+      // codebook; the library default is auto-sized (~sqrt(n))
+      Similarity.semanticDedup(e.unionByName(dups), 0.95, numCentroids = 16)
+        .orderBy("vec_id")
     }),
     "sim_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id", "dim")),

@@ -203,14 +203,10 @@ object Curation {
         col("id").as("doc_id"), col("score").cast("int").as("quality_bucket"))
   }
 
-  /** Token-budget sampling: running token total in doc_id order and
-    * `in_budget` = (cumulative tokens <= budgetTokens) — the "take documents
-    * until the budget is hit" step of corpus assembly.
-    * Output: (doc_id, n_tokens, cum_tokens, in_budget).
-    *
-    * An ordered prefix sum is the textbook global-window trap
-    * (`Window.orderBy` with no partitioning = every row through ONE task).
-    * Scalable shape instead:
+  /** Bucketed two-phase prefix sum of per-document token counts — the
+    * shared engine of [[budgetSample]] and [[packSequences]]. An ordered
+    * prefix sum is the textbook global-window trap (`Window.orderBy` with
+    * no partitioning = every row through ONE task). Scalable shape instead:
     *   1. bucket docs by deterministic id range (numBuckets buckets);
     *   2. one tiny aggregation collects per-bucket token totals to the
     *      driver (numBuckets rows — KBs, independent of corpus size);
@@ -219,15 +215,16 @@ object Curation {
     *   4. the within-bucket running sum is a PARTITIONED window
     *      (partitionBy bucket), shifted by the bucket's offset.
     * Every stage is bounded per-task; only bucket TOTALS ever serialize.
-    * Requires non-negative doc_ids (holds for the fixture tables). */
-  def budgetSample(docs: DataFrame, budgetTokens: Long,
-      numBuckets: Int = 256): DataFrame = {
+    * Requires non-negative doc_ids (holds for the fixture tables).
+    * Output: (doc_id, n_tokens, cum_tokens) with cum_tokens the INCLUSIVE
+    * running total in doc_id order. */
+  private def tokenPrefixSum(docs: DataFrame, numBuckets: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
     val maxRow = toks.agg(max("doc_id")).head()
-    if (maxRow.isNullAt(0))
-      return toks.withColumn("cum_tokens", lit(0L))
-        .withColumn("in_budget", lit(false))
+    // empty corpus: zero rows, any cum column is vacuously correct — but
+    // span arithmetic below would NPE on the null max
+    if (maxRow.isNullAt(0)) return toks.withColumn("cum_tokens", lit(0L))
     val span = maxRow.getLong(0) / numBuckets + 1
     val bucketed = toks.withColumn("bucket",
       floor(col("doc_id") / lit(span)).cast("long"))
@@ -241,48 +238,37 @@ object Curation {
     bucketed
       .withColumn("cum_tokens",
         sum("n_tokens").over(w) + element_at(typedLit(offsets), col("bucket")))
+      .select("doc_id", "n_tokens", "cum_tokens")
+  }
+
+  /** Token-budget sampling: running token total in doc_id order and
+    * `in_budget` = (cumulative tokens <= budgetTokens) — the "take documents
+    * until the budget is hit" step of corpus assembly. Prefix sum via
+    * [[tokenPrefixSum]] (bucketed, never a global window).
+    * Output: (doc_id, n_tokens, cum_tokens, in_budget). */
+  def budgetSample(docs: DataFrame, budgetTokens: Long,
+      numBuckets: Int = 256): DataFrame =
+    tokenPrefixSum(docs, numBuckets)
       .withColumn("in_budget", col("cum_tokens") <= budgetTokens)
       .select("doc_id", "n_tokens", "cum_tokens", "in_budget")
-  }
 
   /** Sequence packing — the concat-and-chunk step that turns a curated
     * corpus into fixed-length training sequences: all documents' tokens are
     * conceptually concatenated in doc_id order and cut into blocks of
     * `seqLen` tokens (documents straddle block boundaries, the standard
     * GPT-style pretraining layout). Per document this is pure arithmetic on
-    * the exclusive prefix sum of token counts:
+    * the EXCLUSIVE prefix sum of token counts (via [[tokenPrefixSum]],
+    * minus the document's own count):
     *   start_seq    = floor(cum_before / seqLen)
     *   start_offset = cum_before mod seqLen     (token slot in that block)
     *   end_seq      = floor((cum_before + n_tokens - 1) / seqLen)
-    * The prefix sum uses the same bucketed two-phase shape as
-    * [[budgetSample]] (per-bucket totals to the driver, partitioned
-    * within-bucket window) — no global-order window, every stage bounded
-    * per task. Output: (doc_id, n_tokens, start_seq, start_offset,
-    * end_seq), all BIGINT. */
+    * Output: (doc_id, n_tokens, start_seq, start_offset, end_seq), all
+    * BIGINT. */
   def packSequences(docs: DataFrame, seqLen: Long,
       numBuckets: Int = 256): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    val toks = docs.select(col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    val maxRow = toks.agg(max("doc_id")).head()
-    if (maxRow.isNullAt(0))
-      return toks.select(col("doc_id"), col("n_tokens"),
-        lit(0L).as("start_seq"), lit(0L).as("start_offset"),
-        lit(0L).as("end_seq"))
-    val span = maxRow.getLong(0) / numBuckets + 1
-    val bucketed = toks.withColumn("bucket",
-      floor(col("doc_id") / lit(span)).cast("long"))
-    val totals = bucketed.groupBy("bucket").agg(sum("n_tokens").as("t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Long, Long] = totals
-      .scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
-      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toMap
-    val w = Window.partitionBy("bucket").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed
-      .withColumn("cum_before",
-        sum("n_tokens").over(w) - col("n_tokens") +
-          element_at(typedLit(offsets), col("bucket")))
+    tokenPrefixSum(docs, numBuckets)
+      .withColumn("cum_before", col("cum_tokens") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         floor(col("cum_before") / seqLen).as("start_seq"),
         (col("cum_before") % seqLen).as("start_offset"),

@@ -433,35 +433,81 @@ object Similarity {
     * the IVF coarse quantizer, then find cosine-near-duplicates ONLY within
     * each cluster and elect the minimum vec_id of every duplicate
     * neighborhood as its representative. The cluster scope is what makes
-    * embedding dedup tractable at corpus scale — the quadratic pair search
-    * runs per cluster (expected size n/k, k ~ sqrt(n) under the codebook
-    * auto-sizing), not over the full collection, and the per-cluster
-    * self-join is a plain shuffle join on cent_id that AQE can split on
-    * skewed clusters. Directional duplicates (scaled copies) always share a
-    * cluster (cosine is scale-invariant, assignment is argmax cosine), so
-    * exact-duplicate recall is 1.0 by construction.
+    * embedding dedup tractable at corpus scale — the pair search runs per
+    * cluster (expected size n/k, k ~ sqrt(n) under the DEFAULT auto-sizing
+    * `numCentroids = -1`; pass an explicit k only when pinning a layout),
+    * not over the full collection.
+    *
+    * Clusters are still data-skewed, so a HOT cluster's exact self-join is
+    * quadratic in its list size. Above `bandedThreshold` rows the pair
+    * search inside a cluster switches to the banded-LSH candidate shape of
+    * [[cosineNearDupPairs]] (join on (cent_id, band, bucket) instead of
+    * cent_id alone, exact cosine verification of candidates only), which
+    * bounds the hot cluster's join fan-out by its bucket sizes. Scaled
+    * copies/identical directions have IDENTICAL signatures, so
+    * exact-duplicate recall stays 1.0 by construction on both paths; for
+    * merely-similar pairs the banded path's recall is the LSH collision
+    * bound (~0.99 at cosine 0.95 with the default 16/4 layout) — the
+    * documented approximation of crossing the threshold.
     * Output: (vec_id, cent_id, rep_id, is_dup) — rep_id = min id among
     * {self} ∪ {same-cluster neighbors with cosine >= minCosine};
     * is_dup = rep_id != vec_id (drop rows with is_dup for the deduped
-    * corpus). */
+    * corpus). The returned frame is the one cached handle (CacheOps
+    * contract); internal lists are released after materialization. */
   def semanticDedup(emb: DataFrame, minCosine: Double,
-      numCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
+      numCentroids: Int = -1, kmeansIters: Int = 2,
+      bandedThreshold: Long = 100000L, dims: Int = 64,
+      bandBits: Int = 4, numPlanes: Int = DefaultNumPlanes): DataFrame = {
+    require(numPlanes % bandBits == 0,
+      s"bandBits $bandBits must divide numPlanes $numPlanes")
     val cents = ivfCodebook(emb, numCentroids, kmeansIters)
     val lists = withNearestCentroid(emb, cents, 1).persist()
-    val a = lists.select(col("cent_id"), col("vec_id").as("a_id"),
-      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = lists.select(col("cent_id"), col("vec_id"),
-      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    // per-cluster sizes: <= k rows, broadcast onto every member
+    val sized = lists.join(
+      broadcast(lists.groupBy("cent_id").agg(count(lit(1)).as("_csz"))),
+      "cent_id")
     // smaller-id neighbors only: each vec needs just the MIN qualifying
     // neighbor id, so the pair stream is half the full candidate set
-    val reps = a.join(b, Seq("cent_id"))
+    val small = sized.filter(col("_csz") <= bandedThreshold)
+    val smallPairs = small.select(col("cent_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      .join(small.select(col("cent_id"), col("vec_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm")), Seq("cent_id"))
       .filter(col("a_id") < col("vec_id"))
       .filter(dot(col("a_emb"), col("b_emb")) /
         (col("a_nrm") * col("b_nrm")) >= minCosine)
+      .select(col("a_id"), col("vec_id"))
+    // hot clusters: banded candidates (ids only — the wide vectors join
+    // back AFTER candidate dedup), then exact verification
+    val big = sized.filter(col("_csz") > bandedThreshold)
+    val bands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    val banded = big
+      .withColumn("sig", signature(col("embedding"), dims, numPlanes))
+      .select(col("cent_id"), col("vec_id"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.cent_id") === col("y.cent_id") && col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("vec_id"))
+      .dropDuplicates()
+    val ln = lists.select(col("vec_id"), col("embedding"), col("nrm"))
+    val bigPairs = cand
+      .join(ln.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm")), "a_id")
+      .join(ln.select(col("vec_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm")), "vec_id")
+      .filter(dot(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm")) >= minCosine)
+      .select(col("a_id"), col("vec_id"))
+    val reps = smallPairs.unionByName(bigPairs)
       .groupBy("vec_id").agg(min("a_id").as("nbr_id"))
-    lists.join(reps, Seq("vec_id"), "left")
+    val out = lists.join(reps, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cent_id"),
         coalesce(col("nbr_id"), col("vec_id")).as("rep_id"))
       .withColumn("is_dup", col("rep_id") =!= col("vec_id"))
+    graft.core.CacheOps.cacheResult(out, Seq(lists)).toDF()
   }
 }

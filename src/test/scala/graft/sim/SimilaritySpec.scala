@@ -167,7 +167,8 @@ class SimilaritySpec extends SparkSpec {
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
     val r = Similarity.semanticDedup(
-      real.select("vec_id", "embedding").unionByName(dups), 0.95)
+      real.select("vec_id", "embedding").unionByName(dups), 0.95,
+      numCentroids = 16)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
     val byId = r.map(x => x._1 -> x).toMap
     assert(r.length == real.count() + dups.count())
@@ -189,7 +190,7 @@ class SimilaritySpec extends SparkSpec {
       .unionByName(real.filter(col("vec_id") % 40 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
-    val got = Similarity.semanticDedup(e, 0.95)
+    val got = Similarity.semanticDedup(e, 0.95, numCentroids = 16)
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
     // brute force: same codebook, nearest centroid, min tau-neighbor per cluster
     val cents = Similarity.ivfCodebook(e, 16, 2)
@@ -210,5 +211,28 @@ class SimilaritySpec extends SparkSpec {
       id -> ((cl, if (nbrs.isEmpty) id else nbrs.map(_._1).min))
     }.toMap
     assert(got == want)
+  }
+
+  test("semanticDedup banded hot-cluster path is result-identical on a skewed fixture") {
+    // skew: 120 scaled copies of ONE vector pile into a single hot cluster
+    // (cosine is scale-invariant), dwarfing every other list
+    val seedVec = real.filter(col("vec_id") === 0).select("embedding")
+    val copies = seedVec.crossJoin(spark.range(1, 121).toDF("i"))
+      .select((col("i") + 200000).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(1.0f) + col("i") / lit(100.0f)).cast("float"))
+          .as("embedding"))
+    val e = real.select("vec_id", "embedding").unionByName(copies)
+    def run(threshold: Long) = Similarity.semanticDedup(e, 0.95,
+        numCentroids = 16, bandedThreshold = threshold)
+      .collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3))).toSet
+    val exact = run(Long.MaxValue) // every cluster on the exact path
+    val banded = run(1L)           // every cluster >1 row on the banded path
+    assert(exact == banded)
+    // the hot pile actually deduped: every copy's min qualifying neighbor
+    // is vec 0 itself (the only smaller-id vector at cosine 1.0)
+    val reps = exact.filter(_._1 > 200000).map(_._3)
+    assert(reps == Set(0L))
   }
 }

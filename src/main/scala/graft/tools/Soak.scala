@@ -54,6 +54,7 @@ object Soak {
       .appName("graft-soak")
       .config("spark.sql.shuffle.partitions", cpus.toInt)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.log.level", "WARN")
       .getOrCreate()
     val tally = new ShuffleTally
@@ -135,6 +136,40 @@ object Soak {
     if (which("ivf"))
       run("sim_topk_ivf_sf1",
         Similarity.ivfTopK(emb1, col("vec_id") % 100 === 0, 10))
+    // ---- streaming surface at 10x. MemoryStream feeding is driver-fed by
+    // design (the bounded fixture is collected, the operator under test
+    // runs distributed), so these probe where the DRIVER-side bound cracks:
+    // the collect + addData path, not the state machine.
+    if (which("stream-curate"))
+      run("curate_stream_sf1", {
+        import spark.implicits._
+        val all = docs1.select(col("doc_id"), col("text"))
+          .orderBy("doc_id").as[(Long, String)].collect().toSeq
+        val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+        graft.streaming.StreamDriver.curateStreamed(spark, batches)
+      })
+    if (which("stream-asof")) {
+      // events at 10x: shard user_id/event_id (the state dimension — 10x
+      // keys through flatMapGroupsWithState), ts unchanged
+      import spark.implicits._
+      val events1 = graft.streaming.EventSource.events(spark, sfDir)
+        .crossJoin(shardIds)
+        .withColumn("user_id", col("user_id") + col("shard").cast("long") * 10000000L)
+        .withColumn("event_id", col("event_id") + col("shard").cast("long") * 100000000L)
+        .drop("shard")
+        .persist()
+      System.err.println(s"soak events: ${events1.count()}")
+      run("events_asof_stream_sf1", {
+        val clicks = events1.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+        val views = events1.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("value").as("v"))
+          .select(col("user_id"), col("ts"), col("v"))
+          .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+        graft.streaming.StreamDriver.asOfStreamed(spark, clicks, views)
+      })
+    }
     spark.stop()
   }
 }

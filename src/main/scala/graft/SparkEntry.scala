@@ -513,6 +513,9 @@ object SparkEntry {
     "curate_source_cap" -> ((s, dir) => // per-source top-k via bounded aggregator
       graft.pipeline.Curation.capPerSource(docs(s, dir), 10)
         .orderBy("source", "rank")),
+    "curate_split" -> ((s, dir) => // deterministic hash train/valid/test split
+      graft.pipeline.Curation.splitCorpus(docs(s, dir),
+        Seq(("train", 90), ("valid", 5), ("test", 5))).orderBy("doc_id")),
     "curate_stream" -> ((s, dir) => {
       // the streaming corpus intake (quality gate + cross-batch first-seen
       // dedup) executed THROUGH the engine: four ascending-id micro-batches,
@@ -819,6 +822,17 @@ object SparkEntry {
         "FROM qual q JOIN documents d ON d.doc_id = q.doc_id) " +
         "SELECT source, CAST(rnk AS INTEGER) AS rank, doc_id, CAST(quality_bucket AS INTEGER) AS quality_bucket " +
         "FROM r WHERE rnk <= 10 ORDER BY source, rnk"),
+    // md5-bucket assignment reproduced digit by digit (the same
+    // hex-digit-extraction trick as the simhash oracle); 90/5/5 cumulative
+    "curate_split" ->
+      ("WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents), " +
+        "d AS (SELECT doc_id, ((strpos('0123456789abcdef', substr(m,1,1))-1)*4096 + " +
+        "(strpos('0123456789abcdef', substr(m,2,1))-1)*256 + " +
+        "(strpos('0123456789abcdef', substr(m,3,1))-1)*16 + " +
+        "(strpos('0123456789abcdef', substr(m,4,1))-1)) % 100 AS bucket FROM b) " +
+        "SELECT doc_id, CAST(bucket AS INTEGER) AS bucket, " +
+        "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split " +
+        "FROM d ORDER BY doc_id"),
     // fed in ascending-id batches, the streaming intake's first-seen pick
     // is the min doc_id of each content hash among quality survivors
     "curate_stream" ->

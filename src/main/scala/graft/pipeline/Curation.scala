@@ -241,6 +241,32 @@ object Curation {
       .select("doc_id", "n_tokens", "cum_tokens")
   }
 
+  /** Deterministic corpus split — the train/valid/test assignment every
+    * training pipeline makes before materializing shards. Each document
+    * hashes to a bucket in [0, 100) via the first 4 hex digits of
+    * md5(doc_id) — content/ordering/partitioning-independent, so the
+    * assignment is REPRODUCIBLE across engines, runs, and corpus
+    * revisions (a doc keeps its split when other docs come and go, the
+    * property shuffle-based splits lack). `splits` lists (name, percent)
+    * with percents summing to 100; buckets map to splits by cumulative
+    * range in list order. Pure map-side projection: no shuffle, no UDF
+    * (md5/conv are codegen'd builtins), scales as a scan.
+    * Output: (doc_id, bucket, split). */
+  def splitCorpus(docs: DataFrame,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
+      s"split percents must be positive and sum to 100: $splits")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val expr = splits.zip(cuts).foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, ((name, _), cut)) =>
+        Some(acc.fold(when(col("bucket") < cut, name))(_.when(col("bucket") < cut, name)))
+    }.get
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split", expr)
+  }
+
   /** Token-budget sampling: running token total in doc_id order and
     * `in_budget` = (cumulative tokens <= budgetTokens) — the "take documents
     * until the budget is hit" step of corpus assembly. Prefix sum via

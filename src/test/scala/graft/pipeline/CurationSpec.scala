@@ -188,5 +188,36 @@ class CurationSpec extends SparkSpec {
     assert(r.count() == 0)
   }
 
+  test("splitCorpus: every doc assigned, splits follow the md5 bucket ranges") {
+    val d = docs((0L until 500L).map(i => (i, good)): _*)
+    val r = Curation.splitCorpus(d, Seq(("train", 90), ("valid", 5), ("test", 5)))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2)))
+    assert(r.length == 500)
+    r.foreach { case (id, b, sp) =>
+      // bucket recomputed independently (JVM md5 of the decimal id string)
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val want = (((m(0) & 0xff) << 8) | (m(1) & 0xff)) % 100
+      assert(b == want, s"doc $id bucket $b != $want")
+      assert(sp == (if (b < 90) "train" else if (b < 95) "valid" else "test"))
+    }
+    // rough proportion sanity on 500 uniform hashes
+    val byName = r.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byName("train") > 400 && byName.getOrElse("valid", 0) > 0)
+  }
+
+  test("splitCorpus: assignment is stable under corpus membership changes") {
+    val all = Curation.splitCorpus(docs((0L until 200L).map(i => (i, good)): _*),
+      Seq(("a", 50), ("b", 50))).collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    val subset = Curation.splitCorpus(docs((0L until 200L by 3).map(i => (i, good)): _*),
+      Seq(("a", 50), ("b", 50))).collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    subset.foreach { case (id, sp) => assert(all(id) == sp) }
+  }
+
+  test("splitCorpus: rejects percents that do not sum to 100") {
+    intercept[IllegalArgumentException](
+      Curation.splitCorpus(docs((1L, good)), Seq(("train", 90), ("valid", 5))))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

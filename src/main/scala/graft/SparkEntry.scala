@@ -493,6 +493,8 @@ object SparkEntry {
             .otherwise(lit("")))))
         .orderBy("doc_id")
     }),
+    "text_vocab_topk" -> ((s, dir) => // global token top-k, deterministic rank
+      TextAnalysis.vocabTopK(docs(s, dir), 20).orderBy("rank")),
     "text_pack_sequences" -> ((s, dir) => // concat-and-chunk training layout
       graft.pipeline.Curation.packSequences(docs(s, dir), 512)
         .orderBy("doc_id")),
@@ -759,6 +761,12 @@ object SparkEntry {
     // no floating log can flip a ranking between engines
     "text_tfidf" ->
       "WITH tok2 AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1,2), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), n AS (SELECT COUNT(*) AS n_docs FROM documents), sc AS (SELECT tf.doc_id, tf.term, tf.tf * (length(bin(CAST(n.n_docs // df.df AS BIGINT))) - 1) AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc) SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, CAST(score AS BIGINT) AS score FROM r WHERE rnk <= 5 ORDER BY doc_id, rank",
+    // global token top-k: rank fully determined by (count desc, token asc)
+    "text_vocab_topk" ->
+      ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), " +
+        "c AS (SELECT token, COUNT(*) AS cnt FROM tokv GROUP BY 1) " +
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank, token, cnt " +
+        "FROM c ORDER BY cnt DESC, token LIMIT 20"),
     // corpus bigram LM: score = sum over bigram occurrences of
     // floor(log2(corpus count)) via binary-string length (integer-exact)
     "text_bigram_score" ->

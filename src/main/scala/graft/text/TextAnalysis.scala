@@ -258,6 +258,28 @@ object TextAnalysis {
     * (emails first: an IP-like substring inside a hostname must not
     * pre-empt the email match).
     * Output: (doc_id, n_emails, n_phones, n_ips, clean_md5). */
+  /** Corpus vocabulary top-k — the token-frequency table a tokenizer
+    * induction / vocab-coverage check starts from: the k most frequent
+    * tokens with counts and a stable rank (count desc, token asc — fully
+    * deterministic, so the table is oracle-exact). The plan is the
+    * scale-correct global top-k: explode -> two-phase HashAggregate
+    * (map-side combine collapses each task's token stream to its local
+    * counts before the single shuffle) -> TakeOrderedAndProject, which
+    * keeps only k rows per partition and k at the driver — a global
+    * ORDER BY ... LIMIT k without ever sorting the vocabulary.
+    * Output: (rank, token, cnt). */
+  def vocabTopK(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+    counts.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))))
+      .select(col("rank"), col("token"), col("cnt"))
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col("text"), lit(pat), lit(0)))

@@ -74,4 +74,12 @@ class TextAnalysisSpec extends SparkSpec {
     // "the" scores 0 everywhere (idf = floor(log2(4/4)) = 0)
     assert(top.collect { case ((_, _), ("the", s)) => s }.forall(_ == 0L))
   }
+
+  test("vocabTopK: counts across docs, rank ties break on token asc, k cap") {
+    val r = vocabTopK(docs(
+      (1L, "b a a c"), (2L, "a b d d"), (3L, "d c")), 3)
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    // counts: a=3, d=3, b=2, c=2 -> top-3 = a(3), d(3), b(2)
+    assert(r.toSeq == Seq((1, "a", 3L), (2, "d", 3L), (3, "b", 2L)))
+  }
 }

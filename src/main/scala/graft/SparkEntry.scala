@@ -375,6 +375,19 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) =>
       EventStream.sessions(events(s, dir), watermark = false)
         .orderBy("user_id", "session_start")),
+    "events_window_stream" -> ((s, dir) => {
+      // the windowed-count aggregation executed THROUGH the streaming
+      // engine in APPEND mode (MemoryStream -> watermark -> window agg ->
+      // memory sink; windows flush as the watermark passes them) — same
+      // driver-verified pattern as events_asof_stream. n_users is omitted:
+      // distinct aggregation is not streamable, and the point here is the
+      // watermark-finalized window path, not the batch count.
+      import s.implicits._
+      val ev = events(s, dir).select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)].collect().toSeq
+      graft.streaming.StreamDriver.windowCountsStreamed(s, ev)
+        .orderBy("bucket_start", "event_type")
+    }),
     "events_range" -> ((s, dir) => {
       // value-band classification via the bucketized range join (bands
       // overlap on [5,10) to exercise multi-match)
@@ -704,6 +717,10 @@ object SparkEntry {
       "SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY 1 ORDER BY 1",
     "events_window_counts" ->
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2",
+    // the streaming window agg answers the same tumbling-count question
+    // (without the non-streamable distinct-user count)
+    "events_window_stream" ->
+      "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events FROM events GROUP BY 1,2 ORDER BY 1,2",
     "events_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
     "events_funnel" ->

@@ -71,6 +71,41 @@ object StreamDriver {
     docBatchesStreamed(spark, "curate_stream_", batches)(
       df => graft.pipeline.Curation.curateStream(df))
 
+  /** Run the watermarked 5-minute windowed counts ([[EventStream
+    * .windowedCounts]]) through the streaming engine in APPEND mode — the
+    * production shape, where a window only emits once the watermark passes
+    * its end (the parity spec covers complete mode; this exercises the
+    * watermark-driven finalization path). Bounded (ts, event_type) rows
+    * feed in one batch; a far-future sentinel row then advances the
+    * watermark past every real window so all of them flush. The sentinel's
+    * own window stays open (never emitted) and is filtered defensively.
+    * Returns the MATERIALIZED (bucket_start, event_type, n_events) rows. */
+  def windowCountsStreamed(spark: SparkSession,
+      events: Seq[(Timestamp, String)]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val name = "wincounts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.windowedCounts(
+        in.toDF().toDF("ts", "event_type"), watermark = true)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val maxTs = (events.map(_._1.getTime) :+ 0L).max
+      if (events.nonEmpty) { in.addData(events); q.processAllAvailable() }
+      // watermark delay is 10 min and windows are 5 min: +1h clears every
+      // real window's end with margin
+      in.addData((new Timestamp(maxTs + 3600L * 1000), "__sentinel__"))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("event_type") =!= "__sentinel__")
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Run the streaming as-of join over bounded (id, key, ts) lefts and
     * (key, ts, v) rights; returns the MATERIALIZED output (one row per
     * left: id, key, ts, asof_ts, asof_v — nulls where nothing precedes). */

@@ -53,4 +53,21 @@ class StreamDriverSpec extends SparkSpec {
         Option(r.getAs[java.lang.Double]("asof_v")).map(_.doubleValue()))).toSet
     assert(streamed == batch)
   }
+
+  test("windowCountsStreamed: append-mode windows equal the batch aggregation") {
+    import spark.implicits._
+    // events across three 5-minute buckets, two types, one empty bucket gap
+    val evs = Seq(
+      (ts(10), "view"), (ts(20), "click"), (ts(290), "view"),   // bucket 0
+      (ts(310), "view"),                                        // bucket 300
+      (ts(910), "click"), (ts(915), "click"))                   // bucket 900
+    val got = StreamDriver.windowCountsStreamed(spark, evs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStream.windowedCounts(
+        evs.toDF("ts", "event_type"), watermark = false)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(got == Set((0L, "view", 2L), (0L, "click", 1L),
+      (300L, "view", 1L), (900L, "click", 2L)))
+  }
 }

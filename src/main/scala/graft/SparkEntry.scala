@@ -375,6 +375,16 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) =>
       EventStream.sessions(events(s, dir), watermark = false)
         .orderBy("user_id", "session_start")),
+    "events_sessions_stream" -> ((s, dir) => {
+      // sessionization THROUGH the streaming engine in APPEND mode
+      // (session_window + watermark; sessions emit as the watermark closes
+      // them) — same driver-verified pattern, same oracle as events_sessions
+      import s.implicits._
+      val ev = events(s, dir).select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)].collect().toSeq
+      graft.streaming.StreamDriver.sessionsStreamed(s, ev)
+        .orderBy("user_id", "session_start")
+    }),
     "events_window_stream" -> ((s, dir) => {
       // the windowed-count aggregation executed THROUGH the streaming
       // engine in APPEND mode (MemoryStream -> watermark -> window agg ->
@@ -721,6 +731,10 @@ object SparkEntry {
     // (without the non-streamable distinct-user count)
     "events_window_stream" ->
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events FROM events GROUP BY 1,2 ORDER BY 1,2",
+    // the streaming session_window execution answers the same
+    // sessionization question -> same oracle as events_sessions
+    "events_sessions_stream" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
     "events_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
     "events_funnel" ->

@@ -106,6 +106,40 @@ object StreamDriver {
     }
   }
 
+  /** Run the watermarked 30-minute-gap sessionization ([[EventStream
+    * .sessions]], session_window native operator) through the streaming
+    * engine in APPEND mode: a session only emits once the watermark passes
+    * its close (last event + gap) — the merge-then-finalize path batch
+    * execution never takes. Bounded (user_id, ts) rows feed in one batch;
+    * a far-future sentinel row on a reserved user advances the watermark
+    * past every real session's close. Returns the MATERIALIZED
+    * (user_id, session_start, n_events) rows. */
+  def sessionsStreamed(spark: SparkSession,
+      events: Seq[(Long, Timestamp)]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val name = "sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.sessions(
+        in.toDF().toDF("user_id", "ts"), watermark = true)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val maxTs = (events.map(_._2.getTime) :+ 0L).max
+      if (events.nonEmpty) { in.addData(events); q.processAllAvailable() }
+      // +2h clears every close (last event + 30 min gap) against the
+      // 10-minute watermark delay with margin
+      in.addData((SentinelKey, new Timestamp(maxTs + 7200L * 1000)))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("user_id") =!= SentinelKey)
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Run the streaming as-of join over bounded (id, key, ts) lefts and
     * (key, ts, v) rights; returns the MATERIALIZED output (one row per
     * left: id, key, ts, asof_ts, asof_v — nulls where nothing precedes). */

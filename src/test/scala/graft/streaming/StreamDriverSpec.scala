@@ -70,4 +70,22 @@ class StreamDriverSpec extends SparkSpec {
     assert(got == Set((0L, "view", 2L), (0L, "click", 1L),
       (300L, "view", 1L), (900L, "click", 2L)))
   }
+
+  test("sessionsStreamed: append-mode session_window equals the batch sessions") {
+    import spark.implicits._
+    // user 1: two sessions split by a 40-min gap; user 2: one session; a
+    // third user whose single event is the last to arrive (timeout path)
+    val evs = Seq(
+      (1L, ts(0)), (1L, ts(600)), (1L, ts(600 + 2400 + 1800)),
+      (2L, ts(100)), (2L, ts(1500)),
+      (3L, ts(5000)))
+    val got = StreamDriver.sessionsStreamed(spark, evs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventStream.sessions(
+        evs.toDF("user_id", "ts"), watermark = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(got == Set((1L, 0L, 2L), (1L, 4800L, 1L),
+      (2L, 100L, 2L), (3L, 5000L, 1L)))
+  }
 }

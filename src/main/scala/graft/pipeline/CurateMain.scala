@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   *   --benchmark PATH     held-out eval parquet: drop training docs sharing
   *                        any 3-token shingle with it (adds n_overlap,
   *                        contaminated columns)
+  *   --split N:P,...      annotate a deterministic corpus split (name:pct
+  *                        pairs summing to 100, e.g. train:90,valid:5,test:5)
   *   --source-cap N       keep at most N docs per source (quality desc,
   *                        doc_id asc) among the survivors so far
   *   --master M           Spark master                      (default local[*])
@@ -48,6 +50,7 @@ object CurateMain {
       budget: Option[Long] = None,
       benchmark: Option[String] = None,
       sourceCap: Option[Int] = None,
+      splits: Seq[(String, Int)] = Nil,
       master: String = "local[*]")
 
   def parseArgs(args: Seq[String]): Config = {
@@ -68,6 +71,12 @@ object CurateMain {
       case "--budget" :: v :: t      => loop(t, c.copy(budget = Some(v.toLong)))
       case "--benchmark" :: v :: t   => loop(t, c.copy(benchmark = Some(v)))
       case "--source-cap" :: v :: t  => loop(t, c.copy(sourceCap = Some(v.toInt)))
+      case "--split" :: v :: t =>
+        val sp = v.split(",").toSeq.map { kv =>
+          val Array(name, pct) = kv.split(":")
+          name -> pct.toInt
+        }
+        loop(t, c.copy(splits = sp))
       case "--master" :: v :: t      => loop(t, c.copy(master = v))
       case flag :: _ if flag.startsWith("--") =>
         throw new IllegalArgumentException(s"unknown flag $flag")
@@ -108,6 +117,11 @@ object CurateMain {
         .select(col("doc_id"), col("sample_pct"), col("kept").as("kept_mix"))
       table = table.join(mixed, "doc_id")
         .withColumn("keep", col("keep") && col("kept_mix"))
+    }
+    if (c.splits.nonEmpty) {
+      // pure annotation (membership-stable hash split) — never affects keep
+      table = table.join(
+        Curation.splitCorpus(docs, c.splits).select("doc_id", "split"), "doc_id")
     }
     c.budget.foreach { b =>
       // the budget is spent over the documents every earlier stage kept,

@@ -97,4 +97,23 @@ class CurateMainSpec extends SparkSpec {
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
     assert(r == Map(1L -> true, 2L -> false))
   }
+
+  test("--split annotates every row with its hash split without touching keep") {
+    val d = docs((0L until 60L).map(i => (i, good, "web")): _*)
+    val c = CurateMain.Config(splits = Seq("train" -> 90, "valid" -> 10))
+    val base = CurateMain.decide(d, CurateMain.Config()).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
+    val r = CurateMain.decide(d, c).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("split"),
+        x.getAs[Boolean]("keep")))
+    assert(r.length == 60)
+    val want = Curation.splitCorpus(d, Seq("train" -> 90, "valid" -> 10))
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    r.foreach { case (id, sp, keep) =>
+      assert(sp == want(id) && keep == base(id))
+    }
+    // flag parses too
+    assert(CurateMain.parseArgs(Seq("--split", "train:90,valid:10", "/tmp/in"))
+      .splits == Seq("train" -> 90, "valid" -> 10))
+  }
 }

@@ -372,6 +372,50 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
         .orderBy("bucket_start", "event_type")),
+    "events_hopping" -> ((s, dir) =>
+      // 10-minute windows every 5 minutes: each event lands in exactly two
+      // overlapping windows (native sliding-window generator, map-side
+      // expansion, one hash-agg shuffle — same shape as the tumbling query)
+      EventStream.hoppingCounts(events(s, dir), watermark = false)
+        .orderBy("bucket_start", "event_type")),
+    "events_interval_join" -> ((s, dir) => {
+      // lookback enrichment: each click paired with EVERY view by the same
+      // user in the preceding 4 hours — the all-matches complement of the
+      // as-of join, planned as a keyed equi-join + band filter (no
+      // nested-loop range join)
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("id"), col("user_id").as("key"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("key"), col("ts"), col("value").as("v"))
+      EventStream.intervalJoin(clicks, views, "4 hours")
+        .select(col("id").as("click_id"), col("key").as("user_id"),
+          unix_micros(col("ts")).as("ts"),
+          unix_micros(col("r_ts")).as("view_ts"),
+          floor(col("v") * 1000).as("view_value_milli"))
+        .orderBy("click_id", "view_ts")
+    }),
+    "events_join_stream" -> ((s, dir) => {
+      // the SAME interval-join question executed through Spark's NATIVE
+      // stream-stream join (two watermarked MemoryStreams, symmetric hash
+      // join with the time band bounding state) — driver-verified against
+      // the identical SQL oracle as the batch events_interval_join.
+      // MemoryStream is driver-fed by design; the operator runs distributed.
+      import s.implicits._
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+      graft.streaming.StreamDriver.intervalJoinStreamed(s, clicks, views, "4 hours")
+        .select(col("id").as("click_id"), col("key").as("user_id"),
+          unix_micros(col("ts")).as("ts"),
+          unix_micros(col("r_ts")).as("view_ts"),
+          floor(col("v") * 1000).as("view_value_milli"))
+        .orderBy("click_id", "view_ts")
+    }),
     "events_sessions" -> ((s, dir) =>
       EventStream.sessions(events(s, dir), watermark = false)
         .orderBy("user_id", "session_start")),
@@ -475,6 +519,10 @@ object SparkEntry {
       Dedup.minhashLshPairs(docs(s, dir), 50).orderBy("doc_id_a", "doc_id_b")),
     "dedup_clusters" -> ((s, dir) => // connected components over near-dup pairs
       Dedup.duplicateClusters(docs(s, dir), 50).orderBy("doc_id")),
+    "dedup_ngram_windows" -> ((s, dir) => // exact-substring window profile
+      Dedup.ngramWindowDups(docs(s, dir), 8).orderBy("doc_id")),
+    "dedup_canonical" -> ((s, dir) => // representative election per cluster
+      Dedup.canonicalDocs(docs(s, dir), 50).orderBy("cluster_id")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       // maxHamming 3 = the 4x16-bit banding's completeness bound; beyond 3
       // the band join would silently miss pairs (documented contract)
@@ -518,6 +566,8 @@ object SparkEntry {
     }),
     "text_vocab_topk" -> ((s, dir) => // global token top-k, deterministic rank
       TextAnalysis.vocabTopK(docs(s, dir), 20).orderBy("rank")),
+    "text_heavy_hitters" -> ((s, dir) => // MG sketch candidates + exact recount
+      TextAnalysis.heavyHitters(docs(s, dir), 0.005).orderBy("token")),
     "text_pack_sequences" -> ((s, dir) => // concat-and-chunk training layout
       graft.pipeline.Curation.packSequences(docs(s, dir), 512)
         .orderBy("doc_id")),
@@ -732,6 +782,25 @@ object SparkEntry {
     "events_window_stream" ->
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events FROM events GROUP BY 1,2 ORDER BY 1,2",
     // the streaming session_window execution answers the same
+    "events_hopping" ->
+      ("WITH off(o) AS (VALUES (0),(1)) " +
+        "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 - o*300 AS BIGINT) AS bucket_start, " +
+        "event_type, COUNT(*) AS n_events FROM events, off GROUP BY 1,2 ORDER BY 1,2"),
+    "events_interval_join" ->
+      ("WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'), " +
+        "v AS (SELECT user_id, ts, value FROM events WHERE event_type='view') " +
+        "SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts, " +
+        "epoch_us(v.ts) AS view_ts, CAST(floor(v.value*1000) AS BIGINT) AS view_value_milli " +
+        "FROM c JOIN v ON v.user_id=c.user_id AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 4 HOUR " +
+        "ORDER BY 1, 4"),
+    // native stream-stream join -> same oracle as the batch interval join
+    "events_join_stream" ->
+      ("WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'), " +
+        "v AS (SELECT user_id, ts, value FROM events WHERE event_type='view') " +
+        "SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts, " +
+        "epoch_us(v.ts) AS view_ts, CAST(floor(v.value*1000) AS BIGINT) AS view_value_milli " +
+        "FROM c JOIN v ON v.user_id=c.user_id AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 4 HOUR " +
+        "ORDER BY 1, 4"),
     // sessionization question -> same oracle as events_sessions
     "events_sessions_stream" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
@@ -768,6 +837,21 @@ object SparkEntry {
       s"WITH $simhashSigCtes SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY 1,2",
     "dedup_clusters" ->
       s"WITH RECURSIVE $clusterCtes SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cl ORDER BY doc_id",
+    "dedup_ngram_windows" ->
+      ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "w AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7],' '))) AS ng FROM tokd), " +
+        "s AS (SELECT ng FROM w GROUP BY ng HAVING COUNT(DISTINCT doc_id) > 1), " +
+        "nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY 1), " +
+        "nd AS (SELECT doc_id, COUNT(*) AS n_dup FROM w JOIN s USING (ng) GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(nw.n_windows, 0) AS n_windows, COALESCE(nd.n_dup, 0) AS n_dup_windows " +
+        "FROM documents d LEFT JOIN nw USING (doc_id) LEFT JOIN nd USING (doc_id) ORDER BY doc_id"),
+    "dedup_canonical" ->
+      (s"WITH RECURSIVE $clusterCtes, " +
+        "m AS (SELECT cl.cluster_id, d.doc_id, d.n_chars FROM cl JOIN documents d USING (doc_id)), " +
+        "mx AS (SELECT cluster_id, MAX(n_chars) AS mc FROM m GROUP BY 1) " +
+        "SELECT m.cluster_id, MIN(m.doc_id) FILTER (WHERE m.n_chars = mx.mc) AS canonical_id, " +
+        "COUNT(*) AS n_members, MAX(m.n_chars) AS max_chars " +
+        "FROM m JOIN mx USING (cluster_id) GROUP BY 1 ORDER BY 1"),
     "text_token_stats" ->
       "SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens, CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct_tokens, CAST(length(text) AS INTEGER) AS n_chars, CAST(list_aggregate(list_transform(string_split(text,' '), x -> length(x)), 'max') AS INTEGER) AS max_token_len, CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS INTEGER) AS n_stopwords FROM documents ORDER BY doc_id",
     "text_subtokens" ->
@@ -798,6 +882,12 @@ object SparkEntry {
         "c AS (SELECT token, COUNT(*) AS cnt FROM tokv GROUP BY 1) " +
         "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank, token, cnt " +
         "FROM c ORDER BY cnt DESC, token LIMIT 20"),
+    // exact phi-heavy-hitters: the sketch is only a candidate generator, so
+    // the oracle is the exact threshold query
+    "text_heavy_hitters" ->
+      ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents) " +
+        "SELECT token, COUNT(*) AS cnt FROM tokv GROUP BY 1 " +
+        "HAVING COUNT(*) >= CEIL(0.005 * (SELECT COUNT(*) FROM tokv)) ORDER BY token"),
     // corpus bigram LM: score = sum over bigram occurrences of
     // floor(log2(corpus count)) via binary-string length (integer-exact)
     "text_bigram_score" ->

@@ -54,6 +54,48 @@ object Dedup {
     }
   }
 
+  /** Cross-document n-gram window duplication profile — the bounded
+    * relational core of exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": overlapping token
+    * windows instead of suffix arrays): for every document, how many of
+    * its n-token windows also occur in ANOTHER document. Pipelines drop
+    * or trim documents whose dup-window share is high.
+    *
+    * Shape: windows materialize MAP-SIDE (sequence + transform + slice,
+    * all codegen'd array functions — no UDF, no explode-then-window), and
+    * each window immediately collapses to a 64-bit xxhash so the shuffle
+    * moves 8-byte keys, never n-token strings. One hash-agg computes
+    * per-window distinct-doc counts; windows seen in >1 document join
+    * back (AQE broadcasts the shared set when small) and a per-doc count
+    * finishes. Self-repeats within one document do NOT count as shared.
+    * Output: (doc_id, n_windows, n_dup_windows), every input doc present
+    * (0/0 when shorter than n tokens). */
+  def ngramWindowDups(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, "window length must be at least 2")
+    val t = TextAnalysis.tokens(col("text"))
+    val ngrams = when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - n + 1),
+          i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+    // three consumers (per-doc totals, df counts, the dup join): persist
+    val w = docs.select(col("doc_id"), explode(ngrams).as("h")).persist()
+    w.count()
+    try {
+      val perDoc = w.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val shared = w.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1).select("h")
+      val dup = w.join(shared, Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      val out = docs.select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      graft.core.CacheOps.cacheResult(out, Seq(w))
+    } catch { case e: Throwable => w.unpersist(); throw e }
+  }
+
   /** Exact shingle-Jaccard near-duplicate pairs with similarity >=
     * minJaccardPct percent. Inverted-index self-join: only documents
     * sharing at least one shingle are ever paired, so cost is
@@ -212,6 +254,30 @@ object Dedup {
     }
     edges.unpersist()
     labels.withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Canonical-document election per duplicate cluster — the step after
+    * clustering in a curation pipeline: each cluster keeps ONE
+    * representative (here: the longest document, ties to the smallest
+    * doc_id — a deterministic total order, so the election is
+    * oracle-exact). Singleton clusters elect themselves.
+    *
+    * Shape: [[duplicateClusters]] labels + one equi-join back to the
+    * (doc_id, n_chars) projection + ONE hash aggregate per cluster whose
+    * argmax rides a struct-max (max over (n_chars, -doc_id) orders
+    * lexicographically — no ranking window, so partial aggregation
+    * combines map-side and no cluster's member list ever materializes).
+    * Output: (cluster_id, canonical_id, n_members, max_chars). */
+  def canonicalDocs(docs: DataFrame, minJaccardPct: Int,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val labels = duplicateClusters(docs, minJaccardPct, maxShingleDf)
+      .select("doc_id", "cluster_id")
+    labels.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(max(struct(col("n_chars").as("c"), (-col("doc_id")).as("negid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("best.negid")).as("canonical_id"),
+        col("n_members"), col("best.c").as("max_chars"))
   }
 
   /** Free a localCheckpoint()ed DataFrame's blocks. They live at the RDD

@@ -36,6 +36,25 @@ object EventStream {
         col("event_type"), col("n_events"))
   }
 
+  /** Hopping (sliding) window counts per event type: 10-minute windows
+    * advancing every 5 minutes, so each event lands in exactly
+    * size/slide = 2 overlapping windows. Uses the native `window(col,
+    * size, slide)` generator — Spark expands the window set map-side
+    * (epoch-aligned starts, the same alignment the tumbling variant
+    * uses) and the aggregation stays a hash aggregate with map-side
+    * combine; the only shuffle is the groupBy, exactly as in
+    * [[windowedCounts]]. Output (bucket_start epoch-seconds,
+    * event_type, n_events). */
+  def hoppingCounts(events: DataFrame, watermark: Boolean): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("event_type"), col("n_events"))
+  }
+
   /** Per-user sessionization with a 30-minute gap, via the session_window
     * native operator: (user_id, session_start, n_events). */
   def sessions(events: DataFrame, watermark: Boolean): DataFrame = {
@@ -103,6 +122,41 @@ object EventStream {
       .join(bucketed, Seq("_b"))
       .filter(col(lo) <= col(valueCol) && col(valueCol) < col(hi))
       .drop("_b")
+  }
+
+  /** Interval join (lookback enrichment): each left row pairs with EVERY
+    * right row sharing its key whose time lies in
+    * `[left.ts - lookback, left.ts]` — clicks to the views that preceded
+    * them, alerts to the metrics window that explains them. Unlike
+    * [[asOfJoin]] (latest-one), this is the all-matches variant, and it
+    * maps DIRECTLY onto joins Spark already executes well:
+    *
+    *   - batch: an equi-join on the key (one hash-partitioned Exchange
+    *     per side) with the time band as a post-join filter — never a
+    *     nested-loop range join, so it scales like any keyed join;
+    *   - streaming (`watermark = true`): Spark's native STREAM-STREAM
+    *     inner join. Both sides get watermarks and the join condition
+    *     carries the explicit time band, which is what lets the engine
+    *     bound the buffered state (a right row is dropped once the
+    *     left watermark passes `right.ts + lookback`). This is the
+    *     production CDC-enrichment shape; [[graft.streaming.StreamDriver
+    *     .intervalJoinStreamed]] drives it end-to-end on bounded data.
+    *
+    * Input shapes: left (id, key, ts), right (key, ts, v); ties at both
+    * band edges MATCH (closed interval). Output: (id, key, ts, r_ts, v),
+    * one row per qualifying pair. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lookback: String = "10 minutes", watermark: Boolean = false,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val l = (if (watermark) left.withWatermark("ts", watermarkDelay) else left)
+      .select(col("id"), col("key").as("_lk"), col("ts").as("_lts"))
+    val r = (if (watermark) right.withWatermark("ts", watermarkDelay) else right)
+      .select(col("key").as("_rk"), col("ts").as("_rts"), col("v"))
+    l.join(r, col("_lk") === col("_rk") &&
+        col("_rts") >= col("_lts") - expr(s"INTERVAL $lookback") &&
+        col("_rts") <= col("_lts"))
+      .select(col("id"), col("_lk").as("key"), col("_lts").as("ts"),
+        col("_rts").as("r_ts"), col("v"))
   }
 
   /** As-of join: each left row gets the LATEST right row with the same key

@@ -140,6 +140,40 @@ object StreamDriver {
     }
   }
 
+  /** Run the NATIVE stream-stream interval join ([[EventStream
+    * .intervalJoin]] with `watermark = true`: two watermarked sources,
+    * inner join with an explicit time band — Spark's symmetric-hash
+    * stream-stream join, state bounded by the band) over bounded (id,
+    * key, ts) lefts and (key, ts, v) rights. Inner-join matches emit as
+    * soon as both rows have arrived, so no sentinel is needed for
+    * completeness — everything matches within the single micro-batch.
+    * Returns the MATERIALIZED (id, key, ts, r_ts, v) pair rows. */
+  def intervalJoinStreamed(spark: SparkSession,
+      lefts: Seq[(Long, Long, Timestamp)],
+      rights: Seq[(Long, Timestamp, Double)],
+      lookback: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lm = MemoryStream[(Long, Long, Timestamp)]
+    val rm = MemoryStream[(Long, Timestamp, Double)]
+    val name = "ivjoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.intervalJoin(
+        lm.toDF().toDF("id", "key", "ts"), rm.toDF().toDF("key", "ts", "v"),
+        lookback, watermark = true)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      if (lefts.nonEmpty) lm.addData(lefts)
+      if (rights.nonEmpty) rm.addData(rights)
+      q.processAllAvailable()
+      val out = spark.table(name)
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Run the streaming as-of join over bounded (id, key, ts) lefts and
     * (key, ts, v) rights; returns the MATERIALIZED output (one row per
     * left: id, key, ts, asof_ts, asof_v — nulls where nothing precedes). */

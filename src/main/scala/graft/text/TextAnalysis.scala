@@ -280,6 +280,46 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** Exact corpus heavy hitters — every token whose frequency is at least
+    * `ceil(phi * N)` (N = total token count), via the classic two-phase
+    * sketch-then-recount plan:
+    *
+    *   1. CANDIDATES: one ungrouped [[graft.scale.MisraGries]] pass.
+    *      Each task folds its partition into an O(cap) counter set
+    *      map-side, summaries merge pairwise, ONE summary row reaches
+    *      the driver — the vocabulary's long tail never shuffles. With
+    *      `cap + 1 > 1/phi` the sketch's undercount bound (N/(cap+1))
+    *      guarantees the candidate set is a SUPERSET of the true heavy
+    *      hitters, so phase 2 can never miss one.
+    *   2. RECOUNT: exact counts for the <= cap candidates only (the
+    *      in-set filter collapses everything else before the hash
+    *      aggregate), then the threshold filter. Output is exact and
+    *      deterministic regardless of sketch internals.
+    *
+    * The same N-scan also produces the total, so the corpus is read
+    * twice in all (unavoidable: the threshold depends on N).
+    * Output: (token, cnt), tokens with cnt >= ceil(phi*N), by token. */
+  def heavyHitters(docs: DataFrame, phi: Double = 0.005,
+      cap: Int = 512): DataFrame = {
+    require(phi > 0 && phi < 1, "phi must be in (0,1)")
+    require(cap + 1 > 1 / phi, s"cap $cap too small for phi $phi: need cap+1 > 1/phi")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    // single-key typed aggregation: partial MG buffers fold map-side, one
+    // (summary, N) row reaches the driver
+    val (_, mg, n) = toks.as[String].groupByKey(_ => true)
+      .agg(new graft.scale.MisraGries(cap).toColumn.name("mg"),
+        count(lit(1)).as("n").as[Long])
+      .head()
+    val candidates = mg.map(_._1)
+    val threshold = math.ceil(phi * n).toLong
+    toks.filter(col("token").isin(candidates.toIndexedSeq: _*))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy("token")
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col("text"), lit(pat), lit(0)))

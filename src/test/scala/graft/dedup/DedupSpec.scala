@@ -72,6 +72,35 @@ class DedupSpec extends SparkSpec {
       (9L, 9L, true)))
   }
 
+  test("ngramWindowDups: cross-doc windows only, short docs 0/0, self-repeats ignored") {
+    val r = Dedup.ngramWindowDups(docs(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 8 windows, shares "w3 w4 w5"
+      (2L, "w3 w4 w5 x y z"),                 // 4 windows, 1 shared
+      (3L, "short doc"),                      // < n tokens -> 0/0
+      (4L, "r r r r")), 3)                    // "r r r" twice, SAME doc: not shared
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(1L -> ((8L, 1L)), 2L -> ((4L, 1L)),
+      3L -> ((0L, 0L)), 4L -> ((2L, 0L))))
+  }
+
+  test("canonicalDocs: longest member wins, ties to smallest id, singletons self-elect") {
+    import spark.implicits._
+    // cluster {1,2,3} via transitivity (same texts as the clusters test);
+    // doc 3 is longest; 9 is a singleton
+    val d = Seq(
+      (1L, "a b c d e", 9L), (2L, "b c d e f", 9L), (3L, "c d e f gg", 10L),
+      (9L, "z y x w v", 9L)).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.canonicalDocs(d, 50).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    assert(out == Set((1L, 3L, 3L, 10L), (9L, 9L, 1L, 9L)))
+    // tie case: equal lengths -> smallest doc_id
+    val tie = Seq((5L, "m n o p q", 9L), (6L, "n o p q m", 9L))
+      .toDF("doc_id", "text", "n_chars")
+    val t = Dedup.canonicalDocs(tie, 50).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(t.contains((5L, 5L)))
+  }
+
   test("simhash: identical docs collide, near-dups are close, signatures via SQL too") {
     val sigs = Dedup.simhashSignatures(docs(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "a b c d e f g x")))

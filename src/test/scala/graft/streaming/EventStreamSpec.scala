@@ -56,6 +56,41 @@ class EventStreamSpec extends SparkSpec {
     assert(s.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("hoppingCounts: every event lands in exactly two overlapping windows") {
+    import spark.implicits._
+    val out = EventStream.hoppingCounts(rows.toDF(), watermark = false)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // total window-memberships = 2x the event count
+    assert(out.map(_._3).sum == 2L * rows.size)
+    // the event at 10:00 is in the windows starting 09:55 and 10:00
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    val clickWins = out.filter(_._2 == "click").map(_._1).toSet
+    assert(clickWins.contains(t0) && clickWins.contains(t0 - 300))
+    // window starts are 5-minute aligned
+    assert(out.forall(_._1 % 300 == 0))
+  }
+
+  test("intervalJoin: all matches inside the closed lookback band, edges match") {
+    import spark.implicits._
+    val lefts = Seq((10L, 1L, ts(30)), (11L, 2L, ts(30)))
+      .toDF("id", "key", "ts")
+    val rights = Seq(
+      (1L, ts(20), 1.0), // in band for left 10
+      (1L, ts(30), 2.0), // tie at the upper edge: matches
+      (1L, ts(19), 3.0), // ts(30) - 11min: outside a 10-minute lookback
+      (1L, ts(31), 4.0), // after the left: never matches
+      (2L, ts(25), 5.0)) // other key
+      .toDF("key", "ts", "v")
+    val out = EventStream.intervalJoin(lefts, rights, "10 minutes")
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toSet
+    assert(out == Set((10L, 1.0), (10L, 2.0), (11L, 5.0)))
+    // lower edge is closed: exactly lookback ago still matches
+    val edge = EventStream.intervalJoin(lefts,
+      Seq((1L, ts(20), 9.0)).toDF("key", "ts", "v"), "10 minutes")
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toSet
+    assert(edge == Set((10L, 9.0)))
+  }
+
   test("asOfJoin: latest preceding right row per key, ties match, no-match is null") {
     import spark.implicits._
     val left = Seq( // (id, user, ts)

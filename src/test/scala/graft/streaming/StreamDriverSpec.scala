@@ -35,6 +35,23 @@ class StreamDriverSpec extends SparkSpec {
       (4L, None, None)))
   }
 
+  test("intervalJoinStreamed: stream-stream join equals the batch intervalJoin") {
+    import spark.implicits._
+    // deterministic fixture: keys with several in-band rights, none, and
+    // edge-exact matches (band is [ts - 60s, ts], closed)
+    val lefts = (0 until 20).map(i => (i.toLong, (i % 4).toLong, ts(100 + 7L * i)))
+    val rights = (0 until 30).map(j => ((j % 5).toLong, ts(90 + 5L * j), j / 10.0))
+    val streamed = StreamDriver.intervalJoinStreamed(spark, lefts, rights, "60 seconds")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3).getTime, r.getDouble(4))).toSet
+    val batch = EventStream.intervalJoin(
+        lefts.toDF("id", "key", "ts"), rights.toDF("key", "ts", "v"), "60 seconds")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(3).getTime, r.getDouble(4))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // a key absent on the right contributes nothing (inner semantics)
+    assert(!batch.exists(_._1 % 4 == 3) || rights.exists(_._1 == 3L))
+  }
+
   test("asOfStreamed matches the batch asOfJoin on a shared fixture") {
     import spark.implicits._
     // deterministic pseudo-random fixture, keys with and without rights

@@ -82,4 +82,26 @@ class TextAnalysisSpec extends SparkSpec {
     // counts: a=3, d=3, b=2, c=2 -> top-3 = a(3), d(3), b(2)
     assert(r.toSeq == Seq((1, "a", 3L), (2, "d", 3L), (3, "b", 2L)))
   }
+
+  test("heavyHitters: exact tokens at/above ceil(phi*N), threshold edges") {
+    // N = 20 tokens; phi = 0.25 -> threshold ceil(5) = 5
+    // a x6 (above), b x5 (exactly at -> included), c x4 (below), rest singletons
+    val text = (Seq.fill(6)("a") ++ Seq.fill(5)("b") ++ Seq.fill(4)("c") ++
+      Seq("d", "e", "f", "g", "h")).mkString(" ")
+    val r = heavyHitters(docs((1L, text)), 0.25, cap = 8)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("a", 6L), ("b", 5L)))
+  }
+
+  test("heavyHitters survives an adversarial tail larger than the sketch cap") {
+    // 400 distinct singleton tokens (>> cap=128) + one heavy token: the
+    // MG trims must never evict the heavy hitter (guarantee: undercount
+    // <= N/(cap+1) < phi*N)
+    val tail = (0 until 400).map(i => f"t$i%03d")
+    val text = (tail ++ Seq.fill(40)("heavy")).mkString(" ")
+    // N = 440, phi = 0.05 -> threshold ceil(22) = 22: only "heavy"
+    val r = heavyHitters(docs((1L, text)), 0.05, cap = 128).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("heavy"))
+    assert(r.head.getLong(1) == 40L) // recount is exact despite sketch undercount
+  }
 }

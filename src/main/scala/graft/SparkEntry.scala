@@ -670,6 +670,9 @@ object SparkEntry {
     }),
     "sim_label_purity" -> ((s, dir) =>
       Similarity.labelPurity(emb(s, dir)).orderBy("vec_id")),
+    "sim_knn_classify" -> ((s, dir) => // exact k-NN majority vote, ties to min label
+      Similarity.knnClassify(emb(s, dir), col("vec_id") % 100 === 0, 10)
+        .orderBy("query_id")),
     "sim_semantic_dedup" -> ((s, dir) => {
       // same injected scaled copies as sim_near_dup_pairs: cosine 1.0 to
       // their originals and scale-invariant cluster assignment put every
@@ -1024,6 +1027,17 @@ object SparkEntry {
     "sim_ivf_recall" -> ivfRecallOracleSql,
     // float-cast centroids absorb double summation noise (the IVF oracle's
     // determinism contract); argmax ties break toward the smaller label
+    // k-NN classify: neighbor CTE identical to sim_topk_brute, then modal
+    // label (vote count desc, label asc) and the query's own label
+    "sim_knn_classify" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), " +
+        "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s), " +
+        "v AS (SELECT r.query_id, CAST(e.label AS BIGINT) AS nl, COUNT(*) AS cnt FROM r JOIN embeddings e ON e.vec_id = r.vec_id WHERE r.rnk <= 10 GROUP BY 1,2), " +
+        "p AS (SELECT query_id, nl AS pred_label, cnt AS n_votes FROM (SELECT query_id, nl, cnt, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, nl) AS rn FROM v) WHERE rn = 1) " +
+        "SELECT p.query_id, CAST(e.label AS BIGINT) AS label, p.pred_label, p.n_votes, " +
+        "CAST(e.label AS BIGINT) = p.pred_label AS correct " +
+        "FROM p JOIN embeddings e ON e.vec_id = p.query_id ORDER BY p.query_id"),
     "sim_label_purity" ->
       "WITH m AS (SELECT label, i, CAST(AVG(v) AS FLOAT) AS mv FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding,1) AS i FROM embeddings) GROUP BY 1,2), cb AS (SELECT label, list(mv ORDER BY i) AS c FROM m GROUP BY 1), a AS (SELECT vec_id, label, cent AS pred_label FROM (SELECT e.vec_id, e.label, s.label AS cent, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.label) AS rn FROM embeddings e CROSS JOIN cb s) WHERE rn = 1) SELECT vec_id, label, CAST(pred_label AS BIGINT) AS pred_label, label = pred_label AS correct FROM a ORDER BY vec_id",
     // integer quantization codes: double division + floor over identical

@@ -66,6 +66,35 @@ object Similarity {
       bruteForceScores(emb, queryPred), "query_id", "vec_id", "score", k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
 
+  /** k-NN majority-vote classification: each query row gets the modal
+    * label of its k nearest neighbors (cosine; ties on vote count break
+    * to the SMALLEST label — a deterministic total order, so the
+    * prediction is oracle-exact). The neighbor search is the exact
+    * bounded-aggregator top-k ([[bruteForceTopKAgg]]: O(k) buffers,
+    * map-side combine); at corpus scale callers swap in the IVF/LSH
+    * candidate generators — the voting tail is identical. The vote is
+    * two hash aggregates (per-(query,label) counts, then a struct-max
+    * argmax — no ranking window) plus keyed label-projection joins.
+    * Output: (query_id, label, pred_label, n_votes, correct). */
+  def knnClassify(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+    val nb = bruteForceTopKAgg(emb, queryPred, k)
+    val counted = nb
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        Seq("neighbor_id"))
+      .groupBy("query_id", "nl").agg(count(lit(1)).as("cnt"))
+    val best = counted.groupBy("query_id")
+      .agg(max(struct(col("cnt"), (-col("nl")).as("negl"))).as("b"))
+      .select(col("query_id"), (-col("b.negl")).as("pred_label"),
+        col("b.cnt").as("n_votes"))
+    best
+      .join(emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("label").cast("long").as("label")),
+        Seq("query_id"))
+      .select(col("query_id"), col("label"), col("pred_label"), col("n_votes"),
+        (col("label") === col("pred_label")).as("correct"))
+  }
+
   /** Default signature width — kept at 16 for the pinned oracles; at scale
     * callers should widen (64 planes / 16-bit bands gives 65k buckets per
     * band instead of 16, which is what keeps the candidate join sub-

@@ -87,6 +87,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r(5L)._2 == false) // the mislabeled outlier is flagged
   }
 
+  test("knnClassify: majority of k neighbors, vote ties break to smallest label") {
+    import spark.implicits._
+    // query 0 at the origin axis; neighbors: two label-1 vecs slightly
+    // closer than two label-2 vecs -> with k=4 votes tie 2-2, pred = 1;
+    // with k=3 votes are 2-1 -> pred = 1 as majority
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(1.0f, 0.01f), 1), (2L, Array(1.0f, -0.01f), 1),
+      (3L, Array(1.0f, 0.02f), 2), (4L, Array(1.0f, -0.02f), 2),
+      (5L, Array(-1.0f, 0.0f), 3)) // far: never in top-4
+      .toDF("vec_id", "embedding", "label")
+    val r4 = Similarity.knnClassify(rows, col("vec_id") === 0, 4).collect().head
+    assert((r4.getLong(0), r4.getLong(1), r4.getLong(2), r4.getLong(3),
+      r4.getBoolean(4)) == ((0L, 9L, 1L, 2L, false)))
+    val r3 = Similarity.knnClassify(rows, col("vec_id") === 0, 3).collect().head
+    assert(r3.getLong(2) == 1L && r3.getLong(3) == 2L)
+  }
+
   test("labelCentroids: element-wise float means per label") {
     import spark.implicits._
     val rows = Seq((1L, Array(1.0f, 3.0f), 7), (2L, Array(3.0f, 5.0f), 7))

@@ -84,6 +84,34 @@ object ExplainAudit {
       show("events_funnel", graft.streaming.EventStream.funnel(
         graft.streaming.EventSource.events(spark, dir),
         Seq("view", "click", "purchase")))
+    if (which == "all" || which == "interval") {
+      val f = org.apache.spark.sql.functions
+      val ev = graft.streaming.EventSource.events(spark, dir)
+      // final plan: the time band must be a post-join Filter on a keyed
+      // equi-join (never BroadcastNestedLoop), event-type filters pushed
+      showFinal("events_interval_join", graft.streaming.EventStream.intervalJoin(
+        ev.filter(f.col("event_type") === "click")
+          .select(f.col("event_id").as("id"), f.col("user_id").as("key"), f.col("ts")),
+        ev.filter(f.col("event_type") === "view")
+          .select(f.col("user_id").as("key"), f.col("ts"), f.col("value").as("v")),
+        "4 hours"))
+    }
+    if (which == "all" || which == "ngram")
+      // final plan: window hashes generate map-side (Generate over
+      // transform/sequence), every Exchange carries 8-byte keys
+      showFinal("dedup_ngram_windows", graft.dedup.Dedup.ngramWindowDups(
+        spark.read.parquet(s"$dir/documents.parquet"), 8))
+    if (which == "all" || which == "hh")
+      // the sketch phase runs during construction (single summary row to
+      // the driver); the printed plan is the bounded recount: in-set
+      // filter BELOW the aggregation, so the tail never reaches it
+      showFinal("text_heavy_hitters (recount phase)",
+        graft.text.TextAnalysis.heavyHitters(
+          spark.read.parquet(s"$dir/documents.parquet"), 0.005))
+    if (which == "all" || which == "knn")
+      show("sim_knn_classify", graft.sim.Similarity.knnClassify(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10))
     spark.stop()
   }
 }

@@ -457,6 +457,27 @@ object SparkEntry {
       // timestamps — both engines compare the same instants
       EventStream.funnel(events(s, dir),
         Seq("view", "click", "purchase")).orderBy("stage")),
+    "events_funnel_stream" -> ((s, dir) => {
+      // the SAME conversion-funnel question executed through the STREAMING
+      // engine: a watermarked per-user stage state machine emits one hit
+      // per reached stage (events mature in event-time order, so each
+      // first-at-or-after decision is final); the bounded driver counts
+      // hits per stage batch-side. Same DuckDB oracle as events_funnel.
+      import s.implicits._
+      val stages = Seq("view", "click", "purchase")
+      val ev = events(s, dir).filter(col("event_type").isin(stages: _*))
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      val hits = graft.streaming.StreamDriver.funnelStreamed(s, ev, stages)
+      val stageDim = stages.zipWithIndex.map { case (t, i) => (i + 1, t) }
+        .toDF("stage", "event_type")
+      stageDim
+        .join(hits.groupBy("stage").agg(count(lit(1)).as("n_users")),
+          Seq("stage"), "left")
+        .select(col("stage"), col("event_type"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
+        .orderBy("stage")
+    }),
     "events_asof" -> ((s, dir) => {
       // point-in-time enrichment: each click gets the latest preceding view
       // (same user), joined on the canonical micros timestamps (both engines
@@ -810,6 +831,9 @@ object SparkEntry {
     "events_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
     "events_funnel" ->
+      "WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), q2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q1 ON q1.user_id = e.user_id AND e.ts >= q1.t WHERE e.event_type = 'click' GROUP BY 1), q3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q2 ON q2.user_id = e.user_id AND e.ts >= q2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM q1 UNION ALL SELECT 2, 'click', COUNT(*) FROM q2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM q3 ORDER BY 1",
+    // streaming state-machine funnel -> same oracle as the batch funnel
+    "events_funnel_stream" ->
       "WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), q2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q1 ON q1.user_id = e.user_id AND e.ts >= q1.t WHERE e.event_type = 'click' GROUP BY 1), q3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q2 ON q2.user_id = e.user_id AND e.ts >= q2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM q1 UNION ALL SELECT 2, 'click', COUNT(*) FROM q2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM q3 ORDER BY 1",
     "events_range" ->
       "WITH b(lo, hi, tier) AS (VALUES (0.0, 10.0, 'xs'), (5.0, 50.0, 'mid'), (50.0, 200.0, 'large'), (200.0, 1000.0, 'xl')) SELECT e.event_id, b.tier FROM events e JOIN b ON b.lo <= e.value AND e.value < b.hi ORDER BY 1, 2",

@@ -16,6 +16,17 @@ final case class AsOfOut(id: Long, key: Long, ts: java.sql.Timestamp,
 /** Per-key as-of state: lefts awaiting maturity + candidate rights. */
 final case class AsOfBuf(lefts: List[AsOfTagged], rights: List[AsOfTagged])
 
+/** Stage-tagged funnel event (stage is the 0-based index into the stage
+  * sequence). */
+final case class FunnelEv(user_id: Long, ts: java.sql.Timestamp, stage: Int)
+
+/** Per-user funnel state: events not yet matured by the watermark +
+  * per-stage qualifying times (epoch-MICROS, -1 = not yet reached). */
+final case class FunnelBuf(pending: List[FunnelEv], quals: List[Long])
+
+/** One funnel progression: user reached `stage` (1-based) at `qts`. */
+final case class FunnelHit(user_id: Long, stage: Int, qts: java.sql.Timestamp)
+
 /** Structured Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value). The transforms are
   * batch/stream agnostic: the same plan runs on a bounded DataFrame (the
@@ -122,6 +133,73 @@ object EventStream {
       .join(bucketed, Seq("_b"))
       .filter(col(lo) <= col(valueCol) && col(valueCol) < col(hi))
       .drop("_b")
+  }
+
+  /** STREAMING funnel — the watermarked per-user state machine computing
+    * exactly [[funnel]]'s semantics online: a user reaches stage k at the
+    * FIRST stage-k event at-or-after their stage-(k-1) qualifying time.
+    * Out-of-order arrival is handled the same way as [[asOfJoinStream]]:
+    * events buffer per user until the watermark passes them (no earlier
+    * event can still arrive — the engine drops rows at-or-behind the
+    * watermark), then matured events fold into the stage times in
+    * event-time order, which makes each "first at-or-after" decision
+    * final the moment it is taken. State is BOUNDED: matured events
+    * leave immediately (only the per-stage times persist — one long per
+    * stage) and the pending list holds at most one watermark window. An
+    * event-time timeout re-visits users with buffered events on every
+    * watermark advance, so quiet users still flush.
+    *
+    * Emits one [[FunnelHit]] per (user, stage) the moment the stage
+    * becomes reached — the per-user progression log; the funnel COUNTS
+    * are a trivial downstream aggregation of these hits (batch-side in
+    * the bounded driver, or a streaming agg in production).
+    * Comparisons are in epoch-micros (the events table's precision). */
+  def funnelStream(events: DataFrame, stages: Seq[String],
+      watermarkDelay: String = "0 seconds"): Dataset[FunnelHit] = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    import events.sparkSession.implicits._
+    val idx = typedLit(stages.zipWithIndex.toMap)
+    events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        element_at(idx, col("event_type")).as("stage"))
+      .withWatermark("ts", watermarkDelay)
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        funnelStep(stages.length))
+  }
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def funnelStep(nStages: Int)(key: Long, rows: Iterator[FunnelEv],
+      state: GroupState[FunnelBuf]): Iterator[FunnelHit] = {
+    val st = state.getOption.getOrElse(FunnelBuf(Nil, List.fill(nStages)(-1L)))
+    val incoming = if (state.hasTimedOut) Nil else rows.toList
+    val wm = state.getCurrentWatermarkMs()
+    val (mature, pending) = (st.pending ++ incoming)
+      .partition(_.ts.getTime <= wm)
+    val quals = st.quals.toArray
+    val out = List.newBuilder[FunnelHit]
+    // event-time order makes each first-at-or-after decision final: the
+    // first qualifying stage-k event seen IS the minimum qualifying one
+    mature.sortBy(e => (micros(e.ts), e.stage)).foreach { e =>
+      val k = e.stage
+      if (quals(k) < 0 &&
+          (k == 0 || (quals(k - 1) >= 0 && micros(e.ts) >= quals(k - 1)))) {
+        quals(k) = micros(e.ts)
+        out += FunnelHit(key, k + 1, e.ts)
+      }
+    }
+    // the quals vector must OUTLIVE the pending buffer: dropping it once a
+    // user is quiet would re-emit stages if the user returns. Per-user
+    // steady state is nStages longs — the same footprint as any per-user
+    // streaming aggregation.
+    state.update(FunnelBuf(pending, quals.toList))
+    if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+    out.result().iterator
   }
 
   /** Interval join (lookback enrichment): each left row pairs with EVERY

@@ -140,6 +140,41 @@ object StreamDriver {
     }
   }
 
+  /** Run the streaming funnel ([[EventStream.funnelStream]]: watermarked
+    * per-user stage state machine, one FunnelHit per reached stage) over
+    * bounded (user_id, ts, event_type) rows. Same sentinel mechanics as
+    * the as-of driver: all rows feed in one batch, a far-future sentinel
+    * event on a reserved user advances the watermark past every real
+    * event (maturing them), and one more sentinel batch fires the
+    * event-time timeouts for users with no further data. Returns the
+    * MATERIALIZED (user_id, stage, qts) progression rows. */
+  def funnelStreamed(spark: SparkSession,
+      events: Seq[(Long, Timestamp, String)],
+      stages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val name = "funnel_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.funnelStream(
+        in.toDF().toDF("user_id", "ts", "event_type"), stages)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val maxTs = (events.map(_._2.getTime) :+ 0L).max
+      if (events.nonEmpty) { in.addData(events); q.processAllAvailable() }
+      in.addData((SentinelKey, new Timestamp(maxTs + 3600L * 1000), stages.head))
+      q.processAllAvailable()
+      in.addData((SentinelKey, new Timestamp(maxTs + 7200L * 1000), stages.head))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("user_id") =!= SentinelKey)
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Run the NATIVE stream-stream interval join ([[EventStream
     * .intervalJoin]] with `watermark = true`: two watermarked sources,
     * inner join with an explicit time band — Spark's symmetric-hash

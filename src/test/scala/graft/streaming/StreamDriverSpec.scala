@@ -35,6 +35,32 @@ class StreamDriverSpec extends SparkSpec {
       (4L, None, None)))
   }
 
+  test("funnelStreamed: stage hits match the batch funnel; wrong order never converts") {
+    import spark.implicits._
+    val stages = Seq("view", "click", "purchase")
+    val events = Seq(
+      // user 1: full ordered conversion
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: click BEFORE first view -> stuck at stage 1
+      (2L, ts(10), "click"), (2L, ts(20), "view"),
+      // user 3: tie — click at exactly the view time qualifies (>=)
+      (3L, ts(40), "view"), (3L, ts(40), "click"),
+      // user 4: purchase before click -> reaches stage 2 only
+      (4L, ts(5), "view"), (4L, ts(6), "purchase"), (4L, ts(9), "click"),
+      // fed OUT OF ORDER inside the batch: the state machine must sort
+      (5L, ts(90), "purchase"), (5L, ts(70), "click"), (5L, ts(50), "view"))
+    val hits = StreamDriver.funnelStreamed(spark, events, stages)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(hits == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (3L, 1), (3L, 2),
+      (4L, 1), (4L, 2), (5L, 1), (5L, 2), (5L, 3)))
+    // counts equal the batch funnel on the same fixture
+    val batch = EventStream.funnel(
+        events.toDF("user_id", "ts", "event_type"), stages)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    val streamed = (1 to 3).map(k => k -> hits.count(_._2 == k).toLong).toMap
+    assert(streamed == batch)
+  }
+
   test("intervalJoinStreamed: stream-stream join equals the batch intervalJoin") {
     import spark.implicits._
     // deterministic fixture: keys with several in-band rights, none, and

@@ -102,6 +102,25 @@ object EventStream {
     counts.reduce(_.unionAll(_))
   }
 
+  /** Retention cohorts: users cohort by their FIRST active epoch-day;
+    * cell (cohort_day, day_offset) counts the cohort's users active
+    * `day_offset` days later. The standard activation/retention matrix,
+    * shaped for scale: activity first dedups to (user, day) — one hash
+    * aggregate, the only row-count-sized shuffle — then the per-user min
+    * reuses that partitioning, the cohort join is keyed on user, and the
+    * final cell count is a plain count over already-distinct rows (never
+    * a count-distinct Expand). Output: (cohort_day, day_offset, n_users). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val active = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val first = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    active.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Range join: each left row gets the ranges [lo, hi) that contain
     * `valueCol`. Spark plans a plain `lo <= v AND v < hi` join as
     * BroadcastNestedLoopJoin — fine for a literal band table, quadratic

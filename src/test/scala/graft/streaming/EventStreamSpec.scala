@@ -91,6 +91,26 @@ class EventStreamSpec extends SparkSpec {
     assert(edge == Set((10L, 9.0)))
   }
 
+  test("retentionCohorts: first-day cohorts, per-day dedup, offset cells") {
+    import spark.implicits._
+    def at(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:00:00")
+    val ev = Seq(
+      // user 1: days 0 and 2 (two events day 0 -> dedup to one active-day)
+      (1L, at(0, 1)), (1L, at(0, 5)), (1L, at(2, 3)),
+      // user 2: days 0 and 1
+      (2L, at(0, 2)), (2L, at(1, 2)),
+      // user 3: first seen day 1, active day 2
+      (3L, at(1, 9)), (3L, at(2, 9)))
+      .toDF("user_id", "ts")
+    val r = EventStream.retentionCohorts(ev).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    val day0 = at(0, 0).getTime / 1000 / 86400
+    assert(r == Map(
+      (day0, 0L) -> 2L, (day0, 1L) -> 1L, (day0, 2L) -> 1L,
+      (day0 + 1, 0L) -> 1L, (day0 + 1, 1L) -> 1L))
+  }
+
   test("asOfJoin: latest preceding right row per key, ties match, no-match is null") {
     import spark.implicits._
     val left = Seq( // (id, user, ts)

@@ -269,10 +269,22 @@ object Dedup {
     * combines map-side and no cluster's member list ever materializes).
     * Output: (cluster_id, canonical_id, n_members, max_chars). */
   def canonicalDocs(docs: DataFrame, minJaccardPct: Int,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val labels = duplicateClusters(docs, minJaccardPct, maxShingleDf)
-      .select("doc_id", "cluster_id")
-    labels.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    electCanonical(
+      duplicateClusters(docs, minJaccardPct, maxShingleDf)
+        .select("doc_id", "cluster_id"),
+      docs)
+
+  /** The election step alone, over precomputed (doc_id, cluster_id)
+    * labels — lets callers that already ran the cluster fixpoint (e.g.
+    * the curation pipeline) elect without a second one. Uses `n_chars`
+    * when the relation carries it, document length otherwise. */
+  def electCanonical(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val chars =
+      if (docs.columns.contains("n_chars"))
+        docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      else docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    labels.join(chars, Seq("doc_id"))
       .groupBy("cluster_id")
       .agg(max(struct(col("n_chars").as("c"), (-col("doc_id")).as("negid"))).as("best"),
         count(lit(1)).as("n_members"))

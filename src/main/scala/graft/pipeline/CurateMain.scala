@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   *                        pairs summing to 100, e.g. train:90,valid:5,test:5)
   *   --source-cap N       keep at most N docs per source (quality desc,
   *                        doc_id asc) among the survivors so far
+  *   --canonical          duplicate clusters keep their LONGEST member
+  *                        (tie: smallest doc_id) instead of the smallest id
   *   --master M           Spark master                      (default local[*])
   * }}}
   *
@@ -51,6 +53,7 @@ object CurateMain {
       benchmark: Option[String] = None,
       sourceCap: Option[Int] = None,
       splits: Seq[(String, Int)] = Nil,
+      canonical: Boolean = false,
       master: String = "local[*]")
 
   def parseArgs(args: Seq[String]): Config = {
@@ -77,6 +80,7 @@ object CurateMain {
           name -> pct.toInt
         }
         loop(t, c.copy(splits = sp))
+      case "--canonical" :: t        => loop(t, c.copy(canonical = true))
       case "--master" :: v :: t      => loop(t, c.copy(master = v))
       case flag :: _ if flag.startsWith("--") =>
         throw new IllegalArgumentException(s"unknown flag $flag")
@@ -94,7 +98,8 @@ object CurateMain {
     * The final `keep` column reflects ALL enabled stages. */
   def decide(docs: DataFrame, c: Config,
       bench: Option[DataFrame] = None): DataFrame = {
-    var table = Curation.curate(docs, c.minJaccard, minQualityBucket = c.minQuality)
+    var table = Curation.curate(docs, c.minJaccard,
+      minQualityBucket = c.minQuality, canonical = c.canonical)
     bench.foreach { b =>
       // hard exclusion like quality: a contaminated doc never ships
       val dec = Curation.decontaminate(docs, b)

@@ -37,17 +37,31 @@ object Curation {
     * the final join). One shuffle join on doc_id attaches cluster ids. */
   def curate(docs: DataFrame, minJaccardPct: Int = 50,
       maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
-      minQualityBucket: Int = 3): DataFrame = {
+      minQualityBucket: Int = 3,
+      canonical: Boolean = false): DataFrame = {
     val clusters = Dedup.duplicateClusters(docs, minJaccardPct, maxShingleDf)
       .select(col("doc_id"), col("cluster_id"))
     val annotated = TextAnalysis.withQuality(TextAnalysis.withLangId(docs))
       .select(col("doc_id"), col("lang_guess"), col("quality_bucket"))
-    annotated.join(clusters, "doc_id")
+    // duplicate-representative rule: min cluster id by default; with
+    // `canonical` the LONGEST member (tie to smallest id) represents —
+    // the election reuses the cluster labels already computed, one small
+    // aggregate + broadcastable join, never a second cluster fixpoint
+    val labeled =
+      if (!canonical) annotated.join(clusters, "doc_id")
+        .withColumn("rep_id", col("cluster_id"))
+      else annotated.join(clusters, "doc_id")
+        .join(Dedup.electCanonical(clusters, docs)
+          .select(col("cluster_id"), col("canonical_id").as("rep_id")),
+          Seq("cluster_id"))
+    labeled
       .withColumn("drop_reason",
         when(col("quality_bucket") < minQualityBucket, "quality")
-          .when(col("doc_id") =!= col("cluster_id"), "duplicate")
+          .when(col("doc_id") =!= col("rep_id"), "duplicate")
           .otherwise(""))
       .withColumn("keep", col("drop_reason") === "")
+      .select(col("doc_id"), col("lang_guess"), col("quality_bucket"),
+        col("cluster_id"), col("drop_reason"), col("keep"))
   }
 
   /** Deterministic source-proportional downsampling — the data-mixing step

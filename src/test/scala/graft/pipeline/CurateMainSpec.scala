@@ -116,4 +116,14 @@ class CurateMainSpec extends SparkSpec {
     assert(CurateMain.parseArgs(Seq("--split", "train:90,valid:10", "/tmp/in"))
       .splits == Seq("train" -> 90, "valid" -> 10))
   }
+
+  test("--canonical elects the longest cluster member in the decision table") {
+    val d = docs((1L, good, "web"), (2L, good + " extra", "web"),
+      (4L, "p q r s t u v w x y z", "web"))
+    val keep = CurateMain.decide(d, CurateMain.Config(canonical = true))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Boolean]("keep")).toMap
+    assert(keep == Map(1L -> false, 2L -> true, 4L -> true))
+    assert(CurateMain.parseArgs(Seq("--canonical", "/tmp/in")).canonical)
+    assert(!CurateMain.parseArgs(Seq("/tmp/in")).canonical)
+  }
 }

@@ -39,6 +39,23 @@ class CurationSpec extends SparkSpec {
     assert(r(6L) == "duplicate")
   }
 
+  test("curate canonical=true: the LONGEST cluster member represents") {
+    val d = docs(
+      (1L, good),            // min-id rep of {1,2} but SHORTER
+      (2L, good + " extra"), // longest member -> canonical under the flag
+      (4L, "p q r s t u v w x y z"))
+    val r = Curation.curate(d, 50, canonical = true).collect()
+      .map(x => x.getLong(0) -> (x.getString(4), x.getBoolean(5))).toMap
+    assert(r(1L) == (("duplicate", false)))
+    assert(r(2L) == (("", true)))
+    assert(r(4L) == (("", true)))
+    // default rule on the same fixture keeps 1 — the flag flips only the
+    // representative, never the cluster membership
+    val base = Curation.curate(d, 50).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(5)).toMap
+    assert(base(1L) && !base(2L))
+  }
+
   test("curate: cluster_id is the min doc_id of the near-dup component") {
     val r = Curation.curate(docs((7L, good), (9L, good + " x"), (8L, good + " y")), 50)
       .collect().map(x => (x.getLong(0), x.getLong(3))).toMap

@@ -72,11 +72,15 @@ object Dedup {
     * (0/0 when shorter than n tokens). */
   def ngramWindowDups(docs: DataFrame, n: Int = 8): DataFrame = {
     require(n >= 2, "window length must be at least 2")
-    val t = TextAnalysis.tokens(col("text"))
-    val ngrams = when(size(t) >= n,
+    // bindArray: the token array materializes ONCE per document — a
+    // captured split() inside the per-window lambda would re-tokenize on
+    // every window (O(tokens^2) per doc; 50x at the sf1 soak)
+    val ngrams = TextAnalysis.bindArray(TextAnalysis.tokens(col("text"))) { t =>
+      when(size(t) >= n,
         transform(sequence(lit(1), size(t) - n + 1),
           i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
-      .otherwise(array().cast("array<bigint>"))
+        .otherwise(array().cast("array<bigint>"))
+    }
     // three consumers (per-doc totals, df counts, the dup join): persist
     val w = docs.select(col("doc_id"), explode(ngrams).as("h")).persist()
     w.count()

@@ -112,15 +112,27 @@ object TextAnalysis {
     withQuality(docs).select("doc_id", "n_tokens", "repetition_pct",
       "stopword_pct", "quality_bucket")
 
+  /** Evaluate `arr` ONCE and hand it to `body` as a bound lambda
+    * VARIABLE — the let-binding idiom for higher-order functions. A
+    * lambda that references an outer column expression re-evaluates it
+    * on EVERY element (a captured `split(text)` inside a per-window
+    * lambda is O(tokens) work per window = O(tokens^2) per document —
+    * measured as a 50x blowup at the sf1 soak before this fix), while a
+    * lambda variable is materialized once by the HOF machinery. */
+  private[graft] def bindArray(arr: Column)(body: Column => Column): Column =
+    transform(array(arr), body).getItem(0)
+
   /** 3-token shingles of a document (the unit for fingerprinting and
-    * near-dup detection). Empty array when the document has < 3 tokens. */
-  def shingles(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 3,
-      transform(sequence(lit(1), size(t) - 2), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array())
-  }
+    * near-dup detection). Empty array when the document has < 3 tokens.
+    * The token array binds once per document ([[bindArray]]), so
+    * shingling is linear in document length. */
+  def shingles(text: Column): Column =
+    bindArray(tokens(text)) { t =>
+      when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array())
+    }
 
   /** Corpus TF-IDF: the top-k characteristic terms per document, scored
     * with INTEGER arithmetic so any SQL engine reproduces it bit-for-bit —
@@ -146,14 +158,14 @@ object TextAnalysis {
   }
 
   /** Adjacent token pairs of a document ("a b", "b c", ...); empty array
-    * below 2 tokens. */
-  def bigrams(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array())
-  }
+    * below 2 tokens. Token array bound once per document ([[bindArray]]). */
+  def bigrams(text: Column): Column =
+    bindArray(tokens(text)) { t =>
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array())
+    }
 
   /** Corpus-bigram language-model scoring — the n-gram perplexity proxy of
     * quality filtering: documents whose adjacent-token pairs are common in

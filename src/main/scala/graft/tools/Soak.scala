@@ -133,6 +133,13 @@ object Soak {
     if (which("neardup"))
       run("sim_near_dup_pairs_sf1",
         Similarity.cosineNearDupPairs(emb1, 0.95, dims = 64))
+    if (which("ngram"))
+      // cross-shard identical docs: EVERY window is shared 10 ways — the
+      // worst-case dup-window density for the inverted hash join
+      run("dedup_ngram_windows_sf1", Dedup.ngramWindowDups(docs1, 8))
+    if (which("hh"))
+      run("text_heavy_hitters_sf1",
+        graft.text.TextAnalysis.heavyHitters(docs1, 0.005))
     if (which("ivf"))
       run("sim_topk_ivf_sf1",
         Similarity.ivfTopK(emb1, col("vec_id") % 100 === 0, 10))
@@ -168,6 +175,27 @@ object Soak {
           .select(col("user_id"), col("ts"), col("v"))
           .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
         graft.streaming.StreamDriver.asOfStreamed(spark, clicks, views)
+      })
+    }
+    if (which("stream-join")) {
+      // NATIVE stream-stream interval join at 10x state keys
+      import spark.implicits._
+      val events1 = graft.streaming.EventSource.events(spark, sfDir)
+        .crossJoin(shardIds)
+        .withColumn("user_id", col("user_id") + col("shard").cast("long") * 10000000L)
+        .withColumn("event_id", col("event_id") + col("shard").cast("long") * 100000000L)
+        .drop("shard")
+        .persist()
+      System.err.println(s"soak events: ${events1.count()}")
+      run("events_join_stream_sf1", {
+        val clicks = events1.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+        val views = events1.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+        graft.streaming.StreamDriver.intervalJoinStreamed(
+          spark, clicks, views, "4 hours")
       })
     }
     spark.stop()

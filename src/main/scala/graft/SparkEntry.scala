@@ -744,7 +744,21 @@ object SparkEntry {
             expr("substring(text, 11)")).as("text"))
       Multimodal.nearDupMedia(Multimodal.blobTable(d.unionByName(edited)))
         .orderBy("doc_id_a", "doc_id_b")
-    })
+    }),
+    "dedup_paragraphs" -> ((s, dir) => // chunk-level exact dedup + reassembly
+      Dedup.paragraphDedup(docs(s, dir), 20).orderBy("doc_id")),
+    "dedup_cross_source" -> ((s, dir) => // shared-window contamination matrix
+      Dedup.crossSourceOverlap(docs(s, dir), 7).orderBy("source_a", "source_b")),
+    "curate_temperature_mix" -> ((s, dir) => // sqrt-temperature sampling weights
+      graft.pipeline.Curation.temperatureMix(docs(s, dir)).orderBy("source")),
+    "curate_quality_tiers" -> ((s, dir) => // per-language relative quality ntile
+      graft.pipeline.Curation.qualityTiers(docs(s, dir)).orderBy("doc_id")),
+    "sim_hard_negatives" -> ((s, dir) => // top-k nearest with a DIFFERENT label
+      Similarity.hardNegatives(emb(s, dir), col("vec_id") % 100 === 0, 10)
+        .orderBy("query_id", "rank")),
+    "events_rolling" -> ((s, dir) => // per-user bounded-frame rolling stats
+      graft.streaming.EventStream.rollingUserStats(events(s, dir), 5)
+        .orderBy("event_id"))
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -1099,6 +1113,43 @@ object SparkEntry {
     // edited copies (one in-place byte) injected exactly like the Spark side;
     // all-pairs filter is the oracle for the banded search (complete <= 3)
     "mm_phash_pairs" ->
-      s"WITH e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), ${phashCtes("e2")} SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming FROM ph a JOIN ph b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY 1, 2"
+      s"WITH e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), ${phashCtes("e2")} SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming FROM ph a JOIN ph b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY 1, 2",
+    // non-overlapping 20-token chunks; global first occurrence (min
+    // (doc_id, idx)) survives, survivors re-join in order
+    "dedup_paragraphs" ->
+      ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "w AS (SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t)/20.0) AS BIGINT))) AS idx FROM tokd), " +
+        "ck AS (SELECT doc_id, idx, array_to_string(t[(idx*20+1):(idx*20+20)], ' ') AS chunk FROM w), " +
+        "el AS (SELECT doc_id, idx, chunk, ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) = 1 AS keep FROM ck) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY idx), '') AS cleaned_text " +
+        "FROM el GROUP BY doc_id ORDER BY doc_id"),
+    // distinct 7-token windows occurring in BOTH sources of a pair; the
+    // Spark side pairs per-window source lists, the oracle self-joins —
+    // identical distinct-window pair counts
+    "dedup_cross_source" ->
+      ("WITH tokd AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents), " +
+        "w AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(t)-5), i -> array_to_string(t[i:i+6],' '))) AS ng FROM tokd WHERE len(t) >= 7) " +
+        "SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM w a JOIN w b ON a.ng = b.ng AND a.source < b.source GROUP BY 1,2 ORDER BY 1,2"),
+    // sqrt is IEEE correctly-rounded -> weights agree bit-for-bit
+    "curate_temperature_mix" ->
+      ("WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
+        "t AS (SELECT SUM(sqrt(n_tokens)) AS st FROM c) " +
+        "SELECT source, n_docs, n_tokens, CAST(round(1000000*sqrt(n_tokens)/st) AS BIGINT) AS weight_ppm FROM c, t ORDER BY source"),
+    "curate_quality_tiers" ->
+      (s"WITH $qualCtes SELECT d.doc_id, d.lang, q.quality_bucket, " +
+        "CAST(NTILE(3) OVER (PARTITION BY d.lang ORDER BY q.quality_bucket DESC, q.repetition_pct, q.stopword_pct, d.doc_id) AS INTEGER) AS tier " +
+        "FROM documents d JOIN qual q USING (doc_id) ORDER BY d.doc_id"),
+    "sim_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql FROM embeddings WHERE vec_id % 100 = 0), " +
+        "s AS (SELECT q.query_id, e.vec_id, e.label, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id AND e.label <> q.ql), " +
+        "r AS (SELECT query_id, vec_id, label, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s) " +
+        "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id, CAST(label AS BIGINT) AS neighbor_label FROM r WHERE rnk <= 10 ORDER BY query_id, rank"),
+    // <= 5 doubles summed in identical frame order; round(,6) absorbs ulp
+    "events_rolling" ->
+      ("SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS n_window, " +
+        "round(AVG(value) OVER w, 6) AS avg_value, MAX(value) OVER w AS max_value " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id")
   )
 }

@@ -337,4 +337,84 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Paragraph-level (chunk-level) exact dedup with reassembly — the
+    * CCNet/RefinedWeb trick of removing repeated boilerplate *within*
+    * otherwise-unique documents: each document splits into non-overlapping
+    * `span`-token chunks, every chunk occurring anywhere earlier in the
+    * corpus (first occurrence = smallest (doc_id, idx)) is dropped, and the
+    * survivors re-join in order. Output:
+    * (doc_id, n_chunks, n_kept, cleaned_text), every input doc present.
+    *
+    * Shape: chunks materialize map-side (sequence + slice over a bound
+    * token array — no UDF); the election is a min-struct AGGREGATION on the
+    * chunk's md5 (map-side combine collapses repeats before the shuffle),
+    * NOT a ranking window — a window cannot split a hot key, so one
+    * boilerplate chunk shared by 10% of a 100 TB corpus would serialize on
+    * a single task, while the agg + equi-join shape both combines map-side
+    * and lets AQE split the skewed join. md5 (128-bit) keys the election
+    * because a 64-bit hash collision would silently merge two distinct
+    * chunks (birthday-real at corpus scale). */
+  def paragraphDedup(docs: DataFrame, span: Int = 20): DataFrame = {
+    require(span >= 1, "chunk span must be positive")
+    val chunks = TextAnalysis.bindArray(TextAnalysis.tokens(col("text"))) { t =>
+      transform(
+        sequence(lit(0L), ceil(size(t) / lit(span.toDouble)).cast("long") - 1L),
+        i => concat_ws(" ", slice(t, (i * span + 1).cast("int"), lit(span))))
+    }
+    val ck = docs.select(col("doc_id"), posexplode(chunks).as(Seq("idx", "chunk")))
+      .withColumn("chash", md5(col("chunk")))
+    val winners = ck.groupBy("chash")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("chash"), col("w.doc_id").as("w_doc"), col("w.idx").as("w_idx"))
+    ck.join(winners, Seq("chash"))
+      .withColumn("keep",
+        col("doc_id") === col("w_doc") && col("idx") === col("w_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("cleaned_text"))
+  }
+
+  /** Cross-source contamination matrix: for every unordered pair of
+    * sources, how many DISTINCT n-token windows occur in both. The
+    * per-pair count is the raw signal behind "source B is a scrape of
+    * source A" audits — whole-text hashing misses near-copies, doc-pair
+    * joins explode quadratically; shared-window counting is linear in
+    * corpus size + sum-over-windows(#sources-sharing choose 2).
+    *
+    * Shape: windows collapse to 64-bit hashes map-side (8-byte shuffle
+    * rows), one distinct on (source, h), then per-window source LISTS
+    * (bounded by the source count, not the corpus) pair off inside the
+    * array — no row-level self-join ever materializes doc pairs. Output:
+    * (source_a, source_b, n_shared), source_a < source_b, pairs with zero
+    * overlap omitted. */
+  def crossSourceOverlap(docs: DataFrame, n: Int = 7): DataFrame = {
+    require(n >= 2, "window length must be at least 2")
+    val ngrams = TextAnalysis.bindArray(TextAnalysis.tokens(col("text"))) { t =>
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - n + 1),
+          i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val perSource = docs
+      .select(col("source"), explode(array_distinct(ngrams)).as("h"))
+      .distinct()
+    val pairs = perSource.groupBy("h")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(TextAnalysis.bindArray(col("srcs")) { a =>
+        flatten(transform(a, (x, i) =>
+          transform(slice(a, i + 2, size(a)),
+            y => struct(x.as("source_a"), y.as("source_b")))))
+      }).as("p"))
+    pairs.groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

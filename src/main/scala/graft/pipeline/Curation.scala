@@ -315,4 +315,54 @@ object Curation {
         floor((col("cum_before") + col("n_tokens") - 1) / seqLen)
           .as("end_seq"))
   }
+
+  /** Temperature-scaled mixing weights per source — the multinomial
+    * sampling distribution `p(s) ∝ tokens(s)^τ` that upweights small
+    * sources relative to proportional sampling (τ=1) without flattening
+    * to uniform (τ=0). τ is fixed at 1/2 here: `sqrt` is IEEE
+    * correctly-rounded, so the weights are bit-reproducible across
+    * engines, which a general `pow(x, 0.7)` is not. Output:
+    * (source, n_docs, n_tokens, weight_ppm) — weight_ppm = the source's
+    * sampling probability in parts-per-million.
+    *
+    * Shape: one hash-agg to per-source totals (map-side combine; the
+    * token count is a map-side `size(split)` — documents never shuffle),
+    * then a broadcast of the SINGLE-row weight total. Per-source rows are
+    * bounded by the source vocabulary, not the corpus. */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val c = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val t = c.agg(sum(sqrt(col("n_tokens"))).as("st"))
+    c.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(lit(1e6) * sqrt(col("n_tokens")) / col("st"))
+          .cast("long").as("weight_ppm"))
+  }
+
+  /** CCNet-style per-language relative quality tiers: within each
+    * language, documents rank by the integer quality signals
+    * (quality_bucket desc, then repetition asc, stopword asc, doc_id as
+    * the total-order tiebreak) and split into 3 equal tiers — tier 1 =
+    * "head" (cleanest third), 3 = "tail". Ranking RELATIVE to the
+    * language matters because absolute thresholds tuned on one language
+    * over- or under-filter every other. Signals are all integers, so the
+    * tier assignment is oracle-exact. Output:
+    * (doc_id, lang, quality_bucket, tier).
+    *
+    * Shape: quality signals are map-side column adds (no join — the
+    * signals compute alongside the doc's own `lang`); the only shuffle is
+    * the per-language ntile window. A per-language sort is the honest
+    * cost of exact tiles; at 100 TB the drop-in approximation is
+    * per-language `approx_percentile` cut points + a map-side bucket
+    * compare (no sort), trading exactness at the tier boundaries. */
+  def qualityTiers(docs: DataFrame, tiers: Int = 3): DataFrame = {
+    require(tiers >= 2, "need at least 2 tiers")
+    val w = Window.partitionBy("lang").orderBy(
+      col("quality_bucket").desc, col("repetition_pct"),
+      col("stopword_pct"), col("doc_id"))
+    TextAnalysis.withQuality(docs)
+      .withColumn("tier", ntile(tiers).over(w))
+      .select("doc_id", "lang", "quality_bucket", "tier")
+  }
 }

@@ -539,4 +539,32 @@ object Similarity {
       .withColumn("is_dup", col("rep_id") =!= col("vec_id"))
     graft.core.CacheOps.cacheResult(out, Seq(lists)).toDF()
   }
+
+  /** Hard-negative mining — for each query vector, the k most-similar
+    * vectors carrying a DIFFERENT label (the contrastive-training
+    * candidates that are hard precisely because they look like the
+    * query). Exact cosine ranking with vec_id tiebreak; the label filter
+    * runs inside the scoring join, so excluded same-label rows never
+    * reach the aggregator. Neighbor search is the bounded typed
+    * Aggregator (O(k) buffers, map-side combine — never a per-query full
+    * sort); at corpus scale callers swap the scoring join for the
+    * IVF/LSH candidate generators, the mining tail is identical.
+    * Output: (query_id, rank, neighbor_id, neighbor_label). */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val en = emb.withColumn("nrm", norm(col("embedding")))
+    val q = en.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").cast("long").as("q_label"))
+    val scored = en.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label").cast("long") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("score"))
+    graft.scale.TopK.topKPerKey(scored, "query_id", "vec_id", "score", k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("neighbor_label")), Seq("neighbor_id"))
+      .select("query_id", "rank", "neighbor_id", "neighbor_label")
+  }
 }

@@ -356,4 +356,28 @@ object EventStream {
       .select(left.columns.map(c => col(s"_l.$c").as(c)) ++
         payload.map(p => col(s"_asof.$p").as(s"asof_$p")): _*)
   }
+
+  /** Per-user rolling-frame statistics — the "is this event unusual for
+    * THIS user" signal feeding rate limiting and anomaly review: over the
+    * user's last `frame` events (event-count frame, ordered by ts with
+    * event_id as the total-order tiebreak), the window population, the
+    * running mean of `value` (rounded to 6 dp — the two engines sum the
+    * <= `frame` doubles in the same frame order, rounding absorbs the
+    * last-ulp) and the running max. Output:
+    * (event_id, user_id, n_window, avg_value, max_value).
+    *
+    * Shape: ONE shuffle on user_id, then a sorted per-partition pass —
+    * the frame is bounded, so state per row is O(frame). Per-user history
+    * never collects anywhere; skew is bounded by the hottest user's
+    * event count, same as any per-entity timeline analytic. */
+  def rollingUserStats(events: DataFrame, frame: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(frame >= 1, "frame must be positive")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    events.select(col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_window"),
+      round(avg(col("value")).over(w), 6).as("avg_value"),
+      max(col("value")).over(w).as("max_value"))
+  }
 }

@@ -116,4 +116,48 @@ class DedupSpec extends SparkSpec {
     val viaExpr = Dedup.simhashSignatures(docs((9L, "x y z"))).collect().head.getLong(1)
     assert(viaExpr != 0L)
   }
+
+  test("paragraphDedup: global first occurrence keeps, later repeats drop, order survives") {
+    // span=3: doc1 = [a b c][d e f]; doc2 repeats chunk "a b c" (drops) and
+    // adds [x y z]; doc3 has a partial tail chunk [d] (unique -> kept) after
+    // a repeated head; doc4 repeats a chunk WITHIN itself
+    val r = Dedup.paragraphDedup(docs(
+      (1L, "a b c d e f"), (2L, "a b c x y z"),
+      (3L, "a b c d"), (4L, "p q r p q r")), span = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 2L, "a b c d e f")))
+    assert(r(2L) == ((2L, 1L, "x y z")))
+    assert(r(3L) == ((2L, 1L, "d")))
+    assert(r(4L) == ((2L, 1L, "p q r")))
+  }
+
+  test("paragraphDedup: a fully-duplicated document reassembles to the empty string") {
+    val r = Dedup.paragraphDedup(docs((1L, "a b c"), (2L, "a b c")), span = 3)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r(1L) == "a b c" && r(2L) == "")
+  }
+
+  def srcDocs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("crossSourceOverlap: distinct shared windows per unordered source pair") {
+    // n=2 windows; "b c" occurs in A (twice, counted once) and B; "c d" in
+    // B only; C shares nothing; a window in all of A,B,D yields 3 pairs
+    val r = Dedup.crossSourceOverlap(srcDocs(
+      (1L, "a b c", "A"), (2L, "z b c", "A"), // "b c" twice in A
+      (3L, "b c d", "B"),
+      (4L, "x y", "C"),
+      (5L, "b c q", "D")), n = 2)
+      .collect().map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    assert(r == Map(("A", "B") -> 1L, ("A", "D") -> 1L, ("B", "D") -> 1L))
+  }
+
+  test("crossSourceOverlap: docs shorter than the window contribute nothing") {
+    val r = Dedup.crossSourceOverlap(srcDocs(
+      (1L, "a", "A"), (2L, "a", "B")), n = 2).collect()
+    assert(r.isEmpty)
+  }
 }

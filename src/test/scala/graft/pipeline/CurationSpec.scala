@@ -236,5 +236,38 @@ class CurationSpec extends SparkSpec {
       Curation.splitCorpus(docs((1L, good)), Seq(("train", 90), ("valid", 5))))
   }
 
+  test("temperatureMix: sqrt-temperature weights sum to ~1e6, exact on squares") {
+    // srcA: 1 doc x 4 tokens (sqrt=2); srcB: 2 docs x 8 tokens (sqrt=4);
+    // total 6 -> 333333 / 666667 ppm
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d", "srcA"),
+      (2L, "a b c d e f g h", "srcB"), (3L, "p q r s t u v w", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.temperatureMix(d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("srcA") == ((1L, 4L, 333333L)))
+    assert(r("srcB") == ((2L, 16L, 666667L)))
+  }
+
+  test("qualityTiers: per-language ntile ranks clean docs into tier 1") {
+    import spark.implicits._
+    // 6 'en' docs: 2 clean (bucket 3), 2 stopword-heavy (bucket 2),
+    // 2 short (bucket 0); one 'fr' doc must tier independently
+    val d = Seq(
+      (1L, good, "en"), (2L, good + " lambda", "en"),
+      (3L, "the a the a the a the a the a x1 x2 y z w v", "en"),
+      (4L, "the a the a the a the a the a q1 q2 r s t u", "en"),
+      (5L, "tiny one", "en"), (6L, "tiny two", "en"),
+      (7L, "bonjour le monde", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = Curation.qualityTiers(d).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(3), x.getString(1)))).toMap
+    assert(r(1L)._1 == 1 && r(2L)._1 == 1)
+    assert(r(3L)._1 == 2 && r(4L)._1 == 2)
+    assert(r(5L)._1 == 3 && r(6L)._1 == 3)
+    assert(r(7L) == ((1, "fr"))) // sole doc of its language -> tier 1
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

@@ -253,4 +253,30 @@ class SimilaritySpec extends SparkSpec {
     val reps = exact.filter(_._1 > 200000).map(_._3)
     assert(reps == Set(0L))
   }
+
+  test("hardNegatives: same-label neighbors are excluded even when nearest") {
+    import spark.implicits._
+    // vec 1 is the query's EXACT direction but shares its label -> excluded;
+    // vec 2 (slightly off, other label) must rank first instead
+    val e = Seq(
+      (0L, Seq(1f, 0f), 7L), (1L, Seq(2f, 0f), 7L),
+      (2L, Seq(1f, 0.1f), 3L), (3L, Seq(0f, 1f), 4L))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(e, col("vec_id") === 0, 2).collect()
+      .map(x => (x.getInt(1), x.getLong(2), x.getLong(3))).sortBy(_._1)
+    assert(r.toSeq == Seq((1, 2L, 3L), (2, 3L, 4L)))
+  }
+
+  test("hardNegatives equals brute-force top-k restricted to other labels") {
+    val brute = Similarity.bruteForceTopK(real, col("vec_id") % 50 === 0, 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val labels = real.collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val expected = brute.groupBy(_._1).toSeq.flatMap { case (q, ns) =>
+      ns.sortBy(_._2).map(_._3).filter(n => labels(n) != labels(q))
+        .take(5).zipWithIndex.map { case (n, i) => (q, i + 1, n) }
+    }.toSet
+    val got = Similarity.hardNegatives(real, col("vec_id") % 50 === 0, 5)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    assert(got == expected)
+  }
 }

@@ -168,4 +168,21 @@ class EventStreamSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "extra", "asof_v"))
     assert(out.count() == 1)
   }
+
+  test("rollingUserStats: bounded frame per user, ts order, event_id tiebreak") {
+    import spark.implicits._
+    // user 1: values 1..4 at minutes 0..3 (minute 1 has TWO events — the
+    // event_id tiebreak orders them); user 2 is independent
+    val ev = Seq(
+      (10L, ts(0), 1L, 1.0), (11L, ts(1), 1L, 2.0), (12L, ts(1), 1L, 3.0),
+      (13L, ts(2), 1L, 4.0), (20L, ts(0), 2L, 100.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = EventStream.rollingUserStats(ev, frame = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r(10L) == ((1L, 1.0, 1.0)))
+    assert(r(11L) == ((2L, 1.5, 2.0)))
+    assert(r(12L) == ((3L, 2.0, 3.0)))
+    assert(r(13L) == ((3L, 3.0, 4.0)))  // frame slides: events 11,12,13
+    assert(r(20L) == ((1L, 100.0, 100.0)))
+  }
 }

@@ -112,6 +112,18 @@ object ExplainAudit {
       show("sim_knn_classify", graft.sim.Similarity.knnClassify(
         spark.read.parquet(s"$dir/embeddings.parquet"),
         org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10))
+    if (which == "all" || which == "paragraphs")
+      // final plan: chunks Generate map-side; the election is a partial
+      // aggregate (min-struct) BEFORE its Exchange — never a window over
+      // the chunk hash — and the join back is AQE's runtime choice
+      showFinal("dedup_paragraphs", graft.dedup.Dedup.paragraphDedup(
+        spark.read.parquet(s"$dir/documents.parquet"), 20))
+    if (which == "all" || which == "crosssource")
+      // final plan: windows hash to 8-byte keys map-side; a partial
+      // distinct aggregate precedes the (source, h) Exchange; pairs
+      // explode from per-window source arrays (no row self-join)
+      showFinal("dedup_cross_source", graft.dedup.Dedup.crossSourceOverlap(
+        spark.read.parquet(s"$dir/documents.parquet"), 7))
     spark.stop()
   }
 }

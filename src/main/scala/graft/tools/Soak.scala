@@ -140,6 +140,15 @@ object Soak {
     if (which("hh"))
       run("text_heavy_hitters_sf1",
         graft.text.TextAnalysis.heavyHitters(docs1, 0.005))
+    if (which("paragraphs"))
+      // cross-shard identical docs: every chunk's election group has 10
+      // members — the boilerplate-heavy shape the min-struct combine is for
+      run("dedup_paragraphs_sf1", Dedup.paragraphDedup(docs1, 20))
+    if (which("cross-source"))
+      // sources repeat across shards, so the distinct (source, window)
+      // relation stays sf0.1-sized while the input is 10x — the map-side
+      // set-partial should absorb the duplication before the Exchange
+      run("dedup_cross_source_sf1", Dedup.crossSourceOverlap(docs1, 7))
     if (which("ivf"))
       run("sim_topk_ivf_sf1",
         Similarity.ivfTopK(emb1, col("vec_id") % 100 === 0, 10))

@@ -758,7 +758,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")),
     "events_rolling" -> ((s, dir) => // per-user bounded-frame rolling stats
       graft.streaming.EventStream.rollingUserStats(events(s, dir), 5)
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+    "text_bpe_merges" -> ((s, dir) => // tokenizer training's inner loop
+      TextAnalysis.bpeFirstMerges(docs(s, dir), 20).orderBy("rank")),
+    "sim_codebook" -> ((s, dir) => { // the trained k-means codebook itself
+      import s.implicits._
+      Similarity.ivfCodebook(emb(s, dir), 16, 2).toSeq
+        .toDF("cent_id", "c")
+        .select(col("cent_id"), posexplode(col("c")).as(Seq("dim", "val")))
+        .orderBy("cent_id", "dim")
+    })
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -1146,6 +1155,19 @@ object SparkEntry {
         "s AS (SELECT q.query_id, e.vec_id, e.label, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id AND e.label <> q.ql), " +
         "r AS (SELECT query_id, vec_id, label, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s) " +
         "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id, CAST(label AS BIGINT) AS neighbor_label FROM r WHERE rnk <= 10 ORDER BY query_id, rank"),
+    "text_bpe_merges" ->
+      ("WITH wrd AS (SELECT unnest(string_split(text,' ')) AS w FROM documents), " +
+        "ch AS (SELECT string_split(w,'') AS c FROM wrd), " +
+        "pr AS (SELECT unnest(list_transform(range(1, len(c)), i -> c[i] || ' ' || c[i+1])) AS pair FROM ch WHERE len(c) >= 2), " +
+        "cnt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pr GROUP BY 1), " +
+        "r AS (SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk FROM cnt) " +
+        "SELECT CAST(rnk AS INTEGER) AS rank, pair, cnt FROM r WHERE rnk <= 20 ORDER BY rank"),
+    // float means absorb the engines' double-sum rounding (same argument
+    // as the IVF codebook CTEs this reuses), so values match bit-for-bit
+    "sim_codebook" ->
+      (s"WITH ${ivfCodebookCtesOver("embeddings")} SELECT cent_id, " +
+        "CAST(generate_subscripts(c,1)-1 AS INTEGER) AS dim, unnest(c) AS val " +
+        "FROM cb2 ORDER BY cent_id, dim"),
     // <= 5 doubles summed in identical frame order; round(,6) absorbs ulp
     "events_rolling" ->
       ("SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS n_window, " +

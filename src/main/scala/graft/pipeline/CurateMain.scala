@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.dedup.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,6 +29,11 @@ import org.apache.spark.sql.functions._
   *                        pairs summing to 100, e.g. train:90,valid:5,test:5)
   *   --source-cap N       keep at most N docs per source (quality desc,
   *                        doc_id asc) among the survivors so far
+  *   --clean-output PATH  SHIPPED corpus parquet: curated survivors with
+  *                        repeated --paragraph-span-token chunks removed
+  *                        corpus-wide and the remainder reassembled
+  *   --paragraph-span N   chunk width for --clean-output    (default 20)
+  *   --mix-report PATH    sqrt-temperature per-source sampling weights
   *   --canonical          duplicate clusters keep their LONGEST member
   *                        (tie: smallest doc_id) instead of the smallest id
   *   --master M           Spark master                      (default local[*])
@@ -54,6 +60,9 @@ object CurateMain {
       sourceCap: Option[Int] = None,
       splits: Seq[(String, Int)] = Nil,
       canonical: Boolean = false,
+      paragraphSpan: Int = 20,
+      cleanOutput: Option[String] = None,
+      mixReport: Option[String] = None,
       master: String = "local[*]")
 
   def parseArgs(args: Seq[String]): Config = {
@@ -81,6 +90,9 @@ object CurateMain {
         }
         loop(t, c.copy(splits = sp))
       case "--canonical" :: t        => loop(t, c.copy(canonical = true))
+      case "--paragraph-span" :: v :: t => loop(t, c.copy(paragraphSpan = v.toInt))
+      case "--clean-output" :: v :: t => loop(t, c.copy(cleanOutput = Some(v)))
+      case "--mix-report" :: v :: t  => loop(t, c.copy(mixReport = Some(v)))
       case "--master" :: v :: t      => loop(t, c.copy(master = v))
       case flag :: _ if flag.startsWith("--") =>
         throw new IllegalArgumentException(s"unknown flag $flag")
@@ -155,7 +167,22 @@ object CurateMain {
       Curation.corpusStats(docs).write.mode("overwrite").parquet(path)
       println(s"Outputting corpus stats to $path.")
     }
-    if (c.output.isEmpty && c.statsOut.isEmpty) {
+    c.cleanOutput.foreach { path =>
+      // the SHIPPED corpus: curated survivors with cross-corpus repeated
+      // chunks removed and the remainder reassembled in order
+      val kept = docs.join(
+        decide(docs, c, bench).filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      Dedup.paragraphDedup(kept, c.paragraphSpan)
+        .write.mode("overwrite").parquet(path)
+      println(s"Outputting chunk-deduped corpus to $path.")
+    }
+    c.mixReport.foreach { path =>
+      Curation.temperatureMix(docs).write.mode("overwrite").parquet(path)
+      println(s"Outputting temperature-mix report to $path.")
+    }
+    if (c.output.isEmpty && c.statsOut.isEmpty && c.cleanOutput.isEmpty &&
+        c.mixReport.isEmpty) {
       val d = decide(docs, c, bench)
       println(s"${d.filter(col("keep")).count()} of ${d.count()} documents kept " +
         "(no --output given).")

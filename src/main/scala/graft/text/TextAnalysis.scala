@@ -292,6 +292,39 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** The BPE first-merge table — tokenizer training's inner loop as a
+    * relational query: counts of every ADJACENT character pair inside
+    * words (one occurrence per adjacency, duplicates included — exactly
+    * what byte-pair encoding greedily merges), top-k with the
+    * deterministic (count desc, pair asc) rank. Iterated training re-runs
+    * the same count over the re-segmented corpus after applying the top
+    * merge; each iteration is this one query, so corpus-scale tokenizer
+    * fitting is k passes of a map-side pair Generate + one hash-agg.
+    * Pair format: the two symbols space-separated (the merges-file
+    * convention). Output: (rank, pair, cnt).
+    *
+    * Shape: pairs materialize map-side from the let-bound char array; one
+    * hash aggregation (map-side combine collapses to the pair vocabulary),
+    * then TakeOrderedAndProject — the top-k never sorts the vocabulary
+    * globally, and the ranking window sees only k rows. */
+  def bpeFirstMerges(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pairsPerWord = bindArray(split(col("w"), "")) { c =>
+      when(size(c) >= 2,
+        transform(sequence(lit(1), size(c) - 1),
+          i => concat(element_at(c, i), lit(" "), element_at(c, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val counts = docs.select(explode(tokens(col("text"))).as("w"))
+      .select(explode(pairsPerWord).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(k)
+    counts.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("pair"))))
+      .select(col("rank"), col("pair"), col("cnt"))
+  }
+
   /** Exact corpus heavy hitters — every token whose frequency is at least
     * `ceil(phi * N)` (N = total token count), via the classic two-phase
     * sketch-then-recount plan:

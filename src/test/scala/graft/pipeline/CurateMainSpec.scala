@@ -126,4 +126,30 @@ class CurateMainSpec extends SparkSpec {
     assert(CurateMain.parseArgs(Seq("--canonical", "/tmp/in")).canonical)
     assert(!CurateMain.parseArgs(Seq("/tmp/in")).canonical)
   }
+
+  test("--clean-output ships curated survivors chunk-deduped; --mix-report writes weights") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("curateclean").toString
+    // docs 1 and 3 are quality-kept and share their FIRST 3-token chunk;
+    // doc 2 fails quality (and so never claims a chunk)
+    docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "web"),
+      (2L, "tiny", "web"),
+      (3L, "alpha beta gamma one two three four five six seven", "code"))
+      .write.parquet(s"$tmp/in")
+    CurateMain.run(spark, CurateMain.parseArgs(Seq(
+      "--clean-output", s"$tmp/clean", "--paragraph-span", "3",
+      "--mix-report", s"$tmp/mix", s"$tmp/in")))
+    val clean = spark.read.parquet(s"$tmp/clean").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("cleaned_text")))).toMap
+    assert(!clean.contains(2L)) // dropped docs never reach the shipped corpus
+    assert(clean(1L)._1 == 4L) // all 4 chunks kept (first claimant)
+    assert(clean(3L)._1 == 3L &&
+      clean(3L)._2 == "one two three four five six seven")
+    val mix = spark.read.parquet(s"$tmp/mix").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("weight_ppm")).toMap
+    assert(mix.keySet == Set("web", "code") &&
+      mix.values.sum >= 999998L && mix.values.sum <= 1000002L)
+  }
 }

@@ -104,4 +104,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.map(_.getString(0)).toSeq == Seq("heavy"))
     assert(r.head.getLong(1) == 40L) // recount is exact despite sketch undercount
   }
+
+  test("bpeFirstMerges: adjacent in-word char pairs, duplicates counted, rank ties on pair") {
+    // "abab" -> a b, b a, a b; "ab cd" -> a b / c d; single chars contribute nothing
+    val r = bpeFirstMerges(docs((1L, "abab ab cd x"), (2L, "ab")), 3).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    // counts: "a b" = 4 (abab x2, ab, ab), "b a" = 1, "c d" = 1 (tie -> b a < c d)
+    assert(r.toSeq == Seq((1, "a b", 4L), (2, "b a", 1L), (3, "c d", 1L)))
+  }
 }

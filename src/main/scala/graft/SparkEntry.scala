@@ -753,6 +753,8 @@ object SparkEntry {
       graft.pipeline.Curation.temperatureMix(docs(s, dir)).orderBy("source")),
     "curate_quality_tiers" -> ((s, dir) => // per-language relative quality ntile
       graft.pipeline.Curation.qualityTiers(docs(s, dir)).orderBy("doc_id")),
+    "curate_shards" -> ((s, dir) => // token-balanced shard cuts, integer-exact
+      graft.pipeline.Curation.shardAssign(docs(s, dir), 8).orderBy("doc_id")),
     "sim_hard_negatives" -> ((s, dir) => // top-k nearest with a DIFFERENT label
       Similarity.hardNegatives(emb(s, dir), col("vec_id") % 100 === 0, 10)
         .orderBy("query_id", "rank")),
@@ -761,6 +763,19 @@ object SparkEntry {
         .orderBy("event_id")),
     "text_bpe_merges" -> ((s, dir) => // tokenizer training's inner loop
       TextAnalysis.bpeFirstMerges(docs(s, dir), 20).orderBy("rank")),
+    "events_rolling_stream" -> ((s, dir) => {
+      // the SAME per-user rolling frame as events_rolling, executed
+      // through the streaming engine (MemoryStream -> watermark ->
+      // flatMapGroupsWithState -> memory sink): per-event emission once
+      // the watermark matures it, O(frame) retained values per user.
+      // Driver-fed fixture, distributed operator — shares the batch
+      // query's oracle verbatim.
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSeq
+      graft.streaming.StreamDriver.rollingStreamed(s, ev, 5).orderBy("event_id")
+    }),
     "sim_codebook" -> ((s, dir) => { // the trained k-means codebook itself
       import s.implicits._
       Similarity.ivfCodebook(emb(s, dir), 16, 2).toSeq
@@ -1146,6 +1161,11 @@ object SparkEntry {
       ("WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
         "t AS (SELECT SUM(sqrt(n_tokens)) AS st FROM c) " +
         "SELECT source, n_docs, n_tokens, CAST(round(1000000*sqrt(n_tokens)/st) AS BIGINT) AS weight_ppm FROM c, t ORDER BY source"),
+    "curate_shards" ->
+      ("WITH tok AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents), " +
+        "c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) - n AS cum_before FROM tok), " +
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tok) " +
+        "SELECT doc_id, n AS n_tokens, CAST(LEAST((cum_before * 8) // total, 7) AS INTEGER) AS shard FROM c, t ORDER BY doc_id"),
     "curate_quality_tiers" ->
       (s"WITH $qualCtes SELECT d.doc_id, d.lang, q.quality_bucket, " +
         "CAST(NTILE(3) OVER (PARTITION BY d.lang ORDER BY q.quality_bucket DESC, q.repetition_pct, q.stopword_pct, d.doc_id) AS INTEGER) AS tier " +
@@ -1170,6 +1190,11 @@ object SparkEntry {
         "FROM cb2 ORDER BY cent_id, dim"),
     // <= 5 doubles summed in identical frame order; round(,6) absorbs ulp
     "events_rolling" ->
+      ("SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS n_window, " +
+        "round(AVG(value) OVER w, 6) AS avg_value, MAX(value) OVER w AS max_value " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    // the stream state machine must produce the batch window's answer
+    "events_rolling_stream" ->
       ("SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS n_window, " +
         "round(AVG(value) OVER w, 6) AS avg_value, MAX(value) OVER w AS max_value " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id")

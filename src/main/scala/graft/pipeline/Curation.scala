@@ -316,6 +316,30 @@ object Curation {
           .as("end_seq"))
   }
 
+  /** Token-balanced shard assignment — the "cut the corpus into N
+    * equal-token output files" step before materializing training shards:
+    * shard(d) = floor(cum_before(d) * numShards / total_tokens), clamped
+    * to numShards-1, where cum_before is the exclusive token prefix sum
+    * in doc_id order. Pure integer arithmetic on the prefix sum (exact in
+    * any engine; the product stays under 2^63 up to ~10^15 corpus tokens
+    * x 1024 shards), documents never split, and each shard's token load
+    * is within one document of total/numShards. Prefix sums come from the
+    * same bucketed two-phase machinery as packing — no global window.
+    * Output: (doc_id, n_tokens, shard). */
+  def shardAssign(docs: DataFrame, numShards: Int,
+      numBuckets: Int = 256): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val ps = tokenPrefixSum(docs, numBuckets)
+      .withColumn("cum_before", col("cum_tokens") - col("n_tokens"))
+    val t = ps.agg(sum(col("n_tokens")).as("total"))
+    ps.crossJoin(broadcast(t))
+      .select(col("doc_id"), col("n_tokens"),
+        // `div`, not `/`: Spark's slash is DOUBLE division, which loses
+        // integer exactness past 2^53 products
+        least(expr(s"(cum_before * $numShards) div total"),
+          lit((numShards - 1).toLong)).cast("int").as("shard"))
+  }
+
   /** Temperature-scaled mixing weights per source — the multinomial
     * sampling distribution `p(s) ∝ tokens(s)^τ` that upweights small
     * sources relative to proportional sampling (τ=1) without flattening

@@ -27,6 +27,20 @@ final case class FunnelBuf(pending: List[FunnelEv], quals: List[Long])
 /** One funnel progression: user reached `stage` (1-based) at `qts`. */
 final case class FunnelHit(user_id: Long, stage: Int, qts: java.sql.Timestamp)
 
+/** One event of the streaming rolling-stats input. */
+final case class RollEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+    value: Double)
+
+/** Per-user rolling state: events not yet matured by the watermark + the
+  * last (frame-1) MATURED values, oldest first — the prefix every future
+  * event's frame starts from. */
+final case class RollBuf(pending: List[RollEv], tail: List[Double])
+
+/** Rolling-stats output row (avg_raw is rounded by the caller's select so
+  * stream and batch share the same `round` evaluation). */
+final case class RollOut(event_id: Long, user_id: Long, n_window: Long,
+    avg_raw: Double, max_value: Double)
+
 /** Structured Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value). The transforms are
   * batch/stream agnostic: the same plan runs on a bounded DataFrame (the
@@ -379,5 +393,56 @@ object EventStream {
       count(lit(1)).over(w).as("n_window"),
       round(avg(col("value")).over(w), 6).as("avg_value"),
       max(col("value")).over(w).as("max_value"))
+  }
+
+  /** STREAMING [[rollingUserStats]]: the same per-user bounded frame as a
+    * watermarked flatMapGroupsWithState machine. An event's stats depend
+    * only on events at or before it in (ts, event_id) order, so an event
+    * emits once the watermark passes its ts (every frame predecessor has
+    * then arrived); per-user state is O(frame + in-flight window): the
+    * pending events plus the last frame-1 MATURED values. The frame sum
+    * runs oldest-to-newest — the exact order the batch window's
+    * re-evaluated avg uses — so stream equals batch bit-for-bit (the
+    * caller applies the same `round`). Late data beyond the watermark is
+    * dropped by the engine, the standard streaming contract. A user's
+    * frame-1-value tail outlives its pending events (future events need
+    * the prefix); on unbounded user cardinality, bound the store with an
+    * event-time TTL exactly as [[StreamingDedup.firstSeenTtl]] does. */
+  def rollingStream(events: DataFrame, frame: Int = 5,
+      watermarkDelay: String = "0 seconds"): Dataset[RollOut] = {
+    require(frame >= 1, "frame must be positive")
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", watermarkDelay)
+      .as[RollEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        rollingStep(frame))
+  }
+
+  private def rollingStep(frame: Int)(key: Long, rows: Iterator[RollEv],
+      state: GroupState[RollBuf]): Iterator[RollOut] = {
+    val st = state.getOption.getOrElse(RollBuf(Nil, Nil))
+    val incoming = if (state.hasTimedOut) Nil else rows.toList
+    val all = (st.pending ++ incoming).sortBy(e => (e.ts.getTime, e.event_id))
+    val wm = state.getCurrentWatermarkMs()
+    val (mature, pending) = all.partition(_.ts.getTime <= wm)
+    var tail = st.tail
+    val out = mature.map { e =>
+      val win = tail :+ e.value // oldest..current, size <= frame
+      tail = win.takeRight(frame - 1)
+      RollOut(e.event_id, key, win.size.toLong, win.sum / win.size, win.max)
+    }
+    if (pending.isEmpty && tail.isEmpty) state.remove()
+    else {
+      state.update(RollBuf(pending, tail))
+      // wake on the next watermark advance so pending events flush even if
+      // this user never sees another row
+      if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+    }
+    out.iterator
   }
 }

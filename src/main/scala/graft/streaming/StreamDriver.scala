@@ -212,6 +212,47 @@ object StreamDriver {
   /** Run the streaming as-of join over bounded (id, key, ts) lefts and
     * (key, ts, v) rights; returns the MATERIALIZED output (one row per
     * left: id, key, ts, asof_ts, asof_v — nulls where nothing precedes). */
+  /** Drives [[EventStream.rollingStream]] end-to-end: feed every
+    * (user_id, ts, event_id, value) row in one batch, then two sentinel
+    * batches on the reserved key — the first advances the watermark past
+    * every real event (maturing them all), the second fires the timeouts.
+    * Sentinel rows are filtered from the returned frame, which carries
+    * the SAME columns (and the same `round`) as the batch
+    * [[EventStream.rollingUserStats]], so both check against one oracle. */
+  def rollingStreamed(spark: SparkSession,
+      events: Seq[(Long, Timestamp, Long, Double)], frame: Int = 5): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val em = MemoryStream[(Long, Timestamp, Long, Double)]
+    val name = "rolling_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.rollingStream(
+        em.toDF().toDF("user_id", "ts", "event_id", "value"), frame)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val maxTs = (events.map(_._2.getTime) :+ 0L).max
+      if (events.nonEmpty) em.addData(events)
+      q.processAllAvailable()
+      em.addData((SentinelKey, new Timestamp(maxTs + 3600L * 1000), -1L, 0.0))
+      q.processAllAvailable()
+      em.addData((SentinelKey, new Timestamp(maxTs + 7200L * 1000), -2L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("user_id") =!= SentinelKey)
+        .select(
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("n_window"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("avg_raw"), 6).as("avg_value"),
+          org.apache.spark.sql.functions.col("max_value"))
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   def asOfStreamed(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],
       rights: Seq[(Long, Timestamp, Double)]): DataFrame = {
     import spark.implicits._

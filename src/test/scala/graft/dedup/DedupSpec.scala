@@ -160,4 +160,24 @@ class DedupSpec extends SparkSpec {
       (1L, "a", "A"), (2L, "a", "B")), n = 2).collect()
     assert(r.isEmpty)
   }
+
+  test("paragraphDedup EQUALS the sequential brute force on the real corpus") {
+    // the in-test oracle replays the corpus one doc at a time in
+    // (doc_id, idx) order with a mutable seen-set — the textbook
+    // formulation the distributed min-struct election must reproduce
+    val span = 5
+    val all = realDocs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet[String]()
+    val expected = all.map { case (id, text) =>
+      val chunks = text.split(" ", -1).grouped(span).map(_.mkString(" ")).toSeq
+      val kept = chunks.filter(seen.add)
+      id -> ((chunks.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = Dedup.paragraphDedup(realDocs, span).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(got == expected)
+    // the dedup actually fired on this corpus (otherwise the test is vacuous)
+    assert(got.values.exists(v => v._2 < v._1))
+  }
 }

@@ -269,5 +269,20 @@ class CurationSpec extends SparkSpec {
     assert(r(7L) == ((1, "fr"))) // sole doc of its language -> tier 1
   }
 
+  test("shardAssign: token-balanced cuts, documents never split, all shards covered") {
+    import spark.implicits._
+    // 8 docs x 4 tokens = 32 tokens over 4 shards -> exactly 2 docs each
+    val even = (0L until 8L).map(i => (i, "a b c d"))
+    val r = Curation.shardAssign(even.toDF("doc_id", "text"), 4).collect()
+      .map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(r == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1,
+      4L -> 2, 5L -> 2, 6L -> 3, 7L -> 3))
+    // a huge head doc claims shard 0 alone; the clamp keeps the tail in range
+    val skew = Seq((0L, Seq.fill(100)("t").mkString(" ")), (1L, "x"), (2L, "y"))
+    val s = Curation.shardAssign(skew.toDF("doc_id", "text"), 4).collect()
+      .map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(s(0L) == 0 && s(1L) == 3 && s(2L) == 3)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

@@ -185,4 +185,23 @@ class EventStreamSpec extends SparkSpec {
     assert(r(13L) == ((3L, 3.0, 4.0)))  // frame slides: events 11,12,13
     assert(r(20L) == ((1L, 100.0, 100.0)))
   }
+
+  test("rollingStream through the engine equals the batch window bit-for-bit") {
+    import spark.implicits._
+    // values chosen so averages are NOT exactly representable — the parity
+    // claim is about bit-identical double sums, not round numbers; minute 1
+    // carries a same-ts tie broken by event_id
+    val ev = Seq(
+      (10L, ts(0), 1L, 0.1), (11L, ts(1), 1L, 0.2), (12L, ts(1), 1L, 0.7),
+      (13L, ts(2), 1L, 0.3), (14L, ts(3), 1L, 1.1), (15L, ts(4), 1L, 0.4),
+      (20L, ts(0), 2L, 3.3), (21L, ts(5), 2L, 4.7))
+    val batch = EventStream.rollingUserStats(
+        ev.toDF("event_id", "ts", "user_id", "value"), frame = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    val streamed = StreamDriver.rollingStreamed(spark,
+        ev.map { case (id, t, u, v) => (u, t, id, v) }, frame = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(streamed == batch)
+    assert(batch.size == 8) // every event emitted exactly once
+  }
 }

@@ -125,6 +125,30 @@ object SparkEntry {
       "pd AS (SELECT doc_id, i, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM ps), " +
       "ph AS (SELECT doc_id, CAST(SUM(CASE WHEN v > pv THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END) AS BIGINT) AS phash FROM pd WHERE i >= 1 GROUP BY 1)"
 
+  /** Iterated-BPE oracle CTEs: k unrolled rounds of the SAME relational
+    * trainer TextAnalysis.bpeTrain runs — lead-pair counts over the word
+    * frequency table, top-1 by (cnt desc, x, y), then the
+    * gaps-and-islands greedy merge (islands = pos minus running mark
+    * count; odd in-island offsets selected; consumed successors dropped;
+    * positions re-ranked). Pure integer/string window logic, so both
+    * engines agree exactly. Final per-round tops are tp1..tpk. */
+  private def bpeCtes(k: Int): String = {
+    val base =
+      "bw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) GROUP BY 1), " +
+        "s0 AS (SELECT w, freq, generate_subscripts(string_split(w,''),1)-1 AS pos, unnest(string_split(w,'')) AS sym FROM bw)"
+    val rounds = (1 to k).map { i =>
+      val p = i - 1
+      s"n$i AS (SELECT w, freq, pos, sym, LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s$p), " +
+        s"tp$i AS (SELECT sym AS x, nxt AS y, CAST(SUM(freq) AS BIGINT) AS cnt FROM n$i WHERE nxt IS NOT NULL GROUP BY 1,2 ORDER BY cnt DESC, x, y LIMIT 1), " +
+        s"mk$i AS (SELECT n.w, n.freq, n.pos, n.sym, n.nxt, (n.sym = t.x AND n.nxt = t.y) AS mark FROM n$i n CROSS JOIN tp$i t), " +
+        s"il$i AS (SELECT *, pos - SUM(CASE WHEN mark THEN 1 ELSE 0 END) OVER (PARTITION BY w ORDER BY pos) AS ik FROM mk$i), " +
+        s"sl$i AS (SELECT *, mark AND (ROW_NUMBER() OVER (PARTITION BY w, ik, mark ORDER BY pos) % 2 = 1) AS sel FROM il$i), " +
+        s"dr$i AS (SELECT *, LAG(sel) OVER (PARTITION BY w ORDER BY pos) AS psel FROM sl$i), " +
+        s"s$i AS (SELECT w, freq, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos, CASE WHEN sel THEN sym || nxt ELSE sym END AS sym FROM dr$i WHERE NOT COALESCE(psel, FALSE))"
+    }
+    (base +: rounds).mkString(", ")
+  }
+
   /** SQL fragments shared by the document oracles. */
   private val tokCte =
     "tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w, generate_subscripts(string_split(text,' '),1) AS i FROM documents)"
@@ -763,6 +787,8 @@ object SparkEntry {
         .orderBy("event_id")),
     "text_bpe_merges" -> ((s, dir) => // tokenizer training's inner loop
       TextAnalysis.bpeFirstMerges(docs(s, dir), 20).orderBy("rank")),
+    "text_bpe_train" -> ((s, dir) => // 3 full BPE rounds: count, merge, recount
+      TextAnalysis.bpeTrain(docs(s, dir), 3).orderBy("iter")),
     "events_rolling_stream" -> ((s, dir) => {
       // the SAME per-user rolling frame as events_rolling, executed
       // through the streaming engine (MemoryStream -> watermark ->
@@ -1182,6 +1208,12 @@ object SparkEntry {
         "cnt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pr GROUP BY 1), " +
         "r AS (SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk FROM cnt) " +
         "SELECT CAST(rnk AS INTEGER) AS rank, pair, cnt FROM r WHERE rnk <= 20 ORDER BY rank"),
+    "text_bpe_train" ->
+      (s"WITH ${bpeCtes(3)} " +
+        "SELECT CAST(iter AS INTEGER) AS iter, x || ' ' || y AS pair, cnt FROM (" +
+        "SELECT 1 AS iter, x, y, cnt FROM tp1 UNION ALL " +
+        "SELECT 2, x, y, cnt FROM tp2 UNION ALL " +
+        "SELECT 3, x, y, cnt FROM tp3) ORDER BY iter"),
     // float means absorb the engines' double-sum rounding (same argument
     // as the IVF codebook CTEs this reuses), so values match bit-for-bit
     "sim_codebook" ->

@@ -292,6 +292,70 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("cnt"))
   }
 
+  /** ITERATED BPE training — `numMerges` rounds of count-top-pair /
+    * apply-merge over the corpus, fully relational and integer/string
+    * exact (oracle-checkable): the greedy left-to-right non-overlapping
+    * merge application is gaps-and-islands over per-word symbol rows, not
+    * regex (regex boundary consumption diverges between engines; windows
+    * don't). Training runs on the word-FREQUENCY table — segmentation
+    * depends only on the word type, so the working relation is
+    * vocabulary-sized with counts weighted by freq, the standard BPE
+    * trainer layout and the reason corpus scale doesn't matter here.
+    *
+    * Per round over syms(w, freq, pos, sym):
+    *   1. pair counts: lead(sym) per word, SUM(freq) per (x, y);
+    *      top-1 by (cnt desc, x, y) — a LIMIT 1 collect, k driver rows
+    *   2. greedy application: mark rows starting an (x, y) occurrence;
+    *      overlapping marks are exactly CONSECUTIVE positions, so islands
+    *      (pos minus running mark count) group them and odd offsets within
+    *      an island are the selected non-overlapping merges; a row drops
+    *      when its predecessor was selected (it is the consumed y);
+    *      positions re-rank. All partitioned windows — no global sort.
+    *
+    * Requires numMerges <= the number of distinct pairs at every round
+    * (the fixture-true case; training stops early otherwise).
+    * Output: (iter, pair, cnt) — the merges file, space-separated pair. */
+  def bpeTrain(docs: DataFrame, numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64, "1..64 merges")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("w").orderBy("pos")
+    var syms = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
+    var merges = List.empty[(Int, String, Long)]
+    var done = false
+    for (i <- 1 to numMerges if !done) {
+      val withNext = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      val top = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("x"), col("nxt").as("y"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (x, y, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges ::= ((i, s"$x $y", cnt))
+        val sel = withNext
+          .withColumn("mark", col("sym") === x && col("nxt") === y)
+          .withColumn("ik", col("pos") -
+            sum(when(col("mark"), 1L).otherwise(0L)).over(wOrd))
+          .withColumn("sel", col("mark") &&
+            row_number().over(Window.partitionBy("w", "ik", "mark")
+              .orderBy("pos")) % 2 === 1)
+        syms = sel
+          .withColumn("psel", lag(col("sel"), 1).over(wOrd))
+          .filter(!coalesce(col("psel"), lit(false)))
+          .select(col("w"), col("freq"),
+            (row_number().over(wOrd) - 1).as("pos"),
+            when(col("sel"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+      }
+    }
+    import spark.implicits._
+    merges.reverse.toDF("iter", "pair", "cnt").orderBy("iter")
+  }
+
   /** The BPE first-merge table — tokenizer training's inner loop as a
     * relational query: counts of every ADJACENT character pair inside
     * words (one occurrence per adjacency, duplicates included — exactly

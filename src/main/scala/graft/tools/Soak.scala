@@ -186,6 +186,24 @@ object Soak {
         graft.streaming.StreamDriver.asOfStreamed(spark, clicks, views)
       })
     }
+    if (which("stream-rolling")) {
+      // rolling state machine at 10x user keys: ts unchanged, user/event
+      // ids sharded — 10x flatMapGroupsWithState keys, same frame width
+      import spark.implicits._
+      val events1 = graft.streaming.EventSource.events(spark, sfDir)
+        .crossJoin(shardIds)
+        .withColumn("user_id", col("user_id") + col("shard").cast("long") * 10000000L)
+        .withColumn("event_id", col("event_id") + col("shard").cast("long") * 100000000L)
+        .drop("shard")
+        .persist()
+      System.err.println(s"soak events: ${events1.count()}")
+      run("events_rolling_stream_sf1", {
+        val ev = events1
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSeq
+        graft.streaming.StreamDriver.rollingStreamed(spark, ev, 5)
+      })
+    }
     if (which("stream-join")) {
       // NATIVE stream-stream interval join at 10x state keys
       import spark.implicits._

@@ -112,4 +112,49 @@ class TextAnalysisSpec extends SparkSpec {
     // counts: "a b" = 4 (abab x2, ab, ab), "b a" = 1, "c d" = 1 (tie -> b a < c d)
     assert(r.toSeq == Seq((1, "a b", 4L), (2, "b a", 1L), (3, "c d", 1L)))
   }
+
+  test("bpeTrain: iterated merges with greedy overlap handling (hand-verified)") {
+    // corpus "aaab aaab ab": round 1 merges (a,a) cnt 4 — "aaab"'s two
+    // overlapping (a,a) marks are one island, only the FIRST merges;
+    // round 2 (a,b) cnt 3; round 3 the learned symbols pair: (aa,ab) cnt 2
+    val r = bpeTrain(docs((1L, "aaab aaab ab")), 3).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
+  }
+
+  test("bpeTrain EQUALS a sequential reference trainer on the real corpus") {
+    def refBpe(words: Map[String, Long], k: Int): Seq[(Int, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        words.map { case (w, f) => w.split("").toVector -> f }
+      (1 to k).map { i =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case Seq(x, y) => counts((x, y)) = counts.getOrElse((x, y), 0L) + f
+            case _ => ()
+          }
+        }
+        val ((x, y), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == x && syms(j + 1) == y) {
+              out += x + y; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          out.result()
+        }(_._2)(_ + _)
+        (i, s"$x $y", cnt)
+      }
+    }
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = real.selectExpr("explode(split(text, ' ')) AS w")
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refBpe(words, 4)
+    val got = bpeTrain(real, 4).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
+    assert(got == expected)
+  }
 }

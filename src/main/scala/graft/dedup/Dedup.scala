@@ -70,19 +70,26 @@ object Dedup {
     * finishes. Self-repeats within one document do NOT count as shared.
     * Output: (doc_id, n_windows, n_dup_windows), every input doc present
     * (0/0 when shorter than n tokens). */
-  def ngramWindowDups(docs: DataFrame, n: Int = 8): DataFrame = {
-    require(n >= 2, "window length must be at least 2")
-    // bindArray: the token array materializes ONCE per document — a
-    // captured split() inside the per-window lambda would re-tokenize on
-    // every window (O(tokens^2) per doc; 50x at the sf1 soak)
-    val ngrams = TextAnalysis.bindArray(TextAnalysis.tokens(col("text"))) { t =>
+  /** 64-bit xxhash of every n-token window of `text` (empty below n
+    * tokens) — the map-side window collapse shared by the dup-window
+    * profile and the cross-source matrix: windows never leave the task as
+    * strings, only as 8-byte hashes. bindArray: the token array
+    * materializes ONCE per document — a captured split() inside the
+    * per-window lambda would re-tokenize on every window (O(tokens^2) per
+    * doc; 50x at the sf1 soak). */
+  private def windowHashes(text: org.apache.spark.sql.Column, n: Int) =
+    TextAnalysis.bindArray(TextAnalysis.tokens(text)) { t =>
       when(size(t) >= n,
         transform(sequence(lit(1), size(t) - n + 1),
           i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
         .otherwise(array().cast("array<bigint>"))
     }
+
+  def ngramWindowDups(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, "window length must be at least 2")
     // three consumers (per-doc totals, df counts, the dup join): persist
-    val w = docs.select(col("doc_id"), explode(ngrams).as("h")).persist()
+    val w = docs.select(col("doc_id"),
+      explode(windowHashes(col("text"), n)).as("h")).persist()
     w.count()
     try {
       val perDoc = w.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
@@ -397,14 +404,9 @@ object Dedup {
     * overlap omitted. */
   def crossSourceOverlap(docs: DataFrame, n: Int = 7): DataFrame = {
     require(n >= 2, "window length must be at least 2")
-    val ngrams = TextAnalysis.bindArray(TextAnalysis.tokens(col("text"))) { t =>
-      when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - n + 1),
-          i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
-        .otherwise(array().cast("array<bigint>"))
-    }
     val perSource = docs
-      .select(col("source"), explode(array_distinct(ngrams)).as("h"))
+      .select(col("source"),
+        explode(array_distinct(windowHashes(col("text"), n))).as("h"))
       .distinct()
     val pairs = perSource.groupBy("h")
       .agg(sort_array(collect_set(col("source"))).as("srcs"))

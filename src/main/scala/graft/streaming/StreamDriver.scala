@@ -229,6 +229,7 @@ object StreamDriver {
         em.toDF().toDF("user_id", "ts", "event_id", "value"), frame)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
+      import org.apache.spark.sql.functions.{col, round}
       val maxTs = (events.map(_._2.getTime) :+ 0L).max
       if (events.nonEmpty) em.addData(events)
       q.processAllAvailable()
@@ -237,14 +238,9 @@ object StreamDriver {
       em.addData((SentinelKey, new Timestamp(maxTs + 7200L * 1000), -2L, 0.0))
       q.processAllAvailable()
       val out = spark.table(name)
-        .filter(org.apache.spark.sql.functions.col("user_id") =!= SentinelKey)
-        .select(
-          org.apache.spark.sql.functions.col("event_id"),
-          org.apache.spark.sql.functions.col("user_id"),
-          org.apache.spark.sql.functions.col("n_window"),
-          org.apache.spark.sql.functions.round(
-            org.apache.spark.sql.functions.col("avg_raw"), 6).as("avg_value"),
-          org.apache.spark.sql.functions.col("max_value"))
+        .filter(col("user_id") =!= SentinelKey)
+        .select(col("event_id"), col("user_id"), col("n_window"),
+          round(col("avg_raw"), 6).as("avg_value"), col("max_value"))
       val rows = java.util.Arrays.asList(out.collect(): _*)
       spark.createDataFrame(rows, out.schema)
     } finally {

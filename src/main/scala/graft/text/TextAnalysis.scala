@@ -320,10 +320,15 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("w").orderBy("pos")
-    var syms = docs.select(explode(tokens(col("text"))).as("w"))
+    // the ONE corpus scan; persisted so the k iterations (each a
+    // limit(1) job + a transform consumed by the next round) re-derive
+    // from the vocabulary-sized relation, never from the corpus
+    val syms0 = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"),
         posexplode(split(col("w"), "")).as(Seq("pos", "sym")))
+      .persist()
+    var syms = syms0
     var merges = List.empty[(Int, String, Long)]
     var done = false
     for (i <- 1 to numMerges if !done) {
@@ -352,6 +357,7 @@ object TextAnalysis {
               .otherwise(col("sym")).as("sym"))
       }
     }
+    syms0.unpersist() // merges are driver-held; the cache has served
     import spark.implicits._
     merges.reverse.toDF("iter", "pair", "cnt").orderBy("iter")
   }

@@ -140,6 +140,11 @@ object Soak {
     if (which("hh"))
       run("text_heavy_hitters_sf1",
         graft.text.TextAnalysis.heavyHitters(docs1, 0.005))
+    if (which("bpe"))
+      // 10x corpus, identical cross-shard docs -> the word-frequency
+      // vocabulary is UNCHANGED; wall time should track the vocab, not
+      // the corpus (the bpeTrain scaling claim, measured)
+      run("text_bpe_train_sf1", graft.text.TextAnalysis.bpeTrain(docs1, 3))
     if (which("paragraphs"))
       // cross-shard identical docs: every chunk's election group has 10
       // members — the boilerplate-heavy shape the min-struct combine is for

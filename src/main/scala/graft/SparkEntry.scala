@@ -650,6 +650,27 @@ object SparkEntry {
       val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
       graft.streaming.StreamDriver.curateStreamed(s, batches).orderBy("doc_id")
     }),
+    "tpch_pricing_summary" -> ((s, dir) => // Q1 analog, integer-exact money
+      graft.stats.Analytics.pricingSummary(
+        s.read.parquet(s"$dir/lineitem.parquet"), "2000-12-01")
+        .orderBy("l_returnflag", "l_linestatus")),
+    "tpch_top_orders" -> ((s, dir) => // Q3 analog: top-k unshipped revenue
+      graft.stats.Analytics.topRevenueOrders(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "BUILDING", "1998-01-01", 10)
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))),
+    "tpch_region_revenue" -> ((s, dir) => // Q5 analog: six-table join
+      graft.stats.Analytics.regionRevenue(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"),
+        "AFRICA", "1996-01-01", "1999-01-01")
+        .orderBy(col("revenue_e4").desc, col("n_name"))),
     "profile_lineitem" -> ((s, dir) =>
       graft.stats.Profile.profile(
         s.read.parquet(s"$dir/lineitem.parquet"), profileCols)
@@ -1208,6 +1229,30 @@ object SparkEntry {
         "cnt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM pr GROUP BY 1), " +
         "r AS (SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk FROM cnt) " +
         "SELECT CAST(rnk AS INTEGER) AS rank, pair, cnt FROM r WHERE rnk <= 20 ORDER BY rank"),
+    // money aggregates in INTEGER space (prices cents-exact, rates
+    // percent-exact) -> order-independent sums, exact in any engine
+    "tpch_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6, " +
+        "CAST(COUNT(*) AS BIGINT) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' GROUP BY 1,2 ORDER BY 1,2"),
+    "tpch_top_orders" ->
+      ("SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4 " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1,2,3 ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"),
+    "tpch_region_revenue" ->
+      ("SELECT n_name, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4 " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'AFRICA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' " +
+        "GROUP BY 1 ORDER BY revenue_e4 DESC, n_name"),
     "text_bpe_train" ->
       (s"WITH ${bpeCtes(3)} " +
         "SELECT CAST(iter AS INTEGER) AS iter, x || ' ' || y AS pair, cnt FROM (" +

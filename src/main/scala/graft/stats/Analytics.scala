@@ -1,0 +1,88 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classic warehouse analytics over the TPC-H-shaped tables — the
+  * relational side of the engine exercised end-to-end (multi-table joins,
+  * pushed-down date/segment filters, grouped aggregation, top-k), with
+  * every money aggregate computed in INTEGER space so results are exact
+  * in any engine: prices are cents-exact doubles and discount/tax are
+  * percent-exact, so `round(x*100)` recovers the integers and sums of
+  * integer products are order-independent — no floating-point summation
+  * order to disagree about. Revenue units: `_e4` = cents x percent
+  * (1e-4 currency units), `_e6` = cents x percent x percent.
+  *
+  * Plans: filters reach the parquet scans (PushedFilters on dates and
+  * segment), the always-tiny dims (nation, region) broadcast explicitly,
+  * and the big-table joins stay un-hinted — AQE picks broadcast at test
+  * scale and shuffled joins at warehouse scale. Top-k is
+  * TakeOrderedAndProject, never a global sort. */
+object Analytics {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def pct(c: Column): Column = round(c * 100).cast("long")
+  private def revenueE4: Column =
+    cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))
+
+  /** Q1-style pricing summary: per (returnflag, linestatus) totals over
+    * lineitem shipped on or before `cutoff`. One scan, one hash
+    * aggregation with map-side partials. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem.filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(revenueE4).as("sum_disc_e4"),
+        sum(revenueE4 * (lit(100L) + pct(col("l_tax")))).as("sum_charge_e6"),
+        count(lit(1)).as("count_order"))
+
+  /** Q3-style unshipped-order revenue: top-k orders by discounted revenue
+    * among `segment` customers, ordered before `cutoff` with lineitems
+    * shipping after it. Date and segment filters push into the scans;
+    * orderdate is surfaced as epoch micros (timezone-free compare). */
+  def topRevenueOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, segment: String, cutoff: String,
+      k: Int = 10): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    lineitem.filter(col("l_shipdate") > cut)
+      .join(orders.filter(col("o_orderdate") < cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.filter(col("c_mktsegment") === segment).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        // parquet timestamp[us] arrives as TIMESTAMP_NTZ; the UTC-session
+        // cast makes unix_micros exact (same convention as EventSource)
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+      .agg(sum(revenueE4).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey")).limit(k)
+  }
+
+  /** Q5-style local-supplier revenue per nation inside one region: the
+    * six-table join with the customer-nation = supplier-nation equality.
+    * nation and region broadcast (always tiny); the region filter prunes
+    * nations BEFORE any big-table join touches them. */
+  def regionRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String, from: String,
+      until: String): DataFrame = {
+    val nations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenueE4).as("revenue_e4"))
+  }
+}

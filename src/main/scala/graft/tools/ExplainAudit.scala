@@ -118,6 +118,17 @@ object ExplainAudit {
       // the chunk hash — and the join back is AQE's runtime choice
       showFinal("dedup_paragraphs", graft.dedup.Dedup.paragraphDedup(
         spark.read.parquet(s"$dir/documents.parquet"), 20))
+    if (which == "all" || which == "tpch")
+      // final plan: date filters in PushedFilters, ReadSchema pruned to
+      // the touched columns, nation/region broadcast, big joins AQE-chosen
+      showFinal("tpch_region_revenue", graft.stats.Analytics.regionRevenue(
+        spark.read.parquet(s"$dir/customer.parquet"),
+        spark.read.parquet(s"$dir/orders.parquet"),
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        spark.read.parquet(s"$dir/supplier.parquet"),
+        spark.read.parquet(s"$dir/nation.parquet"),
+        spark.read.parquet(s"$dir/region.parquet"),
+        "AFRICA", "1996-01-01", "1999-01-01"))
     if (which == "all" || which == "crosssource")
       // final plan: windows hash to 8-byte keys map-side; a partial
       // distinct aggregate precedes the (source, h) Exchange; pairs

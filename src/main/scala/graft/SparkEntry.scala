@@ -238,6 +238,40 @@ object SparkEntry {
       "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
       "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank"
 
+  /** Full SQL replication of [[graft.sim.Similarity.pqTopK]] — md5-ranked
+    * seed anchors, `iters` integer-Lloyd refinement rounds (truncating
+    * `//` division matches Scala Long division; empty clusters COALESCE to
+    * their previous anchor), per-subspace argmin codes, ADC LUT-join
+    * candidates, exact integer-L2 re-rank. Every intermediate is an exact
+    * integer, so both engines agree bit-for-bit, refinement included. */
+  private val pqOracleSql: String = {
+    val (m, s, k, iters, rerank, kTop) = (4, 16, 16, 2, 100, 10)
+    val dist = s"list_sum(list_transform(generate_series(1,$s), i -> (v.sq[i]-a.sq[i])*(v.sq[i]-a.sq[i])))"
+    def assignCte(name: String, from: String) =
+      s"$name AS (SELECT vec_id, m, j-1 AS code FROM (SELECT v.vec_id, v.m, a.j, " +
+        s"ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m ORDER BY $dist, a.j) AS rn " +
+        s"FROM vs v JOIN $from a ON a.m = v.m) WHERE rn = 1)"
+    val iterCtes = (1 to iters).map { t =>
+      assignCte(s"cd$t", s"a${t - 1}") + ", " +
+        s"ag$t AS (SELECT m, j, list(d ORDER BY i) AS sq FROM (SELECT c.m AS m, c.code+1 AS j, t.i AS i, " +
+        s"SUM(v.sq[t.i]) // COUNT(*) AS d FROM cd$t c JOIN vs v ON v.vec_id = c.vec_id AND v.m = c.m " +
+        s"CROSS JOIN generate_series(1,$s) t(i) GROUP BY 1,2,3) GROUP BY 1,2), " +
+        s"a$t AS (SELECT p.m, p.j, COALESCE(n.sq, p.sq) AS sq FROM a${t - 1} p LEFT JOIN ag$t n ON n.m = p.m AND n.j = p.j)"
+    }.mkString(", ")
+    "WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS qe FROM embeddings), " +
+      s"sub AS (SELECT unnest(generate_series(0,${m - 1})) AS m), " +
+      s"vs AS (SELECT vec_id, s.m, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM q0 CROSS JOIN sub s), " +
+      s"a0 AS (SELECT s.m, j, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j, qe FROM q0) CROSS JOIN sub s WHERE j <= $k), " +
+      s"$iterCtes, " +
+      assignCte("cdf", s"a$iters") + ", " +
+      s"qd AS (SELECT v.vec_id AS query_id, v.m, a.j, $dist AS d FROM vs v JOIN a$iters a ON a.m = v.m WHERE v.vec_id % 100 = 0), " +
+      "sc AS (SELECT q.query_id, c.vec_id, SUM(q.d) AS adc FROM cdf c JOIN qd q ON q.m = c.m AND q.j = c.code + 1 AND c.vec_id <> q.query_id GROUP BY 1,2), " +
+      s"cand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn FROM sc) WHERE rn <= $rerank), " +
+      "rr AS (SELECT ca.query_id, ca.vec_id, CAST(list_sum(list_transform(generate_series(1,64), i -> (vq.qe[i]-vv.qe[i])*(vq.qe[i]-vv.qe[i]))) AS BIGINT) AS l2_dist FROM cand ca JOIN q0 vq ON vq.vec_id = ca.query_id JOIN q0 vv ON vv.vec_id = ca.vec_id), " +
+      "r AS (SELECT query_id, vec_id, l2_dist, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rnk FROM rr) " +
+      s"SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id, l2_dist FROM r WHERE rnk <= $kTop ORDER BY query_id, rank"
+  }
+
   /** nProbe values swept by sim_ivf_recall (16 = every list: recall 1.0). */
   private val ivfRecallProbes = Seq(1, 4, 16)
 
@@ -484,6 +518,9 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => // cohort-by-first-day retention matrix
       EventStream.retentionCohorts(events(s, dir))
         .orderBy("cohort_day", "day_offset")),
+    "events_transitions" -> ((s, dir) => // first-order Markov transition matrix
+      EventStream.transitions(events(s, dir))
+        .orderBy("prev_type", "next_type")),
     "events_funnel_stream" -> ((s, dir) => {
       // the SAME conversion-funnel question executed through the STREAMING
       // engine: a watermarked per-user stage state machine emits one hit
@@ -671,6 +708,23 @@ object SparkEntry {
         s.read.parquet(s"$dir/region.parquet"),
         "AFRICA", "1996-01-01", "1999-01-01")
         .orderBy(col("revenue_e4").desc, col("n_name"))),
+    "tpch_order_priority" -> ((s, dir) => // Q4 analog: late-ship EXISTS semi-join
+      graft.stats.Analytics.orderPriorityCheck(
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "1996-01-01", "1997-01-01", 60)
+        .orderBy("o_orderpriority")),
+    "tpch_customer_distribution" -> ((s, dir) => // Q13 analog: outer-join histogram
+      graft.stats.Analytics.customerDistribution(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+    "tpch_big_orders" -> ((s, dir) => // Q18 analog: HAVING-gated top-k volume
+      graft.stats.Analytics.bigOrders(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"), 150L, 20)
+        .orderBy(col("total_qty").desc, col("o_orderkey"))),
     "profile_lineitem" -> ((s, dir) =>
       graft.stats.Profile.profile(
         s.read.parquet(s"$dir/lineitem.parquet"), profileCols)
@@ -724,6 +778,9 @@ object SparkEntry {
     "sim_ivf_recall" -> ((s, dir) => // probe-budget tuning sweep vs brute force
       Similarity.ivfRecall(emb(s, dir), col("vec_id") % 100 === 0, 10,
         ivfRecallProbes).orderBy("n_probe")),
+    "sim_topk_pq" -> ((s, dir) => // product-quantization ADC top-k, integer-exact
+      Similarity.pqTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
+        .orderBy("query_id", "rank")),
     "sim_near_dup_pairs" -> ((s, dir) => {
       // the natural fixture has no pairs >= 0.95 at any sf (max cosine
       // ~0.6), so near-duplicates are INJECTED deterministically: a scaled
@@ -925,6 +982,12 @@ object SparkEntry {
         "f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1) " +
         "SELECT f.cohort_day, a.day - f.cohort_day AS day_offset, COUNT(*) AS n_users " +
         "FROM a JOIN f USING (user_id) GROUP BY 1,2 ORDER BY 1,2"),
+    "events_transitions" ->
+      ("WITH p AS (SELECT user_id, event_type AS next_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+        "u AS (SELECT prev_type, next_type, user_id, COUNT(*) AS n FROM p WHERE prev_type IS NOT NULL GROUP BY 1,2,3) " +
+        "SELECT prev_type, next_type, CAST(SUM(n) AS BIGINT) AS n_transitions, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_users FROM u GROUP BY 1,2 ORDER BY 1,2"),
     // streaming state-machine funnel -> same oracle as the batch funnel
     "events_funnel_stream" ->
       "WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), q2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q1 ON q1.user_id = e.user_id AND e.ts >= q1.t WHERE e.event_type = 'click' GROUP BY 1), q3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q2 ON q2.user_id = e.user_id AND e.ts >= q2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM q1 UNION ALL SELECT 2, 'click', COUNT(*) FROM q2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM q3 ORDER BY 1",
@@ -1142,6 +1205,7 @@ object SparkEntry {
     },
     "sim_topk_ivf" -> ivfOracleSql,
     "sim_ivf_recall" -> ivfRecallOracleSql,
+    "sim_topk_pq" -> pqOracleSql,
     // float-cast centroids absorb double summation noise (the IVF oracle's
     // determinism contract); argmax ties break toward the smaller label
     // k-NN classify: neighbor CTE identical to sim_topk_brute, then modal
@@ -1253,6 +1317,23 @@ object SparkEntry {
         "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'AFRICA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' " +
         "GROUP BY 1 ORDER BY revenue_e4 DESC, n_name"),
+    "tpch_order_priority" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAYS) " +
+        "GROUP BY 1 ORDER BY 1"),
+    "tpch_customer_distribution" ->
+      ("SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM " +
+        "(SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer " +
+        "LEFT OUTER JOIN orders ON c_custkey = o_custkey GROUP BY 1) " +
+        "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"),
+    "tpch_big_orders" ->
+      ("SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents, total_qty FROM " +
+        "(SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty " +
+        "FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) q " +
+        "JOIN orders ON q.l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY total_qty DESC, o_orderkey LIMIT 20"),
     "text_bpe_train" ->
       (s"WITH ${bpeCtes(3)} " +
         "SELECT CAST(iter AS INTEGER) AS iter, x || ' ' || y AS pair, cnt FROM (" +

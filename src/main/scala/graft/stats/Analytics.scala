@@ -60,6 +60,63 @@ object Analytics {
       .orderBy(col("revenue_e4").desc, col("l_orderkey")).limit(k)
   }
 
+  /** Q4-style order-priority check, adapted to this schema (lineitem has
+    * no commit/receipt dates): count orders per priority placed in
+    * [from, until) that have AT LEAST ONE lineitem shipping more than
+    * `lateDays` after the order date. The existential is a LEFT SEMI join
+    * — Spark never materializes the matching lineitems, and the date
+    * predicate rides the join condition so the semi-join build side is
+    * the filtered orders slice, not all of lineitem. */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame,
+      from: String, until: String, lateDays: Int = 60): DataFrame = {
+    val o = orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+      col("o_orderdate") < lit(until).cast("timestamp"))
+    o.join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q13-style customer distribution: histogram of customers by order
+    * count, INCLUDING zero-order customers (the left outer join is the
+    * point of the shape — a semi/inner join would drop the c_count=0
+    * bucket). Two aggregations, both map-side combinable; the first
+    * groups on the join key it just shuffled on, so AQE coalesces the
+    * exchanges. */
+  def customerDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey")
+      .join(orders.select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q18-style large-volume customers: orders whose total lineitem
+    * quantity exceeds `minQty`, with the customer attached, top-k by
+    * quantity. The HAVING filter runs on the first aggregation's output
+    * — only qualifying orders (a tiny fraction) reach the customer join,
+    * so that join broadcasts the survivors at any scale. Quantities are
+    * integer-valued doubles in the data; summed as longs = exact. */
+  def bigOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minQty: Long, k: Int = 20): DataFrame = {
+    val qualifying = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    qualifying
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        cents(col("o_totalprice")).as("totalprice_cents"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey")).limit(k)
+  }
+
   /** Q5-style local-supplier revenue per nation inside one region: the
     * six-table join with the customer-nation = supplier-nation equality.
     * nation and region broadcast (always tiny); the region filter prunes

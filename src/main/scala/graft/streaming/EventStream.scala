@@ -116,6 +116,28 @@ object EventStream {
     counts.reduce(_.unionAll(_))
   }
 
+  /** Per-user event-type transition matrix (the first-order Markov view
+    * of user behavior): for every consecutive pair of events of one user
+    * in time order, count occurrences and distinct users per
+    * (prev_type, next_type) cell. One shuffle total for the sequencing —
+    * the lag window partitions by user — and the distinct-user count is
+    * the dedup-then-count two-phase (group on (cell, user) first), never
+    * a count-distinct Expand over the full pair stream. Ordering ties
+    * break on event_id so the sequence is deterministic under equal
+    * timestamps. Output: (prev_type, next_type, n_transitions, n_users). */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("prev_type", "next_type")
+      .agg(sum("n").as("n_transitions"), count(lit(1)).as("n_users"))
+  }
+
   /** Retention cohorts: users cohort by their FIRST active epoch-day;
     * cell (cohort_day, day_offset) counts the cohort's users active
     * `day_offset` days later. The standard activation/retention matrix,

@@ -41,6 +41,59 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall") // 4 of 16 lists probed
   }
 
+  test("pqTopK: ADC ranking approximates exact integer-L2 ranking") {
+    import spark.implicits._
+    val queries = col("vec_id") % 50 === 0
+    // exact squared-L2 top-10 in the SAME quantized integer space PQ codes
+    val qz = real.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1024).cast("long")).as("qe"))
+    val qs = qz.filter(queries).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val all = qz.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val exact = qs.map { case (qid, q) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (vid, v) =>
+          (vid, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (vid, d) => (d, vid) }.take(10).map(_._1).toSet
+    }.toMap
+    val pq = Similarity.pqTopK(real, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    assert(pq.keySet == exact.keySet)
+    // per-QUERY hit counts (a set-typed .keys.map would dedup equal counts)
+    val hits = exact.toSeq.map { case (q, s) => (s & pq(q)).size }.sum
+    val recall = hits.toDouble / (exact.size * 10)
+    assert(recall >= 0.6, s"PQ recall@10 $recall") // ADC candidates + exact rerank
+    // re-ranked distances are the EXACT integer L2 and ascend with rank
+    val byQ = Similarity.pqTopK(real, queries, 10).collect()
+      .groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      val ds = sorted.map(_.getLong(3))
+      assert(ds.sameElements(ds.sorted), "l2_dist ascends with rank")
+      sorted.foreach { r =>
+        val vid = r.getLong(2)
+        val q = qs.find(_._1 == r.getLong(0)).get._2
+        val v = all.find(_._1 == vid).get._2
+        val want = v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        assert(r.getLong(3) == want, "reported distance is the exact integer L2")
+      }
+    }
+  }
+
+  test("pqCodes: deterministic codes in [0, K), one per subspace") {
+    val codes = Similarity.pqCodes(real, numSub = 4, kAnchors = 16).collect()
+    assert(codes.length == real.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 16))
+    }
+    val again = Similarity.pqCodes(real, numSub = 4, kAnchors = 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    codes.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Int](1)))
+  }
+
   test("cosineNearDupPairs finds only genuinely close pairs") {
     val e = emb((0L, Seq(1f, 0f, 0f)), (1L, Seq(0.999f, 0.001f, 0f)), (2L, Seq(0f, 1f, 0f)))
     val r = Similarity.cosineNearDupPairs(e, 0.99, dims = 3).collect()

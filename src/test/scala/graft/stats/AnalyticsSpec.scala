@@ -43,6 +43,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(q.collect().length <= 5)
   }
 
+  test("orderPriorityCheck: only late-shipping orders count, once each") {
+    import spark.implicits._
+    val o = Seq(
+      (1L, "1-URGENT", ts("1996-02-01")),   // two late lines -> counts once
+      (2L, "1-URGENT", ts("1996-03-01")),   // on-time only -> excluded
+      (3L, "5-LOW", ts("1996-04-01")),      // one late line -> counts
+      (4L, "5-LOW", ts("1995-01-01")))      // outside the window
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, ts("1996-05-01")), (1L, ts("1996-06-01")),  // both > +60d
+      (2L, ts("1996-03-15")),                          // within 60d
+      (3L, ts("1996-08-01")),
+      (4L, ts("1995-06-01")))
+      .toDF("l_orderkey", "l_shipdate")
+    val r = Analytics.orderPriorityCheck(o, li, "1996-01-01", "1997-01-01", 60)
+      .orderBy("o_orderpriority").collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("1-URGENT", 1L), ("5-LOW", 1L)))
+  }
+
+  test("customerDistribution: zero-order customers survive the outer join") {
+    import spark.implicits._
+    val c = Seq(10L, 20L, 30L).toDF("c_custkey")
+    val o = Seq((10L, 100L), (10L, 101L), (20L, 102L))
+      .toDF("o_custkey", "o_orderkey")
+    val r = Analytics.customerDistribution(c, o)
+      .orderBy("c_count").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("bigOrders: HAVING gate + top-k ordering, quantities exact") {
+    val r = Analytics.bigOrders(
+      spark.read.parquet(s"$sf/customer.parquet"),
+      spark.read.parquet(s"$sf/orders.parquet"),
+      spark.read.parquet(s"$sf/lineitem.parquet"), 150L, 10).collect()
+    assert(r.length <= 10)
+    val qtys = r.map(_.getLong(5))
+    assert(qtys.forall(_ > 150L))
+    assert(qtys.sameElements(qtys.sortBy(-_)), "descending by total_qty")
+  }
+
   test("regionRevenue: region filter prunes nations before the big joins") {
     val r = Analytics.regionRevenue(
       spark.read.parquet(s"$sf/customer.parquet"),

@@ -111,6 +111,23 @@ class EventStreamSpec extends SparkSpec {
       (day0 + 1, 0L) -> 1L, (day0 + 1, 1L) -> 1L))
   }
 
+  test("transitions: per-user time order, event_id tiebreak, distinct users") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view -> click -> view  (equal ts on the last two: id order)
+      (1L, ts(0), 10L, "view"), (1L, ts(1), 11L, "click"), (1L, ts(1), 12L, "view"),
+      // user 2: view -> click
+      (2L, ts(0), 20L, "view"), (2L, ts(5), 21L, "click"),
+      // user 3: single event -> no transitions
+      (3L, ts(2), 30L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventStream.transitions(ev).collect()
+      .map(x => ((x.getString(0), x.getString(1)), (x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      ("view", "click") -> ((2L, 2L)),   // users 1 and 2
+      ("click", "view") -> ((1L, 1L))))  // user 1 only (tiebreak on event_id)
+  }
+
   test("asOfJoin: latest preceding right row per key, ties match, no-match is null") {
     import spark.implicits._
     val left = Seq( // (id, user, ts)

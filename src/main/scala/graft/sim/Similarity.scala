@@ -527,16 +527,22 @@ object Similarity {
     }
     val queries = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), array(lut: _*).as("lut"))
+    // candidate selection via the bounded top-k aggregator, not a ranking
+    // window: the ADC stream is |queries| x collection rows — the window
+    // would sort and shuffle all of it, the aggregator keeps O(rerank)
+    // buffers with map-side combine. Negated distance = "score" (ADC
+    // distances are < 2^31, exact in double), ties ascend on vec_id —
+    // result-identical to the (adc asc, vec_id asc) ranking.
     val adc = codes.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (0 until numSub).map { m =>
+        negate((0 until numSub).map { m =>
           element_at(col("lut"),
             (lit(m * kAnchors) + element_at(col("codes"), m + 1) + 1).cast("int"))
-        }.reduce(_ + _).as("adc_dist"))
-    val wAdc = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id"))
-    val cand = adc.withColumn("crn", row_number().over(wAdc))
-      .filter(col("crn") <= rerank).select("query_id", "vec_id")
+        }.reduce(_ + _)).as("neg_adc"))
+    val cand = graft.scale.TopK
+      .topKPerKey(adc, "query_id", "vec_id", "neg_adc", rerank)
+      .select("query_id", "vec_id")
     val qz = emb.select(col("vec_id"), qe.as("qe"))
     val qq = broadcast(emb.filter(queryPred)
       .select(col("vec_id").as("query_id"), qe.as("q_qe")))

@@ -129,6 +129,19 @@ object ExplainAudit {
         spark.read.parquet(s"$dir/nation.parquet"),
         spark.read.parquet(s"$dir/region.parquet"),
         "AFRICA", "1996-01-01", "1999-01-01"))
+    if (which == "all" || which == "pq")
+      // final plan: codes + LUT computed map-side (anchors are literals),
+      // the ADC stream feeds an ObjectHashAggregate (bounded top-k, no
+      // ranking window over |queries| x n rows), and only the candidate
+      // ids rejoin the embeddings for the exact re-rank
+      showFinal("sim_topk_pq", graft.sim.Similarity.pqTopK(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        org.apache.spark.sql.functions.col("vec_id") % 100 === 0, 10))
+    if (which == "all" || which == "transitions")
+      // final plan: one Exchange on user_id for the lag window, then the
+      // (cell, user) dedup aggregate and the cell count — no Expand
+      showFinal("events_transitions", graft.streaming.EventStream.transitions(
+        graft.streaming.EventSource.events(spark, dir)))
     if (which == "all" || which == "crosssource")
       // final plan: windows hash to 8-byte keys map-side; a partial
       // distinct aggregate precedes the (source, h) Exchange; pairs

@@ -209,6 +209,12 @@ object SparkEntry {
       s"sig AS (SELECT doc_id, $bits AS sh FROM dig GROUP BY doc_id)"
   }
 
+  /** Brute-force SimHash near-dup oracle, shared by the batch query and
+    * its streaming twin (the banded pair set is complete at Hamming <= 3
+    * and arrival-order-invariant, so both match the same all-pairs SQL). */
+  private val simhashPairsOracleSql: String =
+    s"WITH $simhashSigCtes SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY 1,2"
+
   /** Codebook + inverted-list CTEs replicating Similarity.ivfCodebook: seed
     * codebook = 16 smallest vec_ids, two unrolled Lloyd iterations
     * (argmax-cosine assignment, per-dim mean, empty clusters keep their
@@ -612,6 +618,20 @@ object SparkEntry {
       // maxHamming 3 = the 4x16-bit banding's completeness bound; beyond 3
       // the band join would silently miss pairs (documented contract)
       Dedup.simhashPairs(docs(s, dir), 3).orderBy("doc_id_a", "doc_id_b")),
+    "dedup_simhash_stream" -> ((s, dir) => {
+      // the SAME near-dup pair set computed THROUGH the streaming engine:
+      // per-(band, bucket) signature state in flatMapGroupsWithState, four
+      // micro-batches exercising cross-batch pairing (a pair whose members
+      // arrive in different batches must come from state, not the batch);
+      // the emitted set is arrival-order-invariant, so the brute-force
+      // batch oracle applies unchanged
+      import s.implicits._
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+      graft.streaming.StreamDriver.simhashPairsStreamed(s, batches)
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
     // --- text analysis ---
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")),
@@ -751,6 +771,11 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         quantileCols, Seq(0, 25, 50, 75, 100))
         .orderBy("column_name", "q_pct")),
+    "profile_histogram" -> ((s, dir) => // equi-width, integer-exact buckets
+      graft.stats.Profile.histogram(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_extendedprice", 20, scale = 100L)
+        .orderBy("bucket")),
     "text_budget_sample" -> ((s, dir) => {
       // budget = half the corpus tokens, so both branches of in_budget are
       // exercised at every scale factor
@@ -1016,8 +1041,10 @@ object SparkEntry {
     // UNION (not ALL) dedups reach rows so the recursion terminates
     // the 4x16-bit banding is COMPLETE for hamming <= 3 (pigeonhole), so the
     // Spark output equals the all-pairs filter this oracle computes
-    "dedup_simhash_pairs" ->
-      s"WITH $simhashSigCtes SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY 1,2",
+    "dedup_simhash_pairs" -> simhashPairsOracleSql,
+    // stream twin: same pair set (banding completeness is arrival-order-
+    // invariant), same brute-force oracle
+    "dedup_simhash_stream" -> simhashPairsOracleSql,
     "dedup_clusters" ->
       s"WITH RECURSIVE $clusterCtes SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cl ORDER BY doc_id",
     "dedup_ngram_windows" ->
@@ -1172,6 +1199,14 @@ object SparkEntry {
         "t AS (SELECT n.column_name, q.q_pct, floor((n.n-1)*q.q_pct/100.0) AS target FROM n CROSS JOIN (SELECT unnest([0,25,50,75,100]) AS q_pct) q) " +
         "SELECT t.column_name, t.q_pct, MIN(c.v) AS q_val FROM c JOIN t ON t.column_name = c.column_name AND c.cum >= t.target + 1 GROUP BY 1,2 ORDER BY 1,2"
     },
+    // `//` = DuckDB truncating integer division, matching Spark's `div`
+    "profile_histogram" ->
+      ("WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v), " +
+        "c AS (SELECT ((v - lo) * 20) // (hi - lo + 1) AS bucket, COUNT(*) AS n FROM v CROSS JOIN b GROUP BY 1), " +
+        "g AS (SELECT unnest(generate_series(0, 19)) AS bucket) " +
+        "SELECT g.bucket, lo + (g.bucket * (hi - lo + 1)) // 20 AS bucket_lo, CAST(COALESCE(c.n, 0) AS BIGINT) AS n " +
+        "FROM g CROSS JOIN b LEFT JOIN c ON c.bucket = g.bucket ORDER BY g.bucket"),
     // running total over doc_id order; budget = half the corpus tokens
     "text_budget_sample" ->
       "WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents), b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t), c AS (SELECT doc_id, n_tokens, CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) SELECT c.doc_id, c.n_tokens, c.cum_tokens, c.cum_tokens <= b.budget AS in_budget FROM c CROSS JOIN b ORDER BY c.doc_id",

@@ -90,4 +90,35 @@ object Profile {
     // cols x qPcts rows — cache the result, release the exploded relation
     graft.core.CacheOps.cacheResult(out, Seq(longRel))
   }
+
+  /** Equi-width histogram of a numeric column in integer space: values
+    * scale to longs by `scale` (1 for integer-valued columns, 100 for
+    * cents-exact prices — the same integer-money trick as
+    * [[graft.stats.Analytics]]), bounds come from one min/max aggregate,
+    * and the bucket index is pure integer arithmetic
+    * (`(v-lo)*nb / (hi-lo+1)`) — exact in any engine, so the whole
+    * histogram is SQL-oracle checkable. Empty buckets are emitted with
+    * n=0 (the histogram's SHAPE is the product, not just occupied cells).
+    * Scale: one pass for bounds (2 longs to the driver via a single-row
+    * broadcast), one map-side-combinable groupBy over nb keys. */
+  def histogram(df: DataFrame, column: String, nBuckets: Int,
+      scale: Long = 1L): DataFrame = {
+    require(nBuckets >= 1, "at least one bucket")
+    val v = round(col(column).cast("double") * scale).cast("long")
+    val vals = df.select(v.as("v")).filter(col("v").isNotNull)
+    val bounds = vals.agg(min("v").as("lo"), max("v").as("hi"))
+    val spark = df.sparkSession
+    // `div`, never `/`: Column./ is DOUBLE division, and floor of a double
+    // quotient can be off by one exactly at bucket boundaries
+    val counts = vals.crossJoin(broadcast(bounds))
+      .select(expr(s"((v - lo) * $nBuckets) div (hi - lo + 1)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val buckets = spark.range(nBuckets).select(col("id").as("bucket"))
+    buckets
+      .join(counts, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(bounds))
+      .select(col("bucket"),
+        expr(s"lo + (bucket * (hi - lo + 1)) div $nBuckets").as("bucket_lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

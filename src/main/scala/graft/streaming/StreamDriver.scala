@@ -28,9 +28,9 @@ object StreamDriver {
 
   /** Shared harness: feed (doc_id, text) micro-batches through `build`'s
     * streaming Dataset and return the MATERIALIZED append-mode output. */
-  private def docBatchesStreamed(spark: SparkSession, prefix: String,
+  private def docBatchesStreamed[T](spark: SparkSession, prefix: String,
       batches: Seq[Seq[(Long, String)]])(
-      build: DataFrame => org.apache.spark.sql.Dataset[HashedDoc]): DataFrame = {
+      build: DataFrame => org.apache.spark.sql.Dataset[T]): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
@@ -60,6 +60,17 @@ object StreamDriver {
   def firstSeenStreamed(spark: SparkSession,
       batches: Seq[Seq[(Long, String)]]): DataFrame =
     docBatchesStreamed(spark, "dedup_stream_", batches)(StreamingDedup.firstSeen)
+
+  /** Run the streaming SimHash near-dup intake ([[StreamingDedup
+    * .simhashPairsStream]]: per-(band, bucket) signature state, exact
+    * Hamming from stored sigs) over bounded batches. The emitted pair SET
+    * is arrival-order-invariant, so any batch split verifies against the
+    * batch oracle; multi-band matches emit once per matching band, and the
+    * `.distinct()` here mirrors the batch path's own distinct. */
+  def simhashPairsStreamed(spark: SparkSession,
+      batches: Seq[Seq[(Long, String)]]): DataFrame =
+    docBatchesStreamed(spark, "simhash_stream_", batches)(
+      df => StreamingDedup.simhashPairsStream(df)).distinct()
 
   /** Run the streaming curation intake ([[graft.pipeline.Curation
     * .curateStream]]: map-side quality gate, then cross-batch first-seen

@@ -6,6 +6,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 final case class HashedDoc(doc_id: Long, content_hash: String)
 
+/** One streaming SimHash near-dup hit (ids normalized: a < b). */
+final case class SimhashPairHit(doc_id_a: Long, doc_id_b: Long, hamming: Int)
+
+/** Per-(band, bucket) membership state: parallel (doc_id, simhash) lists. */
+final case class BucketMembers(ids: List[Long], sigs: List[Long])
+
 /** Streaming exact deduplication with custom state: the first document per
   * content hash passes, every later duplicate (same batch or any later
   * batch) is dropped. State per key is a single boolean via
@@ -82,5 +88,55 @@ object StreamingDedup {
             val first = batch.minBy(_._1)
             Iterator.single(HashedDoc(first._1, hash))
           })
+  }
+
+  /** Streaming NEAR-duplicate pairs: SimHash banding as stateful stream
+    * intake. Each arriving document's 64-bit SimHash splits into 4x16-bit
+    * bands; state lives per (band, bucket) — exactly the batch banding's
+    * bucket relation, hash-partitioned across executors — and holds the
+    * (doc_id, simhash) list of that bucket's members. A new arrival emits
+    * one pair per in-bucket member within Hamming <= maxHamming, exact
+    * from the stored signatures alone (no shingle sets, 16 bytes/doc/band
+    * of state), then joins the bucket. Pigeonhole completeness (distance
+    * <= 3 forces agreement on >= 1 band) carries over verbatim, so the
+    * emitted pair SET equals [[graft.dedup.Dedup.simhashPairs]] on the
+    * same documents regardless of arrival order — pairs are normalized
+    * (min, max) and a pair matching in several bands emits once per
+    * matching band; callers dedup after materialization exactly like the
+    * batch path's `.distinct()`. Unbounded streams bound state with the
+    * same event-time-TTL pattern as [[firstSeenTtl]] (omitted here: the
+    * driver feeds bounded corpora). */
+  def simhashPairsStream(docs: DataFrame,
+      maxHamming: Int = 3): Dataset[SimhashPairHit] = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding is complete only for Hamming distance <= 3 (pigeonhole); " +
+        s"maxHamming=$maxHamming would silently miss pairs — add bands instead")
+    import docs.sparkSession.implicits._
+    graft.dedup.Dedup.simhashSignatures(docs)
+      .select(col("doc_id"), col("simhash"), posexplode(
+        array((0 until 4).map(b =>
+          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+            state: GroupState[BucketMembers]) => {
+          var members = state.getOption.getOrElse(BucketMembers(Nil, Nil))
+          val out = List.newBuilder[SimhashPairHit]
+          rows.foreach { case (docId, sig, _, _) =>
+            members.ids.lazyZip(members.sigs).foreach { (id, sg) =>
+              if (id != docId) {
+                val h = java.lang.Long.bitCount(sg ^ sig)
+                if (h <= maxHamming)
+                  out += SimhashPairHit(math.min(id, docId),
+                    math.max(id, docId), h)
+              }
+            }
+            members = BucketMembers(docId :: members.ids, sig :: members.sigs)
+          }
+          state.update(members)
+          out.result().iterator
+        })
   }
 }

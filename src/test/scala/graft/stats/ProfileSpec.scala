@@ -47,6 +47,26 @@ class ProfileSpec extends SparkSpec {
     assert(rd == 1.0)
   }
 
+  test("histogram: integer-exact buckets, empty cells emitted, counts total") {
+    import spark.implicits._
+    // values 0..9 into 4 buckets over span 10: widths 10/4 -> boundaries at
+    // v*4 div 10: bucket 0 = {0,1,2}, 1 = {3,4}, 2 = {5,6,7}, 3 = {8,9}
+    val df = (0 to 9).map(_.toDouble).toDF("x")
+    val r = Profile.histogram(df, "x", 4).orderBy("bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((0L, 0L, 3L), (1L, 2L, 2L), (2L, 5L, 3L), (3L, 7L, 2L)))
+    // a gap in the data leaves its bucket present with n=0
+    val sparse = Seq(0.0, 9.0).toDF("x")
+    val s = Profile.histogram(sparse, "x", 5).orderBy("bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSeq
+    assert(s == Seq((0L, 1L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)))
+    // scaled (cents) path: every count lands, totals preserved
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val h = Profile.histogram(li, "l_extendedprice", 20, scale = 100L).collect()
+    assert(h.length == 20)
+    assert(h.map(_.getLong(2)).sum == li.filter("l_extendedprice IS NOT NULL").count())
+  }
+
   test("approx profile stays within the documented rsd of the exact counts") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toLong, i % 97)).toDF("u", "m")

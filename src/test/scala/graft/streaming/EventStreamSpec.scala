@@ -48,6 +48,35 @@ class EventStreamSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L))
   }
 
+  test("streaming simhash pairs equal the batch banding under any batch split") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    // make sure the fixture HAS near-dups: append light token edits of a
+    // few docs (drop the last token) — Hamming of the 64-bit sigs stays
+    // small for most, and exact pairs are whatever the batch op says
+    val edited = docs.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        regexp_replace(col("text"), " \\S+$", "").as("text"))
+    val corpus = docs.unionByName(edited)
+    val want = graft.dedup.Dedup.simhashPairs(corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "fixture must contain at least one near-dup pair")
+    val all = corpus.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    for (nBatches <- Seq(1, 3)) {
+      val batches = all.grouped(math.max(1, (all.size + nBatches - 1) / nBatches)).toSeq
+      val got = StreamDriver.simhashPairsStreamed(spark, batches).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"stream/batch divergence at $nBatches batches: " +
+        s"missed=${want -- got} extra=${got -- want}")
+    }
+    // reversed arrival order: same set (pairs normalize to (min, max))
+    val gotRev = StreamDriver.simhashPairsStreamed(spark,
+      Seq(all.reverse)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotRev == want)
+  }
+
   test("sessions split on 30-minute gaps") {
     import spark.implicits._
     val s = EventStream.sessions(rows.toDF(), watermark = false)

@@ -426,23 +426,31 @@ object Similarity {
   private def quantized(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * QuantScale).cast("long"))
 
-  /** Exact integer squared-L2 distance between one subspace of two
-    * quantized vectors (1-based `start`, `len` dims). Diffs are < 2^12,
-    * squares < 2^24, sums over <= 64 dims < 2^30 — exact in any engine. */
-  private def pqSubDist(a: Column, b: Array[Long], start: Int, len: Int): Column =
-    aggregate(
-      zip_with(slice(a, start, len), lit(b.slice(start - 1, start - 1 + len)),
-        (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+  /** Nearest-anchor codes of one embedding, as the NATIVE codegen'd
+    * kernel ([[graft.functions.PqAssignCodes]]). The assignment loop is
+    * numSub x kAnchors x subDim squared diffs per row — every DataFrame
+    * formulation of it pays the interpreted-HOF or expression-eval tax
+    * (7-40 s/pass over 20k rows, measurements in the kernel's scaladoc);
+    * the native expression is ~0.1 s/pass and stays in whole-stage
+    * codegen. Arithmetic identical to the SQL oracle: exact integers,
+    * argmin ties to the smaller anchor index. */
+  private def pqCodesCol(embCol: Column,
+      anchors: Array[Array[Long]], numSub: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqAssignCodes(
+      ColumnBridge.expression(embCol),
+      anchors.map(_.toSeq).toSeq, numSub))
+  }
 
-  /** Per-subspace nearest-anchor code: argmin_j of the exact integer
-    * sub-distance to anchor j (ties break to the smaller j via the
-    * lexicographic struct min). */
-  private def pqCodeCol(qe: Column, anchors: Array[Array[Long]],
-      m: Int, sub: Int): Column =
-    array_min(array(anchors.zipWithIndex.map { case (a, j) =>
-      struct(pqSubDist(qe, a, m * sub + 1, sub).as("d"), lit(j).as("j"))
-    }: _*)).getField("j")
+  /** Flat ADC lookup table (index m*kAnchors + j) of one query embedding,
+    * as the native kernel ([[graft.functions.PqQueryLut]]). */
+  private def pqLutCol(embCol: Column,
+      anchors: Array[Array[Long]], numSub: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqQueryLut(
+      ColumnBridge.expression(embCol),
+      anchors.map(_.toSeq).toSeq, numSub))
+  }
 
   /** PQ anchor codebook, integer-Lloyd-refined per subspace. The seed is
     * `kAnchors` collection vectors ranked by md5(vec_id) — a deterministic
@@ -466,13 +474,15 @@ object Similarity {
     require(dims % numSub == 0, s"dims $dims not divisible by $numSub subspaces")
     val sub = dims / numSub
     for (_ <- 0 until iters) {
-      val qe = quantized(col("embedding"))
-      val entries = (0 until numSub).map { m =>
-        struct(lit(m).as("m"), pqCodeCol(qe, anchors, m, sub).as("code"),
-          slice(qe, m * sub + 1, sub).as("sq"))
-      }
-      val sums = emb.select(explode(array(entries: _*)).as("e"))
-        .select(col("e.m"), col("e.code"), posexplode(col("e.sq")).as(Seq("i", "v")))
+      // native codes, then the subspace slice re-derived per (row, m) —
+      // the transform evaluates once per exploded row, not per anchor
+      val sums = emb
+        .select(posexplode(pqCodesCol(col("embedding"), anchors, numSub))
+            .as(Seq("m", "code")),
+          quantized(col("embedding")).as("qe"))
+        .select(col("m"), col("code"),
+          posexplode(slice(col("qe"), col("m") * sub + 1, lit(sub)))
+            .as(Seq("i", "v")))
         .groupBy("m", "code", "i")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
         .collect()
@@ -493,10 +503,8 @@ object Similarity {
   def pqCodes(emb: DataFrame, numSub: Int = 4, kAnchors: Int = 16,
       iters: Int = 2): DataFrame = {
     val anchors = pqAnchors(emb, numSub, kAnchors, iters)
-    val sub = anchors.head.length / numSub
-    val qe = quantized(col("embedding"))
     emb.select(col("vec_id"),
-      array((0 until numSub).map(m => pqCodeCol(qe, anchors, m, sub)): _*).as("codes"))
+      pqCodesCol(col("embedding"), anchors, numSub).as("codes"))
   }
 
   /** Product-quantization top-k: ADC candidate generation + exact re-rank
@@ -519,14 +527,11 @@ object Similarity {
     val anchors = pqAnchors(emb, numSub, kAnchors, iters)
     val dims = anchors.head.length
     val sub = dims / numSub
-    val qe = quantized(col("embedding"))
     val codes = emb.select(col("vec_id"),
-      array((0 until numSub).map(m => pqCodeCol(qe, anchors, m, sub)): _*).as("codes"))
-    val lut = (0 until numSub).flatMap { m =>
-      anchors.map(a => pqSubDist(qe, a, m * sub + 1, sub))
-    }
+      pqCodesCol(col("embedding"), anchors, numSub).as("codes"))
     val queries = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), array(lut: _*).as("lut"))
+      .select(col("vec_id").as("query_id"),
+        pqLutCol(col("embedding"), anchors, numSub).as("lut"))
     // candidate selection via the bounded top-k aggregator, not a ranking
     // window: the ADC stream is |queries| x collection rows — the window
     // would sort and shuffle all of it, the aggregator keeps O(rerank)
@@ -543,9 +548,9 @@ object Similarity {
     val cand = graft.scale.TopK
       .topKPerKey(adc, "query_id", "vec_id", "neg_adc", rerank)
       .select("query_id", "vec_id")
-    val qz = emb.select(col("vec_id"), qe.as("qe"))
+    val qz = emb.select(col("vec_id"), quantized(col("embedding")).as("qe"))
     val qq = broadcast(emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"), qe.as("q_qe")))
+      .select(col("vec_id").as("query_id"), quantized(col("embedding")).as("q_qe")))
     val exact = cand
       .join(qz, "vec_id")
       .join(qq, "query_id")

@@ -157,6 +157,24 @@ object Soak {
     if (which("ivf"))
       run("sim_topk_ivf_sf1",
         Similarity.ivfTopK(emb1, col("vec_id") % 100 === 0, 10))
+    if (which("pq"))
+      // 10x collection AND 10x queries: the ADC stream is 100x the sf0.1
+      // bench's — stresses the bounded-aggregator candidate stage (the
+      // |queries| x n regime the window formulation could not shuffle)
+      run("sim_topk_pq_sf1",
+        Similarity.pqTopK(emb1, col("vec_id") % 100 === 0, 10))
+    if (which("stream-simhash"))
+      // 10x docs through the per-(band, bucket) state: cross-shard
+      // identical docs put 10 members in every occupied bucket — each
+      // arrival scans its bucket list, the hot-bucket regime for the
+      // signature state (driver-fed batches, operator runs distributed)
+      run("dedup_simhash_stream_sf1", {
+        import spark.implicits._
+        val all = docs1.select(col("doc_id"), col("text"))
+          .orderBy("doc_id").as[(Long, String)].collect().toSeq
+        val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+        graft.streaming.StreamDriver.simhashPairsStreamed(spark, batches)
+      })
     // ---- streaming surface at 10x. MemoryStream feeding is driver-fed by
     // design (the bounded fixture is collected, the operator under test
     // runs distributed), so these probe where the DRIVER-side bound cracks:

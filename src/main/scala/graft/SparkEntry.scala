@@ -244,38 +244,80 @@ object SparkEntry {
       "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
       "SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id FROM r WHERE rnk <= 10 ORDER BY query_id, rank"
 
-  /** Full SQL replication of [[graft.sim.Similarity.pqTopK]] — md5-ranked
-    * seed anchors, `iters` integer-Lloyd refinement rounds (truncating
-    * `//` division matches Scala Long division; empty clusters COALESCE to
-    * their previous anchor), per-subspace argmin codes, ADC LUT-join
-    * candidates, exact integer-L2 re-rank. Every intermediate is an exact
-    * integer, so both engines agree bit-for-bit, refinement included. */
-  private val pqOracleSql: String = {
-    val (m, s, k, iters, rerank, kTop) = (4, 16, 16, 2, 100, 10)
+  /** CTE chain replicating one [[graft.sim.Similarity.pqAnchors]] training
+    * run under name-prefix `p`: md5-ranked seed anchors, `iters`
+    * integer-Lloyd refinement rounds (truncating `//` division matches
+    * Scala Long division; empty clusters COALESCE to their previous
+    * anchor), final per-subspace argmin codes `${p}cdf(vec_id, m, code)`
+    * and trained anchors `${p}a$iters(m, j, sq)`. Requires a `q0(vec_id,
+    * qe)` CTE in scope. Every intermediate is an exact integer, so both
+    * engines agree bit-for-bit, refinement included. */
+  private def pqAnchorCtes(p: String, m: Int, s: Int, k: Int,
+      iters: Int): String = {
     val dist = s"list_sum(list_transform(generate_series(1,$s), i -> (v.sq[i]-a.sq[i])*(v.sq[i]-a.sq[i])))"
     def assignCte(name: String, from: String) =
       s"$name AS (SELECT vec_id, m, j-1 AS code FROM (SELECT v.vec_id, v.m, a.j, " +
         s"ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.m ORDER BY $dist, a.j) AS rn " +
-        s"FROM vs v JOIN $from a ON a.m = v.m) WHERE rn = 1)"
+        s"FROM ${p}vs v JOIN $from a ON a.m = v.m) WHERE rn = 1)"
     val iterCtes = (1 to iters).map { t =>
-      assignCte(s"cd$t", s"a${t - 1}") + ", " +
-        s"ag$t AS (SELECT m, j, list(d ORDER BY i) AS sq FROM (SELECT c.m AS m, c.code+1 AS j, t.i AS i, " +
-        s"SUM(v.sq[t.i]) // COUNT(*) AS d FROM cd$t c JOIN vs v ON v.vec_id = c.vec_id AND v.m = c.m " +
+      assignCte(s"${p}cd$t", s"${p}a${t - 1}") + ", " +
+        s"${p}ag$t AS (SELECT m, j, list(d ORDER BY i) AS sq FROM (SELECT c.m AS m, c.code+1 AS j, t.i AS i, " +
+        s"SUM(v.sq[t.i]) // COUNT(*) AS d FROM ${p}cd$t c JOIN ${p}vs v ON v.vec_id = c.vec_id AND v.m = c.m " +
         s"CROSS JOIN generate_series(1,$s) t(i) GROUP BY 1,2,3) GROUP BY 1,2), " +
-        s"a$t AS (SELECT p.m, p.j, COALESCE(n.sq, p.sq) AS sq FROM a${t - 1} p LEFT JOIN ag$t n ON n.m = p.m AND n.j = p.j)"
+        s"${p}a$t AS (SELECT p.m, p.j, COALESCE(n.sq, p.sq) AS sq FROM ${p}a${t - 1} p LEFT JOIN ${p}ag$t n ON n.m = p.m AND n.j = p.j)"
     }.mkString(", ")
-    "WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS qe FROM embeddings), " +
-      s"sub AS (SELECT unnest(generate_series(0,${m - 1})) AS m), " +
-      s"vs AS (SELECT vec_id, s.m, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM q0 CROSS JOIN sub s), " +
-      s"a0 AS (SELECT s.m, j, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j, qe FROM q0) CROSS JOIN sub s WHERE j <= $k), " +
+    s"${p}sub AS (SELECT unnest(generate_series(0,${m - 1})) AS m), " +
+      s"${p}vs AS (SELECT vec_id, s.m, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM q0 CROSS JOIN ${p}sub s), " +
+      s"${p}a0 AS (SELECT s.m, j, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j, qe FROM q0) CROSS JOIN ${p}sub s WHERE j <= $k), " +
       s"$iterCtes, " +
-      assignCte("cdf", s"a$iters") + ", " +
-      s"qd AS (SELECT v.vec_id AS query_id, v.m, a.j, $dist AS d FROM vs v JOIN a$iters a ON a.m = v.m WHERE v.vec_id % 100 = 0), " +
-      "sc AS (SELECT q.query_id, c.vec_id, SUM(q.d) AS adc FROM cdf c JOIN qd q ON q.m = c.m AND q.j = c.code + 1 AND c.vec_id <> q.query_id GROUP BY 1,2), " +
+      assignCte(s"${p}cdf", s"${p}a$iters")
+  }
+
+  private val pqQ0Cte: String =
+    "q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS qe FROM embeddings)"
+
+  /** ADC candidates + exact rerank tail shared by the PQ oracles: scores
+    * `cdf` codes against the `qd(query_id, m, j, d)` LUT (optionally
+    * constrained by a probe relation already folded into `scFrom`), takes
+    * the top-`rerank` by (adc, vec_id), exact integer-L2 re-ranks. */
+  private def pqTailSql(scSql: String, rerank: Int, kTop: Int): String =
+    s"sc AS ($scSql), " +
       s"cand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn FROM sc) WHERE rn <= $rerank), " +
       "rr AS (SELECT ca.query_id, ca.vec_id, CAST(list_sum(list_transform(generate_series(1,64), i -> (vq.qe[i]-vv.qe[i])*(vq.qe[i]-vv.qe[i]))) AS BIGINT) AS l2_dist FROM cand ca JOIN q0 vq ON vq.vec_id = ca.query_id JOIN q0 vv ON vv.vec_id = ca.vec_id), " +
       "r AS (SELECT query_id, vec_id, l2_dist, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rnk FROM rr) " +
       s"SELECT query_id, CAST(rnk AS INTEGER) AS rank, vec_id AS neighbor_id, l2_dist FROM r WHERE rnk <= $kTop ORDER BY query_id, rank"
+
+  /** Full SQL replication of [[graft.sim.Similarity.pqTopK]]. */
+  private val pqOracleSql: String = {
+    val (m, s, k, iters, rerank, kTop) = (4, 16, 16, 2, 100, 10)
+    val dist = s"list_sum(list_transform(generate_series(1,$s), i -> (v.sq[i]-a.sq[i])*(v.sq[i]-a.sq[i])))"
+    s"WITH $pqQ0Cte, " +
+      pqAnchorCtes("", m, s, k, iters) + ", " +
+      s"qd AS (SELECT v.vec_id AS query_id, v.m, a.j, $dist AS d FROM vs v JOIN a$iters a ON a.m = v.m WHERE v.vec_id % 100 = 0), " +
+      pqTailSql("SELECT q.query_id, c.vec_id, SUM(q.d) AS adc FROM cdf c JOIN qd q ON q.m = c.m AND q.j = c.code + 1 AND c.vec_id <> q.query_id GROUP BY 1,2",
+        rerank, kTop)
+  }
+
+  /** Full SQL replication of [[graft.sim.Similarity.ivfPqTopK]]: a SECOND
+    * trained codebook (prefix `cr`, numSub=1 spanning all dims) partitions
+    * the collection into inverted lists; each query ranks the coarse
+    * centroids by exact integer distance (ties to the smaller id) and the
+    * ADC join is constrained to its nProbe nearest lists. */
+  private val ivfPqOracleSql: String = {
+    val (m, s, k, iters, rerank, kTop) = (4, 16, 16, 2, 100, 10)
+    val (nLists, nProbe) = (16, 4)
+    val dist = s"list_sum(list_transform(generate_series(1,$s), i -> (v.sq[i]-a.sq[i])*(v.sq[i]-a.sq[i])))"
+    val cdist = s"list_sum(list_transform(generate_series(1,64), i -> (v.sq[i]-a.sq[i])*(v.sq[i]-a.sq[i])))"
+    s"WITH $pqQ0Cte, " +
+      pqAnchorCtes("", m, s, k, iters) + ", " +
+      pqAnchorCtes("cr", 1, 64, nLists, iters) + ", " +
+      s"qd AS (SELECT v.vec_id AS query_id, v.m, a.j, $dist AS d FROM vs v JOIN a$iters a ON a.m = v.m WHERE v.vec_id % 100 = 0), " +
+      s"pr AS (SELECT query_id, cent_id FROM (SELECT v.vec_id AS query_id, a.j - 1 AS cent_id, ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY $cdist, a.j) AS prn FROM crvs v JOIN cra$iters a ON a.m = v.m WHERE v.vec_id % 100 = 0) WHERE prn <= $nProbe), " +
+      pqTailSql("SELECT q.query_id, c.vec_id, SUM(q.d) AS adc FROM cdf c " +
+        "JOIN crcdf l ON l.vec_id = c.vec_id " +
+        "JOIN pr ON pr.cent_id = l.code " +
+        "JOIN qd q ON q.query_id = pr.query_id AND q.m = c.m AND q.j = c.code + 1 AND c.vec_id <> q.query_id GROUP BY 1,2",
+        rerank, kTop)
   }
 
   /** nProbe values swept by sim_ivf_recall (16 = every list: recall 1.0). */
@@ -806,6 +848,10 @@ object SparkEntry {
     "sim_topk_pq" -> ((s, dir) => // product-quantization ADC top-k, integer-exact
       Similarity.pqTopK(emb(s, dir), col("vec_id") % 100 === 0, 10)
         .orderBy("query_id", "rank")),
+    "sim_topk_ivfpq" -> ((s, dir) => // IVF lists + PQ ADC within probed lists
+      Similarity.ivfPqTopK(emb(s, dir), col("vec_id") % 100 === 0, 10,
+        nLists = 16, nProbe = 4)
+        .orderBy("query_id", "rank")),
     "sim_near_dup_pairs" -> ((s, dir) => {
       // the natural fixture has no pairs >= 0.95 at any sf (max cosine
       // ~0.6), so near-duplicates are INJECTED deterministically: a scaled
@@ -1241,6 +1287,7 @@ object SparkEntry {
     "sim_topk_ivf" -> ivfOracleSql,
     "sim_ivf_recall" -> ivfRecallOracleSql,
     "sim_topk_pq" -> pqOracleSql,
+    "sim_topk_ivfpq" -> ivfPqOracleSql,
     // float-cast centroids absorb double summation noise (the IVF oracle's
     // determinism contract); argmax ties break toward the smaller label
     // k-NN classify: neighbor CTE identical to sim_topk_brute, then modal

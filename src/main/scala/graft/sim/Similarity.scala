@@ -521,30 +521,25 @@ object Similarity {
     * sf0.001 fixture (spec-gated >= 0.6); every number is integer-exact,
     * so the FULL pipeline — refinement included — is SQL-oracle checkable.
     * Output: (query_id, rank, neighbor_id, l2_dist). */
-  def pqTopK(emb: DataFrame, queryPred: Column, k: Int,
-      numSub: Int = 4, kAnchors: Int = 16, iters: Int = 2,
-      rerank: Int = 100): DataFrame = {
-    val anchors = pqAnchors(emb, numSub, kAnchors, iters)
-    val dims = anchors.head.length
-    val sub = dims / numSub
-    val codes = emb.select(col("vec_id"),
-      pqCodesCol(col("embedding"), anchors, numSub).as("codes"))
-    val queries = emb.filter(queryPred)
-      .select(col("vec_id").as("query_id"),
-        pqLutCol(col("embedding"), anchors, numSub).as("lut"))
-    // candidate selection via the bounded top-k aggregator, not a ranking
-    // window: the ADC stream is |queries| x collection rows — the window
-    // would sort and shuffle all of it, the aggregator keeps O(rerank)
-    // buffers with map-side combine. Negated distance = "score" (ADC
-    // distances are < 2^31, exact in double), ties ascend on vec_id —
-    // result-identical to the (adc asc, vec_id asc) ranking.
-    val adc = codes.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        negate((0 until numSub).map { m =>
-          element_at(col("lut"),
-            (lit(m * kAnchors) + element_at(col("codes"), m + 1) + 1).cast("int"))
-        }.reduce(_ + _)).as("neg_adc"))
+  /** The ADC distance of one (codes, lut) pair: numSub array lookups
+    * summed (flat LUT index m*kAnchors + j). */
+  private def adcDistCol(numSub: Int, kAnchors: Int): Column =
+    (0 until numSub).map { m =>
+      element_at(col("lut"),
+        (lit(m * kAnchors) + element_at(col("codes"), m + 1) + 1).cast("int"))
+    }.reduce(_ + _)
+
+  /** Shared PQ tail: bounded top-`rerank` per query over the (query_id,
+    * vec_id, neg_adc) candidate stream, then exact integer-L2 re-rank
+    * against the embeddings rejoined BY ID. Candidate selection uses the
+    * bounded top-k aggregator, not a ranking window: the ADC stream is up
+    * to |queries| x collection rows — a window would sort and shuffle all
+    * of it, the aggregator keeps O(rerank) buffers with map-side combine.
+    * Negated distance = "score" (ADC distances are < 2^31, exact in
+    * double), ties ascend on vec_id — result-identical to the
+    * (adc asc, vec_id asc) ranking. */
+  private def adcRerank(emb: DataFrame, queryPred: Column, adc: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
     val cand = graft.scale.TopK
       .topKPerKey(adc, "query_id", "vec_id", "neg_adc", rerank)
       .select("query_id", "vec_id")
@@ -562,6 +557,66 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("l2_dist"))
+  }
+
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int,
+      numSub: Int = 4, kAnchors: Int = 16, iters: Int = 2,
+      rerank: Int = 100): DataFrame = {
+    val anchors = pqAnchors(emb, numSub, kAnchors, iters)
+    val codes = emb.select(col("vec_id"),
+      pqCodesCol(col("embedding"), anchors, numSub).as("codes"))
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        pqLutCol(col("embedding"), anchors, numSub).as("lut"))
+    val adc = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        negate(adcDistCol(numSub, kAnchors)).as("neg_adc"))
+    adcRerank(emb, queryPred, adc, k, rerank)
+  }
+
+  /** IVF-PQ: the canonical billion-scale ANN layout, fully integer-exact.
+    * A COARSE integer codebook (the same truncating-Lloyd training as
+    * [[pqAnchors]] with numSub = 1 — one "subspace" spanning all dims)
+    * partitions the collection into `nLists` inverted lists; each query
+    * probes its `nProbe` nearest lists (ranked by exact integer distance
+    * to the coarse centroids, ties to the smaller centroid id) and runs
+    * the PQ ADC scan ONLY within the probed lists — the equi-join on
+    * cent_id replaces [[pqTopK]]'s full crossJoin, cutting scored pairs
+    * by ~nProbe/nLists. Fine codes are the global [[pqCodes]] codebook
+    * (IVFFlat-style, not residual-encoded — documented tradeoff: residual
+    * codebooks recover a little precision at the cost of per-list
+    * codebook state). ADC candidates then exact-rerank by id, same as
+    * [[pqTopK]]. With nProbe = nLists the candidate set equals the full
+    * scan's, so the result EQUALS pqTopK's (spec-pinned). Scale shape:
+    * both codebooks are tiny plan literals, assignment is the native
+    * kernel map-side, the probe relation broadcasts, and the only big
+    * operator is the bucket equi-join feeding the bounded aggregator.
+    * Output: (query_id, rank, neighbor_id, l2_dist). */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, numSub: Int = 4,
+      kAnchors: Int = 16, iters: Int = 2, rerank: Int = 100): DataFrame = {
+    val coarse = pqAnchors(emb, 1, nLists, iters)
+    val fine = pqAnchors(emb, numSub, kAnchors, iters)
+    val lists = emb.select(col("vec_id"),
+      element_at(pqCodesCol(col("embedding"), coarse, 1), 1).as("cent_id"),
+      pqCodesCol(col("embedding"), fine, numSub).as("codes"))
+    // nProbe nearest coarse centroids per query: the coarse LUT is the
+    // exact integer distance to every centroid; K is tiny, so the probe
+    // ranking is a posexplode + window over |queries| x nLists rows
+    val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("cent_id"))
+    val probes = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"),
+        pqLutCol(col("embedding"), fine, numSub).as("lut"),
+        posexplode(pqLutCol(col("embedding"), coarse, 1)).as(Seq("cent_id", "d")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("cent_id"), col("lut"))
+    val adc = lists.join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        negate(adcDistCol(numSub, kAnchors)).as("neg_adc"))
+    adcRerank(emb, queryPred, adc, k, rerank)
   }
 
   /** Embedding near-duplicate pairs with cosine >= minCosine: banded-LSH

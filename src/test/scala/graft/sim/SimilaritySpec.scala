@@ -82,6 +82,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: full probe equals the full PQ scan; partial probe recalls") {
+    val queries = col("vec_id") % 50 === 0
+    val full = Similarity.pqTopK(real, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // nProbe = nLists: every list probed -> candidate set identical to the
+    // full crossJoin's -> identical output
+    val allProbe = Similarity.ivfPqTopK(real, queries, 10,
+      nLists = 16, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(allProbe == full)
+    // partial probe: a subset of the scored pairs -> recall against the
+    // full scan is high but bounded; every returned distance is exact
+    val part = Similarity.ivfPqTopK(real, queries, 10,
+      nLists = 16, nProbe = 4).collect()
+    val fullIds = full.groupBy(_._1).map { case (q, s) => q -> s.map(_._3) }
+    val hits = part.count(r => fullIds(r.getLong(0)).contains(r.getLong(2)))
+    assert(hits.toDouble / full.size >= 0.4,
+      s"ivfpq@4/16 recall vs full PQ scan: $hits/${full.size}")
+  }
+
   test("pqCodes: deterministic codes in [0, K), one per subspace") {
     val codes = Similarity.pqCodes(real, numSub = 4, kAnchors = 16).collect()
     assert(codes.length == real.count())

@@ -957,7 +957,28 @@ object SparkEntry {
         .toDF("cent_id", "c")
         .select(col("cent_id"), posexplode(col("c")).as(Seq("dim", "val")))
         .orderBy("cent_id", "dim")
-    })
+    }),
+    "dedup_spans" -> ((s, dir) => // maximal duplicated-substring spans
+      graft.dedup.Dedup.dupSpans(docs(s, dir), 8)
+        .orderBy("doc_id", "span_start")),
+    "tpch_revenue_rollup" -> ((s, dir) => // grouping sets: ROLLUP(region, nation)
+      graft.stats.Analytics.revenueRollup(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"),
+        "1996-01-01", "1999-01-01")
+        .orderBy(col("lvl"), col("r_name"), col("n_name"))),
+    "events_top_paths" -> ((s, dir) => // dominant 3-step user journeys
+      graft.streaming.EventStream.topPaths(events(s, dir), 3, 20)
+        .orderBy("rank")),
+    "profile_correlation" -> ((s, dir) => // pairwise moments, exact BIGINTs
+      graft.stats.Profile.correlationMoments(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_linenumber", "l_discount", "l_tax"),
+        Map("l_discount" -> 100L, "l_tax" -> 100L))
+        .orderBy("col_x", "col_y"))
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -1437,6 +1458,60 @@ object SparkEntry {
     "events_rolling_stream" ->
       ("SELECT event_id, user_id, CAST(COUNT(*) OVER w AS BIGINT) AS n_window, " +
         "round(AVG(value) OVER w, 6) AS avg_value, MAX(value) OVER w AS max_value " +
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id")
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    // interval union of duplicated 8-token windows: same gaps-and-islands
+    // (running-max island open, running-sum island id) in both engines
+    "dedup_spans" ->
+      ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "wi AS (SELECT doc_id, unnest(range(1, len(t)-6)) AS i, t FROM tokd), " +
+        "w AS (SELECT doc_id, CAST(i AS BIGINT) AS i, array_to_string(t[i:i+7],' ') AS ng FROM wi), " +
+        "s AS (SELECT ng FROM w GROUP BY ng HAVING COUNT(DISTINCT doc_id) > 1), " +
+        "dup AS (SELECT doc_id, i FROM w JOIN s USING (ng)), " +
+        "isl AS (SELECT doc_id, i, CASE WHEN i > COALESCE(MAX(i+7) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000) + 1 THEN 1 ELSE 0 END AS ni FROM dup), " +
+        "isl2 AS (SELECT doc_id, i, SUM(ni) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island FROM isl) " +
+        "SELECT doc_id, MIN(i) AS span_start, MAX(i)+7 AS span_end, MAX(i)+7-MIN(i)+1 AS span_tokens " +
+        "FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start"),
+    // rollup levels marked by the NULLed-out dimensions (never null in the
+    // data), not GROUPING() bit order — engine-agnostic
+    "tpch_revenue_rollup" ->
+      ("SELECT r_name, n_name, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        "CAST(CASE WHEN r_name IS NULL THEN 2 WHEN n_name IS NULL THEN 1 ELSE 0 END AS BIGINT) AS lvl " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01' " +
+        "GROUP BY ROLLUP(r_name, n_name) ORDER BY lvl, r_name, n_name"),
+    // rank fully determined by (count desc, path asc); user-boundary paths
+    // never form because the LEAD window partitions by user
+    "events_top_paths" ->
+      ("WITH seq AS (SELECT user_id, event_type AS s0, " +
+        "LEAD(event_type,1) OVER w AS s1, LEAD(event_type,2) OVER w AS s2 " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "p AS (SELECT user_id, s0 || '>' || s1 || '>' || s2 AS path FROM seq WHERE s2 IS NOT NULL), " +
+        "c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM p GROUP BY 1) " +
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path) AS BIGINT) AS rank, path, n_occurrences, n_users " +
+        "FROM c ORDER BY n_occurrences DESC, path LIMIT 20"),
+    // moments stay BIGINT-exact (no float summation anywhere); the columns
+    // carry no NULLs, so COUNT(*) == the pairwise-complete count
+    "profile_correlation" -> {
+      val v = "WITH v AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q, " +
+        "CAST(l_linenumber AS BIGINT) AS ln2, " +
+        "CAST(round(l_discount*100) AS BIGINT) AS d, " +
+        "CAST(round(l_tax*100) AS BIGINT) AS t FROM lineitem) "
+      val pairs = Seq(
+        ("l_quantity", "q", "l_linenumber", "ln2"),
+        ("l_quantity", "q", "l_discount", "d"),
+        ("l_quantity", "q", "l_tax", "t"),
+        ("l_linenumber", "ln2", "l_discount", "d"),
+        ("l_linenumber", "ln2", "l_tax", "t"),
+        ("l_discount", "d", "l_tax", "t"))
+      v + pairs.map { case (xn, x, yn, y) =>
+        s"SELECT '$xn' AS col_x, '$yn' AS col_y, CAST(COUNT(*) AS BIGINT) AS n, " +
+          s"CAST(SUM($x) AS BIGINT) AS sum_x, CAST(SUM($y) AS BIGINT) AS sum_y, " +
+          s"CAST(SUM($x*$x) AS BIGINT) AS sum_xx, CAST(SUM($y*$y) AS BIGINT) AS sum_yy, " +
+          s"CAST(SUM($x*$y) AS BIGINT) AS sum_xy FROM v"
+      }.mkString("", " UNION ALL ", " ORDER BY col_x, col_y")
+    }
   )
 }

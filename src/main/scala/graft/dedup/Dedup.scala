@@ -389,6 +389,56 @@ object Dedup {
           " ").as("cleaned_text"))
   }
 
+  /** Duplicated-substring SPANS — the span-level view of exact substring
+    * duplication (the signal behind suffix-array dedup of training
+    * corpora: arXiv:2107.06499 computes the same maximal repeated regions
+    * with a single-node suffix array; here the distributed equivalent is
+    * n-token windows + interval union). A window (n consecutive tokens,
+    * stride 1) is DUPLICATED when its text occurs in more than one
+    * document; per document, overlapping or adjacent duplicated windows
+    * are merged into maximal spans by a gaps-and-islands interval union.
+    * Output: (doc_id, span_start, span_end, span_tokens) — 1-based
+    * inclusive token indices, one row per maximal duplicated span,
+    * span_tokens = span_end - span_start + 1. Callers cleaning a corpus
+    * drop the spans' token ranges from the text.
+    *
+    * Shape for 100 TB: windows collapse to 64-bit hashes map-side (8-byte
+    * shuffle rows — swap in md5 keys for cleaning-grade runs where a
+    * birthday collision must not delete real text); one shuffle keyed by
+    * window hash for the cross-document df, one join back, then the
+    * interval union runs in a PER-DOCUMENT window (partition cardinality
+    * bounded by document length, never by corpus size). The running-max
+    * island detection is the standard relational interval-union: a window
+    * opens a new island iff its start exceeds the max end seen so far
+    * (+1: adjacent ranges are one contiguous duplicated region). */
+  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, "window length must be at least 2")
+    val w = docs.select(col("doc_id"),
+        posexplode(windowHashes(col("text"), n)).as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("h"))
+      .persist()
+    w.count()
+    try {
+      val shared = w.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1).select("h")
+      val dup = w.join(shared, Seq("h")).select("doc_id", "i")
+      val byDoc = Window.partitionBy("doc_id").orderBy("i")
+      val prevEnd = max(col("i") + (n - 1)).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val out = dup
+        .withColumn("new_island",
+          when(col("i") > coalesce(prevEnd, lit(Long.MinValue)) + 1L, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("new_island").over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg(min("i").as("span_start"), (max("i") + (n - 1)).as("span_end"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+      graft.core.CacheOps.cacheResult(out, Seq(w))
+    } catch { case e: Throwable => w.unpersist(); throw e }
+  }
+
   /** Cross-source contamination matrix: for every unordered pair of
     * sources, how many DISTINCT n-token windows occur in both. The
     * per-pair count is the raw signal behind "source B is a scrape of

@@ -121,4 +121,50 @@ object Profile {
         expr(s"lo + (bucket * (hi - lo + 1)) div $nBuckets").as("bucket_lo"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Pairwise correlation MOMENTS of integer-valued columns:
+    * (col_x, col_y, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) for every
+    * unordered pair — everything Pearson's r needs, kept in exact BIGINT
+    * space so the profile is engine-agnostic (the final float division is
+    * the caller's one-liner; engines disagree only about float SUMMATION
+    * order, which never happens here). Rows where either column is null
+    * are dropped per pair (pairwise-complete semantics).
+    *
+    * One scan, one single-row aggregate: all pair moments land in one
+    * `agg(...)` (map-side partials, a single reduced row), then the
+    * per-pair rows unpivot from that row with a constant-size explode —
+    * the same one-job shape as [[profile]]. Callers keep value ranges
+    * where max|x|*max|y|*rows < 2^63; the intended columns are small
+    * measures (quantities, line numbers, cents-scaled rates), not
+    * surrogate keys. */
+  def correlationMoments(df: DataFrame, cols: Seq[String],
+      scales: Map[String, Long] = Map.empty): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    def v(c: String) =
+      round(col(c).cast("double") * scales.getOrElse(c, 1L)).cast("long")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def ok(p: (String, String)) = v(p._1).isNotNull && v(p._2).isNotNull
+    val aggs = pairs.zipWithIndex.flatMap { case (p @ (x, y), pi) =>
+      def g(col_ : org.apache.spark.sql.Column, nm: String) =
+        sum(when(ok(p), col_).otherwise(lit(null))).as(s"_${pi}_$nm")
+      Seq(
+        count(when(ok(p), lit(1))).as(s"_${pi}_n"),
+        g(v(x), "sx"), g(v(y), "sy"),
+        g(v(x) * v(x), "sxx"), g(v(y) * v(y), "syy"),
+        g(v(x) * v(y), "sxy"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(pairs.zipWithIndex.map { case ((x, y), pi) =>
+      struct(lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"_${pi}_n").as("n"),
+        coalesce(col(s"_${pi}_sx"), lit(0L)).as("sum_x"),
+        coalesce(col(s"_${pi}_sy"), lit(0L)).as("sum_y"),
+        coalesce(col(s"_${pi}_sxx"), lit(0L)).as("sum_xx"),
+        coalesce(col(s"_${pi}_syy"), lit(0L)).as("sum_yy"),
+        coalesce(col(s"_${pi}_sxy"), lit(0L)).as("sum_xy"))
+    }: _*)
+    one.select(explode(rows).as("r")).select("r.*")
+  }
 }

@@ -138,6 +138,39 @@ object EventStream {
       .agg(sum("n").as("n_transitions"), count(lit(1)).as("n_users"))
   }
 
+  /** Top event paths: the k most frequent `depth`-step event-type
+    * sequences across all users (path mining — which journeys dominate
+    * the product). Per user, events order by (ts, event_id) and each
+    * position anchors one path of the next `depth` types via lead();
+    * paths spanning a user boundary never form because the window
+    * partitions by user. Count + distinct-user support per path, then a
+    * deterministic top-k by (count desc, path asc) — planned as
+    * TakeOrderedAndProject, never a global sort. One window shuffle on
+    * user, one aggregation shuffle on path.
+    * Output: (rank, path, n_occurrences, n_users). */
+  def topPaths(events: DataFrame, depth: Int = 3, k: Int = 20): DataFrame = {
+    require(depth >= 2, "a path needs at least two steps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = (1 until depth).map(i =>
+      lead(col("event_type"), i).over(w).as(s"_s$i"))
+    val paths = events
+      .select(col("user_id") +: col("event_type").as("_s0") +: steps: _*)
+      .filter(col(s"_s${depth - 1}").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", (0 until depth).map(i => col(s"_s$i")): _*).as("path"))
+    val counted = paths
+      .groupBy("path", "user_id").agg(count(lit(1)).as("n"))
+      .groupBy("path")
+      .agg(sum("n").as("n_occurrences"), count(lit(1)).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(k)
+    counted.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occurrences").desc, col("path"))).cast("long").as("rank"),
+      col("path"), col("n_occurrences"), col("n_users"))
+  }
+
   /** Retention cohorts: users cohort by their FIRST active epoch-day;
     * cell (cohort_day, day_offset) counts the cohort's users active
     * `day_offset` days later. The standard activation/retention matrix,

@@ -180,4 +180,26 @@ class DedupSpec extends SparkSpec {
     // the dedup actually fired on this corpus (otherwise the test is vacuous)
     assert(got.values.exists(v => v._2 < v._1))
   }
+
+  test("dupSpans merges overlapping and ADJACENT duplicated windows into maximal spans") {
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val c12 = toks("c", 12); val a8 = toks("a", 8); val b8 = toks("b", 8)
+    val fix = docs(
+      (1L, c12),                      // 12-token block shared with doc 2
+      (2L, s"$c12 u1 u2"),            // same block + unique tail
+      (3L, s"$a8 x1 x2 $b8"),         // two shared blocks split by a gap
+      (4L, s"$a8 q1 q2 q3"),          // carries A only
+      (5L, s"$b8 r1 r2 r3"),          // carries B only
+      (6L, s"$a8 $b8"),               // A then B back-to-back: adjacency merge
+      (7L, "too short"),              // < n tokens: no windows at all
+      (8L, s"${toks("m", 8)} ${toks("m", 8)}")) // intra-doc repeat only: excluded
+    val got = Dedup.dupSpans(fix, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Set(
+      (1L, 1L, 12L, 12L), (2L, 1L, 12L, 12L),
+      (3L, 1L, 8L, 8L), (3L, 11L, 18L, 8L), // gap splits two islands
+      (4L, 1L, 8L, 8L), (5L, 1L, 8L, 8L),
+      (6L, 1L, 16L, 16L))                   // starts 1 and 9 fuse (9 <= 8+1)
+    assert(got == want)
+  }
 }

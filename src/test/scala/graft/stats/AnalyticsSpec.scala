@@ -98,4 +98,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.nonEmpty && r.length <= 5)
     assert(r.forall(_.getLong(1) > 0L))
   }
+
+  test("revenueRollup: levels reconcile — nations sum to regions sum to total") {
+    val rows = Analytics.revenueRollup(
+      spark.read.parquet(s"$sf/customer.parquet"),
+      spark.read.parquet(s"$sf/orders.parquet"),
+      spark.read.parquet(s"$sf/lineitem.parquet"),
+      spark.read.parquet(s"$sf/nation.parquet"),
+      spark.read.parquet(s"$sf/region.parquet"),
+      "1996-01-01", "1999-01-01").collect()
+    def by(lvl: Long) = rows.filter(_.getLong(4) == lvl)
+    val grand = by(2)
+    assert(grand.length == 1 && grand.head.isNullAt(0) && grand.head.isNullAt(1))
+    val regions = by(1)
+    assert(regions.forall(r => !r.isNullAt(0) && r.isNullAt(1)))
+    val nations = by(0)
+    assert(nations.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    // exact integer reconciliation across the three rollup levels
+    assert(nations.map(_.getLong(2)).sum == grand.head.getLong(2))
+    assert(regions.map(_.getLong(2)).sum == grand.head.getLong(2))
+    for (reg <- regions)
+      assert(nations.filter(_.getString(0) == reg.getString(0))
+        .map(_.getLong(2)).sum == reg.getLong(2))
+    assert(nations.map(_.getLong(3)).sum == grand.head.getLong(3))
+  }
 }

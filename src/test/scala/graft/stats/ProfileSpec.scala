@@ -78,4 +78,30 @@ class ProfileSpec extends SparkSpec {
       assert(math.abs(approx(c) - e) <= math.max(1L, (e * 0.05).toLong),
         s"$c: approx ${approx(c)} vs exact $e")
   }
+
+  test("correlationMoments: hand-checked sums, pairwise-complete null handling") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 2, Some(10)), (2, 4, None), (3, 6, Some(30)))
+      .toDF("x", "y", "z")
+    val r = Profile.correlationMoments(df, Seq("x", "y", "z")).collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        ((row.getLong(2), row.getLong(3), row.getLong(4),
+          row.getLong(5), row.getLong(6), row.getLong(7)))).toMap
+    assert(r.size == 3)
+    assert(r(("x", "y")) == ((3L, 6L, 12L, 14L, 56L, 28L)))
+    // the None row drops from every z pair, not from (x, y)
+    assert(r(("x", "z")) == ((2L, 4L, 40L, 10L, 1000L, 100L)))
+    assert(r(("y", "z")) == ((2L, 8L, 40L, 40L, 1000L, 200L)))
+  }
+
+  test("correlationMoments applies per-column integer scales") {
+    import spark.implicits._
+    val df = Seq((0.05, 2L), (0.07, 3L)).toDF("rate", "k")
+    val r = Profile.correlationMoments(df, Seq("rate", "k"),
+      Map("rate" -> 100L)).collect().head
+    // rate scales to exact integers 5 and 7 before any product
+    assert(r.getLong(2) == 2L && r.getLong(3) == 12L && r.getLong(4) == 5L)
+    assert(r.getLong(5) == 74L && r.getLong(6) == 13L && r.getLong(7) == 31L)
+  }
 }

@@ -250,4 +250,31 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.size == 8) // every event emitted exactly once
   }
+
+  test("topPaths: per-user sequences, boundary paths never form, deterministic rank") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click > view > buy > click
+      (1L, ts(0), 1L, "click"), (2L, ts(1), 1L, "view"),
+      (3L, ts(2), 1L, "buy"), (4L, ts(3), 1L, "click"),
+      // user 2: click > view > buy  (one path only)
+      (5L, ts(0), 2L, "click"), (6L, ts(1), 2L, "view"), (7L, ts(2), 2L, "buy"),
+      // user 3: two events — no 3-path; must NOT borrow user 1's events
+      (8L, ts(7), 3L, "view"), (9L, ts(8), 3L, "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventStream.topPaths(ev, depth = 3, k = 10).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, "click>view>buy", 2L, 2L),
+      (2L, "view>buy>click", 1L, 1L)))
+  }
+
+  test("topPaths: same-timestamp ties order by event_id") {
+    import spark.implicits._
+    val ev = Seq( // all at the same instant: sequence = event_id order
+      (1L, ts(0), 1L, "a"), (2L, ts(0), 1L, "b"), (3L, ts(0), 1L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventStream.topPaths(ev, depth = 3, k = 10).collect()
+    assert(r.length == 1 && r.head.getString(1) == "a>b>c")
+  }
 }

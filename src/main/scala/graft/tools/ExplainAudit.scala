@@ -148,6 +148,34 @@ object ExplainAudit {
       // explode from per-window source arrays (no row self-join)
       showFinal("dedup_cross_source", graft.dedup.Dedup.crossSourceOverlap(
         spark.read.parquet(s"$dir/documents.parquet"), 7))
+    if (which == "all" || which == "spans")
+      // final plan: window hashes generate map-side; one Exchange on h for
+      // the cross-doc df, a shuffled join back, then the interval union in
+      // a doc-partitioned window (never a global one)
+      showFinal("dedup_spans", graft.dedup.Dedup.dupSpans(
+        spark.read.parquet(s"$dir/documents.parquet"), 8))
+    if (which == "all" || which == "rollup")
+      // final plan: ONE Expand feeding one hash aggregate (three GROUP BYs
+      // would triple-scan the join); dims broadcast; date filter pushed
+      showFinal("tpch_revenue_rollup", graft.stats.Analytics.revenueRollup(
+        spark.read.parquet(s"$dir/customer.parquet"),
+        spark.read.parquet(s"$dir/orders.parquet"),
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        spark.read.parquet(s"$dir/nation.parquet"),
+        spark.read.parquet(s"$dir/region.parquet"),
+        "1996-01-01", "1999-01-01"))
+    if (which == "all" || which == "paths")
+      // final plan: one Exchange on user_id for the lead window, one on
+      // path for the counts, TakeOrderedAndProject for the top-k
+      showFinal("events_top_paths", graft.streaming.EventStream.topPaths(
+        graft.streaming.EventSource.events(spark, dir), 3, 20))
+    if (which == "all" || which == "corr")
+      // final plan: single-row aggregate with map-side partials; the
+      // per-pair rows unpivot via a constant-size Generate — one scan total
+      showFinal("profile_correlation", graft.stats.Profile.correlationMoments(
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_linenumber", "l_discount", "l_tax"),
+        Map("l_discount" -> 100L, "l_tax" -> 100L)))
     spark.stop()
   }
 }

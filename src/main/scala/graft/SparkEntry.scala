@@ -215,6 +215,16 @@ object SparkEntry {
   private val simhashPairsOracleSql: String =
     s"WITH $simhashSigCtes SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY 1,2"
 
+  /** First-order transition-matrix oracle, shared by the batch lag-window
+    * query and its streaming state-machine twin (the emitted pair stream
+    * is arrival-order-invariant, so both aggregate to the same matrix). */
+  private val transitionsOracleSql: String =
+    "WITH p AS (SELECT user_id, event_type AS next_type, " +
+      "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+      "u AS (SELECT prev_type, next_type, user_id, COUNT(*) AS n FROM p WHERE prev_type IS NOT NULL GROUP BY 1,2,3) " +
+      "SELECT prev_type, next_type, CAST(SUM(n) AS BIGINT) AS n_transitions, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_users FROM u GROUP BY 1,2 ORDER BY 1,2"
+
   /** Codebook + inverted-list CTEs replicating Similarity.ivfCodebook: seed
     * codebook = 16 smallest vec_ids, two unrolled Lloyd iterations
     * (argmax-cosine assignment, per-dim mean, empty clusters keep their
@@ -978,7 +988,25 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_quantity", "l_linenumber", "l_discount", "l_tax"),
         Map("l_discount" -> 100L, "l_tax" -> 100L))
-        .orderBy("col_x", "col_y"))
+        .orderBy("col_x", "col_y")),
+    "dedup_containment" -> ((s, dir) => // directed sub-document copies
+      graft.dedup.Dedup.containmentPairs(docs(s, dir), 80)
+        .orderBy("doc_id", "in_doc_id")),
+    "text_classifier_score" -> ((s, dir) => // hashed-linear quality scoring
+      TextAnalysis.classifierScore(docs(s, dir)).orderBy("doc_id")),
+    "events_transitions_stream" -> ((s, dir) => {
+      // the SAME first-order transition matrix as events_transitions,
+      // executed through the streaming engine (MemoryStream -> watermark
+      // -> flatMapGroupsWithState -> memory sink); pairs aggregate
+      // batch-side (counts commute with arrival order). Driver-fed
+      // fixture, distributed operator — shares the batch oracle verbatim.
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+      graft.streaming.StreamDriver.transitionsStreamed(s, ev)
+        .orderBy("prev_type", "next_type")
+    })
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -1074,12 +1102,9 @@ object SparkEntry {
         "f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1) " +
         "SELECT f.cohort_day, a.day - f.cohort_day AS day_offset, COUNT(*) AS n_users " +
         "FROM a JOIN f USING (user_id) GROUP BY 1,2 ORDER BY 1,2"),
-    "events_transitions" ->
-      ("WITH p AS (SELECT user_id, event_type AS next_type, " +
-        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
-        "u AS (SELECT prev_type, next_type, user_id, COUNT(*) AS n FROM p WHERE prev_type IS NOT NULL GROUP BY 1,2,3) " +
-        "SELECT prev_type, next_type, CAST(SUM(n) AS BIGINT) AS n_transitions, " +
-        "CAST(COUNT(*) AS BIGINT) AS n_users FROM u GROUP BY 1,2 ORDER BY 1,2"),
+    "events_transitions" -> transitionsOracleSql,
+    // streaming state machine emits the same pair stream -> same oracle
+    "events_transitions_stream" -> transitionsOracleSql,
     // streaming state-machine funnel -> same oracle as the batch funnel
     "events_funnel_stream" ->
       "WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), q2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q1 ON q1.user_id = e.user_id AND e.ts >= q1.t WHERE e.event_type = 'click' GROUP BY 1), q3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q2 ON q2.user_id = e.user_id AND e.ts >= q2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM q1 UNION ALL SELECT 2, 'click', COUNT(*) FROM q2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM q3 ORDER BY 1",
@@ -1492,6 +1517,24 @@ object SparkEntry {
         "c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM p GROUP BY 1) " +
         "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path) AS BIGINT) AS rank, path, n_occurrences, n_users " +
         "FROM c ORDER BY n_occurrences DESC, path LIMIT 20"),
+    // directed containment over the same capped shingle index as the
+    // Jaccard oracle; both orientations derive from the one a<b join
+    "dedup_containment" ->
+      (s"WITH $tokCte, $shCte, $shcCte, $pairCtes, " +
+        "dd AS (SELECT doc_id_a AS doc_id, doc_id_b AS in_doc_id, inter FROM i " +
+        "UNION ALL SELECT doc_id_b AS doc_id, doc_id_a AS in_doc_id, inter FROM i) " +
+        "SELECT dd.doc_id, dd.in_doc_id, dd.inter, s.n, " +
+        "CAST(floor(100*dd.inter/s.n) AS BIGINT) AS containment_pct " +
+        "FROM dd JOIN sz s USING (doc_id) WHERE floor(100*dd.inter/s.n) >= 80 ORDER BY 1,2"),
+    // integer hash-derived weights: both engines read the same md5 hex,
+    // so the linear score is bit-identical
+    "text_classifier_score" ->
+      (s"WITH $tokCte, " +
+        "bgf AS (SELECT a.doc_id, a.w || ' ' || b.w AS f FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1), " +
+        "feats AS (SELECT doc_id, w AS f FROM tok UNION ALL SELECT doc_id, f FROM bgf), " +
+        "wt AS (SELECT doc_id, (ascii(substr(md5(f),1,1))*256 + ascii(substr(md5(f),2,1))) % 1001 - 500 AS w FROM feats) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features, CAST(SUM(w) AS BIGINT) AS score, " +
+        "CAST(SUM(w) AS BIGINT) >= 0 AS keep FROM wt GROUP BY 1 ORDER BY 1"),
     // moments stay BIGINT-exact (no float summation anywhere); the columns
     // carry no NULLs, so COUNT(*) == the pairwise-complete count
     "profile_correlation" -> {

@@ -128,6 +128,41 @@ object Dedup {
       finishJaccard(sh, inter, minJaccardPct), Seq(sh))
   }
 
+  /** Directed CONTAINMENT pairs: |A ∩ B| / |A| >= minContainPct percent —
+    * the asymmetric complement of [[jaccardPairs]]. Jaccard misses
+    * sub-document copies (a tweet quoted inside a long article scores
+    * near-zero Jaccard but containment 1.0), which is why containment is
+    * the dedup signal for quote/inclusion detection. Output one DIRECTED
+    * row per qualifying (contained, container) ordering:
+    * (doc_id, in_doc_id, inter, n, containment_pct) where n = |doc_id's
+    * shingle set| — a doc pair can qualify in one direction or both.
+    *
+    * Same inverted-index shape and cost as jaccardPairs (the undirected
+    * intersection computes ONCE with the a<b filter; both directions then
+    * derive by a constant-cost union), same stop-shingle df cap bounding
+    * the self-join at Σdf². */
+  def containmentPairs(docs: DataFrame, minContainPct: Int,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val sh = shingleIndex(docs, maxShingleDf).persist()
+    sh.count()
+    try {
+      val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+        .agg(count(lit(1)).as("inter"))
+      val directed = inter
+        .select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("in_doc_id"), col("inter"))
+        .unionByName(inter.select(col("doc_id_b").as("doc_id"),
+          col("doc_id_a").as("in_doc_id"), col("inter")))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val out = directed.join(sizes, "doc_id")
+        .withColumn("containment_pct", floor(lit(100) * col("inter") / col("n")))
+        .filter(col("containment_pct") >= minContainPct)
+        .select("doc_id", "in_doc_id", "inter", "n", "containment_pct")
+      graft.core.CacheOps.cacheResult(out, Seq(sh))
+    } catch { case e: Throwable => sh.unpersist(); throw e }
+  }
+
   /** Per-doc distinct shingle SETS as sorted arrays: (doc_id, shs). One row
     * per document, so downstream consumers (signatures, verification) never
     * shuffle the exploded index — only this |docs|-row relation. */

@@ -41,6 +41,17 @@ final case class RollBuf(pending: List[RollEv], tail: List[Double])
 final case class RollOut(event_id: Long, user_id: Long, n_window: Long,
     avg_raw: Double, max_value: Double)
 
+/** One event of the streaming transition-matrix input. */
+final case class TransEv(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, event_type: String)
+
+/** Per-user transition state: not-yet-matured events + the LAST matured
+  * event_type (all the history a first-order chain needs). */
+final case class TransBuf(pending: List[TransEv], last: Option[String])
+
+/** One emitted transition; the caller counts pairs batch-side. */
+final case class TransOut(prev_type: String, next_type: String, user_id: Long)
+
 /** Structured Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value). The transforms are
   * batch/stream agnostic: the same plan runs on a bounded DataFrame (the
@@ -476,6 +487,52 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         rollingStep(frame))
+  }
+
+  /** STREAMING [[transitions]]: the Markov pair stream as a watermarked
+    * per-user state machine. State is O(pending + 1): the not-yet-matured
+    * events plus the LAST matured event_type (the only history a
+    * first-order transition needs). Events mature in (ts, event_id) order
+    * once the watermark passes them — the same deterministic sequence the
+    * batch lag window uses — and each matured event emits its
+    * (prev_type, next_type) pair; the caller aggregates pairs to the
+    * transition matrix batch-side (counts commute with arrival order).
+    * The retained last-type outlives pending events (future events need
+    * it); unbounded user cardinality bounds the store with an event-time
+    * TTL exactly as [[StreamingDedup.firstSeenTtl]] does. */
+  def transitionsStream(events: DataFrame,
+      watermarkDelay: String = "0 seconds"): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type").cast("string").as("event_type"))
+      .withWatermark("ts", watermarkDelay)
+      .as[TransEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(transStep)
+  }
+
+  private def transStep(key: Long, rows: Iterator[TransEv],
+      state: GroupState[TransBuf]): Iterator[TransOut] = {
+    val st = state.getOption.getOrElse(TransBuf(Nil, None))
+    val incoming = if (state.hasTimedOut) Nil else rows.toList
+    val all = (st.pending ++ incoming).sortBy(e => (e.ts.getTime, e.event_id))
+    val wm = state.getCurrentWatermarkMs()
+    val (mature, pending) = all.partition(_.ts.getTime <= wm)
+    var last = st.last
+    val out = mature.flatMap { e =>
+      val r = last.map(p => TransOut(p, e.event_type, key))
+      last = Some(e.event_type)
+      r
+    }
+    if (pending.isEmpty && last.isEmpty) state.remove()
+    else {
+      state.update(TransBuf(pending, last))
+      if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+    }
+    out.iterator
   }
 
   private def rollingStep(frame: Int)(key: Long, rows: Iterator[RollEv],

@@ -260,6 +260,43 @@ object StreamDriver {
     }
   }
 
+  /** Drives [[EventStream.transitionsStream]] end-to-end: feed every
+    * (user_id, ts, event_id, event_type) row in one batch, sentinel
+    * batches mature + flush, then the emitted pair stream aggregates to
+    * the SAME (prev_type, next_type, n_transitions, n_users) matrix — and
+    * the same oracle — as the batch [[EventStream.transitions]]. */
+  def transitionsStreamed(spark: SparkSession,
+      events: Seq[(Long, Timestamp, Long, String)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val em = MemoryStream[(Long, Timestamp, Long, String)]
+    val name = "trans_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.transitionsStream(
+        em.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val maxTs = (events.map(_._2.getTime) :+ 0L).max
+      if (events.nonEmpty) em.addData(events)
+      q.processAllAvailable()
+      em.addData((SentinelKey, new Timestamp(maxTs + 3600L * 1000), -1L, "_"))
+      q.processAllAvailable()
+      em.addData((SentinelKey, new Timestamp(maxTs + 7200L * 1000), -2L, "_"))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .filter(col("user_id") =!= SentinelKey)
+        .groupBy("prev_type", "next_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("prev_type", "next_type")
+        .agg(sum("n").as("n_transitions"), count(lit(1)).as("n_users"))
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   def asOfStreamed(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],
       rights: Seq[(Long, Timestamp, Double)]): DataFrame = {
     import spark.implicits._

@@ -190,6 +190,38 @@ object TextAnalysis {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** Hashed-linear classifier scoring — the SERVING side of a
+    * fastText-style quality filter: every unigram and bigram feature
+    * hashes to a bucket whose weight is added to the document score, all
+    * map-side (no shuffle, no model join — the "hashing trick" replaces
+    * the vocabulary lookup, so the scorer is a pure codegen'd column
+    * expression at any corpus size). Weights here are the deterministic
+    * hash-derived stand-in w(f) = (md5-bucket of f) - 500 ∈ [-500, 500]
+    * — this container has no trained model to load; a real deployment
+    * swaps `weight` for a broadcast-array probe of the learned weight
+    * vector (the [[graft.functions.BroadcastArrayGet]] pattern) and the
+    * plumbing is identical. Integer space end-to-end, so the SQL oracle
+    * reproduces the score bit-for-bit.
+    * Output: (doc_id, n_features, score, keep = score >= 0). */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    def weight(f: Column): Column =
+      ((ascii(substring(md5(f), 1, 1)) * 256 +
+        ascii(substring(md5(f), 2, 1))) % 1001 - 500).cast("long")
+    def scoreOf(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, f) => acc + weight(f))
+    docs.select(col("doc_id"),
+        bindArray(tokens(col("text"))) { t =>
+          struct(size(t).as("nu"), scoreOf(t).as("su"))
+        }.as("u"),
+        bindArray(bigrams(col("text"))) { b =>
+          struct(size(b).as("nb"), scoreOf(b).as("sb"))
+        }.as("b"))
+      .select(col("doc_id"),
+        (col("u.nu") + col("b.nb")).cast("long").as("n_features"),
+        (col("u.su") + col("b.sb")).as("score"))
+      .withColumn("keep", col("score") >= 0L)
+  }
+
   /** Winnowing-style document fingerprint: the minimum md5 over all 3-token
     * shingles — a 1-permutation MinHash, stable under small edits and exactly
     * reproducible in SQL (md5 is engine-independent). */

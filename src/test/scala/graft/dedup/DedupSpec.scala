@@ -181,6 +181,22 @@ class DedupSpec extends SparkSpec {
     assert(got.values.exists(v => v._2 < v._1))
   }
 
+  test("containmentPairs: a quoted sub-document scores containment 100 where Jaccard misses it") {
+    // doc 2 is doc 1's text embedded in a much longer document: every
+    // shingle of 1 appears in 2 (containment 100) but the union is large
+    val small = "q1 q2 q3 q4 q5"
+    val fix = docs(
+      (1L, small),
+      (2L, s"p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 $small r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"),
+      (3L, "z1 z2 z3 z4 z5"))
+    // Jaccard at 50% finds nothing (3 shared shingles / 25 union = 12%)
+    assert(Dedup.jaccardPairs(fix, 50).count() == 0L)
+    val r = Dedup.containmentPairs(fix, 80).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // ONE directed row: 1 contained in 2 (3/3 shingles), never the reverse
+    assert(r.toSeq == Seq((1L, 2L, 3L, 3L, 100L)))
+  }
+
   test("dupSpans merges overlapping and ADJACENT duplicated windows into maximal spans") {
     def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
     val c12 = toks("c", 12); val a8 = toks("a", 8); val b8 = toks("b", 8)

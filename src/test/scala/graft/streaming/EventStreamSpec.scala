@@ -269,6 +269,46 @@ class EventStreamSpec extends SparkSpec {
       (2L, "view>buy>click", 1L, 1L)))
   }
 
+  test("transitionsStream equals batch transitions across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq(
+      (1L, ts(0), 1L, "click"), (2L, ts(1), 1L, "view"), (3L, ts(2), 1L, "buy"),
+      (4L, ts(0), 2L, "view"), (5L, ts(1), 2L, "view"),
+      (6L, ts(3), 1L, "click"), (7L, ts(4), 2L, "click"), (8L, ts(5), 2L, "view"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val batch = EventStream.transitions(
+        ev.toDF("event_id", "ts", "user_id", "event_type")
+          .selectExpr("user_id", "ts", "event_id", "event_type"))
+      .collect().map(key).toSet
+    // two ts-ordered micro-batches: user state (the last matured type)
+    // must carry across the batch boundary at minute 2/3
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = EventStream.transitionsStream(
+        mem.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("ts_parity").outputMode("append").start()
+    val rows = ev.map { case (id, t, u, et) => (u, t, id, et) }
+    mem.addData(rows.filter(_._2.getTime <= ts(2).getTime))
+    q.processAllAvailable()
+    mem.addData(rows.filter(_._2.getTime > ts(2).getTime))
+    q.processAllAvailable()
+    mem.addData((Long.MinValue, ts(59), -1L, "_")) // mature everything
+    q.processAllAvailable()
+    mem.addData((Long.MinValue, ts(59), -2L, "_")) // fire timeouts
+    q.processAllAvailable()
+    val streamed = spark.table("ts_parity")
+      .filter(col("user_id") =!= Long.MinValue)
+      .groupBy("prev_type", "next_type", "user_id").agg(count(lit(1)).as("n"))
+      .groupBy("prev_type", "next_type")
+      .agg(sum("n").as("n_transitions"), count(lit(1)).as("n_users"))
+      .collect().map(key).toSet
+    q.stop()
+    assert(streamed == batch)
+    // the boundary transition itself (user 1: buy@2 -> click@3) was emitted
+    assert(batch.exists { case (p, n, _, _) => p == "buy" && n == "click" })
+  }
+
   test("topPaths: same-timestamp ties order by event_id") {
     import spark.implicits._
     val ev = Seq( // all at the same instant: sequence = event_id order

@@ -157,4 +157,27 @@ class TextAnalysisSpec extends SparkSpec {
       .map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq
     assert(got == expected)
   }
+
+  test("classifierScore: hash-derived linear score over unigram+bigram features") {
+    // reference scorer: same md5-hex-derived integer weight per feature
+    def w(f: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (hex(0).toInt * 256 + hex(1).toInt) % 1001 - 500
+    }
+    def ref(text: String): (Long, Long) = {
+      val t = text.split(" ", -1).toSeq
+      val feats = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      (feats.size.toLong, feats.map(w).sum)
+    }
+    val texts = Seq("the quick brown fox", "single", "a a a a", "")
+    val r = classifierScore(docs(texts.zipWithIndex.map {
+        case (t, i) => (i.toLong, t) }: _*))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val (nf, sc) = ref(t)
+      assert(r(i.toLong) == ((nf, sc, sc >= 0)), s"doc $i '$t'")
+    }
+  }
 }

@@ -994,6 +994,8 @@ object SparkEntry {
         .orderBy("doc_id", "in_doc_id")),
     "text_classifier_score" -> ((s, dir) => // hashed-linear quality scoring
       TextAnalysis.classifierScore(docs(s, dir)).orderBy("doc_id")),
+    "text_bpe_encode" -> ((s, dir) => // apply 3 trained merges per document
+      TextAnalysis.bpeEncode(docs(s, dir), 3).orderBy("doc_id")),
     "events_transitions_stream" -> ((s, dir) => {
       // the SAME first-order transition matrix as events_transitions,
       // executed through the streaming engine (MemoryStream -> watermark
@@ -1462,6 +1464,15 @@ object SparkEntry {
         "FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) q " +
         "JOIN orders ON q.l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY total_qty DESC, o_orderkey LIMIT 20"),
+    // the encode oracle extends the SAME unrolled trainer: s3 is the
+    // final segmented vocabulary, per-doc counts join the word stream
+    "text_bpe_encode" ->
+      (s"WITH ${bpeCtes(3)}, " +
+        "vs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_syms FROM s3 GROUP BY 1), " +
+        "dt AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents) " +
+        "SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, " +
+        "CAST(SUM(vs.n_syms) AS BIGINT) AS n_bpe_tokens " +
+        "FROM dt JOIN vs USING (w) GROUP BY 1 ORDER BY 1"),
     "text_bpe_train" ->
       (s"WITH ${bpeCtes(3)} " +
         "SELECT CAST(iter AS INTEGER) AS iter, x || ' ' || y AS pair, cnt FROM (" +

@@ -348,8 +348,39 @@ object TextAnalysis {
     * (the fixture-true case; training stops early otherwise).
     * Output: (iter, pair, cnt) — the merges file, space-separated pair. */
   def bpeTrain(docs: DataFrame, numMerges: Int): DataFrame = {
-    require(numMerges >= 1 && numMerges <= 64, "1..64 merges")
     val spark = docs.sparkSession
+    val (merges, _, syms0) = bpeRun(docs, numMerges)
+    syms0.unpersist() // merges are driver-held; the cache has served
+    import spark.implicits._
+    merges.toDF("iter", "pair", "cnt").orderBy("iter")
+  }
+
+  /** BPE ENCODING — the tokenizer's serving side: train `numMerges`
+    * merges ([[bpeTrain]]'s loop, shared), leave the vocabulary in its
+    * final segmentation, and count each document's BPE tokens by joining
+    * its word stream to the per-word symbol counts. Segmentation depends
+    * only on the word type, so the expensive merge application runs on
+    * the VOCABULARY-sized relation — documents only pay a token-stream
+    * equi-join against it (vocab-sized build side: AQE broadcasts it at
+    * any realistic vocabulary; hot stopwords are join-build lookups, not
+    * skewed shuffle keys).
+    * Output: (doc_id, n_words, n_bpe_tokens) — n_bpe_tokens is the
+    * post-merge symbol count, the number a token-budget planner needs. */
+  def bpeEncode(docs: DataFrame, numMerges: Int): DataFrame = {
+    val (_, syms, syms0) = bpeRun(docs, numMerges)
+    val vocab = syms.groupBy("w").agg(count(lit(1)).as("n_syms"))
+    val out = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+    graft.core.CacheOps.cacheResult(out, Seq(syms0))
+  }
+
+  /** Shared trainer loop: returns (merges, final segmented vocabulary,
+    * the persisted base relation — caller releases it). */
+  private def bpeRun(docs: DataFrame,
+      numMerges: Int): (List[(Int, String, Long)], DataFrame, DataFrame) = {
+    require(numMerges >= 1 && numMerges <= 64, "1..64 merges")
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("w").orderBy("pos")
     // the ONE corpus scan; persisted so the k iterations (each a
@@ -389,9 +420,7 @@ object TextAnalysis {
               .otherwise(col("sym")).as("sym"))
       }
     }
-    syms0.unpersist() // merges are driver-held; the cache has served
-    import spark.implicits._
-    merges.reverse.toDF("iter", "pair", "cnt").orderBy("iter")
+    (merges.reverse, syms, syms0)
   }
 
   /** The BPE first-merge table — tokenizer training's inner loop as a

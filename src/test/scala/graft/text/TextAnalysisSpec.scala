@@ -158,6 +158,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bpeEncode: per-document post-merge token counts match the sequential reference") {
+    // reference: train k merges (same greedy top-pair semantics as refBpe)
+    // while TRACKING each word's segmentation, then count per document
+    def refEncode(words: Map[String, Long], k: Int): Map[String, Int] = {
+      var seg: Map[String, Vector[String]] =
+        words.keys.map(w => w -> w.split("").toVector).toMap
+      (1 to k).foreach { _ =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        seg.foreach { case (w, syms) =>
+          syms.sliding(2).foreach {
+            case Seq(x, y) =>
+              counts((x, y)) = counts.getOrElse((x, y), 0L) + words(w)
+            case _ => ()
+          }
+        }
+        val ((x, y), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        seg = seg.map { case (w, syms) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == x && syms(j + 1) == y) {
+              out += x + y; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          w -> out.result()
+        }
+      }
+      seg.map { case (w, s) => w -> s.size }
+    }
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = real.selectExpr("explode(split(text, ' ')) AS w")
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nsyms = refEncode(words, 3)
+    val expected = real.select("doc_id", "text").collect().map { r =>
+      val t = r.getString(1).split(" ", -1)
+      r.getLong(0) -> ((t.length.toLong, t.map(nsyms(_).toLong).sum))
+    }.toMap
+    val got = bpeEncode(real, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // merges actually compressed something (non-vacuous)
+    assert(got.values.exists { case (nw, nb) => nb < nw * 10 })
+  }
+
   test("classifierScore: hash-derived linear score over unigram+bigram features") {
     // reference scorer: same md5-hex-derived integer weight per feature
     def w(f: String): Long = {

@@ -996,6 +996,24 @@ object SparkEntry {
       TextAnalysis.classifierScore(docs(s, dir)).orderBy("doc_id")),
     "text_bpe_encode" -> ((s, dir) => // apply 3 trained merges per document
       TextAnalysis.bpeEncode(docs(s, dir), 3).orderBy("doc_id")),
+    "curate_stratified" -> ((s, dir) => // largest-remainder exact-n sampler
+      graft.pipeline.Curation.stratifiedSample(docs(s, dir), 200)
+        .orderBy("doc_id")),
+    "profile_frequent_values" -> ((s, dir) => // per-column top-5 values
+      graft.stats.Profile.frequentValues(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_returnflag", "l_linestatus", "l_quantity", "l_linenumber"), 5)
+        .orderBy("column_name", "rank")),
+    "events_outliers" -> ((s, dir) => // exact per-type p99 exceedances
+      graft.streaming.EventStream.valueOutliers(events(s, dir), 99)
+        .orderBy("event_id")),
+    "tpch_returned_items" -> ((s, dir) => // Q10 analog: churn ranking
+      graft.stats.Analytics.returnedItemReport(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        "1996-01-01", "1997-01-01", 20)),
     "events_transitions_stream" -> ((s, dir) => {
       // the SAME first-order transition matrix as events_transitions,
       // executed through the streaming engine (MemoryStream -> watermark
@@ -1464,6 +1482,44 @@ object SparkEntry {
         "FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) q " +
         "JOIN orders ON q.l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY total_qty DESC, o_orderkey LIMIT 20"),
+    // largest-remainder apportionment + md5-shuffled in-stratum pick:
+    // every step integer/string-exact in both engines
+    "curate_stratified" ->
+      ("WITH st AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS sn FROM documents GROUP BY 1,2), " +
+        "t AS (SELECT SUM(sn) AS t FROM st), " +
+        "b AS (SELECT source, lang, sn, (200*sn)//t.t AS q0, (200*sn)%t.t AS rem FROM st CROSS JOIN t), " +
+        "qs AS (SELECT SUM(q0) AS q FROM b), " +
+        "qt AS (SELECT source, lang, q0 + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source, lang) <= 200 - qs.q THEN 1 ELSE 0 END AS quota FROM b CROSS JOIN qs), " +
+        "r AS (SELECT doc_id, source, lang, ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank FROM documents) " +
+        "SELECT r.doc_id, r.source, r.lang, CAST(r.pick_rank AS BIGINT) AS pick_rank " +
+        "FROM r JOIN qt USING (source, lang) WHERE r.pick_rank <= qt.quota ORDER BY r.doc_id"),
+    // values render to VARCHAR before grouping; rank = (cnt desc, value)
+    "profile_frequent_values" ->
+      ("WITH lr AS (SELECT 'l_returnflag' AS column_name, CAST(l_returnflag AS VARCHAR) AS value FROM lineitem " +
+        "UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem " +
+        "UNION ALL SELECT 'l_quantity', CAST(l_quantity AS VARCHAR) FROM lineitem " +
+        "UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem), " +
+        "c AS (SELECT column_name, value, CAST(COUNT(*) AS BIGINT) AS cnt FROM lr WHERE value IS NOT NULL GROUP BY 1,2), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY column_name ORDER BY cnt DESC, value) AS rank FROM c) " +
+        "SELECT column_name, CAST(rank AS BIGINT) AS rank, value, cnt FROM r WHERE rank <= 5 ORDER BY 1,2"),
+    // exact rank-at-floor((n-1)*99/100) threshold by counting over each
+    // type's distinct milli-values; strictly-above rows flag
+    "events_outliers" ->
+      ("WITH ev AS (SELECT event_id, event_type, CAST(floor(value*1000) AS BIGINT) AS value_milli FROM events), " +
+        "h AS (SELECT event_type, value_milli, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY 1,2), " +
+        "cu AS (SELECT event_type, value_milli, SUM(cnt) OVER (PARTITION BY event_type ORDER BY value_milli) AS cum FROM h), " +
+        "nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1), " +
+        "th AS (SELECT cu.event_type, MIN(cu.value_milli) AS thr_milli FROM cu JOIN nn USING (event_type) " +
+        "WHERE cu.cum >= FLOOR((nn.n - 1) * 99 / 100.0) + 1 GROUP BY 1) " +
+        "SELECT ev.event_id, ev.event_type, ev.value_milli, th.thr_milli " +
+        "FROM ev JOIN th USING (event_type) WHERE ev.value_milli > th.thr_milli ORDER BY ev.event_id"),
+    "tpch_returned_items" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1,2,3 ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"),
     // the encode oracle extends the SAME unrolled trainer: s3 is the
     // final segmented vocabulary, per-doc counts join the word stream
     "text_bpe_encode" ->

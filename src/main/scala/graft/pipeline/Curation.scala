@@ -389,4 +389,44 @@ object Curation {
       .withColumn("tier", ntile(tiers).over(w))
       .select("doc_id", "lang", "quality_bucket", "tier")
   }
+
+  /** Deterministic STRATIFIED sampler: exactly `n` documents allocated
+    * over the (source, lang) strata proportionally to stratum size, with
+    * LARGEST-REMAINDER rounding (quota = floor(n·size/total), the
+    * n − Σfloor leftover seats go to the biggest remainders — the
+    * standard apportionment that makes the quotas sum exactly to n).
+    * Within a stratum, selection order is the md5 of the doc_id — a
+    * deterministic pseudo-random shuffle both engines reproduce, so the
+    * sample is stable across runs and cluster layouts.
+    *
+    * Scale shape: the strata table is DIMENSION-sized (sources ×
+    * languages), so its single-partition remainder-ranking window is
+    * bounded by construction and the quota table broadcasts; documents
+    * pay one per-STRATUM ranking window (skew bound = the largest
+    * stratum — swap in the bounded top-k aggregator per stratum when one
+    * stratum dominates a 100 TB corpus). Requires n <= corpus size for
+    * the exact-n guarantee (short strata otherwise surrender seats).
+    * Output: the picked rows (doc_id, source, lang, pick_rank). */
+  def stratifiedSample(docs: DataFrame, n: Long): DataFrame = {
+    require(n >= 1, "sample size must be positive")
+    val strata = docs.groupBy("source", "lang").agg(count(lit(1)).as("sn"))
+    val tot = strata.agg(sum("sn").as("t"))
+    val base = strata.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("sn"),
+        expr(s"($n * sn) div t").as("q0"),
+        expr(s"($n * sn) % t").as("rem"))
+    val remW = Window.orderBy(col("rem").desc, col("source"), col("lang"))
+    val quotas = base.crossJoin(broadcast(base.agg(sum("q0").as("qs"))))
+      .withColumn("rk", row_number().over(remW))
+      .withColumn("quota",
+        col("q0") + when(col("rk") <= lit(n) - col("qs"), 1L).otherwise(0L))
+      .select("source", "lang", "quota")
+    val pickW = Window.partitionBy("source", "lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("pick_rank", row_number().over(pickW).cast("long"))
+      .join(broadcast(quotas), Seq("source", "lang"))
+      .filter(col("pick_rank") <= col("quota"))
+      .select("doc_id", "source", "lang", "pick_rank")
+  }
 }

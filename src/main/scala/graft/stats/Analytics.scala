@@ -143,6 +143,28 @@ object Analytics {
       .agg(sum(revenueE4).as("revenue_e4"))
   }
 
+  /** Q10-style returned-item report: top-k customers by revenue lost to
+    * returned lineitems ('R' flag) among orders placed in
+    * [from, until) — the churn-investigation ranking. Filters push into
+    * both scans (order date band, return flag), nation broadcasts, the
+    * customer/orders/lineitem joins stay un-hinted for AQE, top-k is
+    * TakeOrderedAndProject. Integer `_e4` money. */
+  def returnedItemReport(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame, from: String, until: String,
+      k: Int = 20): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(revenueE4).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(k)
+
   /** Grouping-sets revenue: ROLLUP over (region, nation) — per-nation
     * rows, per-region subtotals, and the grand total in ONE aggregation
     * (Catalyst's Expand feeds a single hash aggregate with map-side

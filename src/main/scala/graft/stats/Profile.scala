@@ -122,6 +122,34 @@ object Profile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Per-column FREQUENT VALUES: the top-k most common values of each
+    * profiled column with deterministic (count desc, value asc) ranking —
+    * the "top values" panel of a data-profiling report, and the input to
+    * skew diagnosis (a hot join key shows up here first). Values render
+    * to strings BEFORE grouping so one output schema serves any column
+    * mix (integers render identically in any engine; keep floats out
+    * where bit-exact reports matter).
+    *
+    * Shape: one stacked (column, value) Generate — constant fan-out per
+    * row — then ONE hash aggregation over all columns together (map-side
+    * combine collapses to the per-column value vocabularies), and a
+    * per-COLUMN ranking window whose partition is that column's distinct
+    * values, never the row count. For ultra-high-cardinality columns at
+    * 100 TB, swap the window for the bounded top-k aggregator keyed by
+    * column. Output: (column_name, rank, value, cnt). */
+  def frequentValues(df: DataFrame, cols: Seq[String], k: Int = 5): DataFrame = {
+    require(cols.nonEmpty && k >= 1, "need columns and a positive k")
+    val longRel = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("value"))): _*)).as("p"))
+      .select(col("p.*")).filter(col("value").isNotNull)
+    val counts = longRel.groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("column_name")
+      .orderBy(col("cnt").desc, col("value"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("column_name", "rank", "value", "cnt")
+  }
+
   /** Pairwise correlation MOMENTS of integer-valued columns:
     * (col_x, col_y, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) for every
     * unordered pair — everything Pearson's r needs, kept in exact BIGINT

@@ -201,6 +201,35 @@ object EventStream {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Value OUTLIERS per event type: events whose value exceeds the
+    * type's exact percentile threshold — the monitoring primitive behind
+    * "alert on anomalous spend/latency". Values fix to milli-integers
+    * (floor(value·1000) — engine-agnostic) and the threshold is the exact
+    * rank-at-floor((n−1)·pct/100) value computed by COUNTING over the
+    * type's distinct values (the [[graft.stats.Profile.quantiles]]
+    * shape): one hash aggregation to the (type, value) histogram, a
+    * cumulative window over each type's DISTINCT values (bounded by value
+    * cardinality, never row count), a tiny per-type threshold relation
+    * broadcast back, and a map-side filter. No global sort, no per-type
+    * full ranking. Output: strictly-above rows
+    * (event_id, event_type, value_milli, thr_milli). */
+  def valueOutliers(events: DataFrame, pct: Int = 99): DataFrame = {
+    require(pct >= 1 && pct <= 99, "pct in 1..99")
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col("event_id"), col("event_type"),
+      floor(col("value") * 1000).cast("long").as("value_milli"))
+    val hist = ev.groupBy("event_type", "value_milli").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("value_milli")
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+    val thr = cum
+      .join(ev.groupBy("event_type").agg(count(lit(1)).as("n")), "event_type")
+      .filter(col("cum") >= floor((col("n") - 1) * pct / 100.0) + 1)
+      .groupBy("event_type").agg(min("value_milli").as("thr_milli"))
+    ev.join(broadcast(thr), "event_type")
+      .filter(col("value_milli") > col("thr_milli"))
+      .select("event_id", "event_type", "value_milli", "thr_milli")
+  }
+
   /** Range join: each left row gets the ranges [lo, hi) that contain
     * `valueCol`. Spark plans a plain `lo <= v AND v < hi` join as
     * BroadcastNestedLoopJoin — fine for a literal band table, quadratic

@@ -284,5 +284,27 @@ class CurationSpec extends SparkSpec {
     assert(s(0L) == 0 && s(1L) == 3 && s(2L) == 3)
   }
 
+  test("stratifiedSample: exact n, largest-remainder quotas, deterministic picks") {
+    import spark.implicits._
+    // strata sizes 5/3/2 over n=6: exact quotas 3.0/1.8/1.2 -> floors
+    // 3/1/1 (sum 5), one leftover seat -> largest remainder (.8) wins it
+    val fix = ((1L to 5L).map(i => (i, s"t$i", "web", "en")) ++
+      (6L to 8L).map(i => (i, s"t$i", "web", "fr")) ++
+      (9L to 10L).map(i => (i, s"t$i", "book", "en")))
+      .toDF("doc_id", "text", "source", "lang")
+    val r = Curation.stratifiedSample(fix, 6).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(r.length == 6)
+    val bySt = r.groupBy(x => (x._2, x._3)).view.mapValues(_.length).toMap
+    assert(bySt == Map(("web", "en") -> 3, ("web", "fr") -> 2, ("book", "en") -> 1))
+    // pick_rank is 1..quota within each stratum
+    for (((src, lg), q) <- bySt)
+      assert(r.filter(x => x._2 == src && x._3 == lg).map(_._4).sorted
+        .sameElements(1L to q.toLong))
+    // deterministic: a second run picks the identical doc set
+    val again = Curation.stratifiedSample(fix, 6).collect().map(_.getLong(0)).toSet
+    assert(again == r.map(_._1).toSet)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

@@ -99,6 +99,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.forall(_.getLong(1) > 0L))
   }
 
+  test("returnedItemReport: R-flag + date band filters, revenue-desc ranking") {
+    val r = Analytics.returnedItemReport(
+      spark.read.parquet(s"$sf/customer.parquet"),
+      spark.read.parquet(s"$sf/orders.parquet"),
+      spark.read.parquet(s"$sf/lineitem.parquet"),
+      spark.read.parquet(s"$sf/nation.parquet"),
+      "1996-01-01", "1997-01-01", 10).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    val revs = r.map(_.getLong(3))
+    assert(revs.sameElements(revs.sortBy(-_)), "descending by revenue")
+    // cross-check the top row against a direct recomputation
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val or = spark.read.parquet(s"$sf/orders.parquet")
+    val expectTop = li.filter(col("l_returnflag") === "R")
+      .join(or.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") === r.head.getLong(0))
+      .selectExpr("CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) AS e4")
+      .agg(sum("e4")).collect().head.getLong(0)
+    assert(r.head.getLong(3) == expectTop)
+  }
+
   test("revenueRollup: levels reconcile — nations sum to regions sum to total") {
     val rows = Analytics.revenueRollup(
       spark.read.parquet(s"$sf/customer.parquet"),

@@ -95,6 +95,18 @@ class ProfileSpec extends SparkSpec {
     assert(r(("y", "z")) == ((2L, 8L, 40L, 40L, 1000L, 200L)))
   }
 
+  test("frequentValues: top-k per column, count-desc value-asc ties, nulls dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(2)), ("b", Some(2)), ("b", None), ("c", Some(2)))
+      .toDF("s", "i")
+    val r = Profile.frequentValues(df, Seq("s", "i"), 2).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getLong(3)))
+    assert(r.toSet == Set(
+      ("s", 1L, "a", 2L), ("s", 2L, "b", 2L), // tie 2/2 -> value order a,b
+      ("i", 1L, "2", 3L), ("i", 2L, "1", 1L))) // null never counted
+  }
+
   test("correlationMoments applies per-column integer scales") {
     import spark.implicits._
     val df = Seq((0.05, 2L), (0.07, 3L)).toDF("rate", "k")

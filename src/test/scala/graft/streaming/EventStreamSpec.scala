@@ -269,6 +269,20 @@ class EventStreamSpec extends SparkSpec {
       (2L, "view>buy>click", 1L, 1L)))
   }
 
+  test("valueOutliers: exact per-type percentile threshold, strictly-above flags") {
+    import spark.implicits._
+    // type A: 10 values 1..10 (milli 1000..10000). p50 target rank =
+    // floor(9*50/100)+1 = 5 -> threshold 5000; flags = 6..10 (5 rows).
+    // type B: constant values -> threshold = the value, nothing strictly above
+    val ev = ((1L to 10L).map(i => (i, "A", i.toDouble)) ++
+      (11L to 14L).map(i => (i, "B", 7.0)))
+      .toDF("event_id", "event_type", "value")
+    val r = EventStream.valueOutliers(ev, 50).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.map(_._1).sorted.sameElements(6L to 10L))
+    assert(r.forall { case (_, t, v, thr) => t == "A" && thr == 5000L && v > thr })
+  }
+
   test("transitionsStream equals batch transitions across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

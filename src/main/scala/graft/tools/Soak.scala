@@ -154,6 +154,17 @@ object Soak {
       // relation stays sf0.1-sized while the input is 10x — the map-side
       // set-partial should absorb the duplication before the Exchange
       run("dedup_cross_source_sf1", Dedup.crossSourceOverlap(docs1, 7))
+    if (which("spans"))
+      // cross-shard identical docs: EVERY window is duplicated, so the
+      // interval union runs over the densest possible per-doc dup stream
+      // (one island covering each whole document) — worst case for the
+      // doc-partitioned window, best case for span compression
+      run("dedup_spans_sf1", Dedup.dupSpans(docs1, 8))
+    if (which("containment"))
+      // every doc has 9 exact copies cross-shard: the directed pair
+      // stream is ~20x the undirected Jaccard result — stresses the
+      // derive-both-directions union over the capped inverted index
+      run("dedup_containment_sf1", Dedup.containmentPairs(docs1, 80))
     if (which("ivf"))
       run("sim_topk_ivf_sf1",
         Similarity.ivfTopK(emb1, col("vec_id") % 100 === 0, 10))

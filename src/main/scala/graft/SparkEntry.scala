@@ -992,6 +992,8 @@ object SparkEntry {
     "dedup_containment" -> ((s, dir) => // directed sub-document copies
       graft.dedup.Dedup.containmentPairs(docs(s, dir), 80)
         .orderBy("doc_id", "in_doc_id")),
+    "dedup_clean_spans" -> ((s, dir) => // keep-first substring-dedup rewrite
+      graft.dedup.Dedup.cleanDupSpans(docs(s, dir), 8).orderBy("doc_id")),
     "text_classifier_score" -> ((s, dir) => // hashed-linear quality scoring
       TextAnalysis.classifierScore(docs(s, dir)).orderBy("doc_id")),
     "text_bpe_encode" -> ((s, dir) => // apply 3 trained merges per document
@@ -1563,6 +1565,23 @@ object SparkEntry {
         "isl2 AS (SELECT doc_id, i, SUM(ni) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island FROM isl) " +
         "SELECT doc_id, MIN(i) AS span_start, MAX(i)+7 AS span_end, MAX(i)+7-MIN(i)+1 AS span_tokens " +
         "FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start"),
+    // keep-first spans (owner rows never marked) + interval anti-join +
+    // ordered reassembly; zero-kept docs fall back to '' via the outer join
+    "dedup_clean_spans" ->
+      ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "wi AS (SELECT doc_id, unnest(range(1, len(t)-6)) AS i, t FROM tokd), " +
+        "w AS (SELECT doc_id, CAST(i AS BIGINT) AS i, array_to_string(t[i:i+7],' ') AS ng FROM wi), " +
+        "s AS (SELECT ng, MIN(doc_id) AS owner FROM w GROUP BY ng HAVING COUNT(DISTINCT doc_id) > 1), " +
+        "dup AS (SELECT w.doc_id, w.i FROM w JOIN s USING (ng) WHERE w.doc_id <> s.owner), " +
+        "isl AS (SELECT doc_id, i, CASE WHEN i > COALESCE(MAX(i+7) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000) + 1 THEN 1 ELSE 0 END AS ni FROM dup), " +
+        "isl2 AS (SELECT doc_id, i, SUM(ni) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island FROM isl), " +
+        "sp AS (SELECT doc_id, MIN(i) AS a, MAX(i)+7 AS b FROM isl2 GROUP BY doc_id, island), " +
+        "tk AS (SELECT doc_id, CAST(generate_subscripts(t,1) AS BIGINT) AS pos, unnest(t) AS tok FROM tokd), " +
+        "kp AS (SELECT tk.* FROM tk WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = tk.doc_id AND tk.pos BETWEEN sp.a AND sp.b)), " +
+        "ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text FROM kp GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens, " +
+        "COALESCE(ag.n_kept, 0) AS n_kept, COALESCE(ag.cleaned_text, '') AS cleaned_text " +
+        "FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY 1"),
     // rollup levels marked by the NULLed-out dimensions (never null in the
     // data), not GROUPING() bit order — engine-agnostic
     "tpch_revenue_rollup" ->

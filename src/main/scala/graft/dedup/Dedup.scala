@@ -435,7 +435,9 @@ object Dedup {
     * Output: (doc_id, span_start, span_end, span_tokens) — 1-based
     * inclusive token indices, one row per maximal duplicated span,
     * span_tokens = span_end - span_start + 1. Callers cleaning a corpus
-    * drop the spans' token ranges from the text.
+    * drop the spans' token ranges from the text ([[cleanDupSpans]]);
+    * `keepFirst` marks a window only OUTSIDE its owner (min doc_id), so
+    * a removal pass keeps exactly one occurrence corpus-wide.
     *
     * Shape for 100 TB: windows collapse to 64-bit hashes map-side (8-byte
     * shuffle rows — swap in md5 keys for cleaning-grade runs where a
@@ -446,7 +448,8 @@ object Dedup {
     * island detection is the standard relational interval-union: a window
     * opens a new island iff its start exceeds the max end seen so far
     * (+1: adjacent ranges are one contiguous duplicated region). */
-  def dupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+  def dupSpans(docs: DataFrame, n: Int = 8,
+      keepFirst: Boolean = false): DataFrame = {
     require(n >= 2, "window length must be at least 2")
     val w = docs.select(col("doc_id"),
         posexplode(windowHashes(col("text"), n)).as(Seq("pos", "h")))
@@ -454,9 +457,15 @@ object Dedup {
       .persist()
     w.count()
     try {
-      val shared = w.groupBy("h").agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") > 1).select("h")
-      val dup = w.join(shared, Seq("h")).select("doc_id", "i")
+      // keepFirst: the window's OWNER (min doc_id carrying it) keeps its
+      // copy — its positions are never marked, so exactly one occurrence
+      // of every duplicated region survives a span-removal pass
+      val grouped = w.groupBy("h").agg(countDistinct("doc_id").as("nd"),
+        min("doc_id").as("owner"))
+      val shared = grouped.filter(col("nd") > 1).select("h", "owner")
+      val dup = w.join(shared, Seq("h"))
+        .filter(if (keepFirst) col("doc_id") =!= col("owner") else lit(true))
+        .select("doc_id", "i")
       val byDoc = Window.partitionBy("doc_id").orderBy("i")
       val prevEnd = max(col("i") + (n - 1)).over(
         byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -472,6 +481,38 @@ object Dedup {
           (col("span_end") - col("span_start") + 1L).as("span_tokens"))
       graft.core.CacheOps.cacheResult(out, Seq(w))
     } catch { case e: Throwable => w.unpersist(); throw e }
+  }
+
+  /** Span-removal corpus cleaner — the end-to-end product of exact
+    * substring dedup: compute keep-first duplicated spans
+    * ([[dupSpans]] with `keepFirst`: each duplicated window's min-doc_id
+    * OWNER keeps its copy) and drop the marked token ranges from every
+    * other document, so exactly ONE occurrence of each duplicated region
+    * survives corpus-wide. Per document the rewrite is MAP-SIDE: the
+    * span list (a handful of intervals) attaches in a 1:1 join, then a
+    * single codegen'd filter-by-interval + rejoin over the let-bound
+    * token array — the document text never shuffles for the rewrite.
+    * Output: (doc_id, n_tokens, n_kept, cleaned_text). */
+  def cleanDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spans = dupSpans(docs, n, keepFirst = true)
+    val byDoc = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sps"))
+    val emptySpans = array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    val out = docs.select("doc_id", "text").join(byDoc, Seq("doc_id"), "left")
+      .withColumn("sps", coalesce(col("sps"), emptySpans))
+      .select(col("doc_id"), col("sps"),
+        TextAnalysis.bindArray(TextAnalysis.tokens(col("text"))) { t =>
+          struct(size(t).cast("long").as("n_tokens"), t.as("toks"))
+        }.as("b"))
+      .select(col("doc_id"), col("b.n_tokens").as("n_tokens"),
+        // spans carry 1-based token indices; filter's index is 0-based
+        filter(col("b.toks"), (_, i) => !exists(col("sps"),
+          s => (i + 1).cast("long").between(
+            s.getField("span_start"), s.getField("span_end")))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+    graft.core.CacheOps.cacheResult(out, Seq(spans))
   }
 
   /** Cross-source contamination matrix: for every unordered pair of

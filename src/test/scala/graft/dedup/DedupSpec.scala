@@ -218,4 +218,27 @@ class DedupSpec extends SparkSpec {
       (6L, 1L, 16L, 16L))                   // starts 1 and 9 fuse (9 <= 8+1)
     assert(got == want)
   }
+
+  test("cleanDupSpans keeps exactly one occurrence of each duplicated region (the owner's)") {
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val c12 = toks("c", 12); val a8 = toks("a", 8); val b8 = toks("b", 8)
+    val fix = docs(
+      (1L, c12), (2L, s"$c12 u1 u2"),
+      (3L, s"$a8 x1 x2 $b8"), (4L, s"$a8 q1 q2 q3"), (5L, s"$b8 r1 r2 r3"),
+      (6L, s"$a8 $b8"), (7L, "too short"),
+      (8L, s"${toks("m", 8)} ${toks("m", 8)}"))
+    val got = Dedup.cleanDupSpans(fix, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // owners (min doc_id per window: 1 for C, 3 for A and B) keep their
+    // text; every other copy loses the span; doc 6 empties entirely
+    assert(got == Map(
+      1L -> ((12L, 12L, c12)),
+      2L -> ((14L, 2L, "u1 u2")),
+      3L -> ((18L, 18L, s"$a8 x1 x2 $b8")),
+      4L -> ((11L, 3L, "q1 q2 q3")),
+      5L -> ((11L, 3L, "r1 r2 r3")),
+      6L -> ((16L, 0L, "")),
+      7L -> ((2L, 2L, "too short")),
+      8L -> ((16L, 16L, s"${toks("m", 8)} ${toks("m", 8)}"))))
+  }
 }

@@ -150,10 +150,15 @@ object Dedup {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
         .agg(count(lit(1)).as("inter"))
-      val directed = inter
-        .select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("in_doc_id"), col("inter"))
-        .unionByName(inter.select(col("doc_id_b").as("doc_id"),
-          col("doc_id_a").as("in_doc_id"), col("inter")))
+      // both directions explode from the ONE aggregated pair relation (a
+      // union of two projections would re-run the self-join + aggregation
+      // once per branch — measured in the plan audit)
+      val directed = inter.select(explode(array(
+          struct(col("doc_id_a").as("doc_id"),
+            col("doc_id_b").as("in_doc_id"), col("inter")),
+          struct(col("doc_id_b").as("doc_id"),
+            col("doc_id_a").as("in_doc_id"), col("inter")))).as("d"))
+        .select(col("d.doc_id"), col("d.in_doc_id"), col("d.inter"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val out = directed.join(sizes, "doc_id")
         .withColumn("containment_pct", floor(lit(100) * col("inter") / col("n")))

@@ -169,6 +169,36 @@ object ExplainAudit {
       // path for the counts, TakeOrderedAndProject for the top-k
       showFinal("events_top_paths", graft.streaming.EventStream.topPaths(
         graft.streaming.EventSource.events(spark, dir), 3, 20))
+    if (which == "all" || which == "containment")
+      // final plan: one shingle-index self-join (a<b) feeds ONE pair
+      // aggregate; both directions derive by a union of projections —
+      // no second join; sizes attach un-hinted (AQE broadcast here)
+      showFinal("dedup_containment", graft.dedup.Dedup.containmentPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), 80))
+    if (which == "all" || which == "cleanspans")
+      // final plan: keep-first span pass (same shape as dedup_spans),
+      // then a 1:1 span-list join and a codegen filter/array_join — the
+      // rewrite itself adds NO Exchange beyond the span aggregation
+      showFinal("dedup_clean_spans", graft.dedup.Dedup.cleanDupSpans(
+        spark.read.parquet(s"$dir/documents.parquet"), 8))
+    if (which == "all" || which == "bpeencode")
+      // final plan: the vocab-sized trainer lineage caps in a groupBy(w)
+      // count; the doc token stream equi-joins it (AQE broadcast) and one
+      // doc_id aggregate finishes — corpus pays explode + join only
+      showFinal("text_bpe_encode", graft.text.TextAnalysis.bpeEncode(
+        spark.read.parquet(s"$dir/documents.parquet"), 3))
+    if (which == "all" || which == "stratified")
+      // final plan: dimension-sized strata/quota lineage under broadcast
+      // exchanges; docs pay ONE per-stratum ranking window + a broadcast
+      // quota join
+      showFinal("curate_stratified", graft.pipeline.Curation.stratifiedSample(
+        spark.read.parquet(s"$dir/documents.parquet"), 200))
+    if (which == "all" || which == "outliers")
+      // final plan: (type, milli) histogram aggregate, cumulative window
+      // over distinct values, tiny threshold relation broadcast back,
+      // map-side strictly-above filter
+      showFinal("events_outliers", graft.streaming.EventStream.valueOutliers(
+        graft.streaming.EventSource.events(spark, dir), 99))
     if (which == "all" || which == "corr")
       // final plan: single-row aggregate with map-side partials; the
       // per-pair rows unpivot via a constant-size Generate — one scan total

@@ -1006,6 +1006,9 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_returnflag", "l_linestatus", "l_quantity", "l_linenumber"), 5)
         .orderBy("column_name", "rank")),
+    "sim_range_search" -> ((s, dir) => // radius query scoped to a query set
+      Similarity.rangeSearch(emb(s, dir), col("vec_id") % 100 === 0, 0.3)
+        .orderBy("query_id", "vec_id")),
     "events_outliers" -> ((s, dir) => // exact per-type p99 exceedances
       graft.streaming.EventStream.valueOutliers(events(s, dir), 99)
         .orderBy("event_id")),
@@ -1377,6 +1380,12 @@ object SparkEntry {
       "WITH s AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(x))) AS scale FROM embeddings), q AS (SELECT vec_id, unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(scale AS DOUBLE)) AS INTEGER))) AS q, generate_subscripts(embedding, 1) - 1 AS dim FROM s WHERE scale > 0) SELECT vec_id, CAST(dim AS INTEGER) AS dim, q FROM q ORDER BY vec_id, dim",
     "sim_near_dup_pairs" ->
       "WITH e2 AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 50 = 0) SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY 1, 2",
+    // threshold margins verified >= 4e-4 at both test scales — far above
+    // any float/double divergence between the engines' cosine paths
+    "sim_range_search" ->
+      ("SELECT a.vec_id AS query_id, b.vec_id FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3 ORDER BY 1, 2"),
     // codebook + assignment replicated over the injected relation; pairs
     // cluster-scoped, representative = min id among tau-neighbors + self
     "sim_semantic_dedup" ->

@@ -66,6 +66,22 @@ object Similarity {
       bruteForceScores(emb, queryPred), "query_id", "vec_id", "score", k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
 
+  /** Cosine RANGE search — every (query, vector) pair with similarity at
+    * or above `minCosine`, the radius-query complement of top-k (top-k
+    * answers "the nearest k whatever their score"; range answers
+    * "everything this similar", the retrieval primitive behind
+    * match-or-nothing lookups and near-dup sweeps scoped to a query
+    * set). Exact scoring over the broadcast query set — 1 dot per pair
+    * against precomputed norms; at corpus scale the LSH/IVF candidate
+    * generators bolt on exactly as for top-k, with the banded-recall
+    * caveat [[cosineNearDupPairs]] documents. Output: (query_id, vec_id),
+    * self-pairs excluded. */
+  def rangeSearch(emb: DataFrame, queryPred: Column,
+      minCosine: Double): DataFrame =
+    bruteForceScores(emb, queryPred)
+      .filter(col("score") >= minCosine)
+      .select("query_id", "vec_id")
+
   /** k-NN majority-vote classification: each query row gets the modal
     * label of its k nearest neighbors (cosine; ties on vote count break
     * to the SMALLEST label — a deterministic total order, so the

@@ -114,6 +114,22 @@ class SimilaritySpec extends SparkSpec {
     codes.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Int](1)))
   }
 
+  test("rangeSearch returns exactly the pairs at or above the radius") {
+    val e = emb(
+      (0L, Seq(1f, 0f)),   // query
+      (1L, Seq(2f, 0f)),   // cos 1.0
+      (2L, Seq(1f, 1f)),   // cos ~0.7071
+      (3L, Seq(0f, 1f)),   // cos 0
+      (4L, Seq(-1f, 0f)))  // cos -1
+    val r = Similarity.rangeSearch(e, col("vec_id") === 0, 0.7).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((0L, 1L), (0L, 2L)))
+    // tighten past sqrt(2)/2 and the diagonal vector drops out
+    val tight = Similarity.rangeSearch(e, col("vec_id") === 0, 0.8).collect()
+      .map(x => x.getLong(1)).toSet
+    assert(tight == Set(1L))
+  }
+
   test("cosineNearDupPairs finds only genuinely close pairs") {
     val e = emb((0L, Seq(1f, 0f, 0f)), (1L, Seq(0.999f, 0.001f, 0f)), (2L, Seq(0f, 1f, 0f)))
     val r = Similarity.cosineNearDupPairs(e, 0.99, dims = 3).collect()

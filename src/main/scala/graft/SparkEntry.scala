@@ -1006,6 +1006,12 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_returnflag", "l_linestatus", "l_quantity", "l_linenumber"), 5)
         .orderBy("column_name", "rank")),
+    "profile_drift" -> ((s, dir) => { // snapshot-to-snapshot stat deltas
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.stats.Profile.profileDiff(
+        li.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), li,
+        profileCols).orderBy("column_name")
+    }),
     "sim_range_search" -> ((s, dir) => // radius query scoped to a query set
       Similarity.rangeSearch(emb(s, dir), col("vec_id") % 100 === 0, 0.3)
         .orderBy("query_id", "vec_id")),
@@ -1298,6 +1304,18 @@ object SparkEntry {
     "profile_lineitem" -> (profileCols.map { c =>
       s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
     }.mkString(" UNION ALL ") + " ORDER BY column_name"),
+    // the same per-column profile, evaluated over both snapshots and
+    // differenced — min/max compare as the rendered strings, like profile
+    "profile_drift" -> {
+      def prof(src: String, sfx: String) = profileCols.map { c =>
+        s"SELECT '$c' AS column_name, COUNT(*) AS r$sfx, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS u$sfx, COUNT(DISTINCT $c) AS d$sfx, CAST(MIN($c) AS VARCHAR) AS mn$sfx, CAST(MAX($c) AS VARCHAR) AS mx$sfx FROM $src"
+      }.mkString(" UNION ALL ")
+      "WITH bf AS (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'), " +
+        s"pa AS (${prof("bf", "b")}), pb AS (${prof("lineitem", "a")}) " +
+        "SELECT column_name, ra - rb AS d_rows, ua - ub AS d_nulls, da - db AS d_distinct, " +
+        "mna <> mnb AS min_changed, mxa <> mxb AS max_changed " +
+        "FROM pa JOIN pb USING (column_name) ORDER BY column_name"
+    },
     // the oracle asserts the accuracy CONTRACT (exact stats + always-true
     // bound flag); the sketch value itself is engine-specific by nature
     "profile_lineitem_approx" -> (profileCols.map { c =>

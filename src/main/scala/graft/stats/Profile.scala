@@ -122,6 +122,30 @@ object Profile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Profile DRIFT between two snapshots of the same relation — the
+    * data-quality regression monitor a pipeline runs between ingests:
+    * per column, the row/null/distinct deltas plus whether the min/max
+    * moved. Two [[profile]] passes (each ONE aggregation job) and a
+    * column_name equi-join over a |cols|-row relation — cost is two
+    * scans regardless of column count, and the deltas stay integer-exact.
+    * Output: (column_name, d_rows, d_nulls, d_distinct, min_changed,
+    * max_changed). */
+  def profileDiff(before: DataFrame, after: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val a = profile(before, cols).select(col("column_name"),
+      col("n_rows").as("rb"), col("n_nulls").as("ub"),
+      col("n_distinct").as("db"), col("min_val").as("mnb"), col("max_val").as("mxb"))
+    val b = profile(after, cols).select(col("column_name"),
+      col("n_rows").as("ra"), col("n_nulls").as("ua"),
+      col("n_distinct").as("da"), col("min_val").as("mna"), col("max_val").as("mxa"))
+    a.join(b, "column_name").select(col("column_name"),
+      (col("ra") - col("rb")).as("d_rows"),
+      (col("ua") - col("ub")).as("d_nulls"),
+      (col("da") - col("db")).as("d_distinct"),
+      (col("mna") =!= col("mnb")).as("min_changed"),
+      (col("mxa") =!= col("mxb")).as("max_changed"))
+  }
+
   /** Per-column FREQUENT VALUES: the top-k most common values of each
     * profiled column with deterministic (count desc, value asc) ranking —
     * the "top values" panel of a data-profiling report, and the input to

@@ -95,6 +95,21 @@ class ProfileSpec extends SparkSpec {
     assert(r(("y", "z")) == ((2L, 8L, 40L, 40L, 1000L, 200L)))
   }
 
+  test("profileDiff: integer deltas and min/max movement flags") {
+    import spark.implicits._
+    val before = Seq((1L, Some("a")), (2L, Some("b"))).toDF("id", "tag")
+    val after = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (9L, Some("b")))
+      .toDF("id", "tag")
+    val r = Profile.profileDiff(before, after, Seq("id", "tag")).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4), x.getBoolean(5))))
+      .toMap
+    // id: +2 rows, 0 nulls, +2 distinct (3, 9), min same (1), max 2 -> 9
+    assert(r("id") == ((2L, 0L, 2L, false, true)))
+    // tag: +2 rows, +1 null, +0 distinct, min/max unchanged (a / b)
+    assert(r("tag") == ((2L, 1L, 0L, false, false)))
+  }
+
   test("frequentValues: top-k per column, count-desc value-asc ties, nulls dropped") {
     import spark.implicits._
     val df = Seq(

@@ -192,8 +192,13 @@ object Profile {
   def correlationMoments(df: DataFrame, cols: Seq[String],
       scales: Map[String, Long] = Map.empty): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
-    def v(c: String) =
-      round(col(c).cast("double") * scales.getOrElse(c, 1L)).cast("long")
+    // scale ONCE in a projection: the 6-aggregates-per-pair fan-out below
+    // would otherwise re-evaluate each round/cast chain ~(k-1)*6 times
+    // per row inside the aggregate
+    val scaled = df.select(cols.map(c =>
+      round(col(c).cast("double") * scales.getOrElse(c, 1L))
+        .cast("long").as(c)): _*)
+    def v(c: String) = col(c)
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
@@ -207,7 +212,7 @@ object Profile {
         g(v(x) * v(x), "sxx"), g(v(y) * v(y), "syy"),
         g(v(x) * v(y), "sxy"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = scaled.agg(aggs.head, aggs.tail: _*)
     val rows = array(pairs.zipWithIndex.map { case ((x, y), pi) =>
       struct(lit(x).as("col_x"), lit(y).as("col_y"),
         col(s"_${pi}_n").as("n"),

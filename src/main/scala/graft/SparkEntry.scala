@@ -215,6 +215,12 @@ object SparkEntry {
   private val simhashPairsOracleSql: String =
     s"WITH $simhashSigCtes SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming FROM sig a JOIN sig b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY 1,2"
 
+  /** Distinct-users-per-window oracle, shared by the batch dedup-then-count
+    * and its chained-stateful streaming twin. */
+  private val windowUsersOracleSql: String =
+    "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, " +
+      "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1 ORDER BY 1"
+
   /** First-order transition-matrix oracle, shared by the batch lag-window
     * query and its streaming state-machine twin (the emitted pair stream
     * is arrival-order-invariant, so both aggregate to the same matrix). */
@@ -1006,6 +1012,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_returnflag", "l_linestatus", "l_quantity", "l_linenumber"), 5)
         .orderBy("column_name", "rank")),
+    "events_window_users" -> ((s, dir) => // exact active users per window
+      graft.streaming.EventStream.windowedUserCounts(events(s, dir),
+        watermark = false).orderBy("bucket_start")),
+    "events_window_users_stream" -> ((s, dir) => {
+      // the SAME dedup-then-count executed as a CHAINED stateful pair
+      // through the streaming engine (two aggregations in one append-mode
+      // query — the distinct-user panel events_window_stream documents as
+      // the historically non-streamable half). Driver-fed fixture,
+      // distributed operator, same oracle as the batch twin.
+      import s.implicits._
+      val ev = events(s, dir).select(col("ts"), col("user_id"))
+        .as[(java.sql.Timestamp, Long)].collect().toSeq
+      graft.streaming.StreamDriver.windowUsersStreamed(s, ev)
+        .orderBy("bucket_start")
+    }),
     "profile_drift" -> ((s, dir) => { // snapshot-to-snapshot stat deltas
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       graft.stats.Profile.profileDiff(
@@ -1098,9 +1119,14 @@ object SparkEntry {
     "events_window_counts" ->
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2",
     // the streaming window agg answers the same tumbling-count question
-    // (without the non-streamable distinct-user count)
+    // (the distinct-user half streams separately — see
+    // events_window_users_stream's chained stateful pair)
     "events_window_stream" ->
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events FROM events GROUP BY 1,2 ORDER BY 1,2",
+    // dedup-then-count distinct users per tumbling window; the stream twin
+    // runs the identical question as two chained stateful aggregations
+    "events_window_users" -> windowUsersOracleSql,
+    "events_window_users_stream" -> windowUsersOracleSql,
     // the streaming session_window execution answers the same
     "events_hopping" ->
       ("WITH off(o) AS (VALUES (0),(1)) " +

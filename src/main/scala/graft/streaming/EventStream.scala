@@ -72,6 +72,25 @@ object EventStream {
         col("event_type"), col("n_events"))
   }
 
+  /** 5-minute tumbling-window DISTINCT-USER counts — the "active users
+    * per window" panel. Exact distinct via dedup-then-count: a first
+    * aggregation to (window, user) rows, a second to the per-window user
+    * count — never a count-distinct Expand over the event stream. In
+    * streaming this is a CHAINED STATEFUL pair (two stateful aggregations
+    * in one append-mode query — supported since Spark 3.4's multiple
+    * stateful operators; the first agg's state is the in-flight windows'
+    * distinct user sets, the second finalizes when the watermark closes
+    * the window). Output (bucket_start epoch-seconds, n_users). */
+  def windowedUserCounts(events: DataFrame, watermark: Boolean): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "10 minutes") else events
+    src
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"), col("n_users"))
+  }
+
   /** Hopping (sliding) window counts per event type: 10-minute windows
     * advancing every 5 minutes, so each event lands in exactly
     * size/slide = 2 overlapping windows. Uses the native `window(col,

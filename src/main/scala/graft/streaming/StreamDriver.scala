@@ -117,6 +117,35 @@ object StreamDriver {
     }
   }
 
+  /** Drives [[EventStream.windowedUserCounts]] — a CHAINED stateful pair
+    * (dedup aggregation feeding a windowed count) — through the streaming
+    * engine in append mode; same sentinel mechanics as
+    * [[windowCountsStreamed]], same oracle as the batch twin. */
+  def windowUsersStreamed(spark: SparkSession,
+      events: Seq[(Timestamp, Long)]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val name = "winusers_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.windowedUserCounts(
+        in.toDF().toDF("ts", "user_id"), watermark = true)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val maxTs = (events.map(_._1.getTime) :+ 0L).max
+      if (events.nonEmpty) { in.addData(events); q.processAllAvailable() }
+      in.addData((new Timestamp(maxTs + 3600L * 1000), SentinelKey))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("bucket_start") <
+          (maxTs / 1000) + 3000)
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Run the watermarked 30-minute-gap sessionization ([[EventStream
     * .sessions]], session_window native operator) through the streaming
     * engine in APPEND mode: a session only emits once the watermark passes

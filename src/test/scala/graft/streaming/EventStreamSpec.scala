@@ -269,6 +269,21 @@ class EventStreamSpec extends SparkSpec {
       (2L, "view>buy>click", 1L, 1L)))
   }
 
+  test("windowedUserCounts: chained stateful pair equals batch dedup-then-count") {
+    import spark.implicits._
+    // user 1 twice in one window (dedup), three users over two windows
+    val ev = Seq(
+      (ts(0), 1L), (ts(1), 1L), (ts(2), 2L),   // window 10:00: users {1, 2}
+      (ts(6), 1L), (ts(7), 3L))                // window 10:05: users {1, 3}
+    val batch = EventStream.windowedUserCounts(
+        ev.toDF("ts", "user_id"), watermark = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.map(_._2) == Set(2L)) // both windows count exactly 2 users
+    val streamed = StreamDriver.windowUsersStreamed(spark, ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("valueOutliers: exact per-type percentile threshold, strictly-above flags") {
     import spark.implicits._
     // type A: 10 values 1..10 (milli 1000..10000). p50 target rank =

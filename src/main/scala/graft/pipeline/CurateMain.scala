@@ -34,6 +34,15 @@ import org.apache.spark.sql.functions._
   *                        corpus-wide and the remainder reassembled
   *   --paragraph-span N   chunk width for --clean-output    (default 20)
   *   --mix-report PATH    sqrt-temperature per-source sampling weights
+  *   --stratified N       final exact-N stratified subsample of the
+  *                        survivors (largest-remainder quotas over
+  *                        (source, lang), md5-shuffled picks; adds an
+  *                        in_sample column)
+  *   --span-clean         --clean-output removes duplicated SPANS
+  *                        (keep-first exact-substring dedup over
+  *                        --span-window-token windows) instead of
+  *                        repeated chunks
+  *   --span-window N      window width for --span-clean     (default 8)
   *   --canonical          duplicate clusters keep their LONGEST member
   *                        (tie: smallest doc_id) instead of the smallest id
   *   --master M           Spark master                      (default local[*])
@@ -63,6 +72,9 @@ object CurateMain {
       paragraphSpan: Int = 20,
       cleanOutput: Option[String] = None,
       mixReport: Option[String] = None,
+      stratified: Option[Long] = None,
+      spanClean: Boolean = false,
+      spanWindow: Int = 8,
       master: String = "local[*]")
 
   def parseArgs(args: Seq[String]): Config = {
@@ -93,6 +105,9 @@ object CurateMain {
       case "--paragraph-span" :: v :: t => loop(t, c.copy(paragraphSpan = v.toInt))
       case "--clean-output" :: v :: t => loop(t, c.copy(cleanOutput = Some(v)))
       case "--mix-report" :: v :: t  => loop(t, c.copy(mixReport = Some(v)))
+      case "--stratified" :: v :: t  => loop(t, c.copy(stratified = Some(v.toLong)))
+      case "--span-clean" :: t       => loop(t, c.copy(spanClean = true))
+      case "--span-window" :: v :: t => loop(t, c.copy(spanWindow = v.toInt))
       case "--master" :: v :: t      => loop(t, c.copy(master = v))
       case flag :: _ if flag.startsWith("--") =>
         throw new IllegalArgumentException(s"unknown flag $flag")
@@ -153,6 +168,18 @@ object CurateMain {
         .withColumn("in_budget", coalesce(col("in_budget"), lit(false)))
         .withColumn("keep", col("keep") && col("in_budget"))
     }
+    c.stratified.foreach { n =>
+      // the FINAL stage: an exact-n stratified subsample of everything
+      // the earlier stages kept (quotas computed over the survivors, so
+      // the sample composition reflects the shipped corpus)
+      val kept = docs.join(table.filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val picked = Curation.stratifiedSample(kept, n).select("doc_id")
+      table = table.join(picked.withColumn("in_sample", lit(true)),
+          Seq("doc_id"), "left")
+        .withColumn("in_sample", coalesce(col("in_sample"), lit(false)))
+        .withColumn("keep", col("keep") && col("in_sample"))
+    }
     table
   }
 
@@ -173,9 +200,15 @@ object CurateMain {
       val kept = docs.join(
         decide(docs, c, bench).filter(col("keep")).select("doc_id"),
         Seq("doc_id"), "left_semi")
-      Dedup.paragraphDedup(kept, c.paragraphSpan)
-        .write.mode("overwrite").parquet(path)
-      println(s"Outputting chunk-deduped corpus to $path.")
+      if (c.spanClean) {
+        Dedup.cleanDupSpans(kept, c.spanWindow)
+          .write.mode("overwrite").parquet(path)
+        println(s"Outputting span-deduped corpus to $path.")
+      } else {
+        Dedup.paragraphDedup(kept, c.paragraphSpan)
+          .write.mode("overwrite").parquet(path)
+        println(s"Outputting chunk-deduped corpus to $path.")
+      }
     }
     c.mixReport.foreach { path =>
       Curation.temperatureMix(docs).write.mode("overwrite").parquet(path)

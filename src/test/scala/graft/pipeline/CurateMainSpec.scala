@@ -152,4 +152,38 @@ class CurateMainSpec extends SparkSpec {
     assert(mix.keySet == Set("web", "code") &&
       mix.values.sum >= 999998L && mix.values.sum <= 1000002L)
   }
+
+  test("parseArgs: stratified and span-clean flags") {
+    val c = CurateMain.parseArgs(Seq("--stratified", "100",
+      "--span-clean", "--span-window", "10", "/tmp/in"))
+    assert(c.stratified.contains(100L) && c.spanClean && c.spanWindow == 10)
+    assert(!CurateMain.parseArgs(Seq("/tmp/in")).spanClean)
+  }
+
+  test("--stratified caps keep at exactly N survivors; --span-clean rewrites spans") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("curatestrat").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // unique tails long enough that the shared prefix stays under the
+    // 50% near-dup threshold (8 shared / 28 union shingles = 28%)
+    docs(((1L to 8L).map(i =>
+      (i, s"$base w$i x$i y$i z$i v$i u$i t$i s$i r$i q$i", "web")) :+
+      (99L, "tiny", "web")): _*)
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .write.parquet(s"$tmp/in")
+    CurateMain.run(spark, CurateMain.parseArgs(Seq(
+      "--output", s"$tmp/out", "--stratified", "4", s"$tmp/in")))
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.filter(col("keep")).count() == 4L)
+    assert(out.filter(col("in_sample")).count() == 4L)
+    // span-clean: the 8 survivors share their 10-token prefix; the owner
+    // keeps it, every other survivor's prefix span is removed
+    CurateMain.run(spark, CurateMain.parseArgs(Seq(
+      "--clean-output", s"$tmp/clean", "--span-clean", s"$tmp/in")))
+    val clean = spark.read.parquet(s"$tmp/clean").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("cleaned_text")).toMap
+    val owner = clean.keySet.min
+    assert(clean(owner).startsWith("alpha beta gamma"))
+    assert(clean.filter(_._1 != owner).values.forall(!_.contains("alpha")))
+  }
 }

@@ -238,6 +238,23 @@ object Soak {
         graft.streaming.StreamDriver.rollingStreamed(spark, ev, 5)
       })
     }
+    if (which("stream-windowusers")) {
+      // the CHAINED stateful pair (dedup agg -> window agg) at 1M events
+      // and 10x user keys: the first aggregation's state is every open
+      // window's distinct-user set — the larger of the two stores
+      import spark.implicits._
+      val events1 = graft.streaming.EventSource.events(spark, sfDir)
+        .crossJoin(shardIds)
+        .withColumn("user_id", col("user_id") + col("shard").cast("long") * 10000000L)
+        .drop("shard")
+        .persist()
+      System.err.println(s"soak events: ${events1.count()}")
+      run("events_window_users_stream_sf1", {
+        val ev = events1.select(col("ts"), col("user_id"))
+          .as[(java.sql.Timestamp, Long)].collect().toSeq
+        graft.streaming.StreamDriver.windowUsersStreamed(spark, ev)
+      })
+    }
     if (which("stream-join")) {
       // NATIVE stream-stream interval join at 10x state keys
       import spark.implicits._

@@ -1039,6 +1039,16 @@ object SparkEntry {
     "events_outliers" -> ((s, dir) => // exact per-type p99 exceedances
       graft.streaming.EventStream.valueOutliers(events(s, dir), 99)
         .orderBy("event_id")),
+    "tpch_promo_revenue" -> ((s, dir) => // Q14 analog: integer promo share
+      graft.stats.Analytics.promoRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        "1996-01-01", "1996-04-01")),
+    "tpch_brand_suppliers" -> ((s, dir) => // Q16 flavor: supplier breadth
+      graft.stats.Analytics.brandSuppliers(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"))
+        .orderBy("p_brand")),
     "tpch_returned_items" -> ((s, dir) => // Q10 analog: churn ranking
       graft.stats.Analytics.returnedItemReport(
         s.read.parquet(s"$dir/customer.parquet"),
@@ -1568,6 +1578,17 @@ object SparkEntry {
         "WHERE cu.cum >= FLOOR((nn.n - 1) * 99 / 100.0) + 1 GROUP BY 1) " +
         "SELECT ev.event_id, ev.event_type, ev.value_milli, th.thr_milli " +
         "FROM ev JOIN th USING (event_type) WHERE ev.value_milli > th.thr_milli ORDER BY ev.event_id"),
+    "tpch_promo_revenue" ->
+      ("SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_e4, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_e4, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'"),
+    "tpch_brand_suppliers" ->
+      ("WITH bs AS (SELECT p_brand, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1,2) " +
+        "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers, CAST(SUM(n) AS BIGINT) AS n_lineitems " +
+        "FROM bs GROUP BY 1 ORDER BY 1"),
     "tpch_returned_items" ->
       ("SELECT c_custkey, c_name, n_name, " +
         "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4 " +

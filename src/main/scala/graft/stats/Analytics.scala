@@ -165,6 +165,36 @@ object Analytics {
       .orderBy(col("revenue_e4").desc, col("c_custkey"))
       .limit(k)
 
+  /** Q14-style promotion effect: revenue from PROMO-type parts vs total
+    * over lineitems shipped in [from, until) — both sides INTEGER `_e4`
+    * sums in ONE aggregation (the classic formulation's percentage is the
+    * caller's one float division; keeping the two exact sums makes the
+    * query engine-exact). Ship-date filter pushes into the scan; the
+    * part join is un-hinted (AQE broadcasts the dimension when it fits).
+    * Output: one row (promo_e4, total_e4, n_items). */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame,
+      from: String, until: String): DataFrame =
+    lineitem.filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(part.select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenueE4).otherwise(0L)).as("promo_e4"),
+        sum(revenueE4).as("total_e4"),
+        count(lit(1)).as("n_items"))
+
+  /** Q16-flavored supplier breadth: how many DISTINCT suppliers ship each
+    * part brand — the supplier-diversification panel. Dedup-then-count
+    * ((brand, suppkey) aggregate first, then the per-brand count): never
+    * a count-distinct Expand over the joined stream. */
+  def brandSuppliers(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(part.select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "l_suppkey").agg(count(lit(1)).as("n"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_suppliers"), sum("n").as("n_lineitems"))
+
   /** Grouping-sets revenue: ROLLUP over (region, nation) — per-nation
     * rows, per-region subtotals, and the grand total in ONE aggregation
     * (Catalyst's Expand feeds a single hash aggregate with map-side

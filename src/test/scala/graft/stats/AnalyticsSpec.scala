@@ -122,6 +122,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.head.getLong(3) == expectTop)
   }
 
+  test("promoRevenue: promo slice bounded by the total, date filter binds") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val pt = spark.read.parquet(s"$sf/part.parquet")
+    val r = Analytics.promoRevenue(li, pt, "1996-01-01", "1996-04-01").collect().head
+    assert(r.getLong(0) > 0L && r.getLong(0) < r.getLong(1))
+    // widening the window strictly grows the item count
+    val wide = Analytics.promoRevenue(li, pt, "1996-01-01", "1997-01-01").collect().head
+    assert(wide.getLong(2) > r.getLong(2))
+  }
+
+  test("brandSuppliers: dedup-then-count equals countDistinct") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val pt = spark.read.parquet(s"$sf/part.parquet")
+    val got = Analytics.brandSuppliers(li, pt).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(countDistinct("l_suppkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("revenueRollup: levels reconcile — nations sum to regions sum to total") {
     val rows = Analytics.revenueRollup(
       spark.read.parquet(s"$sf/customer.parquet"),

@@ -1000,6 +1000,8 @@ object SparkEntry {
         .orderBy("doc_id", "in_doc_id")),
     "dedup_clean_spans" -> ((s, dir) => // keep-first substring-dedup rewrite
       graft.dedup.Dedup.cleanDupSpans(docs(s, dir), 8).orderBy("doc_id")),
+    "text_novelty" -> ((s, dir) => // first-occurrence window contribution
+      graft.dedup.Dedup.windowNovelty(docs(s, dir), 8).orderBy("doc_id")),
     "text_classifier_score" -> ((s, dir) => // hashed-linear quality scoring
       TextAnalysis.classifierScore(docs(s, dir)).orderBy("doc_id")),
     "text_bpe_encode" -> ((s, dir) => // apply 3 trained merges per document
@@ -1639,6 +1641,18 @@ object SparkEntry {
         "isl2 AS (SELECT doc_id, i, SUM(ni) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island FROM isl) " +
         "SELECT doc_id, MIN(i) AS span_start, MAX(i)+7 AS span_end, MAX(i)+7-MIN(i)+1 AS span_tokens " +
         "FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start"),
+    // window ownership = min doc_id per n-gram text; novelty counted over
+    // occurrences (intra-doc repeats of an owned window each count)
+    "text_novelty" ->
+      ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "wi AS (SELECT doc_id, unnest(range(1, len(t)-6)) AS i, t FROM tokd), " +
+        "w AS (SELECT doc_id, array_to_string(t[i:i+7],' ') AS ng FROM wi), " +
+        "ow AS (SELECT ng, MIN(doc_id) AS owner FROM w GROUP BY 1), " +
+        "c AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows, " +
+        "CAST(SUM(CASE WHEN w.doc_id = ow.owner THEN 1 ELSE 0 END) AS BIGINT) AS n_novel " +
+        "FROM w JOIN ow USING (ng) GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(c.n_windows, 0) AS n_windows, COALESCE(c.n_novel, 0) AS n_novel " +
+        "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY 1"),
     // keep-first spans (owner rows never marked) + interval anti-join +
     // ordered reassembly; zero-kept docs fall back to '' via the outer join
     "dedup_clean_spans" ->

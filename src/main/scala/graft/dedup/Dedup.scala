@@ -488,6 +488,29 @@ object Dedup {
     } catch { case e: Throwable => w.unpersist(); throw e }
   }
 
+  /** Per-document NOVELTY — the data-valuation signal behind "does this
+    * document add anything": for every n-token window occurrence, the
+    * corpus-wide OWNER of its text is the min doc_id carrying it; a
+    * window is novel to the document that owns it. Documents that only
+    * restate earlier content score n_novel = 0 and are the first
+    * candidates to drop under a budget. Same shapes as [[dupSpans]]: one
+    * shuffle keyed by window hash for the ownership table, one join
+    * back, one per-doc aggregate. Output: (doc_id, n_windows, n_novel). */
+  def windowNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, "window length must be at least 2")
+    val w = docs.select(col("doc_id"),
+      explode(windowHashes(col("text"), n)).as("h"))
+    val owners = w.groupBy("h").agg(min("doc_id").as("owner"))
+    val counts = w.join(owners, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("doc_id") === col("owner"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select("doc_id").join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+
   /** Span-removal corpus cleaner — the end-to-end product of exact
     * substring dedup: compute keep-first duplicated spans
     * ([[dupSpans]] with `keepFirst`: each duplicated window's min-doc_id

@@ -219,6 +219,22 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("windowNovelty: owners score their windows, restatements score zero") {
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val a10 = toks("a", 10)
+    val fix = docs(
+      (1L, a10),                    // owns its 3 windows
+      (2L, a10),                    // pure restatement of doc 1: 0 novel
+      (3L, s"$a10 ${toks("b", 8)}"), // restated prefix + a novel tail
+      (4L, "short"))                // no windows at all
+    val got = Dedup.windowNovelty(fix, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 3: 11 windows (18 tokens); starts 1..3 are doc 1's, 4..11 novel
+    assert(got == Map(
+      1L -> ((3L, 3L)), 2L -> ((3L, 0L)),
+      3L -> ((11L, 8L)), 4L -> ((0L, 0L))))
+  }
+
   test("cleanDupSpans keeps exactly one occurrence of each duplicated region (the owner's)") {
     def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
     val c12 = toks("c", 12); val a8 = toks("a", 8); val b8 = toks("b", 8)

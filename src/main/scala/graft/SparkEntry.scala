@@ -579,6 +579,9 @@ object SparkEntry {
       // timestamps — both engines compare the same instants
       EventStream.funnel(events(s, dir),
         Seq("view", "click", "purchase")).orderBy("stage")),
+    "events_funnel_times" -> ((s, dir) => // conversion latency, exact micros
+      EventStream.funnelTimes(events(s, dir),
+        Seq("view", "click", "purchase")).orderBy("stage_from")),
     "events_retention" -> ((s, dir) => // cohort-by-first-day retention matrix
       EventStream.retentionCohorts(events(s, dir))
         .orderBy("cohort_day", "day_offset")),
@@ -1166,6 +1169,15 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
     "events_funnel" ->
       "WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), q2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q1 ON q1.user_id = e.user_id AND e.ts >= q1.t WHERE e.event_type = 'click' GROUP BY 1), q3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q2 ON q2.user_id = e.user_id AND e.ts >= q2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM q1 UNION ALL SELECT 2, 'click', COUNT(*) FROM q2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM q3 ORDER BY 1",
+    // the same first-occurrence anchors, differenced in exact epoch-micros
+    "events_funnel_times" ->
+      ("WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "q2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q1 ON q1.user_id = e.user_id AND e.ts >= q1.t WHERE e.event_type = 'click' GROUP BY 1), " +
+        "q3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q2 ON q2.user_id = e.user_id AND e.ts >= q2.t WHERE e.event_type = 'purchase' GROUP BY 1), " +
+        "d12 AS (SELECT epoch_us(q2.t) - epoch_us(q1.t) AS d FROM q1 JOIN q2 USING (user_id)), " +
+        "d23 AS (SELECT epoch_us(q3.t) - epoch_us(q2.t) AS d FROM q2 JOIN q3 USING (user_id)) " +
+        "SELECT 1 AS stage_from, 2 AS stage_to, CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(d) AS BIGINT) AS sum_delta_us, MIN(d) AS min_delta_us, MAX(d) AS max_delta_us FROM d12 " +
+        "UNION ALL SELECT 2, 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(d) AS BIGINT), MIN(d), MAX(d) FROM d23 ORDER BY 1"),
     "events_retention" ->
       ("WITH a AS (SELECT DISTINCT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))/86400) AS BIGINT) AS day FROM events), " +
         "f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1) " +

@@ -146,6 +146,40 @@ object EventStream {
     counts.reduce(_.unionAll(_))
   }
 
+  /** Funnel conversion LATENCY: for users who reach stage i+1, the time
+    * from their stage-i anchor to the stage-i+1 anchor (the same ordered
+    * first-occurrence anchors [[funnel]] counts — min ts at or after the
+    * previous stage's anchor), reported per transition as exact
+    * epoch-micros integer stats (n, sum, min, max — the float mean is the
+    * caller's division). Same per-stage user-join ladder as the funnel;
+    * one extra per-transition aggregate. Output:
+    * (stage_from, stage_to, n_users, sum_delta_us, min_delta_us,
+    * max_delta_us). */
+  def funnelTimes(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "need at least two funnel stages")
+    var prev: DataFrame = null
+    val anchors = stages.zipWithIndex.map { case (st, i) =>
+      val ev = events.filter(col("event_type") === st)
+      val q =
+        if (i == 0) ev.groupBy("user_id").agg(min("ts").as("qts"))
+        else ev.join(prev.select(col("user_id"), col("qts").as("pts")), "user_id")
+          .filter(col("ts") >= col("pts"))
+          .groupBy("user_id").agg(min("ts").as("qts"))
+      prev = q
+      q
+    }
+    anchors.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      a.select(col("user_id"), col("qts").as("ats"))
+        .join(b.select(col("user_id"), col("qts").as("bts")), "user_id")
+        .select((unix_micros(col("bts")) - unix_micros(col("ats"))).as("d"))
+        .agg(count(lit(1)).as("n_users"), sum("d").as("sum_delta_us"),
+          min("d").as("min_delta_us"), max("d").as("max_delta_us"))
+        .select(lit(i + 1).as("stage_from"), lit(i + 2).as("stage_to"),
+          col("n_users"), col("sum_delta_us"), col("min_delta_us"),
+          col("max_delta_us"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Per-user event-type transition matrix (the first-order Markov view
     * of user behavior): for every consecutive pair of events of one user
     * in time order, count occurrences and distinct users per

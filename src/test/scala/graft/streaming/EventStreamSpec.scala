@@ -269,6 +269,25 @@ class EventStreamSpec extends SparkSpec {
       (2L, "view>buy>click", 1L, 1L)))
   }
 
+  test("funnelTimes: anchor-to-anchor latency, converting users only") {
+    import spark.implicits._
+    // user 1 converts a>b in 2 min; user 2 in 5 min; user 3 never reaches b;
+    // user 1's later 'a' must not move its anchor (min ts rule)
+    val ev = Seq(
+      (ts(0), 1L, "a"), (ts(2), 1L, "b"), (ts(3), 1L, "a"),
+      (ts(1), 2L, "a"), (ts(6), 2L, "b"),
+      (ts(0), 3L, "a"))
+      .toDF("ts", "user_id", "event_type")
+    val r = EventStream.funnelTimes(ev, Seq("a", "b")).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getInt(0) == 1 && row.getInt(1) == 2)
+    assert(row.getLong(2) == 2L)                       // users 1 and 2
+    assert(row.getLong(3) == 7L * 60 * 1000000L)       // 2 min + 5 min
+    assert(row.getLong(4) == 2L * 60 * 1000000L)
+    assert(row.getLong(5) == 5L * 60 * 1000000L)
+  }
+
   test("windowedUserCounts: chained stateful pair equals batch dedup-then-count") {
     import spark.implicits._
     // user 1 twice in one window (dedup), three users over two windows

@@ -1005,6 +1005,9 @@ object SparkEntry {
       graft.dedup.Dedup.cleanDupSpans(docs(s, dir), 8).orderBy("doc_id")),
     "text_novelty" -> ((s, dir) => // first-occurrence window contribution
       graft.dedup.Dedup.windowNovelty(docs(s, dir), 8).orderBy("doc_id")),
+    "text_vocab_overlap" -> ((s, dir) => // token-level source kinship matrix
+      graft.dedup.Dedup.vocabOverlap(docs(s, dir))
+        .orderBy("source_a", "source_b")),
     "text_classifier_score" -> ((s, dir) => // hashed-linear quality scoring
       TextAnalysis.classifierScore(docs(s, dir)).orderBy("doc_id")),
     "text_bpe_encode" -> ((s, dir) => // apply 3 trained merges per document
@@ -1653,6 +1656,17 @@ object SparkEntry {
         "isl2 AS (SELECT doc_id, i, SUM(ni) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS island FROM isl) " +
         "SELECT doc_id, MIN(i) AS span_start, MAX(i)+7 AS span_end, MAX(i)+7-MIN(i)+1 AS span_tokens " +
         "FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start"),
+    // distinct (source, token) relation -> pairwise intersections +
+    // vocabulary sizes; Jaccard floors in integer space
+    "text_vocab_overlap" ->
+      ("WITH st AS (SELECT DISTINCT source, unnest(string_split(text,' ')) AS tok FROM documents), " +
+        "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1), " +
+        "pr AS (SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source GROUP BY 1,2) " +
+        "SELECT pr.source_a, pr.source_b, pr.n_shared, sa.n AS n_a, sb.n AS n_b, " +
+        "CAST(floor(100*pr.n_shared/(sa.n + sb.n - pr.n_shared)) AS BIGINT) AS jaccard_pct " +
+        "FROM pr JOIN sz sa ON sa.source = pr.source_a JOIN sz sb ON sb.source = pr.source_b " +
+        "ORDER BY 1,2"),
     // window ownership = min doc_id per n-gram text; novelty counted over
     // occurrences (intra-doc repeats of an owned window each count)
     "text_novelty" ->

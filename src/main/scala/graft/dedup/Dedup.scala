@@ -543,6 +543,38 @@ object Dedup {
     graft.core.CacheOps.cacheResult(out, Seq(spans))
   }
 
+  /** Source VOCABULARY overlap — the corpus-comparison matrix at token
+    * granularity (the window matrix [[crossSourceOverlap]] catches
+    * near-copies; the vocabulary matrix catches topical/stylistic
+    * kinship): per unordered source pair, the distinct-token
+    * intersection plus both vocabulary sizes and the integer Jaccard.
+    * Same no-doc-pair shape as the window matrix: one distinct over
+    * (source, token), per-token source LISTS pair off inside the array.
+    * Output: (source_a, source_b, n_shared, n_a, n_b, jaccard_pct). */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val perSource = docs
+      .select(col("source"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      .distinct()
+    val sizes = perSource.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = perSource.groupBy("tok")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(TextAnalysis.bindArray(col("srcs")) { a =>
+        flatten(transform(a, (x, i) =>
+          transform(slice(a, i + 2, size(a)),
+            y => struct(x.as("source_a"), y.as("source_b")))))
+      }).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        floor(lit(100) * col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")))
+          .as("jaccard_pct"))
+  }
+
   /** Cross-source contamination matrix: for every unordered pair of
     * sources, how many DISTINCT n-token windows occur in both. The
     * per-pair count is the raw signal behind "source B is a scrape of

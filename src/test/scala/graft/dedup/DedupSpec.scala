@@ -219,6 +219,20 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("vocabOverlap: distinct-token intersections and integer Jaccard per source pair") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "a b c d", "s1"), (2L, "a a b", "s1"), // s1 vocab {a,b,c,d}
+      (3L, "a b x", "s2"),                        // s2 vocab {a,b,x}
+      (4L, "z", "s3"))                            // s3 vocab {z} — no overlap
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.vocabOverlap(fix).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    // one qualifying pair: {a,b} shared, jaccard = 2/5 = 40%
+    assert(r.toSeq == Seq(("s1", "s2", 2L, 4L, 3L, 40L)))
+  }
+
   test("windowNovelty: owners score their windows, restatements score zero") {
     def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
     val a10 = toks("a", 10)

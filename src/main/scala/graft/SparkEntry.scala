@@ -937,6 +937,16 @@ object SparkEntry {
       Multimodal.nearDupMedia(Multimodal.blobTable(d.unionByName(edited)))
         .orderBy("doc_id_a", "doc_id_b")
     }),
+    "mm_media_clusters" -> ((s, dir) => { // CC over the perceptual pairs
+      // same injected-edit fixture as mm_phash_pairs
+      val d = docs(s, dir).select("doc_id", "text")
+      val edited = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            expr("substring(text, 11)")).as("text"))
+      Multimodal.mediaClusters(Multimodal.blobTable(d.unionByName(edited)))
+        .orderBy("doc_id")
+    }),
     "dedup_paragraphs" -> ((s, dir) => // chunk-level exact dedup + reassembly
       Dedup.paragraphDedup(docs(s, dir), 20).orderBy("doc_id")),
     "dedup_cross_source" -> ((s, dir) => // shared-window contamination matrix
@@ -1479,6 +1489,14 @@ object SparkEntry {
     // all-pairs filter is the oracle for the banded search (complete <= 3)
     "mm_phash_pairs" ->
       s"WITH e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), ${phashCtes("e2")} SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming FROM ph a JOIN ph b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY 1, 2",
+    // recursive min-label closure over the SAME perceptual pair set
+    "mm_media_clusters" ->
+      (s"WITH RECURSIVE e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), ${phashCtes("e2")}, " +
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM ph a JOIN ph b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.phash, b.phash)) <= 3), " +
+        "e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS lab FROM e2 UNION SELECT e.a AS node, r.lab FROM e JOIN reach r ON r.node = e.b), " +
+        "cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1) " +
+        "SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cl ORDER BY doc_id"),
     // non-overlapping 20-token chunks; global first occurrence (min
     // (doc_id, idx)) survives, survivors re-join in order
     "dedup_paragraphs" ->

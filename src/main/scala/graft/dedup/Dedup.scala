@@ -274,20 +274,35 @@ object Dedup {
   def duplicateClusters(docs: DataFrame, minJaccardPct: Int,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val pairRel = jaccardPairs(docs, minJaccardPct, maxShingleDf)
-    val pairs = pairRel.select(col("doc_id_a"), col("doc_id_b"))
+    val labels = connectedComponents(docs.select("doc_id"),
+      pairRel.select(col("doc_id_a"), col("doc_id_b")),
+      releaseAfterEdges = Seq(pairRel))
+    labels.withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Min-label connected components over an undirected pair relation —
+    * the shared clustering core behind text near-dup clusters and media
+    * (perceptual-hash) clusters. `nodes` is a (doc_id) relation naming
+    * every vertex (singletons keep themselves); `pairs` is (a, b) edges,
+    * one direction. Returns (doc_id, cluster_id) with cluster_id = min
+    * reachable id. `releaseAfterEdges` are cached inputs to unpersist
+    * once the doubled edge relation has materialized. */
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      releaseAfterEdges: Seq[org.apache.spark.sql.Dataset[_]] = Nil): DataFrame = {
+    val p = pairs.toDF("doc_id_a", "doc_id_b")
     // both directions: label flows toward larger ids AND across to smaller
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_id_b").as("doc_id_a"), col("doc_id_a").as("doc_id_b")))
+    val edges = p
+      .unionAll(p.select(col("doc_id_b").as("doc_id_a"), col("doc_id_a").as("doc_id_b")))
       .persist()
     edges.count()
-    pairRel.unpersist() // jaccardPairs hands back one cached handle; edges own it now
+    releaseAfterEdges.foreach(_.unpersist())
     // localCheckpoint (eager), NOT persist: each iteration's plan must build
     // on the MATERIALIZED previous labels, not its unrolled lineage —
     // with plain persist the logical plan grows by one join+agg per
     // iteration (persist caches data but never truncates lineage), so
     // planning cost and plan size are O(iterations^2) and every consumer
     // of the final labels re-plans the whole loop history.
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
@@ -304,7 +319,7 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    labels.withColumn("keep", col("doc_id") === col("cluster_id"))
+    labels
   }
 
   /** Canonical-document election per duplicate cluster — the step after

@@ -104,6 +104,19 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Media duplicate CLUSTERS: connected components over the banded
+    * perceptual-hash near-dup pairs — the media-side twin of
+    * [[graft.dedup.Dedup.duplicateClusters]], sharing its min-label
+    * iteration (localCheckpoint per round, driver moves only the
+    * changed-count). keep marks each cluster's min-id representative;
+    * dropping !keep dedups the media corpus at the perceptual level.
+    * Output: (doc_id, cluster_id, keep). */
+  def mediaClusters(blobs: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.dedup.Dedup.connectedComponents(
+        blobs.select("doc_id"),
+        nearDupMedia(blobs, maxHamming).select("doc_id_a", "doc_id_b"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+
   /** Resize planning over decoded metadata: aspect-preserving fit of
     * (width, height) into a maxDim box, downscale only (scale capped at 1).
     * Pure integer column math — the actual pixel resample would live in the

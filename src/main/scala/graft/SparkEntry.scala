@@ -806,6 +806,25 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"),
         s.read.parquet(s"$dir/lineitem.parquet"), 150L, 20)
         .orderBy(col("total_qty").desc, col("o_orderkey"))),
+    "tpch_small_quantity" -> ((s, dir) => // Q17 analog: decorrelated 20%-of-avg
+      graft.stats.Analytics.smallQuantityRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"), "Brand#23")
+        .orderBy("l_partkey")),
+    "tpch_min_cost_supplier" -> ((s, dir) => // Q2 analog: min-per-group subquery
+      graft.stats.Analytics.minCostSupplier(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"), "EUROPE", 100)
+        .orderBy("l_partkey", "l_suppkey")),
+    "tpch_dominant_suppliers" -> ((s, dir) => // Q20 flavor: threshold-per-group
+      graft.stats.Analytics.dominantSuppliers(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        "1996-01-01", "1997-01-01")
+        .orderBy("s_suppkey")),
     "profile_lineitem" -> ((s, dir) =>
       graft.stats.Profile.profile(
         s.read.parquet(s"$dir/lineitem.parquet"), profileCols)
@@ -1631,6 +1650,37 @@ object SparkEntry {
         "JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
         "GROUP BY 1,2,3 ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"),
+    // correlated scalar subquery (20%-of-average), expressed correlated in
+    // the oracle and decorrelated in Spark; 5*qty*n < sum keeps it integer
+    "tpch_small_quantity" ->
+      ("WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, " +
+        "CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#23'), " +
+        "pa AS (SELECT l_partkey, SUM(qty) AS part_sum_qty, CAST(COUNT(*) AS BIGINT) AS part_n FROM li GROUP BY 1) " +
+        "SELECT li.l_partkey, CAST(COUNT(*) AS BIGINT) AS n_below, CAST(SUM(li.price_cents) AS BIGINT) AS below_cents " +
+        "FROM li JOIN pa USING (l_partkey) WHERE 5 * li.qty * pa.part_n < pa.part_sum_qty " +
+        "GROUP BY 1 ORDER BY 1"),
+    // min-per-group subquery: cost = (SELECT MIN(cost) ... same part); ties kept
+    "tpch_min_cost_supplier" ->
+      ("WITH rs AS (SELECT s_suppkey, s_name, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'EUROPE'), " +
+        "pc AS (SELECT l_partkey, l_suppkey, MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_cents " +
+        "FROM lineitem JOIN rs ON l_suppkey = s_suppkey GROUP BY 1,2), " +
+        "pm AS (SELECT l_partkey, MIN(cost_cents) AS min_cost FROM pc GROUP BY 1) " +
+        "SELECT pc.l_partkey, pc.l_suppkey, rs.s_name, rs.n_name, pc.cost_cents " +
+        "FROM pc JOIN pm USING (l_partkey) JOIN rs ON pc.l_suppkey = rs.s_suppkey " +
+        "WHERE pc.cost_cents = pm.min_cost ORDER BY 1, 2 LIMIT 100"),
+    // threshold-per-group subquery: supplier qty > half the part's total
+    "tpch_dominant_suppliers" ->
+      ("WITH pq AS (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS supp_qty " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1,2), " +
+        "pt AS (SELECT l_partkey, SUM(supp_qty) AS total_qty FROM pq GROUP BY 1), " +
+        "d AS (SELECT pq.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts, CAST(SUM(pq.supp_qty) AS BIGINT) AS dominated_qty " +
+        "FROM pq JOIN pt USING (l_partkey) WHERE pq.supp_qty * 2 > pt.total_qty GROUP BY 1) " +
+        "SELECT d.l_suppkey AS s_suppkey, s_name, n_name, d.n_parts, d.dominated_qty " +
+        "FROM d JOIN supplier ON d.l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey " +
+        "ORDER BY 1"),
     // the encode oracle extends the SAME unrolled trainer: s3 is the
     // final segmented vocabulary, per-doc counts join the word stream
     "text_bpe_encode" ->

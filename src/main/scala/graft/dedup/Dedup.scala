@@ -77,12 +77,22 @@ object Dedup {
     * materializes ONCE per document — a captured split() inside the
     * per-window lambda would re-tokenize on every window (O(tokens^2) per
     * doc; 50x at the sf1 soak). */
-  private def windowHashes(text: org.apache.spark.sql.Column, n: Int) =
+  /** n-token window keys. Default: 64-bit xxhash64 — 8-byte shuffle rows,
+    * the right analysis-grade key. `strong = true` switches to 128-bit
+    * md5: at corpus scales past ~2^32 windows a 64-bit birthday collision
+    * is statistically expected, and a DESTRUCTIVE consumer
+    * ([[cleanDupSpans]]) must not delete real text over one — collision
+    * safety is worth the 16-byte keys there. Key choice never changes
+    * results absent a collision, so both paths share every oracle. */
+  private def windowHashes(text: org.apache.spark.sql.Column, n: Int,
+      strong: Boolean = false) =
     TextAnalysis.bindArray(TextAnalysis.tokens(text)) { t =>
       when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - n + 1),
-          i => xxhash64(concat_ws(" ", slice(t, i, lit(n))))))
-        .otherwise(array().cast("array<bigint>"))
+        transform(sequence(lit(1), size(t) - n + 1), { i =>
+          val s = concat_ws(" ", slice(t, i, lit(n)))
+          if (strong) md5(s) else xxhash64(s)
+        }))
+        .otherwise(array().cast(if (strong) "array<string>" else "array<bigint>"))
     }
 
   def ngramWindowDups(docs: DataFrame, n: Int = 8): DataFrame = {
@@ -469,10 +479,10 @@ object Dedup {
     * opens a new island iff its start exceeds the max end seen so far
     * (+1: adjacent ranges are one contiguous duplicated region). */
   def dupSpans(docs: DataFrame, n: Int = 8,
-      keepFirst: Boolean = false): DataFrame = {
+      keepFirst: Boolean = false, strongHash: Boolean = false): DataFrame = {
     require(n >= 2, "window length must be at least 2")
     val w = docs.select(col("doc_id"),
-        posexplode(windowHashes(col("text"), n)).as(Seq("pos", "h")))
+        posexplode(windowHashes(col("text"), n, strongHash)).as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"), col("h"))
       .persist()
     w.count()
@@ -535,9 +545,15 @@ object Dedup {
     * span list (a handful of intervals) attaches in a 1:1 join, then a
     * single codegen'd filter-by-interval + rejoin over the let-bound
     * token array — the document text never shuffles for the rewrite.
+    * `strongHash` keys windows by md5 instead of xxhash64 — REQUIRED for
+    * cleaning-grade runs at >>2^32 windows, where a 64-bit birthday
+    * collision would silently delete non-duplicated text (the analysis
+    * default stays 64-bit for 8-byte shuffle rows; a spec pins the two
+    * paths result-identical below collision scale).
     * Output: (doc_id, n_tokens, n_kept, cleaned_text). */
-  def cleanDupSpans(docs: DataFrame, n: Int = 8): DataFrame = {
-    val spans = dupSpans(docs, n, keepFirst = true)
+  def cleanDupSpans(docs: DataFrame, n: Int = 8,
+      strongHash: Boolean = false): DataFrame = {
+    val spans = dupSpans(docs, n, keepFirst = true, strongHash = strongHash)
     val byDoc = spans.groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sps"))
     val emptySpans = array().cast("array<struct<span_start:bigint,span_end:bigint>>")

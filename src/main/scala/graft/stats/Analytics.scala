@@ -195,6 +195,97 @@ object Analytics {
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_suppliers"), sum("n").as("n_lineitems"))
 
+  /** Q17-style small-quantity analysis: for each part of `brand`, the
+    * lineitems whose quantity falls below 20% of that part's average
+    * quantity — the canonical correlated scalar subquery ("compare each
+    * row against its group's aggregate computed in a subquery"),
+    * decorrelated into ONE per-part aggregate plus ONE join back, never a
+    * re-scan per outer row. The 20%-of-average compare stays exact in
+    * integer space: qty < sum/(5n) ⟺ 5·qty·n < sum (quantities are
+    * integer-valued). The brand's part keys broadcast into the lineitem
+    * scan FIRST, so both the aggregate side and the probe side only ever
+    * read the brand's lineitems — per-part aggregates are identical
+    * either way because p_partkey is the part PK. Output: one row per
+    * part that has below-threshold lineitems. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String): DataFrame = {
+    val brandKeys = part.filter(col("p_brand") === brand).select("p_partkey")
+    val li = lineitem
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      .join(broadcast(brandKeys), col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("qty").as("part_sum_qty"), count(lit(1)).as("part_n"))
+    li.join(perPart, "l_partkey")
+      .filter(lit(5L) * col("qty") * col("part_n") < col("part_sum_qty"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_below"), sum("price_cents").as("below_cents"))
+  }
+
+  /** Q2-style min-cost supplier: for each part shipped by suppliers of
+    * `regionName`, the supplier(s) achieving the minimum observed line
+    * price — the min-per-group subquery driving an outer join
+    * ("WHERE cost = (SELECT MIN(cost) ... WHERE partkey = p_partkey)").
+    * Decorrelated: per-(part, supplier) min, per-part min OVER that
+    * aggregate (agg-of-agg — the big relation is scanned once), equality
+    * join back; ties all survive, as in the classic query. The region's
+    * supplier keys broadcast into the lineitem join; supplier names and
+    * nation attach at the END, to the tiny winner set only. */
+  def minCostSupplier(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, region: DataFrame, regionName: String,
+      k: Int = 100): DataFrame = {
+    val regNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val regSupp = supplier
+      .join(broadcast(regNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    val pairCost = lineitem
+      .join(broadcast(regSupp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(cents(col("l_extendedprice"))).as("cost_cents"))
+    val partMin = pairCost.groupBy("l_partkey")
+      .agg(min("cost_cents").as("min_cost"))
+    pairCost.join(partMin, "l_partkey")
+      .filter(col("cost_cents") === col("min_cost"))
+      .join(regSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("s_name"),
+        col("n_name"), col("cost_cents"))
+      .orderBy("l_partkey", "l_suppkey").limit(k)
+  }
+
+  /** Q20-flavored dominant suppliers: suppliers who shipped MORE THAN
+    * HALF of some part's total quantity in [from, until) — the
+    * threshold-per-group subquery shape ("supp_qty > 0.5 * (SELECT
+    * SUM(qty) ... WHERE partkey = ...)"). The per-part total aggregates
+    * OVER the per-(part, supplier) aggregate, so lineitem is scanned
+    * once and the second shuffle moves only the pair relation; the
+    * half compare is exact in integers (2·supp_qty > total). Supplier
+    * and nation names attach to the small dominant set at the end. */
+  def dominantSuppliers(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, from: String, until: String): DataFrame = {
+    val pairQty = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+    val partTotal = pairQty.groupBy("l_partkey")
+      .agg(sum("supp_qty").as("total_qty"))
+    pairQty.join(partTotal, "l_partkey")
+      .filter(col("supp_qty") * 2 > col("total_qty"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts"), sum("supp_qty").as("dominated_qty"))
+      .join(supplier.select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_parts"), col("dominated_qty"))
+  }
+
   /** Grouping-sets revenue: ROLLUP over (region, nation) — per-nation
     * rows, per-region subtotals, and the grand total in ONE aggregation
     * (Catalyst's Expand feeds a single hash aggregate with map-side

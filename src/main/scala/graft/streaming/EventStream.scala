@@ -360,8 +360,11 @@ object EventStream {
     val st = state.getOption.getOrElse(FunnelBuf(Nil, List.fill(nStages)(-1L)))
     val incoming = if (state.hasTimedOut) Nil else rows.toList
     val wm = state.getCurrentWatermarkMs()
+    // STRICTLY below: the engine still admits rows with ts == wm in a
+    // later micro-batch, so maturing at the boundary could emit before an
+    // equal-ts sibling arrives; ts == wm stays pending until wm advances
     val (mature, pending) = (st.pending ++ incoming)
-      .partition(_.ts.getTime <= wm)
+      .partition(_.ts.getTime < wm)
     val quals = st.quals.toArray
     val out = List.newBuilder[FunnelHit]
     // event-time order makes each first-at-or-after decision final: the
@@ -482,12 +485,15 @@ object EventStream {
     val lefts = st.lefts ++ incoming.filter(_.side == 1)
     val rights = (st.rights ++ incoming.filter(_.side == 0)).sortBy(_.ts.getTime)
     val wm = state.getCurrentWatermarkMs()
-    val (mature, pending) = lefts.partition(_.ts.getTime <= wm)
+    // strictly below the watermark: rows at ts == wm may still gain
+    // equal-ts siblings in later micro-batches (same convention as every
+    // stateful operator here)
+    val (mature, pending) = lefts.partition(_.ts.getTime < wm)
     val out = mature.sortBy(l => (l.ts.getTime, l.id)).map { l =>
       val m = rights.takeWhile(_.ts.getTime <= l.ts.getTime).lastOption
       AsOfOut(l.id, key, l.ts, m.map(_.ts), m.map(_.v))
     }
-    val (behind, inFlight) = rights.partition(_.ts.getTime <= wm)
+    val (behind, inFlight) = rights.partition(_.ts.getTime < wm)
     val kept = behind.lastOption.toList ::: inFlight
     if (pending.isEmpty && kept.isEmpty) state.remove()
     else {
@@ -602,7 +608,8 @@ object EventStream {
     val incoming = if (state.hasTimedOut) Nil else rows.toList
     val all = (st.pending ++ incoming).sortBy(e => (e.ts.getTime, e.event_id))
     val wm = state.getCurrentWatermarkMs()
-    val (mature, pending) = all.partition(_.ts.getTime <= wm)
+    // strictly below the watermark (equal-ts rows may still arrive)
+    val (mature, pending) = all.partition(_.ts.getTime < wm)
     var last = st.last
     val out = mature.flatMap { e =>
       val r = last.map(p => TransOut(p, e.event_type, key))
@@ -623,7 +630,8 @@ object EventStream {
     val incoming = if (state.hasTimedOut) Nil else rows.toList
     val all = (st.pending ++ incoming).sortBy(e => (e.ts.getTime, e.event_id))
     val wm = state.getCurrentWatermarkMs()
-    val (mature, pending) = all.partition(_.ts.getTime <= wm)
+    // strictly below the watermark (equal-ts rows may still arrive)
+    val (mature, pending) = all.partition(_.ts.getTime < wm)
     var tail = st.tail
     val out = mature.map { e =>
       val win = tail :+ e.value // oldest..current, size <= frame

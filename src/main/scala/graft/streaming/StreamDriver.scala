@@ -133,11 +133,17 @@ object StreamDriver {
     try {
       val maxTs = (events.map(_._1.getTime) :+ 0L).max
       if (events.nonEmpty) { in.addData(events); q.processAllAvailable() }
-      in.addData((new Timestamp(maxTs + 3600L * 1000), SentinelKey))
+      val sentinelTs = maxTs + 3600L * 1000
+      in.addData((new Timestamp(sentinelTs), SentinelKey))
       q.processAllAvailable()
+      // exclude exactly the sentinel's own 5-min bucket, derived from the
+      // sentinel timestamp itself (no real window can share it: the
+      // sentinel sits a full hour past the latest event) — never a
+      // hand-tuned offset that silently couples to the watermark delay
+      val sentinelBucket = sentinelTs / 1000 / 300 * 300
       val out = spark.table(name)
         .filter(org.apache.spark.sql.functions.col("bucket_start") <
-          (maxTs / 1000) + 3000)
+          sentinelBucket)
       val rows = java.util.Arrays.asList(out.collect(): _*)
       spark.createDataFrame(rows, out.schema)
     } finally {

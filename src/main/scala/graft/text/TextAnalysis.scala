@@ -204,9 +204,14 @@ object TextAnalysis {
     * reproduces the score bit-for-bit.
     * Output: (doc_id, n_features, score, keep = score >= 0). */
   def classifierScore(docs: DataFrame): DataFrame = {
+    // the md5 prefix let-binds ONCE per feature (same repeated-
+    // subexpression class the bindArray fix targets: without the binding
+    // each feature hashed twice, one md5 per ascii probe)
     def weight(f: Column): Column =
-      ((ascii(substring(md5(f), 1, 1)) * 256 +
-        ascii(substring(md5(f), 2, 1))) % 1001 - 500).cast("long")
+      bindArray(substring(md5(f), 1, 2)) { h =>
+        ((ascii(substring(h, 1, 1)) * 256 +
+          ascii(substring(h, 2, 1))) % 1001 - 500).cast("long")
+      }
     def scoreOf(arr: Column): Column =
       aggregate(arr, lit(0L), (acc, f) => acc + weight(f))
     docs.select(col("doc_id"),

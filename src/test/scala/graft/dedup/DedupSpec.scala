@@ -271,4 +271,24 @@ class DedupSpec extends SparkSpec {
       7L -> ((2L, 2L, "too short")),
       8L -> ((16L, 16L, s"${toks("m", 8)} ${toks("m", 8)}"))))
   }
+
+  test("cleanDupSpans strongHash (md5 keys) is result-identical to the 64-bit path") {
+    // the collision-safe cleaning-grade key must change NOTHING below
+    // collision scale — same spans, same rewrites, byte for byte
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val c12 = toks("c", 12); val a8 = toks("a", 8)
+    val fix = docs(
+      (1L, c12), (2L, s"$c12 u1 u2"), (3L, s"$a8 x1 $a8"),
+      (4L, s"$a8 q1 q2"), (5L, "too short"))
+    def rows(strong: Boolean) =
+      Dedup.cleanDupSpans(fix, 8, strongHash = strong).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    assert(rows(strong = true) == rows(strong = false))
+    val spans = Dedup.dupSpans(fix, 8, strongHash = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => x).toSeq
+    val spans64 = Dedup.dupSpans(fix, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => x).toSeq
+    assert(spans == spans64 && spans.nonEmpty)
+  }
 }

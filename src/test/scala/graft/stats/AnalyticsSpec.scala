@@ -167,4 +167,62 @@ class AnalyticsSpec extends SparkSpec {
         .map(_.getLong(2)).sum == reg.getLong(2))
     assert(nations.map(_.getLong(3)).sum == grand.head.getLong(3))
   }
+
+  test("smallQuantityRevenue: decorrelated 20%-of-average, integer compare") {
+    import spark.implicits._
+    // part 1 (brand B): qtys 1,10,10,10,10 -> sum=41, n=5; below iff
+    // 5*q*5 < 41 ⟺ q < 1.64 -> only the qty-1 line (price 2.00)
+    // part 2 (brand B): qtys 5,5 -> 25*5 < 10 never -> no row
+    // part 3 (other brand): excluded entirely
+    val li = Seq(
+      (1L, 1.0, 2.00), (1L, 10.0, 30.0), (1L, 10.0, 30.0),
+      (1L, 10.0, 30.0), (1L, 10.0, 30.0),
+      (2L, 5.0, 9.0), (2L, 5.0, 9.0),
+      (3L, 1.0, 99.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "B"), (2L, "B"), (3L, "X"))
+      .toDF("p_partkey", "p_brand")
+    val r = Analytics.smallQuantityRevenue(li, part, "B").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 1L, 200L)))
+  }
+
+  test("minCostSupplier: per-part min with ties kept, region-scoped") {
+    import spark.implicits._
+    val region = Seq((1L, "EUROPE"), (2L, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10L, "FRANCE", 1L), (20L, "CHINA", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supp = Seq((100L, "SuppA", 10L), (101L, "SuppB", 10L), (102L, "SuppC", 20L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    // part 7: A ships at 5.00 twice and 9.00; B at 5.00 -> tie at 500 kept
+    // part 8: only C (ASIA) ships it -> excluded (no EUROPE supplier)
+    val li = Seq(
+      (7L, 100L, 5.00), (7L, 100L, 9.00), (7L, 100L, 5.00), (7L, 101L, 5.00),
+      (8L, 102L, 1.00))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val r = Analytics.minCostSupplier(li, supp, nation, region, "EUROPE")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2),
+        x.getString(3), x.getLong(4))).toSeq
+    assert(r == Seq((7L, 100L, "SuppA", "FRANCE", 500L),
+      (7L, 101L, "SuppB", "FRANCE", 500L)))
+  }
+
+  test("dominantSuppliers: strict majority of a part's shipped quantity") {
+    import spark.implicits._
+    val supp = Seq((100L, "SuppA", 10L), (101L, "SuppB", 10L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((10L, "FRANCE")).toDF("n_nationkey", "n_name")
+    // part 1: A=6 of 10 -> dominant; part 2: A=5, B=5 of 10 -> neither
+    // (strict >); part 3 outside the window entirely
+    val li = Seq(
+      (1L, 100L, 6.0, ts("1996-03-01")), (1L, 101L, 4.0, ts("1996-04-01")),
+      (2L, 100L, 5.0, ts("1996-05-01")), (2L, 101L, 5.0, ts("1996-06-01")),
+      (3L, 101L, 9.0, ts("1999-01-01")))
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val r = Analytics.dominantSuppliers(li, supp, nation,
+      "1996-01-01", "1997-01-01").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+        x.getLong(3), x.getLong(4))).toSeq
+    assert(r == Seq((100L, "SuppA", "FRANCE", 1L, 6L)))
+  }
 }

@@ -269,7 +269,7 @@ object SparkEntry {
     * qe)` CTE in scope. Every intermediate is an exact integer, so both
     * engines agree bit-for-bit, refinement included. */
   private def pqAnchorCtes(p: String, m: Int, s: Int, k: Int,
-      iters: Int): String = {
+      iters: Int, src: String = "q0"): String = {
     val dist = s"list_sum(list_transform(generate_series(1,$s), i -> (v.sq[i]-a.sq[i])*(v.sq[i]-a.sq[i])))"
     def assignCte(name: String, from: String) =
       s"$name AS (SELECT vec_id, m, j-1 AS code FROM (SELECT v.vec_id, v.m, a.j, " +
@@ -283,8 +283,8 @@ object SparkEntry {
         s"${p}a$t AS (SELECT p.m, p.j, COALESCE(n.sq, p.sq) AS sq FROM ${p}a${t - 1} p LEFT JOIN ${p}ag$t n ON n.m = p.m AND n.j = p.j)"
     }.mkString(", ")
     s"${p}sub AS (SELECT unnest(generate_series(0,${m - 1})) AS m), " +
-      s"${p}vs AS (SELECT vec_id, s.m, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM q0 CROSS JOIN ${p}sub s), " +
-      s"${p}a0 AS (SELECT s.m, j, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j, qe FROM q0) CROSS JOIN ${p}sub s WHERE j <= $k), " +
+      s"${p}vs AS (SELECT vec_id, s.m, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM $src CROSS JOIN ${p}sub s), " +
+      s"${p}a0 AS (SELECT s.m, j, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j, qe FROM $src) CROSS JOIN ${p}sub s WHERE j <= $k), " +
       s"$iterCtes, " +
       assignCte(s"${p}cdf", s"${p}a$iters")
   }
@@ -333,6 +333,33 @@ object SparkEntry {
         "JOIN crcdf l ON l.vec_id = c.vec_id " +
         "JOIN pr ON pr.cent_id = l.code " +
         "JOIN qd q ON q.query_id = pr.query_id AND q.m = c.m AND q.j = c.code + 1 AND c.vec_id <> q.query_id GROUP BY 1,2",
+        rerank, kTop)
+  }
+
+  /** Full SQL replication of [[graft.sim.Similarity.ivfPqResidualTopK]]:
+    * the fine codebook trains on RESIDUAL vectors (quantized embedding
+    * minus its final coarse centroid — `rq0`), fine codes assign residuals
+    * to it, and each query's LUT is computed PER PROBED LIST against its
+    * residual w.r.t. that list's centroid. Exact integers throughout, so
+    * the whole residual pipeline — both trainings included — is checkable. */
+  private val ivfPqResOracleSql: String = {
+    val (m, s, k, iters, rerank, kTop) = (4, 16, 16, 2, 100, 10)
+    val (nLists, nProbe) = (16, 4)
+    val dist = s"list_sum(list_transform(generate_series(1,$s), i -> (v.sq[i]-a.sq[i])*(v.sq[i]-a.sq[i])))"
+    val cdist = s"list_sum(list_transform(generate_series(1,64), i -> (v.sq[i]-a.sq[i])*(v.sq[i]-a.sq[i])))"
+    s"WITH $pqQ0Cte, " +
+      pqAnchorCtes("cr", 1, 64, nLists, iters) + ", " +
+      s"rq0 AS (SELECT c.vec_id, list_transform(generate_series(1,64), i -> q.qe[i] - a.sq[i]) AS qe " +
+        s"FROM crcdf c JOIN q0 q ON q.vec_id = c.vec_id JOIN cra$iters a ON a.m = 0 AND a.j = c.code + 1), " +
+      pqAnchorCtes("rs", m, s, k, iters, src = "rq0") + ", " +
+      s"pr AS (SELECT query_id, cent_id FROM (SELECT v.vec_id AS query_id, a.j - 1 AS cent_id, ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY $cdist, a.j) AS prn FROM crvs v JOIN cra$iters a ON a.m = v.m WHERE v.vec_id % 100 = 0) WHERE prn <= $nProbe), " +
+      s"qres AS (SELECT p.query_id, p.cent_id, list_transform(generate_series(1,64), i -> q.qe[i] - a.sq[i]) AS qe " +
+        s"FROM pr p JOIN q0 q ON q.vec_id = p.query_id JOIN cra$iters a ON a.m = 0 AND a.j = p.cent_id + 1), " +
+      s"qvs AS (SELECT query_id, cent_id, s.m, list_slice(qe, s.m*$s+1, s.m*$s+$s) AS sq FROM qres CROSS JOIN rssub s), " +
+      s"qd AS (SELECT v.query_id, v.cent_id, v.m, a.j, $dist AS d FROM qvs v JOIN rsa$iters a ON a.m = v.m), " +
+      pqTailSql("SELECT q.query_id, c.vec_id, SUM(q.d) AS adc FROM rscdf c " +
+        "JOIN crcdf l ON l.vec_id = c.vec_id " +
+        "JOIN qd q ON q.cent_id = l.code AND q.m = c.m AND q.j = c.code + 1 AND c.vec_id <> q.query_id GROUP BY 1,2",
         rerank, kTop)
   }
 
@@ -888,6 +915,10 @@ object SparkEntry {
         .orderBy("query_id", "rank")),
     "sim_topk_ivfpq" -> ((s, dir) => // IVF lists + PQ ADC within probed lists
       Similarity.ivfPqTopK(emb(s, dir), col("vec_id") % 100 === 0, 10,
+        nLists = 16, nProbe = 4)
+        .orderBy("query_id", "rank")),
+    "sim_topk_ivfpq_res" -> ((s, dir) => // residual-encoded fine codes
+      Similarity.ivfPqResidualTopK(emb(s, dir), col("vec_id") % 100 === 0, 10,
         nLists = 16, nProbe = 4)
         .orderBy("query_id", "rank")),
     "sim_near_dup_pairs" -> ((s, dir) => {
@@ -1459,6 +1490,7 @@ object SparkEntry {
     "sim_ivf_recall" -> ivfRecallOracleSql,
     "sim_topk_pq" -> pqOracleSql,
     "sim_topk_ivfpq" -> ivfPqOracleSql,
+    "sim_topk_ivfpq_res" -> ivfPqResOracleSql,
     // float-cast centroids absorb double summation noise (the IVF oracle's
     // determinism contract); argmax ties break toward the smaller label
     // k-NN classify: neighbor CTE identical to sim_topk_brute, then modal

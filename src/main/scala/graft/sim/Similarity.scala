@@ -635,6 +635,105 @@ object Similarity {
     adcRerank(emb, queryPred, adc, k, rerank)
   }
 
+  /** Elementwise shift of a codebook by a coarse centroid: the residual
+    * identity argmin_j ||(q − c) − a_j||² = argmin_j ||q − (a_j + c)||²
+    * lets the RAW-vector native kernels ([[graft.functions.PqAssignCodes]],
+    * [[graft.functions.PqQueryLut]]) run residual assignment/LUTs — each
+    * inverted list's codebook is the shared residual codebook shifted by
+    * that list's centroid, folded into the plan as a literal. */
+  private def shiftedCb(res: Array[Array[Long]], c: Array[Long]): Array[Array[Long]] =
+    res.map(a => Array.tabulate(a.length)(i => a(i) + c(i)))
+
+  /** Per-centroid CASE dispatch of a per-list kernel: exactly one branch
+    * (the row's own list) evaluates per row. */
+  private def perListCol(centCol: Column, nLists: Int)(mk: Int => Column): Column =
+    coalesce((0 until nLists).map(j => when(centCol === j, mk(j))): _*)
+
+  /** Residual PQ codebook: the same truncating-integer-Lloyd training as
+    * [[pqAnchors]], run over the RESIDUAL vectors (quantized embedding
+    * minus its coarse centroid) — the codebook FAISS-class IVF-PQ systems
+    * actually ship, recovering precision because residuals concentrate
+    * near the origin where one shared codebook would waste its anchors
+    * spanning the coarse structure. All arithmetic stays exact integers
+    * (residuals are integer differences), so the trained codebook is
+    * engine-bit-identical; assignments reuse the native raw-vector kernel
+    * through the shifted-codebook identity ([[shiftedCb]]). */
+  def residualAnchors(emb: DataFrame, coarse: Array[Array[Long]],
+      numSub: Int = 4, kAnchors: Int = 16, iters: Int = 2): Array[Array[Long]] = {
+    val dims = coarse.head.length
+    require(dims % numSub == 0, s"dims $dims not divisible by $numSub subspaces")
+    val sub = dims / numSub
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    // (vec_id, embedding, cent_id, rq): residual = qe − coarse[cent]
+    val res = emb.select(col("vec_id"), col("embedding"),
+        element_at(pqCodesCol(col("embedding"), coarse, 1), 1).as("cent_id"))
+      .withColumn("rq", zip_with(quantized(col("embedding")),
+        element_at(coarseLit, col("cent_id") + 1), (x, y) => x - y))
+    var anchors = res
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(kAnchors)
+      .select("rq").collect().map(_.getSeq[Long](0).toArray)
+    for (_ <- 0 until iters) {
+      val codesCol = perListCol(col("cent_id"), coarse.length)(j =>
+        pqCodesCol(col("embedding"), shiftedCb(anchors, coarse(j)), numSub))
+      val sums = res
+        .select(posexplode(codesCol).as(Seq("m", "code")), col("rq"))
+        .select(col("m"), col("code"),
+          posexplode(slice(col("rq"), col("m") * sub + 1, lit(sub)))
+            .as(Seq("i", "v")))
+        .groupBy("m", "code", "i")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = anchors.map(_.clone())
+      sums.foreach { r =>
+        val (m, code, i) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(code)(m * sub + i) = r.getLong(3) / r.getLong(4)
+      }
+      anchors = next
+    }
+    anchors
+  }
+
+  /** Residual-encoded IVF-PQ top-k: [[ivfPqTopK]] with the fine codes
+    * drawn from the RESIDUAL codebook ([[residualAnchors]]) — list rows
+    * encode (vector − list centroid), and each query carries ONE LUT PER
+    * PROBED LIST (its residual against that list's centroid) instead of a
+    * single global LUT. Same scale shape as the non-residual path: both
+    * codebooks are tiny plan literals, assignment and LUTs are the native
+    * kernel through the shifted-codebook identity (no residual vectors
+    * are ever materialized in the scan), the probe relation broadcasts at
+    * nProbe× its non-residual width, and the ADC scan stays an equi-join
+    * on cent_id feeding the bounded top-k aggregator. Exact-integer end
+    * to end — oracle-checkable like every other PQ query; a spec gates
+    * its recall >= the non-residual path at equal (nLists, nProbe,
+    * numSub). Output: (query_id, rank, neighbor_id, l2_dist). */
+  def ivfPqResidualTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, numSub: Int = 4,
+      kAnchors: Int = 16, iters: Int = 2, rerank: Int = 100): DataFrame = {
+    val coarse = pqAnchors(emb, 1, nLists, iters)
+    val resCb = residualAnchors(emb, coarse, numSub, kAnchors, iters)
+    val shifted = (0 until nLists).map(j => shiftedCb(resCb, coarse(j)))
+    val lists = emb.select(col("vec_id"), col("embedding"),
+        element_at(pqCodesCol(col("embedding"), coarse, 1), 1).as("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        perListCol(col("cent_id"), nLists)(j =>
+          pqCodesCol(col("embedding"), shifted(j), numSub)).as("codes"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("d"), col("cent_id"))
+    val probes = emb.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        posexplode(pqLutCol(col("embedding"), coarse, 1)).as(Seq("cent_id", "d")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("cent_id"),
+        perListCol(col("cent_id"), nLists)(j =>
+          pqLutCol(col("embedding"), shifted(j), numSub)).as("lut"))
+    val adc = lists.join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        negate(adcDistCol(numSub, kAnchors)).as("neg_adc"))
+    adcRerank(emb, queryPred, adc, k, rerank)
+  }
+
   /** Embedding near-duplicate pairs with cosine >= minCosine: banded-LSH
     * candidate generation (same multi-table banding as [[lshTopK]] — a pair
     * is a candidate iff it agrees on >= 1 of the 4 4-bit bands, which bounds

@@ -102,6 +102,49 @@ class SimilaritySpec extends SparkSpec {
       s"ivfpq@4/16 recall vs full PQ scan: $hits/${full.size}")
   }
 
+  test("ivfPqResidualTopK: recall >= the non-residual path at equal params, distances exact") {
+    import org.apache.spark.sql.DataFrame
+    // the sf0.01 fixture (2k vectors, ~125/list): residual training needs
+    // enough rows per list for its statistical advantage to be measurable
+    // — at sf0.001 (~12/list) both paths are within one hit of each other
+    val real = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = col("vec_id") % 50 === 0
+    // exact integer-L2 ground truth over the quantized vectors
+    val qz = real.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * 1024).cast("long")).as("qe"))
+    val all = qz.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qs = all.filter(_._1 % 50 == 0)
+    val exact = qs.map { case (qid, q) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (vid, v) =>
+          (vid, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (vid, d) => (d, vid) }.take(10).map(_._1).toSet
+    }.toMap
+    def recallOf(df: DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+      exact.toSeq.map { case (q, s) =>
+        (s & got.getOrElse(q, Set.empty)).size }.sum.toDouble / (exact.size * 10)
+    }
+    val nonRes = recallOf(Similarity.ivfPqTopK(real, queries, 10,
+      nLists = 16, nProbe = 4))
+    val res = Similarity.ivfPqResidualTopK(real, queries, 10,
+      nLists = 16, nProbe = 4)
+    val resRecall = recallOf(res)
+    // the residual codebook spends its anchors on the within-list spread
+    // the coarse quantizer already removed — at equal (nLists, nProbe,
+    // numSub) it must not LOSE recall vs the shared-codebook path
+    assert(resRecall >= nonRes,
+      s"residual recall $resRecall < non-residual $nonRes")
+    // reported distances are the exact integer L2 of the quantized vectors
+    val byId = all.toMap
+    res.collect().foreach { r =>
+      val (q, v) = (byId(r.getLong(0)), byId(r.getLong(2)))
+      val want = v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(r.getLong(3) == want, "rerank distance is the exact integer L2")
+    }
+  }
+
   test("pqCodes: deterministic codes in [0, K), one per subspace") {
     val codes = Similarity.pqCodes(real, numSub = 4, kAnchors = 16).collect()
     assert(codes.length == real.count())

@@ -401,14 +401,23 @@ object Curation {
     *
     * Scale shape: the strata table is DIMENSION-sized (sources ×
     * languages), so its single-partition remainder-ranking window is
-    * bounded by construction and the quota table broadcasts; documents
-    * pay one per-STRATUM ranking window (skew bound = the largest
-    * stratum — swap in the bounded top-k aggregator per stratum when one
-    * stratum dominates a 100 TB corpus). Requires n <= corpus size for
-    * the exact-n guarantee (short strata otherwise surrender seats).
+    * bounded by construction and the quota table broadcasts. Documents in
+    * strata at or below `hotStratumThreshold` pay one per-STRATUM ranking
+    * window (skew bound = the threshold); strata ABOVE it — the
+    * 90%-one-source corpus where a single window partition would absorb
+    * the whole shuffle — route through the bounded bottom-k aggregator
+    * instead ([[graft.scale.BottomKStrAggregator]]): O(n) state per
+    * stratum with map-side combine, so the hot stratum's candidates
+    * never sort and never serialize through one partition. The two paths
+    * are result-identical (spec-pinned on a 90%-one-stratum fixture) —
+    * both rank by the FULL md5 hex, never a truncated-double prefix.
+    * Requires n <= corpus size for the exact-n guarantee (short strata
+    * otherwise surrender seats).
     * Output: the picked rows (doc_id, source, lang, pick_rank). */
-  def stratifiedSample(docs: DataFrame, n: Long): DataFrame = {
+  def stratifiedSample(docs: DataFrame, n: Long,
+      hotStratumThreshold: Long = 1L << 20): DataFrame = {
     require(n >= 1, "sample size must be positive")
+    require(n <= Int.MaxValue, "sample size must fit the bounded aggregator")
     val strata = docs.groupBy("source", "lang").agg(count(lit(1)).as("sn"))
     val tot = strata.agg(sum("sn").as("t"))
     val base = strata.crossJoin(broadcast(tot))
@@ -420,13 +429,30 @@ object Curation {
       .withColumn("rk", row_number().over(remW))
       .withColumn("quota",
         col("q0") + when(col("rk") <= lit(n) - col("qs"), 1L).otherwise(0L))
-      .select("source", "lang", "quota")
+      // sid: a dense stratum id for the aggregator's long key (the window
+      // is over the DIMENSION-sized quota table, bounded by construction)
+      .withColumn("sid", row_number().over(
+        Window.orderBy(col("source"), col("lang"))).cast("long"))
+      .select("source", "lang", "sn", "quota", "sid")
+    val tagged = docs.select(col("doc_id"), col("source"), col("lang"))
+      .join(broadcast(quotas), Seq("source", "lang"))
     val pickW = Window.partitionBy("source", "lang")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs.select(col("doc_id"), col("source"), col("lang"))
+    val cold = tagged.filter(col("sn") <= hotStratumThreshold)
       .withColumn("pick_rank", row_number().over(pickW).cast("long"))
-      .join(broadcast(quotas), Seq("source", "lang"))
       .filter(col("pick_rank") <= col("quota"))
       .select("doc_id", "source", "lang", "pick_rank")
+    // quota <= n always, so n bounds the aggregator; buffers only grow to
+    // min(stratum size, n) — the hot stratum keeps O(n), not O(stratum)
+    val hot = graft.scale.TopK.bottomKStrPerKey(
+        tagged.filter(col("sn") > hotStratumThreshold)
+          .select(col("sid"), col("doc_id"),
+            md5(col("doc_id").cast("string")).as("mk")),
+        "sid", "doc_id", "mk", n.toInt)
+      .join(broadcast(quotas), "sid")
+      .filter(col("rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("rank").cast("long").as("pick_rank"))
+    cold.unionByName(hot)
   }
 }

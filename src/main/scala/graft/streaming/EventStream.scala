@@ -393,9 +393,12 @@ object EventStream {
     * [[asOfJoin]] (latest-one), this is the all-matches variant, and it
     * maps DIRECTLY onto joins Spark already executes well:
     *
-    *   - batch: an equi-join on the key (one hash-partitioned Exchange
-    *     per side) with the time band as a post-join filter — never a
-    *     nested-loop range join, so it scales like any keyed join;
+    *   - batch: an equi-join on (key, lookback-width time bucket) with
+    *     the exact band as a post-join filter — never a nested-loop
+    *     range join, and a HOT key's pairs split across its time buckets
+    *     instead of serializing through one hash partition (each left
+    *     row explodes into the two buckets its window can touch; a
+    *     qualifying pair meets exactly once, in the right row's bucket);
     *   - streaming (`watermark = true`): Spark's native STREAM-STREAM
     *     inner join. Both sides get watermarks and the join condition
     *     carries the explicit time band, which is what lets the engine
@@ -410,15 +413,46 @@ object EventStream {
   def intervalJoin(left: DataFrame, right: DataFrame,
       lookback: String = "10 minutes", watermark: Boolean = false,
       watermarkDelay: String = "0 seconds"): DataFrame = {
-    val l = (if (watermark) left.withWatermark("ts", watermarkDelay) else left)
-      .select(col("id"), col("key").as("_lk"), col("ts").as("_lts"))
-    val r = (if (watermark) right.withWatermark("ts", watermarkDelay) else right)
-      .select(col("key").as("_rk"), col("ts").as("_rts"), col("v"))
-    l.join(r, col("_lk") === col("_rk") &&
-        col("_rts") >= col("_lts") - expr(s"INTERVAL $lookback") &&
-        col("_rts") <= col("_lts"))
-      .select(col("id"), col("_lk").as("key"), col("_lts").as("ts"),
-        col("_rts").as("r_ts"), col("v"))
+    if (watermark) {
+      val l = left.withWatermark("ts", watermarkDelay)
+        .select(col("id"), col("key").as("_lk"), col("ts").as("_lts"))
+      val r = right.withWatermark("ts", watermarkDelay)
+        .select(col("key").as("_rk"), col("ts").as("_rts"), col("v"))
+      l.join(r, col("_lk") === col("_rk") &&
+          col("_rts") >= col("_lts") - expr(s"INTERVAL $lookback") &&
+          col("_rts") <= col("_lts"))
+        .select(col("id"), col("_lk").as("key"), col("_lts").as("ts"),
+          col("_rts").as("r_ts"), col("v"))
+    } else {
+      // SKEW-SAFE batch shape: the plain (key) equi-join serializes a hot
+      // key — ALL its rows meet in one hash partition regardless of time.
+      // Band time into lookback-width buckets instead (the rangeJoin
+      // trick): each right row keys by its bucket, each left row explodes
+      // into the EXACTLY TWO buckets its closed [ts-lookback, ts] window
+      // can touch, and the join key becomes (key, bucket) — a hot key's
+      // pairs split across as many partitions as it spans time buckets,
+      // and each qualifying pair meets exactly once (in the right row's
+      // own bucket), so no dedup is needed. Bucket ids are bucket-START
+      // micros from pure long arithmetic (x - pmod(x, w)): floor-aligned
+      // for any sign, never a float division that could misround near a
+      // boundary. The interval width folds to a constant at planning.
+      val w = expr(
+        s"unix_micros(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL $lookback)")
+      def bstart(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        c - pmod(c, w)
+      val l = left
+        .select(col("id"), col("key").as("_lk"), col("ts").as("_lts"),
+          unix_micros(col("ts")).as("_lus"))
+        .withColumn("_b", explode(sequence(
+          bstart(col("_lus") - w), bstart(col("_lus")), w)))
+      val r = right.select(col("key").as("_rk"), col("ts").as("_rts"),
+        col("v"), bstart(unix_micros(col("ts"))).as("_rb"))
+      l.join(r, col("_lk") === col("_rk") && col("_b") === col("_rb") &&
+          col("_rts") >= col("_lts") - expr(s"INTERVAL $lookback") &&
+          col("_rts") <= col("_lts"))
+        .select(col("id"), col("_lk").as("key"), col("_lts").as("ts"),
+          col("_rts").as("r_ts"), col("v"))
+    }
   }
 
   /** As-of join: each left row gets the LATEST right row with the same key

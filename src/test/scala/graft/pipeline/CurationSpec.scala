@@ -306,5 +306,26 @@ class CurationSpec extends SparkSpec {
     assert(again == r.map(_._1).toSet)
   }
 
+  test("stratifiedSample: hot-stratum aggregator path is result-identical to the window path") {
+    import spark.implicits._
+    // 90%-one-stratum fixture: 90 web/en docs + 7 web/fr + 3 book/en.
+    // threshold 10 routes ONLY the dominant stratum through the bounded
+    // bottom-k aggregator; threshold MaxValue keeps everything on the
+    // ranking window. Same rows, ranks, and strata either way.
+    val fix = ((1L to 90L).map(i => (i, s"t$i", "web", "en")) ++
+      (91L to 97L).map(i => (i, s"t$i", "web", "fr")) ++
+      (98L to 100L).map(i => (i, s"t$i", "book", "en")))
+      .toDF("doc_id", "text", "source", "lang")
+    def rows(thr: Long) =
+      Curation.stratifiedSample(fix, 20, hotStratumThreshold = thr).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+        .sortBy(_._1).toSeq
+    val hot = rows(10)
+    assert(hot == rows(Long.MaxValue))
+    assert(hot.length == 20)
+    // the dominant stratum holds 90% of the corpus and so 18 of 20 seats
+    assert(hot.count(x => x._2 == "web" && x._3 == "en") == 18)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

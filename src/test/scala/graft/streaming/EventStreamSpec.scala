@@ -120,6 +120,23 @@ class EventStreamSpec extends SparkSpec {
     assert(edge == Set((10L, 9.0)))
   }
 
+  test("intervalJoin: single-hot-key fixture equals the brute-force band, pairs unique") {
+    import spark.implicits._
+    // ONE key carries every row — the shape whose plain key-equi-join
+    // serializes; the time-bucketed join must return exactly the brute
+    // force's pairs, each once (a pair meets only in its right's bucket)
+    val lefts = (0 until 60).map(i => (100L + i, 7L, ts(i))).toDF("id", "key", "ts")
+    val rights = (0 until 60).map(i => (7L, ts(i), i.toDouble)).toDF("key", "ts", "v")
+    val out = EventStream.intervalJoin(lefts, rights, "10 minutes").collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    val expect = for {
+      li <- 0 until 60; ri <- 0 until 60
+      if ri <= li && ri >= li - 10 // closed [ts - 10min, ts] band, minute grid
+    } yield (100L + li, ri.toDouble)
+    assert(out.length == expect.length, "each qualifying pair appears exactly once")
+    assert(out.toSet == expect.toSet)
+  }
+
   test("retentionCohorts: first-day cohorts, per-day dedup, offset cells") {
     import spark.implicits._
     def at(day: Int, hour: Int) =

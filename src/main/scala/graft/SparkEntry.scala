@@ -761,6 +761,20 @@ object SparkEntry {
       TextAnalysis.vocabTopK(docs(s, dir), 20).orderBy("rank")),
     "text_heavy_hitters" -> ((s, dir) => // MG sketch candidates + exact recount
       TextAnalysis.heavyHitters(docs(s, dir), 0.005).orderBy("token")),
+    "text_heavy_hitters_stream" -> ((s, dir) => {
+      // the SAME sketch-then-recount pipeline executed ONLINE through the
+      // streaming engine: four micro-batches fold into the sharded
+      // Misra-Gries state, the final per-shard summaries form the
+      // candidate superset, the exact recount tail matches the batch
+      // query bit-for-bit (shared oracle). Driver-fed fixture,
+      // distributed operator — as with every *_stream query.
+      import s.implicits._
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+      graft.streaming.StreamDriver.heavyHittersStreamed(s, batches, 0.005)
+        .orderBy("token")
+    }),
     "text_pack_sequences" -> ((s, dir) => // concat-and-chunk training layout
       graft.pipeline.Curation.packSequences(docs(s, dir), 512)
         .orderBy("doc_id")),
@@ -1331,6 +1345,12 @@ object SparkEntry {
     // exact phi-heavy-hitters: the sketch is only a candidate generator, so
     // the oracle is the exact threshold query
     "text_heavy_hitters" ->
+      ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents) " +
+        "SELECT token, COUNT(*) AS cnt FROM tokv GROUP BY 1 " +
+        "HAVING COUNT(*) >= CEIL(0.005 * (SELECT COUNT(*) FROM tokv)) ORDER BY token"),
+    // identical answer by construction: the stream sketch only shapes the
+    // candidate superset; the exact recount decides membership
+    "text_heavy_hitters_stream" ->
       ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents) " +
         "SELECT token, COUNT(*) AS cnt FROM tokv GROUP BY 1 " +
         "HAVING COUNT(*) >= CEIL(0.005 * (SELECT COUNT(*) FROM tokv)) ORDER BY token"),

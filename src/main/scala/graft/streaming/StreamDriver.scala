@@ -82,6 +82,52 @@ object StreamDriver {
     docBatchesStreamed(spark, "curate_stream_", batches)(
       df => graft.pipeline.Curation.curateStream(df))
 
+  /** Run the STREAMING Misra-Gries heavy-hitter pipeline end-to-end:
+    * micro-batches fold into the sharded online sketch
+    * ([[StreamingText.mgSummaryStream]]), the latest per-shard summaries
+    * union into the candidate superset (guaranteed to contain every
+    * token with frequency > phi·N), and the exact batch-side recount —
+    * the SAME tail as the batch operator — keeps candidates with true
+    * count >= ceil(phi·N). Output is therefore IDENTICAL to
+    * [[graft.text.TextAnalysis.heavyHitters]] and shares its SQL oracle:
+    * the recount filter is exact, so sketch noise in the candidate set
+    * can neither add nor drop a result row. */
+  def heavyHittersStreamed(spark: SparkSession,
+      batches: Seq[Seq[(Long, String)]], phi: Double = 0.005,
+      cap: Int = 512, numShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(phi > 0 && phi < 1 && cap + 1 > 1 / phi,
+      s"cap $cap too small for phi $phi")
+    val in = MemoryStream[(Long, String)]
+    val name = "mg_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingText.mgSummaryStream(
+        in.toDF().toDF("doc_id", "text"), cap, numShards)
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    val candidates =
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { in.addData(b); q.processAllAvailable() }
+        }
+        spark.table(name).collect()
+          .groupBy(_.getInt(0)).values
+          .flatMap(_.maxBy(_.getLong(1)).getSeq[String](2))
+          .toSeq.distinct
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+    // exact recount of the candidate superset over the full corpus
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    val toks = batches.flatten.toDF("doc_id", "text")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+    val threshold = math.ceil(phi * toks.count()).toLong
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .orderBy("token")
+  }
+
   /** Run the watermarked 5-minute windowed counts ([[EventStream
     * .windowedCounts]]) through the streaming engine in APPEND mode — the
     * production shape, where a window only emits once the watermark passes

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.text.TextAnalysis
+
+/** Per-shard Misra-Gries state: the bounded summary arrays, the shard's
+  * total token weight, and a version bumped per micro-batch (the sink
+  * accumulates one row per update; the LATEST version is the live
+  * summary). */
+final case class MgShardState(tokens: Array[String], counts: Array[Long],
+    n: Long, ver: Long)
+
+/** One emitted shard summary (arrays as Seqs for the row encoder). */
+final case class MgShardOut(shard: Int, ver: Long, tokens: Seq[String],
+    counts: Seq[Long], n: Long)
+
+/** STREAMING text sketches — the online halves of the batch
+  * sketch-then-recount operators in [[graft.text.TextAnalysis]]. */
+object StreamingText {
+
+  /** Streaming Misra-Gries heavy-hitter intake: the mergeable-summary
+    * sketch ([[graft.scale.MisraGries]]) run ONLINE across micro-batches.
+    * Tokens hash-partition over `numShards` state cells
+    * (`flatMapGroupsWithState` keyed by shard), each micro-batch folds its
+    * share into the shard's bounded `cap`-counter summary — the SAME
+    * reduce the batch aggregator uses — and emits the updated summary
+    * with a bumped version (Update mode; take the latest per shard).
+    *
+    * The per-shard guarantee composes: every occurrence of a token lands
+    * in ONE shard, and that shard's undercount is at most
+    * N_shard/(cap+1) <= N/(cap+1), so any token with true corpus
+    * frequency > N/(cap+1) survives in its shard's summary — the union
+    * of shard candidate sets is a superset of every true heavy hitter,
+    * exactly what the exact batch-side recount needs. State is
+    * numShards x O(cap) — constant, never vocabulary-sized — and shards
+    * spread across executors like any keyed state. */
+  def mgSummaryStream(docs: DataFrame, cap: Int = 512,
+      numShards: Int = 8): Dataset[MgShardOut] = {
+    import docs.sparkSession.implicits._
+    require(numShards > 0, "need at least one shard")
+    val mg = new graft.scale.MisraGries(cap)
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .select(col("token"),
+        pmod(hash(col("token")), lit(numShards)).cast("int").as("shard"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Int, rows: Iterator[(String, Int)],
+            state: GroupState[MgShardState]) => {
+          val st = state.getOption
+            .getOrElse(MgShardState(Array.empty, Array.empty, 0L, 0L))
+          var buf = graft.scale.MgBuf(st.tokens, st.counts)
+          var n = st.n
+          rows.foreach { case (t, _) => buf = mg.reduce(buf, t); n += 1 }
+          val next = MgShardState(buf.tokens, buf.counts, n, st.ver + 1)
+          state.update(next)
+          Iterator.single(MgShardOut(shard, next.ver,
+            buf.tokens.toIndexedSeq, buf.counts.toIndexedSeq, n))
+        })
+  }
+}

@@ -131,4 +131,21 @@ class StreamDriverSpec extends SparkSpec {
     assert(got == Set((1L, 0L, 2L), (1L, 4800L, 1L),
       (2L, 100L, 2L), (3L, 5000L, 1L)))
   }
+
+  test("heavyHittersStreamed equals the batch heavy hitters, tail beyond the cap") {
+    import spark.implicits._
+    // "the" rides every doc (heavy); tok$i/x$i form a unique tail far
+    // larger than the per-shard cap, so the online sketch genuinely
+    // evicts; four micro-batches exercise the cross-batch state merge
+    val docsSeq = (1L to 40L).map(i => (i, s"the tok$i the x$i"))
+    val batches = docsSeq.grouped(10).toSeq
+    val got = StreamDriver.heavyHittersStreamed(spark, batches,
+        phi = 0.2, cap = 8, numShards = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.text.TextAnalysis.heavyHitters(
+        docsSeq.toDF("doc_id", "text"), 0.2, cap = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == batch)
+    assert(got == Seq(("the", 80L)))
+  }
 }

@@ -92,10 +92,21 @@ object Bench {
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
+    // ALSO print a SHORT final marker line: the driver records only the
+    // last ~2KB of stdout, and the full line above (~25B x n queries)
+    // outgrew that window at ~70 queries — its truncated head can't parse
+    // ("parsed": null in BENCH_r0{5..8}). The marker is a complete JSON
+    // object well under the window, carrying the totals, the 5 slowest
+    // queries, error NAMES, and the path of the on-disk full result.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
+    val slowest = results.sortBy(-_._2).take(5)
+      .map { case (k, v, _) => s"\"${esc(k)}\":" + sec(v) }.mkString("{", ",", "}")
+    val errNames = results.collect { case (k, _, Some(_)) => s"\"${esc(k)}\"" }
+      .take(10).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$slowest,"errors":$errNames,"n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir","full":"$outPath"}""")
     // ALSO write to a file: the driver captures stdout with a bounded tail,
     // and round-5's capture truncated away the four heaviest queries plus
     // the total ("parsed": null). The on-disk copy is the durable record.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_last.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -276,6 +276,49 @@ object Soak {
           spark, clicks, views, "4 hours")
       })
     }
+    if (which("warehouse")) {
+      // warehouse suite at 10x: FACT tables shard with key-consistent
+      // offsets (orderkey ties lineitem<->orders, custkey orders<->
+      // customer, suppkey lineitem<->supplier), DIMS stay unsharded —
+      // real warehouses grow facts, not nations. Dates/segments repeat
+      // per shard, so every filter keeps its selectivity and each result
+      // group reads exactly 10x its sf0.1 value (a built-in sanity
+      // check). The point: at sf0.1 AQE broadcasts everything; here the
+      // un-hinted big joins must flip to shuffled joins cleanly and the
+      // rollup's Expand must not dominate.
+      val OFF = 100000000L
+      def sharded(table: String, keys: String*): DataFrame = {
+        val d = spark.read.parquet(s"$sfDir/$table.parquet").crossJoin(shardIds)
+        keys.foldLeft(d)((acc, k) =>
+            acc.withColumn(k, col(k) + col("shard").cast("long") * OFF))
+          .drop("shard").persist()
+      }
+      val cust1 = sharded("customer", "c_custkey")
+      val ord1 = sharded("orders", "o_orderkey", "o_custkey")
+      val li1 = sharded("lineitem", "l_orderkey", "l_suppkey", "l_partkey")
+      val supp1 = sharded("supplier", "s_suppkey")
+      val part1 = sharded("part", "p_partkey")
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      System.err.println(s"soak warehouse: ${li1.count()} lineitems, " +
+        s"${ord1.count()} orders, ${cust1.count()} customers")
+      import graft.stats.Analytics
+      run("tpch_pricing_summary_sf1", Analytics.pricingSummary(li1, "2000-12-01"))
+      run("tpch_top_orders_sf1",
+        Analytics.topRevenueOrders(cust1, ord1, li1, "BUILDING", "1998-01-01", 10))
+      run("tpch_region_revenue_sf1",
+        Analytics.regionRevenue(cust1, ord1, li1, supp1, nation, region,
+          "AFRICA", "1996-01-01", "1999-01-01"))
+      run("tpch_revenue_rollup_sf1",
+        Analytics.revenueRollup(cust1, ord1, li1, nation, region,
+          "1996-01-01", "1999-01-01"))
+      // the round-9 correlated-subquery family: join-on-aggregate shapes
+      run("tpch_small_quantity_sf1",
+        Analytics.smallQuantityRevenue(li1, part1, "Brand#23"))
+      run("tpch_dominant_suppliers_sf1",
+        Analytics.dominantSuppliers(li1, supp1, nation,
+          "1996-01-01", "1997-01-01"))
+    }
     spark.stop()
   }
 }

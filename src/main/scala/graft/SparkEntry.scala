@@ -866,6 +866,33 @@ object SparkEntry {
         s.read.parquet(s"$dir/nation.parquet"),
         "1996-01-01", "1997-01-01")
         .orderBy("s_suppkey")),
+    "tpch_volume_shipping" -> ((s, dir) => // Q7 analog: bilateral trade panel
+      graft.stats.Analytics.volumeShipping(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        "1996-01-01", "1998-01-01")
+        .orderBy("supp_nation", "cust_nation", "ship_year")),
+    "tpch_market_share" -> ((s, dir) => // Q8 analog: share sums per order year
+      graft.stats.Analytics.marketShare(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/region.parquet"),
+        s.read.parquet(s"$dir/part.parquet"),
+        "NATION_3", "EUROPE", "STANDARD", "1995-01-01", "1998-01-01")
+        .orderBy("order_year")),
+    "tpch_product_profit" -> ((s, dir) => // Q9 analog: margin per nation-year
+      graft.stats.Analytics.productProfit(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        s.read.parquet(s"$dir/nation.parquet"),
+        s.read.parquet(s"$dir/part.parquet"), "widget")
+        .orderBy("n_name", "ship_year")),
     "profile_lineitem" -> ((s, dir) =>
       graft.stats.Profile.profile(
         s.read.parquet(s"$dir/lineitem.parquet"), profileCols)
@@ -1723,6 +1750,43 @@ object SparkEntry {
         "SELECT pc.l_partkey, pc.l_suppkey, rs.s_name, rs.n_name, pc.cost_cents " +
         "FROM pc JOIN pm USING (l_partkey) JOIN rs ON pc.l_suppkey = rs.s_suppkey " +
         "WHERE pc.cost_cents = pm.min_cost ORDER BY 1, 2 LIMIT 100"),
+    "tpch_volume_shipping" ->
+      ("SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS BIGINT) AS ship_year, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "WHERE s_nationkey <> c_nationkey AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1,2,3 ORDER BY 1,2,3"),
+    "tpch_market_share" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, " +
+        "CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS nation_e4, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_e4, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation rn ON c_nationkey = rn.n_nationkey " +
+        "JOIN region ON rn.n_regionkey = r_regionkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "WHERE p_type = 'STANDARD' AND r_name = 'EUROPE' " +
+        "AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1 ORDER BY 1"),
+    "tpch_product_profit" ->
+      ("SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS ship_year, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) " +
+        " - CAST(l_quantity AS BIGINT) * CAST(round(p_retailprice*100) AS BIGINT) * 100) AS BIGINT) AS profit_e4, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE contains(p_name, 'widget') " +
+        "GROUP BY 1,2 ORDER BY 1,2"),
     // threshold-per-group subquery: supplier qty > half the part's total
     "tpch_dominant_suppliers" ->
       ("WITH pq AS (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS supp_qty " +

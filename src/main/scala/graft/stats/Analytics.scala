@@ -286,6 +286,99 @@ object Analytics {
         col("n_parts"), col("dominated_qty"))
   }
 
+  /** Q7-style volume shipping: revenue flowing between each ORDERED
+    * (supplier nation, customer nation) pair per ship year, cross-nation
+    * only — the bilateral-trade panel. The nation dim broadcasts TWICE
+    * under distinct aliases (supplier side and customer side of the same
+    * tiny table); the big joins stay un-hinted for AQE; one aggregation
+    * on (n1, n2, year) with map-side partials. Integer `_e4` money. */
+  def volumeShipping(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      from: String, until: String): DataFrame = {
+    val supN = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val custN = nation.select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    lineitem.filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(revenueE4).as("revenue_e4"), count(lit(1)).as("n_items"))
+  }
+
+  /** Q8-style market share: per order year, the revenue supplied by
+    * `nationName` vs ALL revenue into `regionName`'s customers for parts
+    * of `partType` — the two sums of the classic share ratio kept as
+    * exact integers (the caller's one float division). Customer-side
+    * region filter prunes via the broadcast nation⋈region dim; the
+    * supplier nation flag rides the broadcast supplier-nation join into
+    * a conditional sum — ONE aggregation computes both sums. */
+  def marketShare(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, part: DataFrame, nationName: String,
+      regionName: String, partType: String, from: String,
+      until: String): DataFrame = {
+    val regNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("rn_key"))
+    val supN = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    lineitem
+      .join(part.filter(col("p_type") === partType).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(regNations), col("c_nationkey") === col("rn_key"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supN), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        sum(when(col("supp_nation") === nationName, revenueE4).otherwise(0L))
+          .as("nation_e4"),
+        sum(revenueE4).as("total_e4"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Q9-flavored product profit: per (supplier nation, ship year), the
+    * margin sum(revenue − qty·catalog cost) over parts whose name
+    * contains `partNameLike` — adapted to this schema's part catalog
+    * (p_retailprice stands in for the classic supplycost). Profit stays
+    * in the integer `_e4` space (cost cents × 100 aligns the units) and
+    * may legitimately go negative per line. One aggregation after the
+    * four-table join; nation broadcasts. */
+  def productProfit(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame, part: DataFrame,
+      partNameLike: String): DataFrame = {
+    val profitE4 = revenueE4 -
+      col("l_quantity").cast("long") * cents(col("p_retailprice")) * 100L
+    lineitem
+      .join(part.filter(col("p_name").contains(partNameLike))
+          .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(profitE4).as("profit_e4"), count(lit(1)).as("n_items"))
+  }
+
   /** Grouping-sets revenue: ROLLUP over (region, nation) — per-nation
     * rows, per-region subtotals, and the grand total in ONE aggregation
     * (Catalyst's Expand feeds a single hash aggregate with map-side

@@ -168,6 +168,68 @@ class AnalyticsSpec extends SparkSpec {
     assert(nations.map(_.getLong(3)).sum == grand.head.getLong(3))
   }
 
+  test("volumeShipping: cross-nation pairs only, per ship year, ordered pair") {
+    import spark.implicits._
+    val nation = Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")
+    val cust = Seq((10L, 1L), (11L, 2L)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((100L, 1L), (101L, 2L)).toDF("s_suppkey", "s_nationkey")
+    val ord = Seq((1000L, 10L), (1001L, 11L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      // B-supplier -> B-customer: same nation, dropped
+      (1001L, 101L, 10.0, 0.0, ts("1996-03-01")),
+      // A-supplier -> B-customer, 1996: 10.00 no discount = 100000 e4
+      (1001L, 100L, 10.0, 0.0, ts("1996-03-01")),
+      // B-supplier -> A-customer, 1997: 5.00 at 10% = 500c * 90
+      (1000L, 101L, 5.0, 0.1, ts("1997-06-01")),
+      // A-supplier -> A-customer: same nation, dropped
+      (1000L, 100L, 7.0, 0.0, ts("1996-07-01")))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val r = Analytics.volumeShipping(cust, ord, li, supp, nation,
+      "1996-01-01", "1998-01-01").orderBy("supp_nation", "ship_year").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq(
+      ("A", "B", 1996L, 100000L),   // 1000 cents * 100
+      ("B", "A", 1997L, 500L * 90)))
+  }
+
+  test("marketShare: one aggregation carries both the nation and total sums") {
+    val r = Analytics.marketShare(
+      spark.read.parquet(s"$sf/customer.parquet"),
+      spark.read.parquet(s"$sf/orders.parquet"),
+      spark.read.parquet(s"$sf/lineitem.parquet"),
+      spark.read.parquet(s"$sf/supplier.parquet"),
+      spark.read.parquet(s"$sf/nation.parquet"),
+      spark.read.parquet(s"$sf/region.parquet"),
+      spark.read.parquet(s"$sf/part.parquet"),
+      "NATION_3", "EUROPE", "STANDARD", "1995-01-01", "1998-01-01").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) >= 0L && row.getLong(1) <= row.getLong(2),
+        "nation share sum within the total")
+    }
+  }
+
+  test("productProfit: margin may go negative, integer-exact per nation-year") {
+    import spark.implicits._
+    val nation = Seq((1L, "A")).toDF("n_nationkey", "n_name")
+    val supp = Seq((100L, 1L)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq((7L, "red widget", 2.00), (8L, "blue bolt", 1.00))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    val li = Seq(
+      // widget: revenue 10.00*0.9 -> 90000 e4; cost 3 * 200c * 100 = 60000
+      (7L, 100L, 3.0, 10.0, 0.1, ts("1996-01-15")),
+      // widget at a loss: revenue 1.00 -> 10000 e4; cost 2*200*100 = 40000
+      (7L, 100L, 2.0, 1.0, 0.0, ts("1997-02-01")),
+      // non-widget part: excluded by the name filter
+      (8L, 100L, 1.0, 50.0, 0.0, ts("1996-03-01")))
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+    val r = Analytics.productProfit(li, supp, nation, part, "widget")
+      .orderBy("ship_year").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(("A", 1996L, 30000L), ("A", 1997L, -30000L)))
+  }
+
   test("smallQuantityRevenue: decorrelated 20%-of-average, integer compare") {
     import spark.implicits._
     // part 1 (brand B): qtys 1,10,10,10,10 -> sum=41, n=5; below iff

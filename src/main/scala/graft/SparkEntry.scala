@@ -866,6 +866,9 @@ object SparkEntry {
         s.read.parquet(s"$dir/nation.parquet"),
         "1996-01-01", "1997-01-01")
         .orderBy("s_suppkey")),
+    "text_pagerank" -> ((s, dir) => // content-centrality over shared-window edges
+      graft.graph.Graph.contentPageRank(docs(s, dir), 8, 80, 3)
+        .orderBy("doc_id")),
     "tpch_volume_shipping" -> ((s, dir) => // Q7 analog: bilateral trade panel
       graft.stats.Analytics.volumeShipping(
         s.read.parquet(s"$dir/customer.parquet"),
@@ -1750,6 +1753,10 @@ object SparkEntry {
         "SELECT pc.l_partkey, pc.l_suppkey, rs.s_name, rs.n_name, pc.cost_cents " +
         "FROM pc JOIN pm USING (l_partkey) JOIN rs ON pc.l_suppkey = rs.s_suppkey " +
         "WHERE pc.cost_cents = pm.min_cost ORDER BY 1, 2 LIMIT 100"),
+    // 3 unrolled integer PageRank rounds over the shared-window graph;
+    // `//` floor-div == Spark `div` (operands positive throughout)
+    "text_pagerank" ->
+      ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7],' '))) AS ng FROM tokd), df AS (SELECT ng, COUNT(*) AS df FROM w GROUP BY 1), ek AS (SELECT ng FROM df WHERE df BETWEEN 2 AND 80), e0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM w x JOIN w y USING (ng) JOIN ek USING (ng) WHERE x.doc_id < y.doc_id), sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1), p0 AS (SELECT doc_id AS src, CAST(1000000000000 AS BIGINT) AS pr FROM documents), c1 AS (SELECT s.dst, SUM((p.pr * 85) // (100 * d.deg)) AS cin FROM sym s JOIN p0 p ON p.src = s.src JOIN deg d ON d.src = s.src GROUP BY 1), p1 AS (SELECT d.doc_id AS src, 150000000000 + COALESCE(c1.cin, 0) AS pr FROM documents d LEFT JOIN c1 ON c1.dst = d.doc_id), c2 AS (SELECT s.dst, SUM((p.pr * 85) // (100 * d.deg)) AS cin FROM sym s JOIN p1 p ON p.src = s.src JOIN deg d ON d.src = s.src GROUP BY 1), p2 AS (SELECT d.doc_id AS src, 150000000000 + COALESCE(c2.cin, 0) AS pr FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id), c3 AS (SELECT s.dst, SUM((p.pr * 85) // (100 * d.deg)) AS cin FROM sym s JOIN p2 p ON p.src = s.src JOIN deg d ON d.src = s.src GROUP BY 1), p3 AS (SELECT d.doc_id AS src, 150000000000 + COALESCE(c3.cin, 0) AS pr FROM documents d LEFT JOIN c3 ON c3.dst = d.doc_id) SELECT src AS doc_id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY doc_id"),
     "tpch_volume_shipping" ->
       ("SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
         "CAST(year(l_shipdate) AS BIGINT) AS ship_year, " +

@@ -84,7 +84,7 @@ object Dedup {
     * ([[cleanDupSpans]]) must not delete real text over one — collision
     * safety is worth the 16-byte keys there. Key choice never changes
     * results absent a collision, so both paths share every oracle. */
-  private def windowHashes(text: org.apache.spark.sql.Column, n: Int,
+  private[graft] def windowHashes(text: org.apache.spark.sql.Column, n: Int,
       strong: Boolean = false) =
     TextAnalysis.bindArray(TextAnalysis.tokens(text)) { t =>
       when(size(t) >= n,

@@ -1,0 +1,77 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over relations the pipeline already produces — the
+  * iterative-join workloads (centrality, propagation) a training-data
+  * curation stack runs on its content-linkage graphs. */
+object Graph {
+
+  /** Undirected content-linkage edges: (a, b) with a < b iff two documents
+    * share at least one n-token window whose corpus document frequency is
+    * within [2, dfCap] — the same 8-byte window-hash machinery as the
+    * substring dedup family, with the df cap as the boilerplate valve
+    * that bounds the self-join at Σdf² (capped) like containmentPairs.
+    * One shuffle keyed by window hash; pairs dedup BEFORE any downstream
+    * consumer sees them. */
+  def windowEdges(docs: DataFrame, n: Int = 8, dfCap: Int = 80): DataFrame = {
+    require(n >= 2, "window length must be at least 2")
+    require(dfCap >= 2, "dfCap below 2 yields no edges")
+    val w = docs.select(col("doc_id"),
+      explode(array_distinct(
+        graft.dedup.Dedup.windowHashes(col("text"), n))).as("h"))
+    val keep = w.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select("h")
+    val wk = w.join(keep, Seq("h"))
+    wk.as("x").join(wk.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Deterministic INTEGER PageRank over an undirected edge list — the
+    * content-centrality score behind "which documents sit at the core of
+    * the corpus's duplication/linkage structure" (a data-valuation signal:
+    * high-centrality docs are the restated ones, low-centrality the
+    * novel periphery). All arithmetic is exact integers so any engine
+    * reproduces it bit-for-bit: ranks carry a 10^12 scale, each neighbor
+    * contribution is (pr·85) div (100·deg) (truncating division — both
+    * operands positive, so Spark's `div` and SQL's `//` agree), and each
+    * round re-bases at the damping mass (S·15) div 100. Isolated nodes
+    * settle at the base mass after round one.
+    *
+    * Scale shape: the degree relation computes once and the `iters`
+    * rounds unroll into ONE declarative plan — per round one equi-join of
+    * the symmetric edge list against the rank relation plus a map-side-
+    * combinable sum, exactly the join+aggregate pair every distributed
+    * PageRank runs; Catalyst reuses the edge/degree exchanges across
+    * rounds. Fixed small `iters` (the curation signal stabilizes fast);
+    * a many-iteration variant would persist + localCheckpoint each round
+    * like the connected-components loop to truncate lineage. */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters in 1..10 (lineage unrolls)")
+    val S = 1000000000000L
+    val base = S * 15L / 100L
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    var pr = nodes.select(col("doc_id").as("src"), lit(S).as("pr"))
+    for (_ <- 0 until iters) {
+      val contrib = sym
+        .join(pr, "src").join(deg, "src")
+        .select(col("dst"), expr("(pr * 85) div (100 * deg)").as("c"))
+        .groupBy("dst").agg(sum("c").as("cin"))
+      pr = nodes.select(col("doc_id").as("src"))
+        .join(contrib.withColumnRenamed("dst", "src"), Seq("src"), "left")
+        .select(col("src"), (lit(base) + coalesce(col("cin"), lit(0L))).as("pr"))
+    }
+    pr.select(col("src").as("doc_id"), col("pr"))
+  }
+
+  /** The composed query: PageRank over the shared-window graph. */
+  def contentPageRank(docs: DataFrame, n: Int = 8, dfCap: Int = 80,
+      iters: Int = 3): DataFrame =
+    pageRank(docs.select("doc_id"), windowEdges(docs, n, dfCap), iters)
+}

@@ -1,0 +1,58 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  private def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+
+  test("windowEdges: shared-window pairs only, df cap drops boilerplate") {
+    import spark.implicits._
+    val a8 = toks("a", 8); val b8 = toks("b", 8); val c8 = toks("c", 8)
+    val fix = Seq(
+      (1L, s"$a8 u1"),        // shares A with 2
+      (2L, s"$a8 $b8"),       // shares A with 1, B with 3
+      (3L, s"$b8 v1"),        // shares B with 2
+      (4L, toks("x", 8)),     // isolated
+      // C appears in 5 docs: df 5 > cap 4 -> no C edges
+      (5L, c8), (6L, c8), (7L, c8), (8L, c8), (9L, c8))
+      .toDF("doc_id", "text")
+    val edges = Graph.windowEdges(fix, 8, dfCap = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (2L, 3L)))
+  }
+
+  test("pageRank: three exact integer rounds on a path graph, isolated at base") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.pageRank(nodes, edges, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // hand-unrolled: S=1e12, base=1.5e11, contrib=(pr*85) div (100*deg)
+    // p1 = (575e9, 1850e9, 575e9, 150e9)
+    // p2 = (936.25e9, 1127.5e9, 936.25e9, 150e9)
+    // p3 = (629.1875e9, 1741.625e9, 629.1875e9, 150e9)
+    assert(got == Map(
+      1L -> 629187500000L, 2L -> 1741625000000L,
+      3L -> 629187500000L, 4L -> 150000000000L))
+    // total mass conservation is NOT expected (truncating div leaks), but
+    // symmetry of the path endpoints is exact
+    assert(got(1L) == got(3L))
+  }
+
+  test("contentPageRank: restated docs outrank the novel periphery") {
+    import spark.implicits._
+    val a8 = toks("a", 8)
+    // doc 2 restates 1 and 3's shared content -> the hub; 4 is novel
+    val fix = Seq(
+      (1L, s"$a8 u1"), (2L, s"$a8 w1"), (3L, s"$a8 v1"),
+      (4L, toks("z", 8)))
+      .toDF("doc_id", "text")
+    val pr = Graph.contentPageRank(fix, 8, 80, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 1,2,3 form a triangle (all share A): equal ranks above the base
+    assert(pr(1L) == pr(2L) && pr(2L) == pr(3L))
+    assert(pr(1L) > pr(4L) && pr(4L) == 150000000000L)
+  }
+}

@@ -866,6 +866,8 @@ object SparkEntry {
         s.read.parquet(s"$dir/nation.parquet"),
         "1996-01-01", "1997-01-01")
         .orderBy("s_suppkey")),
+    "text_cms_estimates" -> ((s, dir) => // Count-Min point queries vs exact
+      TextAnalysis.cmsEstimates(docs(s, dir), 4, 1024, 50).orderBy("token")),
     "text_pagerank" -> ((s, dir) => // content-centrality over shared-window edges
       graft.graph.Graph.contentPageRank(docs(s, dir), 8, 80, 3)
         .orderBy("doc_id")),
@@ -1753,6 +1755,9 @@ object SparkEntry {
         "SELECT pc.l_partkey, pc.l_suppkey, rs.s_name, rs.n_name, pc.cost_cents " +
         "FROM pc JOIN pm USING (l_partkey) JOIN rs ON pc.l_suppkey = rs.s_suppkey " +
         "WHERE pc.cost_cents = pm.min_cost ORDER BY 1, 2 LIMIT 100"),
+    // shared md5-prefix hash: first 8 hex chars as an integer, mod width
+    "text_cms_estimates" ->
+      ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), ds AS (SELECT unnest(range(0,4)) AS d), cl AS (SELECT ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM tokv CROSS JOIN ds GROUP BY 1,2), top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tokv GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 50), pr AS (SELECT token, exact_cnt, ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell FROM top CROSS JOIN ds) SELECT p.token, p.exact_cnt, MIN(c.n) AS cms_estimate FROM pr p JOIN cl c ON c.d = p.d AND c.cell = p.cell GROUP BY 1,2 ORDER BY token"),
     // 3 unrolled integer PageRank rounds over the shared-window graph;
     // `//` floor-div == Spark `div` (operands positive throughout)
     "text_pagerank" ->

@@ -501,6 +501,40 @@ object TextAnalysis {
       .orderBy("token")
   }
 
+  /** Count-Min sketch frequency estimates (Cormode & Muthukrishnan '05)
+    * — the second sketch family beside Misra-Gries: point-query counts
+    * with a one-sided guarantee (estimate >= exact always; overcount at
+    * most εN with probability 1-δ at width = e/ε, depth = ln 1/δ). The
+    * sketch here is a RELATION, not driver state: one aggregation folds
+    * the token stream into at most depth×width (d, cell, n) rows with
+    * map-side combine — bounded by the sketch geometry at ANY corpus
+    * size — and estimates join the probed cells back from a broadcast of
+    * that tiny relation. Reported for the exact top-`k` tokens so the
+    * guarantee is oracle-checkable row by row: both engines share the
+    * md5-prefix hash (first 8 hex chars of md5("d:token") mod width —
+    * integer-exact in SQL via CAST('0x…')).
+    * Output: (token, exact_cnt, cms_estimate), estimate >= exact. */
+  def cmsEstimates(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      k: Int = 50): DataFrame = {
+    require(depth >= 1 && width >= 2, "degenerate sketch geometry")
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    def cell(d: Int, t: Column): Column =
+      pmod(conv(substring(md5(concat_ws(":", lit(d.toString), t)), 1, 8),
+        16, 10).cast("long"), lit(width.toLong))
+    val cells = toks
+      .select(posexplode(array((0 until depth).map(d =>
+        cell(d, col("token"))): _*)).as(Seq("d", "cell")))
+      .groupBy("d", "cell").agg(count(lit(1)).as("n"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token")).limit(k)
+    top
+      .select(col("token"), col("exact_cnt"),
+        posexplode(array((0 until depth).map(d =>
+          cell(d, col("token"))): _*)).as(Seq("d", "cell")))
+      .join(broadcast(cells), Seq("d", "cell"))
+      .groupBy("token", "exact_cnt").agg(min("n").as("cms_estimate"))
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col("text"), lit(pat), lit(0)))

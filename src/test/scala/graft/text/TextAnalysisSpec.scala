@@ -203,6 +203,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.exists { case (nw, nb) => nb < nw * 10 })
   }
 
+  test("cmsEstimates: one-sided guarantee, exact at wide sketches, collisions overcount") {
+    val text = (("the " * 10) + ("cat " * 5) + (1 to 30).map(i => s"u$i").mkString(" ")).trim
+    val fix = docs((1L, text))
+    // wide sketch: 4x1024 cells over ~45 tokens -> collisions vanishingly
+    // unlikely, estimates equal exact counts
+    val wide = TextAnalysis.cmsEstimates(fix, 4, 1024, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(wide.nonEmpty)
+    wide.foreach { case (t, exact, est) =>
+      assert(est == exact, s"wide sketch should be exact for $t") }
+    assert(wide.find(_._1 == "the").exists(_._2 == 10L))
+    // brutal 1x2 sketch: everything collides into two cells — the
+    // one-sided bound (estimate >= exact, never under) must still hold,
+    // and SOME token must overcount
+    val tiny = TextAnalysis.cmsEstimates(fix, 1, 2, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    tiny.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"CMS may never undercount ($t)") }
+    assert(tiny.exists { case (_, exact, est) => est > exact })
+  }
+
   test("classifierScore: hash-derived linear score over unigram+bigram features") {
     // reference scorer: same md5-hex-derived integer weight per feature
     def w(f: String): Long = {

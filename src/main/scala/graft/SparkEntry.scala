@@ -866,6 +866,28 @@ object SparkEntry {
         s.read.parquet(s"$dir/nation.parquet"),
         "1996-01-01", "1997-01-01")
         .orderBy("s_suppkey")),
+    "tpch_waiting_suppliers" -> ((s, dir) => // Q21 analog: double EXISTS, decorrelated
+      graft.stats.Analytics.waitingSuppliers(
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"), 90, 20)
+        .orderBy(col("numwait").desc, col("s_suppkey"))),
+    "tpch_stale_parts" -> ((s, dir) => // explicit LEFT ANTI join (NOT EXISTS)
+      graft.stats.Analytics.staleParts(
+        s.read.parquet(s"$dir/part.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "2001-09-01", "2002-01-01")
+        .orderBy("p_partkey")),
+    "tpch_pricing_incremental" -> ((s, dir) => { // base + delta partial merge
+      // split on orderkey parity: merged partials must equal the full scan
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.stats.Analytics.mergePricingSummaries(
+        graft.stats.Analytics.pricingSummary(
+          li.filter(col("l_orderkey") % 5 =!= 0), "2000-12-01"),
+        graft.stats.Analytics.pricingSummary(
+          li.filter(col("l_orderkey") % 5 === 0), "2000-12-01"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
     "text_cms_estimates" -> ((s, dir) => // Count-Min point queries vs exact
       TextAnalysis.cmsEstimates(docs(s, dir), 4, 1024, 50).orderBy("token")),
     "text_pagerank" -> ((s, dir) => // content-centrality over shared-window edges
@@ -1755,6 +1777,31 @@ object SparkEntry {
         "SELECT pc.l_partkey, pc.l_suppkey, rs.s_name, rs.n_name, pc.cost_cents " +
         "FROM pc JOIN pm USING (l_partkey) JOIN rs ON pc.l_suppkey = rs.s_suppkey " +
         "WHERE pc.cost_cents = pm.min_cost ORDER BY 1, 2 LIMIT 100"),
+    // TRUE correlated EXISTS/NOT-EXISTS formulation in the oracle; the
+    // Spark side decorrelates to per-order aggregates
+    "tpch_waiting_suppliers" ->
+      ("WITH l AS (SELECT l_orderkey, l_suppkey, (l_shipdate > o_orderdate + INTERVAL 90 DAYS) AS late " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "q AS (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey FROM l l1 WHERE l1.late " +
+        "AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late)) " +
+        "SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait " +
+        "FROM q JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY 1,2 ORDER BY numwait DESC, s_suppkey LIMIT 20"),
+    "tpch_stale_parts" ->
+      ("SELECT p_partkey, p_name FROM part WHERE NOT EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey " +
+        "AND l_shipdate >= TIMESTAMP '2001-09-01' AND l_shipdate < TIMESTAMP '2002-01-01') " +
+        "ORDER BY p_partkey"),
+    // merged partials == the full scan: same oracle as tpch_pricing_summary
+    "tpch_pricing_incremental" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6, " +
+        "CAST(COUNT(*) AS BIGINT) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' GROUP BY 1,2 ORDER BY 1,2"),
     // shared md5-prefix hash: first 8 hex chars as an integer, mod width
     "text_cms_estimates" ->
       ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), ds AS (SELECT unnest(range(0,4)) AS d), cl AS (SELECT ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM tokv CROSS JOIN ds GROUP BY 1,2), top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tokv GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 50), pr AS (SELECT token, exact_cnt, ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell FROM top CROSS JOIN ds) SELECT p.token, p.exact_cnt, MIN(c.n) AS cms_estimate FROM pr p JOIN cl c ON c.d = p.d AND c.cell = p.cell GROUP BY 1,2 ORDER BY token"),

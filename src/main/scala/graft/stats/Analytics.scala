@@ -379,6 +379,69 @@ object Analytics {
       .agg(sum(profitE4).as("profit_e4"), count(lit(1)).as("n_items"))
   }
 
+  /** Q21-style waiting suppliers: suppliers whose lineitem shipped late
+    * (more than `lateDays` past the order date) on a multi-supplier order
+    * where NO OTHER supplier was late — the classic double
+    * EXISTS/NOT-EXISTS correlated query, decorrelated into per-order
+    * aggregates: n_supp = distinct suppliers, n_late_supp = distinct
+    * late suppliers, and a line qualifies iff it is late, n_supp >= 2,
+    * and n_late_supp = 1 (the late supplier is then the only one). ONE
+    * scan of the joined relation feeds both aggregates; the EXISTS pair
+    * never re-probes lineitem per row. Output: top-k suppliers by the
+    * count of orders they alone kept waiting. */
+  def waitingSuppliers(orders: DataFrame, lineitem: DataFrame,
+      supplier: DataFrame, lateDays: Int = 90, k: Int = 20): DataFrame = {
+    val lines = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
+    val perOrder = lines
+      .groupBy("l_orderkey", "l_suppkey").agg(max("late").as("supp_late"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
+    lines.filter(col("late"))
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(perOrder, "l_orderkey")
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey")).limit(k)
+  }
+
+  /** Stale parts: catalog parts with NO lineitem shipping in
+    * [from, until) — the explicit LEFT ANTI join (NOT EXISTS; Spark
+    * materializes nothing from the probe side, and the date filter
+    * prunes the build side to the period's shipments before the
+    * anti-join). The dead-inventory panel. Output: (p_partkey, p_name). */
+  def staleParts(part: DataFrame, lineitem: DataFrame,
+      from: String, until: String): DataFrame =
+    part.select("p_partkey", "p_name")
+      .join(lineitem.filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+          col("l_shipdate") < lit(until).cast("timestamp"))
+          .select("l_partkey"),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+
+  /** Incremental aggregate maintenance: merge a BASE pricing summary with
+    * the summary of a DELTA slice — the warehouse refresh pattern where
+    * yesterday's aggregate absorbs today's partition without rescanning
+    * the base. Works because every [[pricingSummary]] measure is an
+    * algebraic partial (sums and counts in exact integer space):
+    * re-aggregating the unioned summaries IS the full-scan answer,
+    * bit for bit (spec + oracle pin merged == full scan). */
+  def mergePricingSummaries(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("sum_qty").as("sum_qty"),
+        sum("sum_base_cents").as("sum_base_cents"),
+        sum("sum_disc_e4").as("sum_disc_e4"),
+        sum("sum_charge_e6").as("sum_charge_e6"),
+        sum("count_order").as("count_order"))
+
   /** Grouping-sets revenue: ROLLUP over (region, nation) — per-nation
     * rows, per-region subtotals, and the grand total in ONE aggregation
     * (Catalyst's Expand feeds a single hash aggregate with map-side

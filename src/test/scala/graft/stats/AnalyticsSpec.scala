@@ -168,6 +168,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(nations.map(_.getLong(3)).sum == grand.head.getLong(3))
   }
 
+  test("waitingSuppliers: only the sole late supplier of a multi-supplier order counts") {
+    import spark.implicits._
+    val ord = Seq(
+      (1L, ts("1996-01-01")), (2L, ts("1996-01-01")),
+      (3L, ts("1996-01-01")), (4L, ts("1996-01-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    val supp = Seq((100L, "SA"), (101L, "SB")).toDF("s_suppkey", "s_name")
+    val late = ts("1996-06-01"); val ok = ts("1996-02-01")
+    val li = Seq(
+      // order 1: A late, B on time, 2 suppliers -> A counts
+      (1L, 100L, late), (1L, 101L, ok),
+      // order 2: BOTH late -> n_late_supp = 2, neither counts
+      (2L, 100L, late), (2L, 101L, late),
+      // order 3: A late but the ONLY supplier -> no EXISTS partner
+      (3L, 100L, late),
+      // order 4: A late TWICE (two lines), B on time -> A counts ONCE
+      (4L, 100L, late), (4L, 100L, late), (4L, 101L, ok))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val r = Analytics.waitingSuppliers(ord, li, supp, 90, 10).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq((100L, "SA", 2L)))
+  }
+
+  test("staleParts: anti-join keeps exactly the parts with no period shipment") {
+    import spark.implicits._
+    val part = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("p_partkey", "p_name")
+    val li = Seq(
+      (1L, ts("2001-10-01")),  // in period -> part 1 not stale
+      (2L, ts("2001-01-01")))  // before period -> part 2 stale
+      .toDF("l_partkey", "l_shipdate")
+    val r = Analytics.staleParts(part, li, "2001-09-01", "2002-01-01")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(r == Seq(2L, 3L))
+  }
+
+  test("mergePricingSummaries: base + delta partials equal the full scan exactly") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val full = Analytics.pricingSummary(li, "2000-12-01")
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    val merged = Analytics.mergePricingSummaries(
+        Analytics.pricingSummary(li.filter(col("l_orderkey") % 5 =!= 0), "2000-12-01"),
+        Analytics.pricingSummary(li.filter(col("l_orderkey") % 5 === 0), "2000-12-01"))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    assert(merged == full)
+  }
+
   test("volumeShipping: cross-nation pairs only, per ship year, ordered pair") {
     import spark.implicits._
     val nation = Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")

@@ -397,13 +397,18 @@ object Analytics {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") >
           col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
-    val perOrder = lines
+    // BOTH branches derive from the IDENTICAL (order, supplier) aggregate
+    // subplan, so Spark's ReuseExchange evaluates it once — one lineitem
+    // scan feeds the whole query (a literal translation of the EXISTS
+    // pair would probe lineitem three times)
+    val pairs = lines
       .groupBy("l_orderkey", "l_suppkey").agg(max("late").as("supp_late"))
+    val perOrder = pairs
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_supp"),
         sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supp"))
-    lines.filter(col("late"))
-      .select("l_orderkey", "l_suppkey").distinct()
+    pairs.filter(col("supp_late"))
+      .select("l_orderkey", "l_suppkey")
       .join(perOrder, "l_orderkey")
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))

@@ -276,6 +276,29 @@ object Soak {
           spark, clicks, views, "4 hours")
       })
     }
+    if (which("pagerank"))
+      // cross-shard identical docs: every originally-unique window gains
+      // df=10 -> 45 pairs per window through the capped self-join — the
+      // densest edge regime the df cap admits
+      run("text_pagerank_sf1", graft.graph.Graph.contentPageRank(docs1, 8, 80, 3))
+    if (which("cms"))
+      run("text_cms_estimates_sf1",
+        graft.text.TextAnalysis.cmsEstimates(docs1, 4, 1024, 50))
+    if (which("ivfpq-res"))
+      // 10x collection and queries through the residual path: per-list
+      // LUTs broadcast at nProbe x query count, ADC stays list-scoped
+      run("sim_topk_ivfpq_res_sf1",
+        Similarity.ivfPqResidualTopK(emb1, col("vec_id") % 100 === 0, 10))
+    if (which("stream-hh"))
+      // 10x docs through the sharded online sketch: per-shard state stays
+      // O(cap); the recount tail is the batch aggregate
+      run("text_heavy_hitters_stream_sf1", {
+        import spark.implicits._
+        val all = docs1.select(col("doc_id"), col("text"))
+          .orderBy("doc_id").as[(Long, String)].collect().toSeq
+        val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+        graft.streaming.StreamDriver.heavyHittersStreamed(spark, batches)
+      })
     if (which("warehouse")) {
       // warehouse suite at 10x: FACT tables shard with key-consistent
       // offsets (orderkey ties lineitem<->orders, custkey orders<->

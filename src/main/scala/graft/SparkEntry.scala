@@ -893,6 +893,16 @@ object SparkEntry {
     "text_pagerank" -> ((s, dir) => // content-centrality over shared-window edges
       graft.graph.Graph.contentPageRank(docs(s, dir), 8, 80, 3)
         .orderBy("doc_id")),
+    "tpch_running_totals" -> ((s, dir) => // partitioned running-sum window
+      graft.stats.Analytics.runningTotals(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"),
+        "BUILDING", "1996-01-01", "1997-01-01")
+        .orderBy("o_custkey", "o_orderkey")),
+    "tpch_top_orders_per_customer" -> ((s, dir) => // WindowGroupLimit top-N
+      graft.stats.Analytics.topOrdersPerCustomer(
+        s.read.parquet(s"$dir/orders.parquet"), 3)
+        .orderBy("c_custkey", "rank")),
     "tpch_volume_shipping" -> ((s, dir) => // Q7 analog: bilateral trade panel
       graft.stats.Analytics.volumeShipping(
         s.read.parquet(s"$dir/customer.parquet"),
@@ -1809,6 +1819,18 @@ object SparkEntry {
     // `//` floor-div == Spark `div` (operands positive throughout)
     "text_pagerank" ->
       ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7],' '))) AS ng FROM tokd), df AS (SELECT ng, COUNT(*) AS df FROM w GROUP BY 1), ek AS (SELECT ng FROM df WHERE df BETWEEN 2 AND 80), e0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM w x JOIN w y USING (ng) JOIN ek USING (ng) WHERE x.doc_id < y.doc_id), sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1), p0 AS (SELECT doc_id AS src, CAST(1000000000000 AS BIGINT) AS pr FROM documents), c1 AS (SELECT s.dst, SUM((p.pr * 85) // (100 * d.deg)) AS cin FROM sym s JOIN p0 p ON p.src = s.src JOIN deg d ON d.src = s.src GROUP BY 1), p1 AS (SELECT d.doc_id AS src, 150000000000 + COALESCE(c1.cin, 0) AS pr FROM documents d LEFT JOIN c1 ON c1.dst = d.doc_id), c2 AS (SELECT s.dst, SUM((p.pr * 85) // (100 * d.deg)) AS cin FROM sym s JOIN p1 p ON p.src = s.src JOIN deg d ON d.src = s.src GROUP BY 1), p2 AS (SELECT d.doc_id AS src, 150000000000 + COALESCE(c2.cin, 0) AS pr FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id), c3 AS (SELECT s.dst, SUM((p.pr * 85) // (100 * d.deg)) AS cin FROM sym s JOIN p2 p ON p.src = s.src JOIN deg d ON d.src = s.src GROUP BY 1), p3 AS (SELECT d.doc_id AS src, 150000000000 + COALESCE(c3.cin, 0) AS pr FROM documents d LEFT JOIN c3 ON c3.dst = d.doc_id) SELECT src AS doc_id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY doc_id"),
+    "tpch_running_totals" ->
+      ("SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, " +
+        "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "tpch_top_orders_per_customer" ->
+      ("SELECT c_custkey, rank, o_orderkey, totalprice_cents FROM " +
+        "(SELECT o_custkey AS c_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rank FROM orders) " +
+        "WHERE rank <= 3 ORDER BY c_custkey, rank"),
     "tpch_volume_shipping" ->
       ("SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
         "CAST(year(l_shipdate) AS BIGINT) AS ship_year, " +

@@ -1,6 +1,7 @@
 package graft.stats
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic warehouse analytics over the TPC-H-shaped tables — the
@@ -446,6 +447,44 @@ object Analytics {
         sum("sum_disc_e4").as("sum_disc_e4"),
         sum("sum_charge_e6").as("sum_charge_e6"),
         sum("count_order").as("count_order"))
+
+  /** Customer running totals: each order of a `segment`'s customers in
+    * [from, until) with the customer's CUMULATIVE spend up to and
+    * including it — the classic partitioned running-sum window
+    * (SUM OVER (PARTITION BY customer ORDER BY date)). One shuffle on
+    * the customer key, linear per partition, deterministic order via the
+    * (o_orderdate, o_orderkey) tiebreak; integer cents. Segment and
+    * date filters push into the scans. */
+  def runningTotals(customer: DataFrame, orders: DataFrame,
+      segment: String, from: String, until: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate_us"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .join(customer.filter(col("c_mktsegment") === segment)
+        .select("c_custkey"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("running_cents", sum("price_cents").over(w))
+  }
+
+  /** Top-N orders per customer by order value — the rank-per-group
+    * window Spark compiles to WindowGroupLimit: each partition keeps at
+    * most N rows BEFORE the exchange (partial) and after it (final), so
+    * the shuffle moves O(N·customers) rows, never every order. Ties
+    * break on o_orderkey. Output: (c_custkey, rank, o_orderkey,
+    * totalprice_cents). */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+    orders
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("totalprice_cents"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
 
   /** Grouping-sets revenue: ROLLUP over (region, nation) — per-nation
     * rows, per-region subtotals, and the grand total in ONE aggregation

@@ -455,4 +455,23 @@ object Curation {
         col("rank").cast("long").as("pick_rank"))
     cold.unionByName(hot)
   }
+
+  /** Hive-partitioned corpus layout: write the documents table
+    * partitioned by (lang, source) with `filesPerPartition` files each —
+    * the 100 TB on-disk layout where a language- or source-scoped
+    * consumer reads ONLY its directories (partition pruning: the filter
+    * becomes a PartitionFilters entry on the scan and unmatched
+    * directories are never listed into tasks, spec-pinned on read-back).
+    * The in-partition repartition keys on doc_id so file sizes balance
+    * within a partition regardless of upstream layout; (lang, source)
+    * cardinality is dimension-bounded, so the directory fan-out is too.
+    * Dynamic partition overwrite semantics would apply on refresh (only
+    * touched directories rewrite) — local default static mode is fine
+    * for the full write here. */
+  def writePartitionedCorpus(docs: DataFrame, path: String,
+      filesPerPartition: Int = 1): Unit =
+    docs.repartition(filesPerPartition, col("lang"), col("source"), col("doc_id"))
+      .write.mode("overwrite")
+      .partitionBy("lang", "source")
+      .parquet(path)
 }

@@ -327,5 +327,37 @@ class CurationSpec extends SparkSpec {
     assert(hot.count(x => x._2 == "web" && x._3 == "en") == 18)
   }
 
+  test("writePartitionedCorpus: lang/source directories, pruned read-back") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "t1", "web", "en"), (2L, "t2", "web", "fr"),
+      (3L, "t3", "book", "en"), (4L, "t4", "book", "fr"))
+      .toDF("doc_id", "text", "source", "lang")
+    val path = java.nio.file.Files.createTempDirectory("corpus_").toString
+    try {
+      Curation.writePartitionedCorpus(fix, path)
+      // hive layout on disk
+      assert(new java.io.File(s"$path/lang=en/source=web").isDirectory)
+      assert(new java.io.File(s"$path/lang=fr/source=book").isDirectory)
+      // a lang-scoped read PRUNES: the filter lands in PartitionFilters
+      // and only the matching directories' rows come back
+      val back = spark.read.parquet(path).filter(col("lang") === "en")
+      val plan = back.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+        "lang filter must prune partitions, not scan-and-filter")
+      assert(back.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+        Seq(1L, 3L))
+      // round trip is lossless across the partition-column move
+      val all = spark.read.parquet(path)
+        .select("doc_id", "text", "source", "lang")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3))).sortBy(_._1).toSeq
+      assert(all == fix.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3))).sortBy(_._1).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

@@ -527,6 +527,18 @@ object SparkEntry {
       // expansion, one hash-agg shuffle — same shape as the tumbling query)
       EventStream.hoppingCounts(events(s, dir), watermark = false)
         .orderBy("bucket_start", "event_type")),
+    "events_trending" -> ((s, dir) => // top types per window: WindowGroupLimit
+      EventStream.trendingTypes(events(s, dir), 3)
+        .orderBy("bucket_start", "rank")),
+    "events_hopping_stream" -> ((s, dir) => {
+      // the overlapping-window finalization path through the engine: each
+      // event is in TWO in-flight windows; sentinel closes them all
+      import s.implicits._
+      val ev = events(s, dir).select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)].collect().toSeq
+      graft.streaming.StreamDriver.hoppingCountsStreamed(s, ev)
+        .orderBy("bucket_start", "event_type")
+    }),
     "events_interval_join" -> ((s, dir) => {
       // lookback enrichment: each click paired with EVERY view by the same
       // user in the preceding 4 hours — the all-matches complement of the
@@ -1284,6 +1296,15 @@ object SparkEntry {
     "events_window_users" -> windowUsersOracleSql,
     "events_window_users_stream" -> windowUsersOracleSql,
     // the streaming session_window execution answers the same
+    "events_trending" ->
+      ("WITH c AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, " +
+        "event_type, COUNT(*) AS n_events FROM events GROUP BY 1,2), " +
+        "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY bucket_start ORDER BY n_events DESC, event_type) AS BIGINT) AS rank FROM c) " +
+        "SELECT bucket_start, rank, event_type, n_events FROM r WHERE rank <= 3 ORDER BY 1,2"),
+    "events_hopping_stream" ->
+      ("WITH off(o) AS (VALUES (0),(1)) " +
+        "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 - o*300 AS BIGINT) AS bucket_start, " +
+        "event_type, COUNT(*) AS n_events FROM events, off GROUP BY 1,2 ORDER BY 1,2"),
     "events_hopping" ->
       ("WITH off(o) AS (VALUES (0),(1)) " +
         "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 - o*300 AS BIGINT) AS bucket_start, " +

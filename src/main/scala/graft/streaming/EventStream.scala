@@ -110,6 +110,21 @@ object EventStream {
         col("event_type"), col("n_events"))
   }
 
+  /** Trending event types: the top-`k` types per 5-minute window by
+    * count — windowed counts + rank-per-window, which Spark compiles to
+    * WindowGroupLimit (each partition keeps at most k rows BEFORE the
+    * exchange). The rank partition is one window bucket, whose row count
+    * is the event-type vocabulary — dimension-bounded at any scale.
+    * Output: (bucket_start, rank, event_type, n_events). */
+  def trendingTypes(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket_start")
+      .orderBy(col("n_events").desc, col("event_type"))
+    windowedCounts(events, watermark = false)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-user sessionization with a 30-minute gap, via the session_window
     * native operator: (user_id, session_start, n_events). */
   def sessions(events: DataFrame, watermark: Boolean): DataFrame = {

@@ -163,6 +163,36 @@ object StreamDriver {
     }
   }
 
+  /** Run the watermarked HOPPING (10-min windows sliding every 5) counts
+    * through the streaming engine in append mode — the overlapping-window
+    * finalization path: each event sits in TWO in-flight windows and both
+    * must close correctly. Same sentinel mechanics as
+    * [[windowCountsStreamed]]; the sentinel's own two windows are
+    * filtered by type. Shares the batch hopping oracle. */
+  def hoppingCountsStreamed(spark: SparkSession,
+      events: Seq[(Timestamp, String)]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val name = "hopcounts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.hoppingCounts(
+        in.toDF().toDF("ts", "event_type"), watermark = true)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val maxTs = (events.map(_._1.getTime) :+ 0L).max
+      if (events.nonEmpty) { in.addData(events); q.processAllAvailable() }
+      in.addData((new Timestamp(maxTs + 3600L * 1000), "__sentinel__"))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("event_type") =!= "__sentinel__")
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Drives [[EventStream.windowedUserCounts]] — a CHAINED stateful pair
     * (dedup aggregation feeding a windowed count) — through the streaming
     * engine in append mode; same sentinel mechanics as

@@ -132,6 +132,37 @@ class StreamDriverSpec extends SparkSpec {
       (2L, 100L, 2L), (3L, 5000L, 1L)))
   }
 
+  test("hoppingCountsStreamed: overlapping windows finalize, equals batch") {
+    import spark.implicits._
+    // minutes 0, 2, 7: buckets are 5-minute slides of 10-minute windows
+    val evs = Seq(
+      (ts(0), "view"), (ts(120), "view"), (ts(240), "click"), // wins -300, 0
+      (ts(420), "view"))                                      // wins 0, 300
+    val got = StreamDriver.hoppingCountsStreamed(spark, evs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStream.hoppingCounts(
+        evs.toDF("ts", "event_type"), watermark = false)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(got == Set(
+      (-300L, "view", 2L), (-300L, "click", 1L),
+      (0L, "view", 3L), (0L, "click", 1L),
+      (300L, "view", 1L)))
+  }
+
+  test("trendingTypes: top-k per window with count-desc, type tiebreak") {
+    import spark.implicits._
+    val evs = Seq(
+      (ts(0), "a"), (ts(1), "a"), (ts(2), "b"), (ts(3), "b"),
+      (ts(4), "c"), (ts(2), "d"))
+    val df = EventStream.trendingTypes(evs.toDF("ts", "event_type"), 2)
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val r = df.collect()
+      .map(x => (x.getLong(3), x.getString(1), x.getLong(2))).toSeq
+    // a=2, b=2, c=1, d=1 -> top-2 = a, b (tie at 2 breaks on type)
+    assert(r == Seq((1L, "a", 2L), (2L, "b", 2L)))
+  }
+
   test("heavyHittersStreamed equals the batch heavy hitters, tail beyond the cap") {
     import spark.implicits._
     // "the" rides every doc (heavy); tok$i/x$i form a unique tail far

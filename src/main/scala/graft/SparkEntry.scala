@@ -648,7 +648,24 @@ object SparkEntry {
           coalesce(col("n_users"), lit(0L)).as("n_users"))
         .orderBy("stage")
     }),
-    "events_asof" -> ((s, dir) => {
+        "events_asof_bucketed" -> ((s, dir) => {
+      // the SKEW-SAFE as-of execution of the same question: per-key window
+      // split by 1-hour time buckets + bounded carry-in — shares
+      // events_asof's oracle (result-identical by construction)
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("v"))
+      EventStream.asOfJoinBucketed(clicks, views, "user_id", "ts",
+          Seq("ts", "v"), "1 hour")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts"),
+          coalesce(unix_micros(col("asof_ts")), lit(-1L)).as("asof_ts"),
+          coalesce(floor(col("asof_v") * 1000).cast("long"), lit(-1L))
+            .as("asof_value_milli"))
+        .orderBy("event_id")
+    }),
+"events_asof" -> ((s, dir) => {
       // point-in-time enrichment: each click gets the latest preceding view
       // (same user), joined on the canonical micros timestamps (both engines
       // see identical tie comparisons). No-match sentinel -1 instead of
@@ -1353,6 +1370,8 @@ object SparkEntry {
       "WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), q2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q1 ON q1.user_id = e.user_id AND e.ts >= q1.t WHERE e.event_type = 'click' GROUP BY 1), q3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q2 ON q2.user_id = e.user_id AND e.ts >= q2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM q1 UNION ALL SELECT 2, 'click', COUNT(*) FROM q2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM q3 ORDER BY 1",
     "events_range" ->
       "WITH b(lo, hi, tier) AS (VALUES (0.0, 10.0, 'xs'), (5.0, 50.0, 'mid'), (50.0, 200.0, 'large'), (200.0, 1000.0, 'xl')) SELECT e.event_id, b.tier FROM events e JOIN b ON b.lo <= e.value AND e.value < b.hi ORDER BY 1, 2",
+    "events_asof_bucketed" ->
+      "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), r AS (SELECT user_id, ts, MAX(value) AS v FROM events WHERE event_type = 'view' GROUP BY 1,2) SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, COALESCE(epoch_us(r.ts), -1) AS asof_ts, COALESCE(CAST(floor(r.v * 1000) AS BIGINT), -1) AS asof_value_milli FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id",
     "events_asof" ->
       "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), r AS (SELECT user_id, ts, MAX(value) AS v FROM events WHERE event_type = 'view' GROUP BY 1,2) SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, COALESCE(epoch_us(r.ts), -1) AS asof_ts, COALESCE(CAST(floor(r.v * 1000) AS BIGINT), -1) AS asof_value_milli FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id",
     // the streaming execution answers the SAME as-of question -> same oracle

@@ -574,6 +574,66 @@ object EventStream {
         payload.map(p => col(s"_asof.$p").as(s"asof_$p")): _*)
   }
 
+  /** SKEW-SAFE as-of join — [[asOfJoin]] with the per-key window split by
+    * `bucket`-width time buckets, for the hot-key regime where one key's
+    * whole timeline would otherwise sort through a single window
+    * partition. Three bounded pieces, result-identical (spec-pinned on a
+    * single-hot-key fixture):
+    *
+    *   1. WITHIN-bucket as-of: the same union-tag last() window,
+    *      partitioned by (key, bucket) — a hot key's rows split across
+    *      its time buckets;
+    *   2. bucket summaries: the LAST right per (key, bucket) via a
+    *      struct-max AGGREGATE (no window), one row per occupied bucket;
+    *   3. CARRY-IN: for every (key, bucket) present on either side, the
+    *      latest summary from any EARLIER bucket — a window over the
+    *      distinct-bucket relation, whose per-key partition is bounded
+    *      by time-span / bucket width, never by row count.
+    *
+    * A left row takes its within-bucket match when one exists, else its
+    * bucket's carry-in. Bucket ids are bucket-start micros from pure
+    * long arithmetic (x − pmod(x, w)). Same contract as [[asOfJoin]]:
+    * `right` unique per (key, ts); ties right.ts == left.ts match. */
+  def asOfJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payload: Seq[String],
+      bucket: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = expr(
+      s"unix_micros(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL $bucket)")
+    def bstart(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      { val us = unix_micros(c); us - pmod(us, w) }
+    val rStruct = struct(payload.map(col): _*)
+    val rType = right.select(rStruct).schema.head.dataType
+    val lStruct = struct(left.columns.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val lTagged = left.select(col(key).as("_k"), col(ts).as("_ts"),
+      bstart(col(ts)).as("_b"), lit(1).as("_side"),
+      lStruct.as("_l"), lit(null).cast(rType).as("_r"))
+    val rTagged = right.select(col(key).as("_k"), col(ts).as("_ts"),
+      bstart(col(ts)).as("_b"), lit(0).as("_side"),
+      lit(null).cast(lType).as("_l"), rStruct.as("_r"))
+    val u = lTagged.unionByName(rTagged)
+    val wIn = Window.partitionBy("_k", "_b").orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = u
+      .withColumn("_asof_in", last(col("_r"), ignoreNulls = true).over(wIn))
+      .filter(col("_side") === 1)
+    // one row per occupied (key, bucket): the bucket's LAST right. struct
+    // max orders by _ts first; rights are unique per (key, ts) by contract
+    val sums = rTagged.groupBy("_k", "_b")
+      .agg(max(struct(col("_ts"), col("_r"))).as("_last"))
+    val wCarry = Window.partitionBy("_k").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = u.select("_k", "_b").distinct()
+      .join(sums, Seq("_k", "_b"), "left")
+      .withColumn("_carry", max(col("_last")).over(wCarry))
+      .select("_k", "_b", "_carry")
+    within.join(carry, Seq("_k", "_b"), "left")
+      .withColumn("_asof", coalesce(col("_asof_in"), col("_carry._r")))
+      .select(left.columns.map(c => col(s"_l.$c").as(c)) ++
+        payload.map(p => col(s"_asof.$p").as(s"asof_$p")): _*)
+  }
+
   /** Per-user rolling-frame statistics — the "is this event unusual for
     * THIS user" signal feeding rate limiting and anomaly review: over the
     * user's last `frame` events (event-count frame, ordered by ts with

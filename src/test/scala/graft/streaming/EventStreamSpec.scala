@@ -137,6 +137,29 @@ class EventStreamSpec extends SparkSpec {
     assert(out.toSet == expect.toSet)
   }
 
+  test("asOfJoinBucketed: result-identical to asOfJoin on a single-hot-key timeline") {
+    import spark.implicits._
+    // ONE key, rows spanning many 1-minute buckets, with empty-bucket
+    // gaps (carry-in must cross them), a right exactly on a bucket edge,
+    // and lefts before any right (null match)
+    val lefts = (0 until 120).map(i => (i.toLong, 7L, ts(i)))
+      .toDF("id", "key", "ts")
+    val rights = Seq(5, 6, 60, 61, 62, 100).zipWithIndex
+      .map { case (m, j) => (7L, ts(m), j.toDouble) }
+      .toDF("key", "ts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.getTime),
+        Option(r.getAs[java.lang.Double]("asof_v")).map(_.doubleValue())))
+      .sortBy(_._1).toSeq
+    val plain = rows(EventStream.asOfJoin(lefts, rights, "key", "ts", Seq("ts", "v")))
+    val bucketed = rows(EventStream.asOfJoinBucketed(
+      lefts, rights, "key", "ts", Seq("ts", "v"), "1 minute"))
+    assert(bucketed == plain)
+    // sanity: pre-first-right lefts are null; post-gap lefts carry in
+    assert(plain.take(5).forall(_._2.isEmpty))
+    assert(plain(90)._3.contains(4.0))  // minute 90: latest right is m=62
+  }
+
   test("retentionCohorts: first-day cohorts, per-day dedup, offset cells") {
     import spark.implicits._
     def at(day: Int, hour: Int) =

@@ -919,6 +919,11 @@ object SparkEntry {
     }),
     "text_cms_estimates" -> ((s, dir) => // Count-Min point queries vs exact
       TextAnalysis.cmsEstimates(docs(s, dir), 4, 1024, 50).orderBy("token")),
+    "text_triangles" -> ((s, dir) => { // wedge-join clustering structure
+      val d = docs(s, dir)
+      graft.graph.Graph.triangleCounts(d.select("doc_id"),
+        graft.graph.Graph.windowEdges(d, 8, 80)).orderBy("doc_id")
+    }),
     "text_pagerank" -> ((s, dir) => // content-centrality over shared-window edges
       graft.graph.Graph.contentPageRank(docs(s, dir), 8, 80, 3)
         .orderBy("doc_id")),
@@ -1855,6 +1860,8 @@ object SparkEntry {
     // shared md5-prefix hash: first 8 hex chars as an integer, mod width
     "text_cms_estimates" ->
       ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), ds AS (SELECT unnest(range(0,4)) AS d), cl AS (SELECT ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM tokv CROSS JOIN ds GROUP BY 1,2), top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tokv GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 50), pr AS (SELECT token, exact_cnt, ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell FROM top CROSS JOIN ds) SELECT p.token, p.exact_cnt, MIN(c.n) AS cms_estimate FROM pr p JOIN cl c ON c.d = p.d AND c.cell = p.cell GROUP BY 1,2 ORDER BY token"),
+    "text_triangles" ->
+      ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7],' '))) AS ng FROM tokd), df AS (SELECT ng, COUNT(*) AS df FROM w GROUP BY 1), ek AS (SELECT ng FROM df WHERE df BETWEEN 2 AND 80), e0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM w x JOIN w y USING (ng) JOIN ek USING (ng) WHERE x.doc_id < y.doc_id), deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), tri AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc FROM e0 x JOIN e0 y ON x.b = y.a WHERE EXISTS (SELECT 1 FROM e0 z WHERE z.a = x.a AND z.b = y.b)), pn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (SELECT ta AS v FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri) GROUP BY 1) SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree, COALESCE(pn.n_triangles, 0) AS n_triangles FROM documents d LEFT JOIN deg ON deg.v = d.doc_id LEFT JOIN pn ON pn.v = d.doc_id ORDER BY d.doc_id"),
     // 3 unrolled integer PageRank rounds over the shared-window graph;
     // `//` floor-div == Spark `div` (operands positive throughout)
     "text_pagerank" ->

@@ -70,6 +70,37 @@ object Graph {
     pr.select(col("src").as("doc_id"), col("pr"))
   }
 
+  /** Per-node triangle participation over an undirected (a < b) edge
+    * list — the classic wedge-join workload (local clustering structure:
+    * tightly-knit duplication cliques vs loose chains). Wedges join the
+    * edge list to itself on the middle vertex (x.b = y.a gives a < b < c
+    * for free), a semi-join against the edge relation keeps the closed
+    * ones, and each closed triangle credits all three corners through
+    * one explode + count. Cost is the wedge count Σ deg(b)² over middle
+    * vertices — bounded in this engine's graphs by the window df cap
+    * exactly as the pair generation is; the heavier-skew remedy
+    * (degree-ordered orientation, bounding wedges by Σ min-degree²) is
+    * the documented variant for power-law graphs. All joins are plain
+    * equi-joins; the count aggregate is map-side combinable.
+    * Output: (doc_id, degree, n_triangles) for every node. */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val wedges = edges.as("x").join(edges.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+    val tris = wedges.join(edges,
+        col("ta") === col("a") && col("tc") === col("b"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    nodes.select(col("doc_id"))
+      .join(deg.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .join(perNode.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** The composed query: PageRank over the shared-window graph. */
   def contentPageRank(docs: DataFrame, n: Int = 8, dfCap: Int = 80,
       iters: Int = 3): DataFrame =

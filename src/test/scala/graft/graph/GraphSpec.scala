@@ -41,6 +41,18 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) == got(3L))
   }
 
+  test("triangleCounts: wedges close only when the third edge exists") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // triangle 1-2-3; pendant edge 3-4; isolated 5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val m = Graph.triangleCounts(nodes, edges).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(m == Map(
+      1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((3L, 1L)),
+      4L -> ((1L, 0L)), 5L -> ((0L, 0L))))
+  }
+
   test("contentPageRank: restated docs outrank the novel periphery") {
     import spark.implicits._
     val a8 = toks("a", 8)

@@ -535,6 +535,44 @@ object TextAnalysis {
       .groupBy("token", "exact_cnt").agg(min("n").as("cms_estimate"))
   }
 
+  /** HyperLogLog register relation for distinct-token estimation — the
+    * third classic mergeable sketch beside Misra-Gries and Count-Min,
+    * and like them a bounded RELATION, not driver state: every token
+    * occurrence maps map-side to (register = md5-prefix mod 2^p,
+    * rho = leading-zero rank of the next 32 hash bits), one max
+    * aggregation folds the stream into exactly 2^p rows (map-side
+    * combine; duplicates can't change a max, so no dedup shuffle is ever
+    * needed), and registers the stream never touched report rho 0. The
+    * float HLL estimate (alpha·m²/Σ2^-rho) is the caller's division —
+    * keeping the registers integer makes the WHOLE sketch
+    * oracle-checkable row by row, and register relations from disjoint
+    * corpus slices merge by max, the property that makes HLL the
+    * distributed cardinality sketch. A spec checks the derived estimate
+    * lands within the ~1.04/√m error bound of the exact count.
+    * Output: (register, max_rho), 2^p rows. */
+  def hllRegisters(docs: DataFrame, p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, "precision p in 4..16")
+    val m = 1 << p
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+    // register: first 8 md5 hex chars mod m; rho over the NEXT 32 bits:
+    // 33 - bit-length (bin() is minimal-length in both engines), 33 when
+    // those bits are all zero
+    def hex(c: Column, start: Int): Column =
+      conv(substring(md5(c), start, 8), 16, 10).cast("long")
+    val reg = pmod(hex(col("token"), 1), lit(m.toLong))
+    val v = hex(col("token"), 9)
+    val rho = when(v === 0L, lit(33L))
+      .otherwise(lit(33L) - length(bin(v)))
+    val observed = toks
+      .select(reg.as("register"), rho.as("rho"))
+      .groupBy("register").agg(max("rho").as("max_rho"))
+    spark.range(m).select(col("id").as("register"))
+      .join(observed, Seq("register"), "left")
+      .select(col("register"),
+        coalesce(col("max_rho"), lit(0L)).as("max_rho"))
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col("text"), lit(pat), lit(0)))

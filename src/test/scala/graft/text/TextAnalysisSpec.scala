@@ -224,6 +224,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tiny.exists { case (_, exact, est) => est > exact })
   }
 
+  test("hllRegisters: exactly 2^p rows, merge-by-max, estimate near the exact count") {
+    val n = 5000
+    val text = (1 to n).map(i => s"tok$i").mkString(" ")
+    val fix = docs((1L, text))
+    val p = 10; val m = 1 << p
+    val regs = TextAnalysis.hllRegisters(fix, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(regs.length == m && regs.map(_._1).toSet == (0L until m.toLong).toSet)
+    // the standard HLL estimate from the integer registers lands within
+    // the ~3x standard-error band (1.04/sqrt(1024) ~ 3.25%) of exact
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val est = alpha * m * m / regs.map { case (_, r) => math.pow(2.0, -r) }.sum
+    assert(math.abs(est - n) / n < 0.10, s"HLL estimate $est vs exact $n")
+    // duplicates cannot move a register: rescanning the same corpus twice
+    // merges to the identical relation (the mergeable-summary property)
+    val doubled = docs((1L, text), (2L, text))
+    val again = TextAnalysis.hllRegisters(doubled, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sorted.sameElements(regs.sorted))
+  }
+
   test("classifierScore: hash-derived linear score over unigram+bigram features") {
     // reference scorer: same md5-hex-derived integer weight per feature
     def w(f: String): Long = {

@@ -917,6 +917,17 @@ object SparkEntry {
           li.filter(col("l_orderkey") % 5 === 0), "2000-12-01"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    "text_cms_stream" -> ((s, dir) => {
+      // the Count-Min sketch built ONLINE: four micro-batches through a
+      // complete-mode streaming aggregation whose state IS the bounded
+      // cells relation; shared estimate tail -> shared oracle
+      import s.implicits._
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+      graft.streaming.StreamDriver.cmsEstimatesStreamed(s, batches)
+        .orderBy("token")
+    }),
     "text_hll_registers" -> ((s, dir) => // HyperLogLog as a 2^p-row relation
       TextAnalysis.hllRegisters(docs(s, dir), 10).orderBy("register")),
     "text_cms_estimates" -> ((s, dir) => // Count-Min point queries vs exact
@@ -1864,6 +1875,8 @@ object SparkEntry {
     "text_hll_registers" ->
       ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), hr AS (SELECT CAST(('0x'||substring(md5(token),1,8)) AS BIGINT) % 1024 AS register, CAST(('0x'||substring(md5(token),9,8)) AS BIGINT) AS v FROM tokv), ob AS (SELECT register, MAX(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS max_rho FROM hr GROUP BY 1), rg AS (SELECT unnest(range(0, 1024)) AS register) SELECT rg.register, CAST(COALESCE(ob.max_rho, 0) AS BIGINT) AS max_rho FROM rg LEFT JOIN ob USING (register) ORDER BY register"),
     // shared md5-prefix hash: first 8 hex chars as an integer, mod width
+    "text_cms_stream" ->
+      ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), ds AS (SELECT unnest(range(0,4)) AS d), cl AS (SELECT ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM tokv CROSS JOIN ds GROUP BY 1,2), top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tokv GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 50), pr AS (SELECT token, exact_cnt, ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell FROM top CROSS JOIN ds) SELECT p.token, p.exact_cnt, MIN(c.n) AS cms_estimate FROM pr p JOIN cl c ON c.d = p.d AND c.cell = p.cell GROUP BY 1,2 ORDER BY token"),
     "text_cms_estimates" ->
       ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), ds AS (SELECT unnest(range(0,4)) AS d), cl AS (SELECT ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM tokv CROSS JOIN ds GROUP BY 1,2), top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tokv GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 50), pr AS (SELECT token, exact_cnt, ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell FROM top CROSS JOIN ds) SELECT p.token, p.exact_cnt, MIN(c.n) AS cms_estimate FROM pr p JOIN cl c ON c.d = p.d AND c.cell = p.cell GROUP BY 1,2 ORDER BY token"),
     "text_triangles" ->

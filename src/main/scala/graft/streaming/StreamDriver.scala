@@ -128,6 +128,37 @@ object StreamDriver {
       .orderBy("token")
   }
 
+  /** Run the STREAMING Count-Min pipeline end-to-end: micro-batches fold
+    * into the sketch via a complete-mode streaming aggregation (state =
+    * the bounded cells relation itself), then the shared batch-side
+    * estimate tail probes the stream-built sketch — identical output to
+    * [[graft.text.TextAnalysis.cmsEstimates]], same oracle. */
+  def cmsEstimatesStreamed(spark: SparkSession,
+      batches: Seq[Seq[(Long, String)]], depth: Int = 4, width: Int = 1024,
+      k: Int = 50): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val name = "cms_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingText.cmsCellsStream(
+        in.toDF().toDF("doc_id", "text"), depth, width)
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    val cells =
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { in.addData(b); q.processAllAvailable() }
+        }
+        val t = spark.table(name)
+        spark.createDataFrame(
+          java.util.Arrays.asList(t.collect(): _*), t.schema)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+    graft.text.TextAnalysis.cmsEstimateFromCells(
+      batches.flatten.toDF("doc_id", "text"), cells, depth, width, k)
+  }
+
   /** Run the watermarked 5-minute windowed counts ([[EventStream
     * .windowedCounts]]) through the streaming engine in APPEND mode — the
     * production shape, where a window only emits once the watermark passes

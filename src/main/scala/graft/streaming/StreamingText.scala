@@ -37,6 +37,19 @@ object StreamingText {
     * exactly what the exact batch-side recount needs. State is
     * numShards x O(cap) — constant, never vocabulary-sized — and shards
     * spread across executors like any keyed state. */
+  /** Streaming Count-Min intake: the (d, cell) coordinate stream runs
+    * through a plain STREAMING AGGREGATION — state is exactly the sketch
+    * relation (at most depth x width keyed counts, bounded by geometry,
+    * never by the stream), merged across micro-batches by the engine's
+    * own sum-combine; complete-mode output IS the live sketch. The
+    * estimate tail is batch-side and shared with the batch query, so the
+    * stream-built sketch answers with the same oracle. */
+  def cmsCellsStream(docs: DataFrame, depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .select(TextAnalysis.cmsCoords(col("token"), depth, width))
+      .groupBy("d", "cell").agg(count(lit(1)).as("n"))
+
   def mgSummaryStream(docs: DataFrame, cap: Int = 512,
       numShards: Int = 8): Dataset[MgShardOut] = {
     import docs.sparkSession.implicits._

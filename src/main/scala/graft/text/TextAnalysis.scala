@@ -514,25 +514,42 @@ object TextAnalysis {
     * md5-prefix hash (first 8 hex chars of md5("d:token") mod width —
     * integer-exact in SQL via CAST('0x…')).
     * Output: (token, exact_cnt, cms_estimate), estimate >= exact. */
-  def cmsEstimates(docs: DataFrame, depth: Int = 4, width: Int = 1024,
-      k: Int = 50): DataFrame = {
-    require(depth >= 1 && width >= 2, "degenerate sketch geometry")
+  /** The (d, cell) coordinate of one token in sketch row d — md5-prefix
+    * hash, shared bit-for-bit with the SQL oracle and the streaming
+    * intake. */
+  private[graft] def cmsCell(d: Int, t: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws(":", lit(d.toString), t)), 1, 8),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** The depth cells of a token as a posexploded (d, cell) pair column
+    * set — the map-side half both the batch and streaming sketch share. */
+  private[graft] def cmsCoords(t: Column, depth: Int, width: Int) =
+    posexplode(array((0 until depth).map(d => cmsCell(d, t, width)): _*))
+      .as(Seq("d", "cell"))
+
+  /** Estimate tail over an ALREADY-BUILT cells relation: exact top-k
+    * tokens probe their cells from a broadcast of the (bounded) sketch.
+    * Shared by [[cmsEstimates]] and the streaming intake — the estimate
+    * is a pure function of the cells relation, so the stream-built
+    * sketch answers with the batch query's oracle. */
+  private[graft] def cmsEstimateFromCells(docs: DataFrame, cells: DataFrame,
+      depth: Int, width: Int, k: Int): DataFrame = {
     val toks = docs.select(explode(tokens(col("text"))).as("token"))
-    def cell(d: Int, t: Column): Column =
-      pmod(conv(substring(md5(concat_ws(":", lit(d.toString), t)), 1, 8),
-        16, 10).cast("long"), lit(width.toLong))
-    val cells = toks
-      .select(posexplode(array((0 until depth).map(d =>
-        cell(d, col("token"))): _*)).as(Seq("d", "cell")))
-      .groupBy("d", "cell").agg(count(lit(1)).as("n"))
     val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("token")).limit(k)
     top
-      .select(col("token"), col("exact_cnt"),
-        posexplode(array((0 until depth).map(d =>
-          cell(d, col("token"))): _*)).as(Seq("d", "cell")))
+      .select(col("token"), col("exact_cnt"), cmsCoords(col("token"), depth, width))
       .join(broadcast(cells), Seq("d", "cell"))
       .groupBy("token", "exact_cnt").agg(min("n").as("cms_estimate"))
+  }
+
+  def cmsEstimates(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      k: Int = 50): DataFrame = {
+    require(depth >= 1 && width >= 2, "degenerate sketch geometry")
+    val cells = docs.select(explode(tokens(col("text"))).as("token"))
+      .select(cmsCoords(col("token"), depth, width))
+      .groupBy("d", "cell").agg(count(lit(1)).as("n"))
+    cmsEstimateFromCells(docs, cells, depth, width, k)
   }
 
   /** HyperLogLog register relation for distinct-token estimation — the

@@ -163,6 +163,23 @@ class StreamDriverSpec extends SparkSpec {
     assert(r == Seq((1L, "a", 2L), (2L, "b", 2L)))
   }
 
+  test("cmsEstimatesStreamed equals the batch CMS on a collision-forcing sketch") {
+    import spark.implicits._
+    // tiny 2x8 sketch over a 60-token vocab: heavy collisions, so the
+    // streamed cells must merge EXACTLY across batches to agree
+    val docsSeq = (1L to 20L).map(i => (i, s"the tok$i the x$i y${i % 5}"))
+    val batches = docsSeq.grouped(5).toSeq
+    val got = StreamDriver.cmsEstimatesStreamed(spark, batches,
+        depth = 2, width = 8, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val batch = graft.text.TextAnalysis.cmsEstimates(
+        docsSeq.toDF("doc_id", "text"), depth = 2, width = 8, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == batch)
+    assert(got.forall { case (_, exact, est) => est >= exact })
+  }
+
   test("heavyHittersStreamed equals the batch heavy hitters, tail beyond the cap") {
     import spark.implicits._
     // "the" rides every doc (heavy); tok$i/x$i form a unique tail far

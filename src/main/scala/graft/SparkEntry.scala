@@ -928,6 +928,16 @@ object SparkEntry {
       graft.streaming.StreamDriver.cmsEstimatesStreamed(s, batches)
         .orderBy("token")
     }),
+    "text_hll_stream" -> ((s, dir) => {
+      // the HLL registers built ONLINE: complete-mode streaming MAX
+      // aggregation = the sketch's own merge; shared oracle
+      import s.implicits._
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+      graft.streaming.StreamDriver.hllRegistersStreamed(s, batches, 10)
+        .orderBy("register")
+    }),
     "text_hll_registers" -> ((s, dir) => // HyperLogLog as a 2^p-row relation
       TextAnalysis.hllRegisters(docs(s, dir), 10).orderBy("register")),
     "text_cms_estimates" -> ((s, dir) => // Count-Min point queries vs exact
@@ -1872,6 +1882,8 @@ object SparkEntry {
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01' GROUP BY 1,2 ORDER BY 1,2"),
     // register = md5-prefix mod 2^p; rho = 33 - bit-length of the next
     // 32 hash bits (bin() is minimal-length in both engines)
+    "text_hll_stream" ->
+      ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), hr AS (SELECT CAST(('0x'||substring(md5(token),1,8)) AS BIGINT) % 1024 AS register, CAST(('0x'||substring(md5(token),9,8)) AS BIGINT) AS v FROM tokv), ob AS (SELECT register, MAX(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS max_rho FROM hr GROUP BY 1), rg AS (SELECT unnest(range(0, 1024)) AS register) SELECT rg.register, CAST(COALESCE(ob.max_rho, 0) AS BIGINT) AS max_rho FROM rg LEFT JOIN ob USING (register) ORDER BY register"),
     "text_hll_registers" ->
       ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), hr AS (SELECT CAST(('0x'||substring(md5(token),1,8)) AS BIGINT) % 1024 AS register, CAST(('0x'||substring(md5(token),9,8)) AS BIGINT) AS v FROM tokv), ob AS (SELECT register, MAX(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS max_rho FROM hr GROUP BY 1), rg AS (SELECT unnest(range(0, 1024)) AS register) SELECT rg.register, CAST(COALESCE(ob.max_rho, 0) AS BIGINT) AS max_rho FROM rg LEFT JOIN ob USING (register) ORDER BY register"),
     // shared md5-prefix hash: first 8 hex chars as an integer, mod width

@@ -159,6 +159,35 @@ object StreamDriver {
       batches.flatten.toDF("doc_id", "text"), cells, depth, width, k)
   }
 
+  /** Run the STREAMING HyperLogLog pipeline end-to-end: micro-batches
+    * fold into the register relation via a complete-mode streaming MAX
+    * aggregation (HLL's own merge operator), then the driver left-fills
+    * the 2^p register range — identical output to
+    * [[graft.text.TextAnalysis.hllRegisters]], same oracle. */
+  def hllRegistersStreamed(spark: SparkSession,
+      batches: Seq[Seq[(Long, String)]], p: Int = 10): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val name = "hll_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingText.hllRegistersStream(
+        in.toDF().toDF("doc_id", "text"), p)
+      .writeStream.format("memory").queryName(name).outputMode("complete").start()
+    val observed =
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { in.addData(b); q.processAllAvailable() }
+        }
+        val t = spark.table(name)
+        spark.createDataFrame(
+          java.util.Arrays.asList(t.collect(): _*), t.schema)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+    graft.text.TextAnalysis.fillHllRegisters(spark, observed, p)
+  }
+
   /** Run the watermarked 5-minute windowed counts ([[EventStream
     * .windowedCounts]]) through the streaming engine in APPEND mode — the
     * production shape, where a window only emits once the watermark passes

@@ -50,6 +50,15 @@ object StreamingText {
       .select(TextAnalysis.cmsCoords(col("token"), depth, width))
       .groupBy("d", "cell").agg(count(lit(1)).as("n"))
 
+  /** Streaming HyperLogLog intake: the (register, rho) stream through a
+    * complete-mode streaming MAX aggregation — state is the 2^p register
+    * relation itself (bounded by precision, never by the stream), and
+    * max-merge across micro-batches is exactly HLL's merge operator.
+    * Absent registers surface as rho 0 in the driver's final fill. */
+  def hllRegistersStream(docs: DataFrame, p: Int = 10): DataFrame =
+    TextAnalysis.hllPairs(docs, p)
+      .groupBy("register").agg(max("rho").as("max_rho"))
+
   def mgSummaryStream(docs: DataFrame, cap: Int = 512,
       numShards: Int = 8): Dataset[MgShardOut] = {
     import docs.sparkSession.implicits._

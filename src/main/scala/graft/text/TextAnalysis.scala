@@ -569,26 +569,39 @@ object TextAnalysis {
     * Output: (register, max_rho), 2^p rows. */
   def hllRegisters(docs: DataFrame, p: Int = 10): DataFrame = {
     require(p >= 4 && p <= 16, "precision p in 4..16")
-    val m = 1 << p
-    val spark = docs.sparkSession
-    val toks = docs.select(explode(tokens(col("text"))).as("token"))
-    // register: first 8 md5 hex chars mod m; rho over the NEXT 32 bits:
-    // 33 - bit-length (bin() is minimal-length in both engines), 33 when
-    // those bits are all zero
-    def hex(c: Column, start: Int): Column =
-      conv(substring(md5(c), start, 8), 16, 10).cast("long")
-    val reg = pmod(hex(col("token"), 1), lit(m.toLong))
-    val v = hex(col("token"), 9)
-    val rho = when(v === 0L, lit(33L))
-      .otherwise(lit(33L) - length(bin(v)))
-    val observed = toks
-      .select(reg.as("register"), rho.as("rho"))
+    val observed = hllPairs(docs, p)
       .groupBy("register").agg(max("rho").as("max_rho"))
-    spark.range(m).select(col("id").as("register"))
+    fillHllRegisters(docs.sparkSession, observed, p)
+  }
+
+  /** The (register, rho) pair stream of a corpus — the map-side half the
+    * batch sketch and the streaming intake share. */
+  private[graft] def hllPairs(docs: DataFrame, p: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .select(hllCoord(col("token"), p).as("c"))
+      .select(col("c.register").as("register"), col("c.rho").as("rho"))
+
+  /** One token's (register, rho) pair — register: first 8 md5 hex chars
+    * mod 2^p; rho over the NEXT 32 bits: 33 − bit-length (bin() is
+    * minimal-length in both engines), 33 when those bits are all zero.
+    * Shared by the batch sketch and the streaming intake. */
+  private[graft] def hllCoord(t: Column, p: Int) = {
+    def hex(start: Int): Column =
+      conv(substring(md5(t), start, 8), 16, 10).cast("long")
+    val v = hex(9)
+    struct(pmod(hex(1), lit((1L << p))).as("register"),
+      when(v === 0L, lit(33L)).otherwise(lit(33L) - length(bin(v))).as("rho"))
+      .as("c")
+  }
+
+  /** Left-fill the observed registers to the full 2^p relation (absent
+    * registers report rho 0). */
+  private[graft] def fillHllRegisters(spark: org.apache.spark.sql.SparkSession,
+      observed: DataFrame, p: Int): DataFrame =
+    spark.range(1 << p).select(col("id").as("register"))
       .join(observed, Seq("register"), "left")
       .select(col("register"),
         coalesce(col("max_rho"), lit(0L)).as("max_rho"))
-  }
 
   def redactPii(docs: DataFrame): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>

@@ -180,6 +180,18 @@ class StreamDriverSpec extends SparkSpec {
     assert(got.forall { case (_, exact, est) => est >= exact })
   }
 
+  test("hllRegistersStreamed equals the batch registers (max-merge across batches)") {
+    import spark.implicits._
+    val docsSeq = (1L to 30L).map(i => (i, (1 to 20).map(j => s"t${i}_$j").mkString(" ")))
+    val batches = docsSeq.grouped(7).toSeq
+    val got = StreamDriver.hllRegistersStreamed(spark, batches, p = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = graft.text.TextAnalysis.hllRegisters(
+        docsSeq.toDF("doc_id", "text"), p = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == batch && got.length == 64)
+  }
+
   test("heavyHittersStreamed equals the batch heavy hitters, tail beyond the cap") {
     import spark.implicits._
     // "the" rides every doc (heavy); tok$i/x$i form a unique tail far

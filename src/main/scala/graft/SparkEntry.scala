@@ -425,6 +425,14 @@ object SparkEntry {
 
   /** One per implemented operator from SURVEY.md §3. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rdf_bgp_star" -> ((s, dir) => // SPARQL star pattern: 2 constraints + project
+      graft.rdf.TripleStats.bgpStar(triples(s, dir),
+        Seq(("status", "F"), ("priority", "1-URGENT")), "customer")
+        .orderBy("subj", "value")),
+    "rdf_bgp_chain" -> ((s, dir) => // 4-hop path: order->customer->nation->region->name
+      graft.rdf.TripleStats.bgpChain(triples(s, dir),
+        Seq("customer", "nation", "region", "name"))
+        .orderBy("subj", "value")),
     "rdf_triples" -> ((s, dir) =>
       triples(s, dir).orderBy("subj", "pred", "obj")),
     "cind_condition_counts" -> ((s, dir) =>
@@ -1276,6 +1284,10 @@ object SparkEntry {
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
   def oracleSql: Map[String, String] = Map(
+    "rdf_bgp_star" ->
+      s"WITH $cte SELECT t0.subj, t0.obj AS value FROM triples t0 JOIN triples t1 ON t1.subj = t0.subj AND t1.pred = 'status' AND t1.obj = 'F' JOIN triples t2 ON t2.subj = t0.subj AND t2.pred = 'priority' AND t2.obj = '1-URGENT' WHERE t0.pred = 'customer' ORDER BY 1, 2",
+    "rdf_bgp_chain" ->
+      s"WITH $cte SELECT t0.subj, t3.obj AS value FROM triples t0 JOIN triples t1 ON t1.subj = t0.obj AND t1.pred = 'nation' JOIN triples t2 ON t2.subj = t1.obj AND t2.pred = 'region' JOIN triples t3 ON t3.subj = t2.obj AND t3.pred = 'name' WHERE t0.pred = 'customer' ORDER BY 1, 2",
     "rdf_triples" ->
       s"WITH $cte SELECT subj, pred, obj FROM triples ORDER BY 1,2,3",
     "cind_condition_counts" ->

@@ -162,4 +162,43 @@ object TripleStats {
     Seq("subj", "pred", "obj").map(decompress).foldLeft(compressed)((d, f) => f(d))
       .select("subj", "pred", "obj")
   }
+
+  /** SPARQL-style basic-graph-pattern STAR match: subjects satisfying
+    * ALL the (pred, obj) constraints, projected through `projectPred`'s
+    * object — `?s p1 o1 . ?s p2 o2 . ?s projectPred ?v`. Each constraint
+    * is a LEFT SEMI join on the subject against a predicate-filtered
+    * triple slice (predicate filters push into the scan; nothing from
+    * the probe sides materializes), so selective constraints prune
+    * early exactly as a SPARQL engine's ordered BGP evaluation would.
+    * Output: (subj, value). */
+  def bgpStar(triples: DataFrame, constraints: Seq[(String, String)],
+      projectPred: String): DataFrame = {
+    val proj = triples.filter(col("pred") === projectPred)
+      .select(col("subj"), col("obj").as("value"))
+    constraints.foldLeft(proj) { case (acc, (p, o)) =>
+      acc.join(
+        triples.filter(col("pred") === p && col("obj") === o).select("subj"),
+        Seq("subj"), "left_semi")
+    }
+  }
+
+  /** SPARQL-style CHAIN (path) pattern:
+    * `?s p1 ?x . ?x p2 ?y . ... ?z pN ?v` — the multi-hop traversal a
+    * triple store answers with one hash join per hop, each on the
+    * previous hop's object against the next predicate's subjects.
+    * Predicate filters push into every scan; the intermediate relation
+    * after each hop carries only (subj, frontier). Output: (subj, value)
+    * — the start subject and the path's terminal object. */
+  def bgpChain(triples: DataFrame, preds: Seq[String]): DataFrame = {
+    require(preds.nonEmpty, "need at least one predicate hop")
+    val first = triples.filter(col("pred") === preds.head)
+      .select(col("subj"), col("obj").as("value"))
+    preds.tail.foldLeft(first) { (acc, p) =>
+      acc.join(
+        triples.filter(col("pred") === p)
+          .select(col("subj").as("value"), col("obj").as("_next")),
+        Seq("value"))
+        .select(col("subj"), col("_next").as("value"))
+    }
+  }
 }

@@ -1,0 +1,38 @@
+package graft.rdf
+
+import graft.SparkSpec
+
+class BgpSpec extends SparkSpec {
+
+  private def t(rows: (String, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("subj", "pred", "obj")
+  }
+
+  test("bgpStar: ALL constraints must hold; projection pred drives the output") {
+    val fix = t(
+      ("o1", "status", "F"), ("o1", "priority", "HI"), ("o1", "customer", "c9"),
+      ("o2", "status", "F"), ("o2", "customer", "c8"),            // missing priority
+      ("o3", "status", "O"), ("o3", "priority", "HI"), ("o3", "customer", "c7"),
+      ("o4", "status", "F"), ("o4", "priority", "HI"))            // no projection triple
+    val r = TripleStats.bgpStar(fix,
+        Seq(("status", "F"), ("priority", "HI")), "customer")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(r == Seq(("o1", "c9")))
+  }
+
+  test("bgpChain: multi-hop traversal ends at the path's terminal object") {
+    val fix = t(
+      ("o1", "customer", "c1"), ("c1", "nation", "n1"), ("n1", "name", "FR"),
+      ("o2", "customer", "c2"), ("c2", "nation", "n2"),           // n2 has no name
+      ("o3", "customer", "c3"))                                   // chain breaks at hop 2
+    val r = TripleStats.bgpChain(fix, Seq("customer", "nation", "name"))
+      .collect().map(x => (x.getString(0), x.getString(1))).toSeq
+    assert(r == Seq(("o1", "FR")))
+    // branching: a subject with TWO matching paths yields both rows
+    val branched = fix.unionByName(t(("c1", "nation", "n9"), ("n9", "name", "DE")))
+    val r2 = TripleStats.bgpChain(branched, Seq("customer", "nation", "name"))
+      .collect().map(x => (x.getString(0), x.getString(1))).sorted.toSeq
+    assert(r2 == Seq(("o1", "DE"), ("o1", "FR")))
+  }
+}

@@ -429,6 +429,12 @@ object SparkEntry {
       graft.rdf.TripleStats.bgpStar(triples(s, dir),
         Seq(("status", "F"), ("priority", "1-URGENT")), "customer")
         .orderBy("subj", "value")),
+    "rdf_bgp_optional" -> ((s, dir) => // SPARQL OPTIONAL: left-join pattern
+      // lineitem star: subjects with a part ref; the return-flag triple
+      // attaches optionally (nulls surface as the engine-neutral sentinel)
+      graft.rdf.TripleStats.bgpOptional(triples(s, dir),
+        Seq(), "part", "flag")
+        .orderBy("subj", "value", "opt_value")),
     "rdf_bgp_chain" -> ((s, dir) => // 4-hop path: order->customer->nation->region->name
       graft.rdf.TripleStats.bgpChain(triples(s, dir),
         Seq("customer", "nation", "region", "name"))
@@ -1286,6 +1292,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "rdf_bgp_star" ->
       s"WITH $cte SELECT t0.subj, t0.obj AS value FROM triples t0 JOIN triples t1 ON t1.subj = t0.subj AND t1.pred = 'status' AND t1.obj = 'F' JOIN triples t2 ON t2.subj = t0.subj AND t2.pred = 'priority' AND t2.obj = '1-URGENT' WHERE t0.pred = 'customer' ORDER BY 1, 2",
+    "rdf_bgp_optional" ->
+      s"WITH $cte SELECT t0.subj, t0.obj AS value, COALESCE(t1.obj, '__none__') AS opt_value FROM triples t0 LEFT JOIN triples t1 ON t1.subj = t0.subj AND t1.pred = 'flag' WHERE t0.pred = 'part' ORDER BY 1, 2, 3",
     "rdf_bgp_chain" ->
       s"WITH $cte SELECT t0.subj, t3.obj AS value FROM triples t0 JOIN triples t1 ON t1.subj = t0.obj AND t1.pred = 'nation' JOIN triples t2 ON t2.subj = t1.obj AND t2.pred = 'region' JOIN triples t3 ON t3.subj = t2.obj AND t3.pred = 'name' WHERE t0.pred = 'customer' ORDER BY 1, 2",
     "rdf_triples" ->

@@ -182,6 +182,23 @@ object TripleStats {
     }
   }
 
+  /** SPARQL-style OPTIONAL clause over a star match: the required
+    * pattern keeps its semantics, and `optionalPred`'s object attaches
+    * by LEFT OUTER join — subjects without the optional triple survive
+    * with a null (surfaced as `defaultValue`, since engines hash nulls
+    * differently). The optional join never filters: exactly SPARQL's
+    * OPTIONAL. Output: (subj, value, opt_value). */
+  def bgpOptional(triples: DataFrame, constraints: Seq[(String, String)],
+      projectPred: String, optionalPred: String,
+      defaultValue: String = "__none__"): DataFrame = {
+    val opt = triples.filter(col("pred") === optionalPred)
+      .select(col("subj"), col("obj").as("opt_value"))
+    bgpStar(triples, constraints, projectPred)
+      .join(opt, Seq("subj"), "left")
+      .select(col("subj"), col("value"),
+        coalesce(col("opt_value"), lit(defaultValue)).as("opt_value"))
+  }
+
   /** SPARQL-style CHAIN (path) pattern:
     * `?s p1 ?x . ?x p2 ?y . ... ?z pN ?v` — the multi-hop traversal a
     * triple store answers with one hash join per hop, each on the

@@ -21,6 +21,17 @@ class BgpSpec extends SparkSpec {
     assert(r == Seq(("o1", "c9")))
   }
 
+  test("bgpOptional: missing optional triples survive with the sentinel") {
+    val fix = t(
+      ("l1", "part", "p1"), ("l1", "flag", "R"),
+      ("l2", "part", "p2"),                      // no flag: sentinel
+      ("l3", "flag", "R"))                       // no required part: dropped
+    val r = TripleStats.bgpOptional(fix, Seq(), "part", "flag")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2)))
+      .sorted.toSeq
+    assert(r == Seq(("l1", "p1", "R"), ("l2", "p2", "__none__")))
+  }
+
   test("bgpChain: multi-hop traversal ends at the path's terminal object") {
     val fix = t(
       ("o1", "customer", "c1"), ("c1", "nation", "n1"), ("n1", "name", "FR"),

@@ -429,6 +429,12 @@ object SparkEntry {
       graft.rdf.TripleStats.bgpStar(triples(s, dir),
         Seq(("status", "F"), ("priority", "1-URGENT")), "customer")
         .orderBy("subj", "value")),
+    "rdf_bgp_minus" -> ((s, dir) => // SPARQL MINUS: anti-join negation
+      // orders with status F whose priority is NOT 1-URGENT, projected
+      // through their customer ref
+      graft.rdf.TripleStats.bgpMinus(triples(s, dir),
+        Seq(("status", "F")), "customer", "priority", "1-URGENT")
+        .orderBy("subj", "value")),
     "rdf_bgp_optional" -> ((s, dir) => // SPARQL OPTIONAL: left-join pattern
       // lineitem star: subjects with a part ref; the return-flag triple
       // attaches optionally (nulls surface as the engine-neutral sentinel)
@@ -1292,6 +1298,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "rdf_bgp_star" ->
       s"WITH $cte SELECT t0.subj, t0.obj AS value FROM triples t0 JOIN triples t1 ON t1.subj = t0.subj AND t1.pred = 'status' AND t1.obj = 'F' JOIN triples t2 ON t2.subj = t0.subj AND t2.pred = 'priority' AND t2.obj = '1-URGENT' WHERE t0.pred = 'customer' ORDER BY 1, 2",
+    "rdf_bgp_minus" ->
+      s"WITH $cte SELECT t0.subj, t0.obj AS value FROM triples t0 JOIN triples t1 ON t1.subj = t0.subj AND t1.pred = 'status' AND t1.obj = 'F' WHERE t0.pred = 'customer' AND NOT EXISTS (SELECT 1 FROM triples t2 WHERE t2.subj = t0.subj AND t2.pred = 'priority' AND t2.obj = '1-URGENT') ORDER BY 1, 2",
     "rdf_bgp_optional" ->
       s"WITH $cte SELECT t0.subj, t0.obj AS value, COALESCE(t1.obj, '__none__') AS opt_value FROM triples t0 LEFT JOIN triples t1 ON t1.subj = t0.subj AND t1.pred = 'flag' WHERE t0.pred = 'part' ORDER BY 1, 2, 3",
     "rdf_bgp_chain" ->

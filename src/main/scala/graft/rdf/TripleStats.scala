@@ -199,6 +199,19 @@ object TripleStats {
         coalesce(col("opt_value"), lit(defaultValue)).as("opt_value"))
   }
 
+  /** SPARQL-style NEGATION (MINUS / FILTER NOT EXISTS): star-match
+    * subjects that do NOT carry the excluded (pred, obj) triple — a LEFT
+    * ANTI join on the subject against the excluded slice (nothing from
+    * the probe side materializes; the predicate filter pushes into the
+    * scan). Output: (subj, value). */
+  def bgpMinus(triples: DataFrame, constraints: Seq[(String, String)],
+      projectPred: String, minusPred: String, minusObj: String): DataFrame =
+    bgpStar(triples, constraints, projectPred)
+      .join(
+        triples.filter(col("pred") === minusPred && col("obj") === minusObj)
+          .select("subj"),
+        Seq("subj"), "left_anti")
+
   /** SPARQL-style CHAIN (path) pattern:
     * `?s p1 ?x . ?x p2 ?y . ... ?z pN ?v` — the multi-hop traversal a
     * triple store answers with one hash join per hop, each on the

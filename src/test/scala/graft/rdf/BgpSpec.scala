@@ -32,6 +32,17 @@ class BgpSpec extends SparkSpec {
     assert(r == Seq(("l1", "p1", "R"), ("l2", "p2", "__none__")))
   }
 
+  test("bgpMinus: the excluded triple removes its subject, others survive") {
+    val fix = t(
+      ("o1", "status", "F"), ("o1", "priority", "HI"), ("o1", "customer", "c1"),
+      ("o2", "status", "F"), ("o2", "priority", "LO"), ("o2", "customer", "c2"),
+      ("o3", "status", "F"), ("o3", "customer", "c3")) // no priority at all
+    val r = TripleStats.bgpMinus(fix, Seq(("status", "F")),
+        "customer", "priority", "HI")
+      .collect().map(x => (x.getString(0), x.getString(1))).sorted.toSeq
+    assert(r == Seq(("o2", "c2"), ("o3", "c3")))
+  }
+
   test("bgpChain: multi-hop traversal ends at the path's terminal object") {
     val fix = t(
       ("o1", "customer", "c1"), ("c1", "nation", "n1"), ("n1", "name", "FR"),

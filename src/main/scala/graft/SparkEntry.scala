@@ -415,6 +415,23 @@ object SparkEntry {
     * scale layout (64 planes / 16-bit bands = 65k buckets per band). */
   private val lshRecallConfigs = Seq((16, 4), (64, 16))
 
+  /** The BM25 retrieval workload: multi-term queries mixing the corpus's
+    * one rare token (`dup`, df≈5%) with corpus-wide ones — exercises both
+    * the idf spread and the tf/length tie-breaking. */
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("dup", "merge"),
+    2 -> Seq("hash", "join", "table"),
+    3 -> Seq("spark", "window"),
+    4 -> Seq("slow", "scan", "filter"))
+
+  private val bm25QueryValues: String = bm25Queries
+    .flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+
+  /** The predicate set closed over by rdf_path_transitive: every
+    * entity-ref edge in the derived triple graph. */
+  private val refPreds = Seq("customer", "nation", "region")
+  private val refPredsSql = refPreds.map(p => s"'$p'").mkString(", ")
+
   private def langScoreSql(lang: String, words: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text,' '), x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS INTEGER) AS s_$lang"
 
@@ -445,6 +462,9 @@ object SparkEntry {
       graft.rdf.TripleStats.bgpChain(triples(s, dir),
         Seq("customer", "nation", "region", "name"))
         .orderBy("subj", "value")),
+    "rdf_path_transitive" -> ((s, dir) => // property path (ref)+: fixpoint closure
+      graft.rdf.TripleStats.pathClosure(triples(s, dir), refPreds)
+        .orderBy("subj", "dest")),
     "rdf_triples" -> ((s, dir) =>
       triples(s, dir).orderBy("subj", "pred", "obj")),
     "cind_condition_counts" -> ((s, dir) =>
@@ -784,6 +804,9 @@ object SparkEntry {
       TextAnalysis.rollingFingerprint(docs(s, dir)).orderBy("doc_id")),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdf(docs(s, dir)).orderBy("doc_id", "rank")),
+    "text_bm25" -> ((s, dir) => // inverted-index BM25 top-k retrieval
+      TextAnalysis.bm25TopK(docs(s, dir), bm25Queries)
+        .orderBy("query_id", "rank")),
     "text_bigram_score" -> ((s, dir) =>
       TextAnalysis.bigramScore(docs(s, dir)).orderBy("doc_id")),
     "text_repetition" -> ((s, dir) => // Gopher-style repetition rules, map-side
@@ -858,6 +881,11 @@ object SparkEntry {
       val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
       graft.streaming.StreamDriver.curateStreamed(s, batches).orderBy("doc_id")
     }),
+    "tpch_sales_opportunity" -> ((s, dir) => // Q22 analog: anti-join + scalar avg
+      graft.stats.Analytics.salesOpportunity(
+        s.read.parquet(s"$dir/customer.parquet"),
+        s.read.parquet(s"$dir/orders.parquet"), "2000-06-01")
+        .orderBy("c_nationkey")),
     "tpch_pricing_summary" -> ((s, dir) => // Q1 analog, integer-exact money
       graft.stats.Analytics.pricingSummary(
         s.read.parquet(s"$dir/lineitem.parquet"), "2000-12-01")
@@ -1304,6 +1332,12 @@ object SparkEntry {
       s"WITH $cte SELECT t0.subj, t0.obj AS value, COALESCE(t1.obj, '__none__') AS opt_value FROM triples t0 LEFT JOIN triples t1 ON t1.subj = t0.subj AND t1.pred = 'flag' WHERE t0.pred = 'part' ORDER BY 1, 2, 3",
     "rdf_bgp_chain" ->
       s"WITH $cte SELECT t0.subj, t3.obj AS value FROM triples t0 JOIN triples t1 ON t1.subj = t0.obj AND t1.pred = 'nation' JOIN triples t2 ON t2.subj = t1.obj AND t2.pred = 'region' JOIN triples t3 ON t3.subj = t2.obj AND t3.pred = 'name' WHERE t0.pred = 'customer' ORDER BY 1, 2",
+    "rdf_path_transitive" ->
+      (s"WITH RECURSIVE $cte, reach AS (" +
+        s"SELECT subj, obj AS dest FROM triples WHERE pred IN ($refPredsSql) " +
+        s"UNION SELECT r.subj, t.obj AS dest FROM reach r JOIN triples t " +
+        s"ON t.subj = r.dest AND t.pred IN ($refPredsSql)) " +
+        "SELECT subj, dest FROM reach ORDER BY 1, 2"),
     "rdf_triples" ->
       s"WITH $cte SELECT subj, pred, obj FROM triples ORDER BY 1,2,3",
     "cind_condition_counts" ->
@@ -1496,6 +1530,23 @@ object SparkEntry {
     // no floating log can flip a ranking between engines
     "text_tfidf" ->
       "WITH tok2 AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents), tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1,2), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), n AS (SELECT COUNT(*) AS n_docs FROM documents), sc AS (SELECT tf.doc_id, tf.term, tf.tf * (length(bin(CAST(n.n_docs // df.df AS BIGINT))) - 1) AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT doc_id, term, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM sc) SELECT doc_id, CAST(rnk AS INTEGER) AS rank, term, CAST(score AS BIGINT) AS score FROM r WHERE rnk <= 5 ORDER BY doc_id, rank",
+    // integer-exact BM25: idf = floor(log2(N*1024/df)); tf saturation
+    // cross-multiplied by 10*T; 1e4 fixed point under floor division
+    "text_bm25" ->
+      (s"WITH q(query_id, term) AS (VALUES $bm25QueryValues), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents), " +
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term IN (SELECT term FROM q) GROUP BY 1,2), " +
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl), " +
+        "c AS (SELECT q.query_id, tf.doc_id, " +
+        "(length(bin(CAST(n_docs * 1024 // df AS BIGINT))) - 1) * 22 * tf * t_tokens * 10000 " +
+        "// (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs) AS c " +
+        "FROM tf JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot), " +
+        "sc AS (SELECT query_id, doc_id, SUM(c) AS score FROM c GROUP BY 1,2), " +
+        "r AS (SELECT query_id, doc_id, score, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc) " +
+        "SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score " +
+        "FROM r WHERE rnk <= 10 ORDER BY 1, 2"),
     // global token top-k: rank fully determined by (count desc, token asc)
     "text_vocab_topk" ->
       ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), " +
@@ -1774,6 +1825,17 @@ object SparkEntry {
         "SELECT CAST(rnk AS INTEGER) AS rank, pair, cnt FROM r WHERE rnk <= 20 ORDER BY rank"),
     // money aggregates in INTEGER space (prices cents-exact, rates
     // percent-exact) -> order-independent sums, exact in any engine
+    // Q22 analog: threshold against a global scalar (cross-multiplied,
+    // no division) + NOT EXISTS anti-join on dormancy, per-nation rollup
+    "tpch_sales_opportunity" ->
+      ("WITH cust AS (SELECT c_custkey, c_nationkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer), " +
+        "pos AS (SELECT COUNT(*) AS n_pos, SUM(bal_cents) AS sum_pos FROM cust WHERE bal_cents > 0) " +
+        "SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust, CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents " +
+        "FROM cust CROSS JOIN pos " +
+        "WHERE bal_cents * n_pos > sum_pos " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey " +
+        "AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00') " +
+        "GROUP BY 1 ORDER BY 1"),
     "tpch_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +

@@ -212,6 +212,59 @@ object TripleStats {
           .select("subj"),
         Seq("subj"), "left_anti")
 
+  /** SPARQL property-path TRANSITIVE CLOSURE — `?s (p1|p2|...)+ ?d`:
+    * every (subject, destination) pair connected by one or MORE hops
+    * over the listed predicates, the path query a triple store answers
+    * with an iterative fixpoint (the depth is data-dependent, so no
+    * fixed join chain can express it). Semi-naive evaluation: the
+    * frontier holds only the pairs DISCOVERED last round (new-length
+    * paths), each round extends it by one equi-join against the edge
+    * slice and anti-joins the accumulated closure so already-known
+    * pairs never re-join — the classic Datalog delta iteration, whose
+    * per-round shuffle tracks the NEW pairs, not the whole closure.
+    * Both running relations localCheckpoint eagerly (plan must build on
+    * materialized results, not O(depth²) unrolled lineage — same
+    * discipline as the connected-components loop in
+    * [[graft.dedup.Dedup]]); the superseded round's blocks drop
+    * immediately. The per-round emptiness check is a driver-side count
+    * over the (bounded) frontier — the fixpoint's termination test,
+    * inherent to any closure evaluation. `maxHops` bounds runaway
+    * cyclic inputs; the closure over a cycle still terminates naturally
+    * because the anti-join empties the frontier once all reachable
+    * pairs are known. Output: (subj, dest), distinct. */
+  def pathClosure(triples: DataFrame, preds: Seq[String],
+      maxHops: Int = 32): DataFrame = {
+    require(preds.nonEmpty, "need at least one predicate")
+    val edges = triples.filter(col("pred").isin(preds: _*))
+      .select(col("subj"), col("obj").as("dest")).distinct().persist()
+    val hop = edges.select(col("subj").as("dest"), col("dest").as("_next"))
+    var reach = edges.localCheckpoint()
+    var frontier = reach
+    var hops = 1
+    while (hops < maxHops && !frontier.isEmpty) {
+      val extended = frontier.join(hop, Seq("dest"))
+        .select(col("subj"), col("_next").as("dest")).distinct()
+      val fresh = extended.join(reach, Seq("subj", "dest"), "left_anti")
+        .localCheckpoint()
+      val prev = reach
+      reach = reach.unionAll(fresh).localCheckpoint()
+      dropCheckpoint(prev)
+      if (frontier ne prev) dropCheckpoint(frontier)
+      frontier = fresh
+      hops += 1
+    }
+    edges.unpersist()
+    reach
+  }
+
+  /** Free a localCheckpoint()ed frame's RDD blocks (they sit below the
+    * CacheManager, so Dataset.unpersist is a no-op on them). */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** SPARQL-style CHAIN (path) pattern:
     * `?s p1 ?x . ?x p2 ?y . ... ?z pN ?v` — the multi-hop traversal a
     * triple store answers with one hash join per hop, each on the

@@ -486,6 +486,33 @@ object Analytics {
       .filter(col("rank") <= n)
   }
 
+  /** Q22-style sales opportunity: per-nation count and balance of
+    * ABOVE-AVERAGE-balance customers DORMANT since a cutoff (no order on
+    * or after `since`) — the classic "anti-join against facts, threshold
+    * against a global scalar subquery" shape. The scalar (count, sum of
+    * positive balances) reduces to ONE broadcast row; the threshold
+    * compare cross-multiplies (bal·n_pos > sum_pos) so no division ever
+    * happens — integer-exact in any engine. The NOT EXISTS decorrelates
+    * to a LEFT ANTI join on the customer key against the date-filtered
+    * orders slice (the filter pushes to the scan; only o_custkey
+    * survives column pruning), and the final per-nation rollup is one
+    * map-side-combinable aggregate.
+    * Output: (c_nationkey, numcust, totacctbal_cents). */
+  def salesOpportunity(customer: DataFrame, orders: DataFrame,
+      since: String): DataFrame = {
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"),
+      cents(col("c_acctbal")).as("bal_cents"))
+    val pos = cust.filter(col("bal_cents") > 0L)
+      .agg(count(lit(1)).as("n_pos"), sum("bal_cents").as("sum_pos"))
+    cust.crossJoin(broadcast(pos))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(orders.filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))
+  }
+
   /** Grouping-sets revenue: ROLLUP over (region, nation) — per-nation
     * rows, per-region subtotals, and the grand total in ONE aggregation
     * (Catalyst's Expand feeds a single hash aggregate with map-side

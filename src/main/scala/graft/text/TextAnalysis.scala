@@ -603,6 +603,59 @@ object TextAnalysis {
       .select(col("register"),
         coalesce(col("max_rho"), lit(0L)).as("max_rho"))
 
+  /** BM25 top-k retrieval — the inverted-index ranking a corpus search /
+    * eval-harness lookup runs: score every document against each query's
+    * terms with Okapi BM25 (k1=1.2, b=0.75) and keep the k best per
+    * query. All arithmetic is integer-exact so any engine reproduces it
+    * bit-for-bit: idf ≈ floor(log₂(N·1024 / df)) (the 1024 shift keeps
+    * the signal graded when df approaches N — plain N/df floors to 1 and
+    * log₂ to 0 for corpus-wide terms), and the tf saturation
+    * tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl) cross-multiplies by
+    * 10·T (T = corpus token count, avgdl = T/N) into
+    * 22·tf·T / (10·tf·T + 3·T + 9·dl·N), carried at a 10⁴ fixed point
+    * under truncating division (both operands positive — Spark `div`
+    * and SQL `//` agree).
+    *
+    * Scale shape: the corpus-sized term-frequency relation SEMI-joins
+    * the broadcast query-term list first, so everything downstream of
+    * the scan is proportional to the matching postings — exactly an
+    * inverted-index probe; df over query terms only rides the same
+    * pruned relation (aggregated to term level then broadcast back);
+    * doc lengths attach by one equi-join on doc_id; N and T are a
+    * broadcast single-row crossJoin; and the per-query top-k is a
+    * row_number window Spark runs as WindowGroupLimit (each partition
+    * keeps k rows — no query's full ranking materializes). Output:
+    * (query_id, rank, doc_id, score). */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "need at least one query")
+    val qterms = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
+    val contrib = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("query_id"), col("doc_id"),
+        expr("(length(bin(n_docs * 1024 div df)) - 1) * 22 * tf * t_tokens * 10000" +
+          " div (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs)").as("c"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy("query_id", "doc_id").agg(sum("c").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col("text"), lit(pat), lit(0)))

@@ -43,6 +43,29 @@ class BgpSpec extends SparkSpec {
     assert(r == Seq(("o2", "c2"), ("o3", "c3")))
   }
 
+  test("pathClosure: all path lengths, diamond dedup, cycle terminates") {
+    // chain a->b->c->d plus a shortcut a->c (diamond: a reaches c two
+    // ways, once in the closure) and an unrelated predicate edge
+    val fix = t(
+      ("a", "ref", "b"), ("b", "ref", "c"), ("c", "ref", "d"),
+      ("a", "ref", "c"),
+      ("a", "other", "z"))
+    val r = TripleStats.pathClosure(fix, Seq("ref"))
+      .collect().map(x => (x.getString(0), x.getString(1))).sorted.toSeq
+    assert(r == Seq(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+    // a 3-cycle: every node reaches every node INCLUDING itself (x p+ x
+    // holds when a cycle returns); the anti-join empties the frontier
+    val cyc = t(("x", "ref", "y"), ("y", "ref", "z"), ("z", "ref", "x"))
+    val rc = TripleStats.pathClosure(cyc, Seq("ref")).count()
+    assert(rc == 9L)
+    // multi-predicate union: both predicates traverse
+    val mixed = t(("s", "p1", "m"), ("m", "p2", "e"))
+    val rm = TripleStats.pathClosure(mixed, Seq("p1", "p2"))
+      .collect().map(x => (x.getString(0), x.getString(1))).sorted.toSeq
+    assert(rm == Seq(("m", "e"), ("s", "e"), ("s", "m")))
+  }
+
   test("bgpChain: multi-hop traversal ends at the path's terminal object") {
     val fix = t(
       ("o1", "customer", "c1"), ("c1", "nation", "n1"), ("n1", "name", "FR"),

@@ -315,6 +315,39 @@ class AnalyticsSpec extends SparkSpec {
       (7L, 101L, "SuppB", "FRANCE", 500L)))
   }
 
+  test("salesOpportunity: above-average balance, dormant since cutoff") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    // positive balances: 100.00, 200.00, 300.00, 250.00 -> avg 212.50;
+    // the cross-multiplied compare is STRICT, so c3 (300) and c5 (250)
+    // beat it; c4's negative balance never qualifies. c3's only order
+    // PRECEDES the cutoff (dormant -> kept); c5 ordered AFTER the
+    // cutoff -> anti-joined away
+    val cust = Seq(
+      (1L, 7, 100.00), (2L, 7, 200.00), (3L, 7, 300.00),
+      (4L, 8, -50.00), (5L, 8, 250.00))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = Seq(
+      (900L, 5L, ts("2000-07-01")), (901L, 3L, ts("1999-01-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val r = Analytics.salesOpportunity(cust, orders, "2000-06-01").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((7, 1L, 30000L)))
+    // an order ON the cutoff instant counts as active (>= is inclusive)
+    val onCut = Seq((902L, 3L, ts("2000-06-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    assert(Analytics.salesOpportunity(cust, onCut, "2000-06-01")
+      .collect().map(_.getLong(1)).sum == 1L) // only c5 survives
+    // tie with the average exactly: strict > excludes it
+    val cust2 = Seq((1L, 1, 100.00), (2L, 1, 100.00))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    assert(Analytics.salesOpportunity(cust2,
+      Seq.empty[(Long, Long, Timestamp)]
+        .toDF("o_orderkey", "o_custkey", "o_orderdate"),
+      "2000-06-01").count() == 0L)
+  }
+
   test("dominantSuppliers: strict majority of a part's shipped quantity") {
     import spark.implicits._
     val supp = Seq((100L, "SuppA", 10L), (101L, "SuppB", 10L))

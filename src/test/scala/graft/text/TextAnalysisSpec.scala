@@ -245,6 +245,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.sorted.sameElements(regs.sorted))
   }
 
+  test("bm25TopK: integer-exact Okapi scores, per-query top-k") {
+    val fix = docs(
+      (1L, "dup merge fast"),
+      (2L, "dup dup dup slow slow slow slow slow"),
+      (3L, "merge merge merge merge"),
+      (4L, "other tokens only here"))
+    // independent reference: same fixed-point BM25 on plain Long math
+    val texts = Map(1L -> "dup merge fast",
+      2L -> "dup dup dup slow slow slow slow slow",
+      3L -> "merge merge merge merge", 4L -> "other tokens only here")
+    val toks = texts.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = toks.size.toLong
+    val tTot = toks.values.map(_.size.toLong).sum
+    def df(term: String) = toks.values.count(_.contains(term)).toLong
+    def contrib(id: Long, term: String): Long = {
+      val tf = toks(id).count(_ == term).toLong
+      if (tf == 0) return 0L
+      val dl = toks(id).size.toLong
+      val idf = 63 - java.lang.Long.numberOfLeadingZeros(n * 1024 / df(term))
+      idf * 22 * tf * tTot * 10000 / (10 * tf * tTot + 3 * tTot + 9 * dl * n)
+    }
+    val queries = Seq(1 -> Seq("dup", "merge"), 2 -> Seq("slow"), 3 -> Seq("zzz"))
+    // a (query, doc) row exists iff the doc contains at least one query term
+    val expected = queries.flatMap { case (qid, ts) =>
+      toks.keys.toSeq
+        .filter(id => ts.exists(toks(id).contains))
+        .map(id => (id, ts.map(contrib(id, _)).sum))
+        .sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex
+        .map { case ((id, s), i) => (qid, (i + 1).toLong, id, s) }
+    }.sortBy(r => (r._1, r._2))
+    val got = TextAnalysis.bm25TopK(fix, queries)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // the all-miss query contributes no rows at all
+    assert(!got.exists(_._1 == 3))
+    // rank 1 of query 2 is the high-tf doc
+    assert(got.find(r => r._1 == 2 && r._2 == 1L).map(_._3).contains(2L))
+  }
+
   test("classifierScore: hash-derived linear score over unigram+bigram features") {
     // reference scorer: same md5-hex-derived integer weight per feature
     def w(f: String): Long = {

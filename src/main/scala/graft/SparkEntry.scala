@@ -765,6 +765,9 @@ object SparkEntry {
       Dedup.jaccardPairs(docs(s, dir), 50).orderBy("doc_id_a", "doc_id_b")),
     "dedup_minhash_pairs" -> ((s, dir) => // LSH candidates, exact-verified
       Dedup.minhashLshPairs(docs(s, dir), 50).orderBy("doc_id_a", "doc_id_b")),
+    "dedup_incremental" -> ((s, dir) => // delta probes the corpus banded index
+      Dedup.incrementalDedup(docs(s, dir), col("doc_id") % 5 === 0, 50)
+        .orderBy("doc_id")),
     "dedup_clusters" -> ((s, dir) => // connected components over near-dup pairs
       Dedup.duplicateClusters(docs(s, dir), 50).orderBy("doc_id")),
     "dedup_ngram_windows" -> ((s, dir) => // exact-substring window profile
@@ -809,6 +812,8 @@ object SparkEntry {
         .orderBy("query_id", "rank")),
     "text_bigram_score" -> ((s, dir) =>
       TextAnalysis.bigramScore(docs(s, dir)).orderBy("doc_id")),
+    "text_lm_bits" -> ((s, dir) => // smoothed conditional bigram surprisal
+      TextAnalysis.lmBits(docs(s, dir)).orderBy("doc_id")),
     "text_repetition" -> ((s, dir) => // Gopher-style repetition rules, map-side
       TextAnalysis.repetitionStats(docs(s, dir)).orderBy("doc_id")),
     "text_pii_redact" -> ((s, dir) => {
@@ -886,6 +891,12 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"), "2000-06-01")
         .orderBy("c_nationkey")),
+    "tpch_top_supplier" -> ((s, dir) => // Q15 analog: argmax via equal-to-max
+      graft.stats.Analytics.topSupplier(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/supplier.parquet"),
+        "1996-01-01", "1996-04-01")
+        .orderBy("s_suppkey")),
     "tpch_pricing_summary" -> ((s, dir) => // Q1 analog, integer-exact money
       graft.stats.Analytics.pricingSummary(
         s.read.parquet(s"$dir/lineitem.parquet"), "2000-12-01")
@@ -1481,6 +1492,20 @@ object SparkEntry {
     // inverted-index result — same oracle (DedupSpec pins the equality).
     "dedup_minhash_pairs" ->
       s"WITH $tokCte, $shCte, $shcCte, $jaccardSql",
+    // exact delta-vs-corpus Jaccard + best-match election (max jaccard,
+    // ties to lowest corpus id); equals the LSH probe because banding
+    // recall covers every >=50%-Jaccard pair in this corpus (the same
+    // completeness the dedup_minhash_pairs hash-match pins)
+    "dedup_incremental" ->
+      (s"WITH $tokCte, $shCte, $shcCte, " +
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1), " +
+        "i AS (SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id, COUNT(*) AS inter " +
+        "FROM shc d JOIN shc c ON d.sh = c.sh AND d.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 GROUP BY 1, 2), " +
+        "v AS (SELECT delta_id, corpus_id, CAST(floor(100*inter/(sd.n+sc.n-inter)) AS BIGINT) AS j " +
+        "FROM i JOIN sz sd ON sd.doc_id = delta_id JOIN sz sc ON sc.doc_id = corpus_id " +
+        "WHERE floor(100*inter/(sd.n+sc.n-inter)) >= 50), " +
+        "r AS (SELECT delta_id, corpus_id, j, ROW_NUMBER() OVER (PARTITION BY delta_id ORDER BY j DESC, corpus_id) AS rn FROM v) " +
+        "SELECT delta_id AS doc_id, corpus_id AS dup_of, j AS jaccard_pct FROM r WHERE rn = 1 ORDER BY 1"),
     // min-label propagation fixpoint == min reachable id (recursive closure);
     // UNION (not ALL) dedups reach rows so the recursion terminates
     // the 4x16-bit banding is COMPLETE for hamming <= 3 (pigeonhole), so the
@@ -1569,6 +1594,22 @@ object SparkEntry {
     // floor(log2(corpus count)) via binary-string length (integer-exact)
     "text_bigram_score" ->
       s"WITH $tokCte, bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1), cnt AS (SELECT bg, COUNT(*) AS n FROM bg GROUP BY 1), sc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams, CAST(SUM(length(bin(CAST(cnt.n AS BIGINT))) - 1) AS BIGINT) AS score FROM bg JOIN cnt USING (bg) GROUP BY 1) SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, COALESCE(sc.score, 0) AS score FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id ORDER BY d.doc_id",
+    // smoothed conditional surprisal: bits = floor(log2((c1+V)*1024 //
+    // (c12+1))) per bigram occurrence; prefix totals re-aggregate the
+    // model; 10^3 fixed-point bits-per-bigram under floor division
+    "text_lm_bits" ->
+      (s"WITH $tokCte, " +
+        "bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1), " +
+        "dtf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bg GROUP BY 1, 2), " +
+        "model AS (SELECT bg, COUNT(*) AS n FROM bg GROUP BY 1), " +
+        "pre AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(n) AS c1 FROM model GROUP BY 1), " +
+        "vv AS (SELECT COUNT(DISTINCT string_split(bg, ' ')[2]) AS v FROM model), " +
+        "sc AS (SELECT dtf.doc_id, SUM(tf) AS n_bigrams, " +
+        "SUM(tf * (length(bin(CAST((c1 + v) * 1024 // (n + 1) AS BIGINT))) - 1)) AS bits " +
+        "FROM dtf JOIN model USING (bg) JOIN pre ON pre.w1 = string_split(dtf.bg, ' ')[1] CROSS JOIN vv GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, COALESCE(sc.bits, 0) AS bits, " +
+        "CASE WHEN sc.n_bigrams > 0 THEN sc.bits * 1000 // sc.n_bigrams ELSE 0 END AS bpb_milli " +
+        "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id ORDER BY d.doc_id"),
     // most-frequent-token count (longest sorted run == max group count)
     // + in-row duplicate bigrams; integer floor percentages
     "text_repetition" ->
@@ -1836,6 +1877,14 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey " +
         "AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00') " +
         "GROUP BY 1 ORDER BY 1"),
+    // Q15 analog: per-supplier quarter revenue joined to its own max —
+    // ties survive; integer money keeps the argmax exact in any engine
+    "tpch_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_revenue_e4 " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, total_revenue_e4 FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM rev) ORDER BY 1"),
     "tpch_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +

@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.text.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -216,6 +216,21 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame =
     minhashSignaturesFrom(shingleIndex(docs))
 
+  /** LSH band buckets of a (doc_id, shs) shingle-set relation: minhash
+    * signature (map-side array_min per permutation) folded into one
+    * 64-bit bucket key per band — (doc_id, band, bucket), 16 rows per
+    * document. The single banding used by every LSH consumer. */
+  private def bandedBuckets(sets: DataFrame): DataFrame = {
+    val rows = 2
+    val bands = NumPerms / rows
+    sets.select(col("doc_id"), array((0 until NumPerms).map(i =>
+        array_min(transform(col("shs"), x => xxhash64(lit(i), x)))): _*).as("sig"))
+      .select(col("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)): _*))
+        .as(Seq("band", "bucket")))
+  }
+
   /** MinHash-LSH verified near-dup pairs: band-bucket join for candidates
     * (16 bands of 2 rows), then exact Jaccard verification of the candidate
     * pairs only. Same output shape as [[jaccardPairs]]; precision 1.0,
@@ -233,15 +248,7 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val sets = shingleSets(docs, maxShingleDf).persist()
     sets.count()
-    val rows = 2
-    val bands = NumPerms / rows
-    val banded = sets.select(col("doc_id"), array((0 until NumPerms).map(i =>
-        array_min(transform(col("shs"), x => xxhash64(lit(i), x)))): _*).as("sig"))
-      .select(col("doc_id"), posexplode(
-        array((0 until bands).map(b =>
-          xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)): _*))
-        .as(Seq("band", "bucket")))
-      .persist()
+    val banded = bandedBuckets(sets).persist()
     banded.count() // self-join: both sides must read the cache
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -265,6 +272,53 @@ object Dedup {
     // an unpersist BEFORE materialization — the round-4 bug — would
     // instead recompute the banding for both self-join sides)
     graft.core.CacheOps.cacheResult(out, Seq(sets, banded))
+  }
+
+  /** Incremental delta-vs-corpus dedup probe — the DAILY-BATCH shape of
+    * near-dup detection at 100 TB: the standing corpus is never
+    * self-joined again; the new batch's band buckets PROBE the corpus's
+    * banded index by an equi-join on (band, bucket), candidates verify
+    * exactly against the per-doc shingle arrays, and each delta document
+    * reports its best corpus match (highest Jaccard, ties to the lowest
+    * corpus doc_id — a deterministic max_by struct, no ranking window).
+    * In production the corpus-side banded index and shingle sets are
+    * precomputed and persist across batches (they are pure functions of
+    * the corpus — exactly what this derives); only the delta's banding is
+    * new work per batch, so batch cost tracks the DELTA, not the corpus.
+    * The stop-shingle df cap is computed over the full collection
+    * (corpus + delta), matching how a maintained stop-shingle list reads
+    * at probe time. Same banding completeness as [[minhashLshPairs]]
+    * (recall 1-(1-j²)^16 per pair). Output: one row per MATCHED delta
+    * doc — (doc_id, dup_of, jaccard_pct); unmatched deltas are the
+    * novel documents and don't appear. */
+  def incrementalDedup(docs: DataFrame, isDelta: Column, minJaccardPct: Int,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val sets = shingleSets(docs, maxShingleDf)
+      .join(docs.select(col("doc_id"), isDelta.as("_delta")), "doc_id")
+      .persist()
+    sets.count()
+    val corpusBanded = bandedBuckets(sets.filter(!col("_delta"))).persist()
+    corpusBanded.count()
+    val candidates = bandedBuckets(sets.filter(col("_delta"))).as("d")
+      .join(corpusBanded.as("c"), Seq("band", "bucket"))
+      .select(col("d.doc_id").as("delta_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val verified = candidates
+      .join(sets.select(col("doc_id").as("delta_id"), col("shs").as("shs_d")), "delta_id")
+      .join(sets.select(col("doc_id").as("corpus_id"), col("shs").as("shs_c")), "corpus_id")
+      .select(col("delta_id"), col("corpus_id"),
+        size(array_intersect(col("shs_d"), col("shs_c"))).cast("long").as("inter"),
+        size(col("shs_d")).cast("long").as("n_d"),
+        size(col("shs_c")).cast("long").as("n_c"))
+      .withColumn("jaccard_pct",
+        floor(lit(100) * col("inter") / (col("n_d") + col("n_c") - col("inter"))))
+      .filter(col("jaccard_pct") >= minJaccardPct)
+    val best = verified.groupBy("delta_id")
+      .agg(max_by(struct(col("corpus_id"), col("jaccard_pct")),
+        struct(col("jaccard_pct"), -col("corpus_id"))).as("b"))
+      .select(col("delta_id").as("doc_id"), col("b.corpus_id").as("dup_of"),
+        col("b.jaccard_pct").as("jaccard_pct"))
+    graft.core.CacheOps.cacheResult(best, Seq(sets, corpusBanded))
   }
 
   /** Duplicate clusters: the canonical-document decision table a dedup

@@ -287,6 +287,31 @@ object Analytics {
         col("n_parts"), col("dominated_qty"))
   }
 
+  /** Q15-style top supplier(s): the supplier(s) whose shipped revenue in
+    * [from, until) EQUALS the global maximum — the "join an aggregate to
+    * its own max" argmax shape (Q15's revenue view + scalar subquery).
+    * One shuffle builds the per-supplier revenue relation; its max
+    * reduces to ONE broadcast row, so the equality filter is a map-side
+    * compare (ties all survive, per the spec); supplier names attach to
+    * the tiny winner set by a broadcast-sized join. Revenue is `_e4`
+    * integer money — the max and the equality are exact, so the argmax
+    * can never split on rounding. Output: (s_suppkey, s_name,
+    * total_revenue_e4). */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+      from: String, until: String): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueE4).as("total_revenue_e4"))
+    val best = rev.agg(max("total_revenue_e4").as("best_e4"))
+    rev.crossJoin(broadcast(best))
+      .filter(col("total_revenue_e4") === col("best_e4"))
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue_e4")
+  }
+
   /** Q7-style volume shipping: revenue flowing between each ORDERED
     * (supplier nation, customer nation) pair per ship year, cross-nation
     * only — the bilateral-trade panel. The nation dim broadcasts TWICE

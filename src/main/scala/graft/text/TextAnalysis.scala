@@ -190,6 +190,48 @@ object TextAnalysis {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** Conditional bigram-LM cross-entropy — the CCNet-style perplexity
+    * filter, one step past [[bigramScore]]: each adjacent pair is charged
+    * its SMOOTHED conditional surprisal −log₂ p(w2|w1) with add-one
+    * smoothing, p = (c12+1)/(c1+V), so the signal normalizes by the
+    * prefix's own frequency ("the the" is common but UNsurprising after
+    * "the"; a rare continuation after a common prefix is expensive).
+    * Integer-exact: bits = floor(log₂((c1+V)·1024 div (c12+1))) via the
+    * binary-string-length idiom (the ·1024 keeps grading when the ratio
+    * nears 1), both engines truncate positive division identically.
+    *
+    * Scale shape: the corpus model is ONE map-side-combinable aggregate
+    * over bigram occurrences (bounded by distinct bigrams, not corpus
+    * size); prefix totals re-aggregate the MODEL (vocab-sized), never the
+    * corpus; V reduces to one broadcast row. Documents attach their
+    * per-doc DISTINCT bigrams (tf carried as a multiplier) to the model
+    * by an equi-join on the bigram — hot stopword pairs are the AQE
+    * skew-join case, same valve as [[bigramScore]]. Output: (doc_id,
+    * n_bigrams, bits, bpb_milli = bits·1000 div n_bigrams) — zeros for
+    * sub-2-token docs. */
+  def lmBits(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), explode(bigrams(col("text"))).as("bg"))
+    val dtf = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val model = bg.groupBy("bg").agg(count(lit(1)).as("n"))
+    val prefix = model.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("n").as("c1"))
+    val vocab = model.agg(
+      countDistinct(element_at(split(col("bg"), " "), 2)).as("v"))
+    val scored = dtf
+      .join(model, "bg")
+      .join(prefix, substring_index(col("bg"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_bigrams"),
+        sum(col("tf") *
+          (length(bin(expr("(c1 + v) * 1024 div (n + 1)"))) - 1)).as("bits"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits"), lit(0L)).as("bits"),
+        coalesce(expr("bits * 1000 div n_bigrams"), lit(0L)).as("bpb_milli"))
+  }
+
   /** Hashed-linear classifier scoring — the SERVING side of a
     * fastText-style quality filter: every unigram and bigram feature
     * hashes to a bucket whose weight is added to the document score, all

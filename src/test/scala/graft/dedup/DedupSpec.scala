@@ -18,6 +18,21 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("incrementalDedup: delta probes corpus only, best match, ties to min id") {
+    // corpus: 1 and 2 identical, 3 distinct; delta: 100 duplicates 1/2
+    // (tie -> dup_of 1), 101 near-dups 3 (3 of 4 shingles -> 75%), 102 is
+    // novel (absent), 103 duplicates 1/2 but must NEVER match fellow
+    // delta doc 100 (corpus-only probing)
+    val d = docs(
+      (1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "q r s t u"),
+      (100L, "w1 w2 w3 w4"), (101L, "q r s t u v"), (102L, "zz yy xx ww"),
+      (103L, "w1 w2 w3 w4"))
+    val r = Dedup.incrementalDedup(d, col("doc_id") >= 100, 50)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(r == Seq((100L, 1L, 100L), (101L, 3L, 75L), (103L, 1L, 100L)))
+  }
+
   test("jaccardPairs finds overlapping docs with exact similarity") {
     // doc1/doc2 share most trigram shingles; doc3 shares none
     val r = Dedup.jaccardPairs(docs(

@@ -348,6 +348,26 @@ class AnalyticsSpec extends SparkSpec {
       "2000-06-01").count() == 0L)
   }
 
+  test("topSupplier: argmax over quarter revenue, ties all survive") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    // s1: 100.00 at 10% = 90.00 rev; s2: two lines 40.00 + 50.00 at 0%
+    //  = 90.00 rev (exact tie in _e4 space); s3 ships OUTSIDE the window
+    val li = Seq(
+      (100L, 100.00, 0.10, ts("1996-02-01")),
+      (101L, 40.00, 0.00, ts("1996-02-10")),
+      (101L, 50.00, 0.00, ts("1996-03-15")),
+      (102L, 999.00, 0.00, ts("1996-04-01")))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val supp = Seq((100L, "SuppA"), (101L, "SuppB"), (102L, "SuppC"))
+      .toDF("s_suppkey", "s_name")
+    val r = Analytics.topSupplier(li, supp, "1996-01-01", "1996-04-01")
+      .orderBy("s_suppkey").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq((100L, "SuppA", 900000L), (101L, "SuppB", 900000L)))
+  }
+
   test("dominantSuppliers: strict majority of a part's shipped quantity") {
     import spark.implicits._
     val supp = Seq((100L, "SuppA", 10L), (101L, "SuppB", 10L))

@@ -63,6 +63,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L)))
   }
 
+  test("lmBits: conditional surprisal normalizes by prefix frequency") {
+    import spark.implicits._
+    // model: "a b" n=3, "b a" n=1, "a z" n=1; prefix c1: a=4, b=1; V=3
+    // bits("a b") = floor(log2((4+3)*1024 div 4)) = floor(log2(1792)) = 10
+    // bits("b a") = floor(log2((1+3)*1024 div 2)) = log2(2048) = 11
+    // bits("a z") = floor(log2((4+3)*1024 div 2)) = floor(log2(3584)) = 11
+    // -> the rare continuation of the common prefix ("a z") costs MORE
+    // than the common one ("a b"), unlike the unconditioned bigramScore
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a z"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lmBits(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r(1L) == ((3L, 31L, 10333L))) // a b x2 (20) + b a (11)
+    assert(r(2L) == ((1L, 10L, 10000L)))
+    assert(r(3L) == ((1L, 11L, 11000L)))
+    assert(r(4L) == ((0L, 0L, 0L)))
+  }
+
   test("tfIdf ranks rare terms above common ones with integer scores") {
     // 4 docs: "rare" appears in 1 doc (idf=floor(log2(4))=2), "the" in all
     // 4 (idf=0); doc 1's top term must be "rare" with score tf*2

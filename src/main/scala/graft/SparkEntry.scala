@@ -114,6 +114,26 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.streaming.EventSource.events(s, dir)
 
+  /** Static enrichment dimension for the events_enriched twins:
+    * event_type → (category, weight). 'error' is deliberately unmapped —
+    * the left join's 'other'/0 default must absorb it, not drop it. */
+  private val eventDim: Seq[(String, String, Long)] = Seq(
+    ("click", "engagement", 1L), ("view", "engagement", 1L),
+    ("purchase", "revenue", 5L), ("signup", "growth", 3L))
+
+  private val eventDimValues: String = eventDim
+    .map { case (t, c, w) => s"('$t', '$c', $w)" }.mkString(", ")
+
+  /** Shared oracle of the events_enriched batch/stream twins. */
+  private val eventsEnrichedOracleSql: String =
+    (s"WITH dim(event_type, category, weight) AS (VALUES $eventDimValues), " +
+      "e AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, " +
+      "COALESCE(category, 'other') AS category, " +
+      "CAST(round(value*100) AS BIGINT) * COALESCE(weight, 0) AS wcents " +
+      "FROM events LEFT JOIN dim USING (event_type)) " +
+      "SELECT bucket_start, category, COUNT(*) AS n_events, SUM(wcents) AS weighted_cents " +
+      "FROM e GROUP BY 1, 2 ORDER BY 1, 2")
+
   /** dHash32 CTEs over a (doc_id, text) relation named `$src`: 33 evenly
     * sampled byte positions, 32 gradient-sign bits packed into a positive
     * BIGINT (mirrors Multimodal.dHash32; ASCII corpus => ascii == byte).
@@ -642,6 +662,23 @@ object SparkEntry {
         .as[(java.sql.Timestamp, String)].collect().toSeq
       graft.streaming.StreamDriver.windowCountsStreamed(s, ev)
         .orderBy("bucket_start", "event_type")
+    }),
+    "events_enriched" -> ((s, dir) => { // stream-static dim attach, batch twin
+      import s.implicits._
+      graft.streaming.EventStream.enrichedWindowTotals(
+          events(s, dir).select("ts", "event_type", "value"),
+          eventDim.toDF("event_type", "category", "weight"), watermark = false)
+        .orderBy("bucket_start", "category")
+    }),
+    "events_enriched_stream" -> ((s, dir) => {
+      // the SAME enrichment join + window agg run THROUGH the streaming
+      // engine: the static dim broadcasts per micro-batch, the watermark
+      // finalizes windows in append mode; shares the batch twin's oracle
+      import s.implicits._
+      val ev = events(s, dir).select(col("ts"), col("event_type"), col("value"))
+        .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+      graft.streaming.StreamDriver.enrichedStreamed(s, ev, eventDim)
+        .orderBy("bucket_start", "category")
     }),
     "events_range" -> ((s, dir) => {
       // value-band classification via the bucketized range join (bands
@@ -1404,6 +1441,11 @@ object SparkEntry {
       "SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k FROM events GROUP BY 1 ORDER BY 1",
     "events_window_counts" ->
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1,2 ORDER BY 1,2",
+    // stream-static enrichment: LEFT join to the VALUES dim ('error' falls
+    // to other/0), cents-exact weighted totals per (window, category);
+    // the stream twin shares it bit-for-bit
+    "events_enriched" -> eventsEnrichedOracleSql,
+    "events_enriched_stream" -> eventsEnrichedOracleSql,
     // the streaming window agg answers the same tumbling-count question
     // (the distinct-user half streams separately — see
     // events_window_users_stream's chained stateful pair)

@@ -72,6 +72,32 @@ object EventStream {
         col("event_type"), col("n_events"))
   }
 
+  /** STREAM-STATIC enrichment join + windowed rollup — the dimension-
+    * attach every event pipeline runs before aggregating: each event
+    * joins the small static (event_type → category, weight) table and
+    * the stream aggregates per (5-min window, category). The static side
+    * broadcasts (in streaming, Spark re-plans the broadcast per
+    * micro-batch, so a slowly-refreshed dimension is picked up without
+    * restarting the query — the canonical enrichment deployment); the
+    * join is LEFT so unmapped types land in 'other' with weight 0 rather
+    * than silently dropping events. Money is cents-exact
+    * (round(value·100) · weight). Output: (bucket_start epoch-seconds,
+    * category, n_events, weighted_cents). */
+  def enrichedWindowTotals(events: DataFrame, dim: DataFrame,
+      watermark: Boolean): DataFrame = {
+    val src = if (watermark) events.withWatermark("ts", "10 minutes") else events
+    src
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .select(col("ts"),
+        coalesce(col("category"), lit("other")).as("category"),
+        (round(col("value") * 100).cast("long") *
+          coalesce(col("weight"), lit(0L))).as("wcents"))
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("category"))
+      .agg(count(lit(1)).as("n_events"), sum("wcents").as("weighted_cents"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("category"), col("n_events"), col("weighted_cents"))
+  }
+
   /** 5-minute tumbling-window DISTINCT-USER counts — the "active users
     * per window" panel. Exact distinct via dedup-then-count: a first
     * aggregation to (window, user) rows, a second to the per-window user

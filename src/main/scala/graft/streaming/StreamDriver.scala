@@ -223,6 +223,39 @@ object StreamDriver {
     }
   }
 
+  /** Drives [[EventStream.enrichedWindowTotals]] — the STREAM-STATIC
+    * broadcast enrichment join feeding a watermarked window aggregate —
+    * through the streaming engine in append mode. The watermark-advancing
+    * sentinel is mapped by its OWN dimension row to category
+    * "__sentinel__" and filtered by that category — no timestamp
+    * arithmetic can leak it into (or drop rows from) the result. */
+  def enrichedStreamed(spark: SparkSession,
+      events: Seq[(Timestamp, String, Double)],
+      dim: Seq[(String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val name = "enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val dimDf = (dim :+ (("__sentinel__", "__sentinel__", 0L)))
+      .toDF("event_type", "category", "weight")
+    val q = EventStream.enrichedWindowTotals(
+        in.toDF().toDF("ts", "event_type", "value"), dimDf, watermark = true)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val maxTs = (events.map(_._1.getTime) :+ 0L).max
+      if (events.nonEmpty) { in.addData(events); q.processAllAvailable() }
+      in.addData((new Timestamp(maxTs + 3600L * 1000), "__sentinel__", 0.0))
+      q.processAllAvailable()
+      val out = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("category") =!= "__sentinel__")
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Run the watermarked HOPPING (10-min windows sliding every 5) counts
     * through the streaming engine in append mode — the overlapping-window
     * finalization path: each event sits in TWO in-flight windows and both

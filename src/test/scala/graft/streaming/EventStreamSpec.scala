@@ -33,6 +33,33 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.exists { case (_, t, n) => t == "click" && n == 2 })
   }
 
+  test("enrichedWindowTotals: stream-static dim join, defaults, parity") {
+    import spark.implicits._
+    val evs = Seq(
+      (ts(0), "click", 1.50), (ts(1), "purchase", 10.00),
+      (ts(2), "mystery", 99.99), // unmapped -> other, weight 0
+      (ts(6), "click", 2.00))
+    val dim = Seq(("click", "engagement", 1L), ("purchase", "revenue", 5L))
+    val batch = EventStream.enrichedWindowTotals(
+        evs.toDF("ts", "event_type", "value"),
+        dim.toDF("event_type", "category", "weight"), watermark = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val base = ts(0).getTime / 1000
+    assert(batch == Set(
+      (base, "engagement", 1L, 150L),   // 1.50 * 100 * 1
+      (base, "revenue", 1L, 5000L),     // 10.00 * 100 * 5
+      (base, "other", 1L, 0L),          // unmapped type absorbed, not dropped
+      (base + 300, "engagement", 1L, 200L)))
+    // engine twin: same rows through the watermarked append-mode path
+    val streamed = StreamDriver.enrichedStreamed(spark, evs, dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("streaming dedup keeps first-seen content across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

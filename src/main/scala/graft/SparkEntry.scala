@@ -928,6 +928,27 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"), "2000-06-01")
         .orderBy("c_nationkey")),
+    "tpch_colocated_join" -> ((s, dir) => // bucketed fact-fact join, no Exchange
+      graft.stats.Analytics.colocatedPriorityRevenue(
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))
+        .orderBy("o_orderpriority")),
+    "tpch_scd_customer" -> ((s, dir) => { // SCD2 MERGE: change/no-op/insert mix
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100).cast("long").as("v"))
+      val current = cust.select(col("k"), col("v"),
+        lit(0L).as("valid_from_us"), lit(-1L).as("valid_to_us"))
+      val updates = cust.filter(col("k") % 7 === 0)
+          .select(col("k"), (col("v") + 10000L).as("v"), lit(1000000L).as("ts_us"))
+        .unionAll(cust.filter(col("k") % 11 === 0)
+          .select(col("k"), col("v"), lit(2000000L).as("ts_us")))
+        .unionAll(cust.filter(col("k") % 97 === 0)
+          .select((col("k") + 10000000L).as("k"), lit(555L).as("v"),
+            lit(3000000L).as("ts_us")))
+      graft.stats.Analytics.scdMerge(current, updates)
+        .orderBy("k", "valid_from_us")
+    }),
     "tpch_top_supplier" -> ((s, dir) => // Q15 analog: argmax via equal-to-max
       graft.stats.Analytics.topSupplier(
         s.read.parquet(s"$dir/lineitem.parquet"),
@@ -1919,6 +1940,28 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey " +
         "AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00') " +
         "GROUP BY 1 ORDER BY 1"),
+    // plain join/rollup SQL — the bucketed layout changes the PLAN, never
+    // the result
+    "tpch_colocated_join" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4 " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    // SCD2 MERGE replicated as the UNION of row fates; %77 keys carry TWO
+    // updates (change at ts=1M, no-op at ts=2M) so latest-wins is exercised
+    "tpch_scd_customer" ->
+      ("WITH cust AS (SELECT c_custkey AS k, CAST(round(c_acctbal*100) AS BIGINT) AS v FROM customer), " +
+        "upd AS (SELECT k, v + 10000 AS v, 1000000 AS ts FROM cust WHERE k % 7 = 0 " +
+        "UNION ALL SELECT k, v, 2000000 FROM cust WHERE k % 11 = 0 " +
+        "UNION ALL SELECT 10000000 + k, 555, 3000000 FROM cust WHERE k % 97 = 0), " +
+        "latest AS (SELECT k, v, ts FROM (SELECT k, v, ts, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, v DESC) AS rn FROM upd) WHERE rn = 1) " +
+        "SELECT k, v, CAST(valid_from_us AS BIGINT) AS valid_from_us, CAST(valid_to_us AS BIGINT) AS valid_to_us FROM (" +
+        "SELECT c.k, c.v, 0 AS valid_from_us, -1 AS valid_to_us FROM cust c WHERE c.k NOT IN (SELECT k FROM latest) " +
+        "UNION ALL SELECT c.k, c.v, 0, -1 FROM cust c JOIN latest u USING (k) WHERE u.v = c.v " +
+        "UNION ALL SELECT c.k, c.v, 0, u.ts FROM cust c JOIN latest u USING (k) WHERE u.v <> c.v " +
+        "UNION ALL SELECT c.k, u.v, u.ts, -1 FROM cust c JOIN latest u USING (k) WHERE u.v <> c.v " +
+        "UNION ALL SELECT u.k, u.v, u.ts, -1 FROM latest u WHERE u.k NOT IN (SELECT k FROM cust)" +
+        ") ORDER BY k, valid_from_us"),
     // Q15 analog: per-supplier quarter revenue joined to its own max —
     // ties survive; integer money keeps the argmax exact in any engine
     "tpch_top_supplier" ->

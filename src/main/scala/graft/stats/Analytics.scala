@@ -538,6 +538,97 @@ object Analytics {
       .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))
   }
 
+  /** Bucketed CO-LOCATED join — the lakehouse layout that amortizes a
+    * fact-fact join's shuffle into the table write: both sides persist
+    * bucketed (16 buckets) and bucket-sorted on the join key, so the
+    * SortMergeJoin consumes the scans' existing HashPartitioning and the
+    * join itself runs with NO Exchange on either side (spec-asserted —
+    * the only shuffle left in the plan is the tiny post-join rollup).
+    * At 100 TB this is the difference between shuffling the fact tables
+    * once per query and once per LIFETIME: every subsequent key-aligned
+    * join, aggregation, or MERGE reads the co-located layout for free.
+    * The tables are managed + uniquely named and dropped after the
+    * result materializes (this is a demonstration query; production
+    * keeps them, that being the point). Output: (o_orderpriority,
+    * n_items, revenue_e4). */
+  def colocatedPriorityRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val (ot, lt) = (s"g_orders_$tag", s"g_lineitem_$tag")
+    orders.select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable(ot)
+    lineitem.select(col("l_orderkey"), revenueE4.as("rev_e4"))
+      .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(lt)
+    try {
+      val res = colocatedJoinOn(spark, ot, lt)
+      val rows = java.util.Arrays.asList(res.collect(): _*)
+      spark.createDataFrame(rows, res.schema)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ot")
+      spark.sql(s"DROP TABLE IF EXISTS $lt")
+    }
+  }
+
+  /** The join+rollup plan over two already-bucketed tables — split out so
+    * the spec can assert the executed plan's shuffle count on it. */
+  private[graft] def colocatedJoinOn(spark: org.apache.spark.sql.SparkSession,
+      ordersTable: String, lineitemTable: String): DataFrame =
+    spark.table(ordersTable).hint("merge")
+      .join(spark.table(lineitemTable), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("rev_e4").as("revenue_e4"))
+
+  /** SCD Type-2 MERGE — the warehouse upsert that keeps dimension
+    * history: apply an update batch to the current snapshot, closing out
+    * changed rows and opening new versions. Row fates (key = `k`, open
+    * row = `valid_to_us == -1`):
+    *   - closed history rows pass through untouched;
+    *   - open row, no update or same value → unchanged;
+    *   - open row, changed value → CLOSED at the update ts + a NEW open
+    *     row carries the new value from that ts;
+    *   - update with no existing open row → fresh open row (insert).
+    * Multiple updates per key collapse to the LATEST (ties to max value
+    * — deterministic max_by) before merging, as MERGE requires a unique
+    * source row per key. Shape: ONE full-outer equi-join on the key
+    * between the open slice and the update batch; each joined row emits
+    * 0-2 output structs map-side (explode, no window); closed rows union
+    * around the join untouched. That is the scalable MERGE plan — cost
+    * tracks open-dimension + delta, never rewrites history.
+    * Output: (k, v, valid_from_us, valid_to_us; -1 = open). */
+  def scdMerge(current: DataFrame, updates: DataFrame): DataFrame = {
+    val closed = current.filter(col("valid_to_us") =!= -1L)
+    val open = current.filter(col("valid_to_us") === -1L)
+      .select(col("k"), col("v").as("v_old"), col("valid_from_us"))
+    val latest = updates.groupBy("k")
+      .agg(max_by(struct(col("ts_us"), col("v")),
+        struct(col("ts_us"), col("v"))).as("u"))
+      .select(col("k"), col("u.v").as("v_new"), col("u.ts_us").as("ts_us"))
+    val merged = open.join(latest, Seq("k"), "full_outer")
+      .select(col("k"), explode(when(col("v_new").isNull,
+          // no update: the open row survives as-is
+          array(struct(col("v_old").as("v"), col("valid_from_us"),
+            lit(-1L).as("valid_to_us"))))
+        .when(col("v_old").isNull,
+          // insert: no open row existed
+          array(struct(col("v_new").as("v"), col("ts_us").as("valid_from_us"),
+            lit(-1L).as("valid_to_us"))))
+        .when(col("v_new") === col("v_old"),
+          // no-op update: value unchanged
+          array(struct(col("v_old").as("v"), col("valid_from_us"),
+            lit(-1L).as("valid_to_us"))))
+        .otherwise(
+          // change: close the old version, open the new one
+          array(
+            struct(col("v_old").as("v"), col("valid_from_us"),
+              col("ts_us").as("valid_to_us")),
+            struct(col("v_new").as("v"), col("ts_us").as("valid_from_us"),
+              lit(-1L).as("valid_to_us"))))).as("r"))
+      .select(col("k"), col("r.v"), col("r.valid_from_us"), col("r.valid_to_us"))
+    closed.select("k", "v", "valid_from_us", "valid_to_us").unionAll(merged)
+  }
+
   /** Grouping-sets revenue: ROLLUP over (region, nation) — per-nation
     * rows, per-region subtotals, and the grand total in ONE aggregation
     * (Catalyst's Expand feeds a single hash aggregate with map-side

@@ -348,6 +348,72 @@ class AnalyticsSpec extends SparkSpec {
       "2000-06-01").count() == 0L)
   }
 
+  test("colocatedPriorityRevenue: correct rollup AND a shuffle-free join") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val orders = Seq((1L, "1-URGENT"), (2L, "1-URGENT"), (3L, "5-LOW"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val li = Seq(
+      (1L, 100.00, 0.10), (1L, 50.00, 0.00), (2L, 20.00, 0.00),
+      (3L, 10.00, 0.50), (4L, 999.00, 0.00)) // orderkey 4 has no order
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val r = Analytics.colocatedPriorityRevenue(orders, li)
+      .orderBy("o_orderpriority").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    // URGENT: 100*0.9 + 50 + 20 = 160.00 -> 1_600_000 e4; LOW: 10*0.5
+    assert(r == Seq(("1-URGENT", 3L, 1600000L), ("5-LOW", 1L, 50000L)))
+    // the layout contract: with both sides bucketed on the join key, the
+    // ONLY Exchange left is the post-join rollup's — the join itself
+    // consumes the scans' bucket partitioning
+    val tag = "spec" + System.nanoTime()
+    orders.write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable(s"go_$tag")
+    li.select(col("l_orderkey"), lit(1L).as("rev_e4"))
+      .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable(s"gl_$tag")
+    try {
+      val plan = Analytics.colocatedJoinOn(spark, s"go_$tag", s"gl_$tag")
+      plan.collect()
+      // AQE prints Final + Initial plans; assert on the FINAL section only
+      val s = plan.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+      assert(s.contains("SortMergeJoin"), s)
+      assert(s.contains("Bucketed: true"), s)
+      assert("Exchange".r.findAllIn(s).length == 1, s)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS go_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS gl_$tag")
+    }
+  }
+
+  test("scdMerge: every row fate — passthrough, no-op, change, insert, latest-wins") {
+    import spark.implicits._
+    val current = Seq(
+      (1L, 10L, 0L, 500L),  // closed history row: untouched passthrough
+      (1L, 20L, 500L, -1L), // open, update changes it -> close + reopen
+      (2L, 30L, 0L, -1L),   // open, no update -> unchanged
+      (3L, 40L, 0L, -1L),   // open, no-op update (same value) -> unchanged
+      (4L, 50L, 0L, -1L))   // open, TWO updates -> latest (ts 900) wins
+      .toDF("k", "v", "valid_from_us", "valid_to_us")
+    val updates = Seq(
+      (1L, 21L, 800L),
+      (3L, 40L, 800L),
+      (4L, 51L, 700L), (4L, 52L, 900L), // latest-wins collapse
+      (9L, 99L, 950L))                  // insert: no open row
+      .toDF("k", "v", "ts_us")
+    val r = Analytics.scdMerge(current, updates).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(r == Seq(
+      (1L, 10L, 0L, 500L),   // history preserved
+      (1L, 20L, 500L, 800L), // closed at update ts
+      (1L, 21L, 800L, -1L),  // new open version
+      (2L, 30L, 0L, -1L),
+      (3L, 40L, 0L, -1L),    // no-op: same open row, NOT re-versioned
+      (4L, 50L, 0L, 900L),   // closed by the LATEST update
+      (4L, 52L, 900L, -1L),  // latest value wins, not ts-700's 51
+      (9L, 99L, 950L, -1L))) // insert
+  }
+
   test("topSupplier: argmax over quarter revenue, ties all survive") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -342,6 +342,63 @@ object Soak {
         Analytics.dominantSuppliers(li1, supp1, nation,
           "1996-01-01", "1997-01-01"))
     }
+    if (which("pathclosure"))
+      // sharded triples = 10 DISJOINT graph copies: closure depth is
+      // unchanged, every round's frontier is 10x — the semi-naive
+      // delta's per-round shuffle must scale with the frontier
+      run("rdf_path_transitive_sf1", graft.rdf.TripleStats.pathClosure(
+        triples1, Seq("customer", "nation", "region")))
+    if (which("lmbits"))
+      // identical cross-shard docs: the bigram MODEL is unchanged (same
+      // distinct bigrams, counts x10) while the corpus is 10x — wall
+      // should track the doc-side join, never the model rebuild
+      run("text_lm_bits_sf1", graft.text.TextAnalysis.lmBits(docs1))
+    if (which("bm25"))
+      run("text_bm25_sf1", graft.text.TextAnalysis.bm25TopK(docs1, Seq(
+        1 -> Seq("dup", "merge"), 2 -> Seq("hash", "join", "table"),
+        3 -> Seq("spark", "window"), 4 -> Seq("slow", "scan", "filter"))))
+    if (which("incremental"))
+      // shard offsets are multiples of 5, so the %5 delta predicate keeps
+      // its per-shard meaning: every delta doc probes a corpus where its
+      // near-dup group has 8 cross-shard members — the hot-bucket probe
+      run("dedup_incremental_sf1",
+        Dedup.incrementalDedup(docs1, col("doc_id") % 5 === 0, 50))
+    if (which("scd")) {
+      // 10x dimension through the MERGE: the open slice and the update
+      // batch both shard; per-key work is constant
+      val OFF = 100000000L
+      val cust1 = spark.read.parquet(s"$sfDir/customer.parquet")
+        .crossJoin(shardIds)
+        .withColumn("c_custkey", col("c_custkey") + col("shard").cast("long") * OFF)
+        .drop("shard").persist()
+      System.err.println(s"soak scd: ${cust1.count()} customers")
+      val cust = cust1.select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+      val current = cust.select(col("k"), col("v"),
+        lit(0L).as("valid_from_us"), lit(-1L).as("valid_to_us"))
+      val updates = cust.filter(col("k") % 7 === 0)
+        .select(col("k"), (col("v") + 10000L).as("v"), lit(1000000L).as("ts_us"))
+        .unionAll(cust.filter(col("k") % 11 === 0)
+          .select(col("k"), col("v"), lit(2000000L).as("ts_us")))
+      run("tpch_scd_customer_sf1", graft.stats.Analytics.scdMerge(current, updates))
+    }
+    if (which("colocated")) {
+      // the bucketed write at 10x facts: measures the one-time layout
+      // cost the co-located join amortizes (the join itself reads back
+      // shuffle-free regardless of scale)
+      val OFF = 100000000L
+      def sharded(table: String, keys: String*): DataFrame = {
+        val d = spark.read.parquet(s"$sfDir/$table.parquet").crossJoin(shardIds)
+        keys.foldLeft(d)((acc, k) =>
+            acc.withColumn(k, col(k) + col("shard").cast("long") * OFF))
+          .drop("shard").persist()
+      }
+      val ord1 = sharded("orders", "o_orderkey")
+      val li1 = sharded("lineitem", "l_orderkey")
+      System.err.println(s"soak colocated: ${li1.count()} lineitems")
+      run("tpch_colocated_join_sf1",
+        graft.stats.Analytics.colocatedPriorityRevenue(ord1, li1))
+    }
     spark.stop()
   }
 }

@@ -928,6 +928,10 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"), "2000-06-01")
         .orderBy("c_nationkey")),
+    "profile_zorder" -> ((s, dir) => // Morton-interleave layout extents
+      graft.stats.Profile.zorderExtents(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey")
+        .orderBy("bucket")),
     "tpch_colocated_join" -> ((s, dir) => // bucketed fact-fact join, no Exchange
       graft.stats.Analytics.colocatedPriorityRevenue(
         s.read.parquet(s"$dir/orders.parquet"),
@@ -1940,6 +1944,19 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey " +
         "AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00') " +
         "GROUP BY 1 ORDER BY 1"),
+    // Morton interleave replicated bit-by-bit (8 shift/mask terms per
+    // dimension); grid scale + bucket are pure integer floor arithmetic
+    "profile_zorder" ->
+      ("WITH bnd AS (SELECT MAX(l_partkey) AS amax, MAX(l_suppkey) AS bmax FROM lineitem), " +
+        "g AS (SELECT l_partkey * 256 // (amax + 1) AS ga, l_suppkey * 256 // (bmax + 1) AS gb FROM lineitem CROSS JOIN bnd), " +
+        "z AS (SELECT ga, gb, " +
+        (0 until 8).map(i =>
+          s"((((ga >> $i) & 1) << ${2 * i}) | (((gb >> $i) & 1) << ${2 * i + 1}))")
+          .mkString(" | ") +
+        " AS zv FROM g) " +
+        "SELECT zv >> 10 AS bucket, COUNT(*) AS n_rows, " +
+        "MIN(ga) AS ga_min, MAX(ga) AS ga_max, MIN(gb) AS gb_min, MAX(gb) AS gb_max " +
+        "FROM z GROUP BY 1 ORDER BY 1"),
     // plain join/rollup SQL — the bucketed layout changes the PLAN, never
     // the result
     "tpch_colocated_join" ->

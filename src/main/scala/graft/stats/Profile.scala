@@ -130,6 +130,41 @@ object Profile {
     * scans regardless of column count, and the deltas stay integer-exact.
     * Output: (column_name, d_rows, d_nulls, d_distinct, min_changed,
     * max_changed). */
+  /** Z-ORDER clustering extents — the multi-dimensional layout behind
+    * lakehouse data skipping: grid-scale two key columns to `bits`-bit
+    * coordinates (one broadcast max per column — the scale-once shape),
+    * interleave their bits into the Morton z-value (pure codegen'd
+    * shift/mask arithmetic, 2·bits terms, no UDF), and report each
+    * fixed-width z-bucket's row count and per-dimension min/max extents.
+    * The invariant that makes it a LAYOUT and not a curiosity: a z-range
+    * bucket is a RECTANGLE in key space — with 2^`bucketBits` buckets,
+    * each spans at most 2^(bits − bucketBits/2) grid cells PER DIMENSION
+    * (spec-pinned), so per-file min/max stats prune scans on EITHER key.
+    * At 100 TB the same z expression feeds `repartitionByRange(z)`
+    * before the write; the extents this computes are exactly the
+    * row-group stats the scan planner skips with. Output: (bucket,
+    * n_rows, ga_min, ga_max, gb_min, gb_max). */
+  def zorderExtents(df: DataFrame, aCol: String, bCol: String,
+      bits: Int = 8, bucketBits: Int = 6): DataFrame = {
+    require(bits <= 16 && bucketBits <= 2 * bits && bucketBits % 2 == 0,
+      "bits <= 16; even bucketBits <= 2*bits")
+    val side = 1 << bits
+    val bounds = df.agg(max(col(aCol)).as("amax"), max(col(bCol)).as("bmax"))
+    val grid = df.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .crossJoin(broadcast(bounds))
+      .select(expr(s"a * $side div (amax + 1)").as("ga"),
+        expr(s"b * $side div (bmax + 1)").as("gb"))
+    val z = (0 until bits).map(i =>
+        shiftleft(shiftright(col("ga"), i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(col("gb"), i).bitwiseAND(lit(1L)), 2 * i + 1)))
+      .reduce(_ bitwiseOR _)
+    grid.withColumn("bucket", shiftright(z, 2 * bits - bucketBits))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("ga").as("ga_min"), max("ga").as("ga_max"),
+        min("gb").as("gb_min"), max("gb").as("gb_max"))
+  }
+
   def profileDiff(before: DataFrame, after: DataFrame,
       cols: Seq[String]): DataFrame = {
     val a = profile(before, cols).select(col("column_name"),

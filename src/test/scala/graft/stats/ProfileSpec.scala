@@ -131,4 +131,30 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(2) == 2L && r.getLong(3) == 12L && r.getLong(4) == 5L)
     assert(r.getLong(5) == 74L && r.getLong(6) == 13L && r.getLong(7) == 31L)
   }
+
+  test("zorderExtents: known interleave + every bucket a tight rectangle") {
+    import spark.implicits._
+    // hand-checked Morton: grid is the identity when max+1 divides 256
+    // evenly; with a,b in 0..255, ga=a, gb=b. a=3 (011), b=5 (101) ->
+    // z = interleave: bits a0..a7 at even, b at odd positions:
+    // a=011 -> 1,1 at 0,2 ; b=101 -> 1 at 1(.2^1)? compute: z = sum a_i 4^i + 2 b_i 4^i
+    // a=3: a0=1,a1=1 -> 1+4=5 ; b=5: b0=1,b2=1 -> 2+32=34 ; z=39
+    val one = Profile.zorderExtents(
+      Seq((3L, 5L), (255L, 255L)).toDF("a", "b"), "a", "b")
+    val z39 = one.orderBy("bucket").collect().head
+    // bucket = z >> 10 = 39 >> 10 = 0; extents are the single point
+    assert(z39.getLong(0) == 0L && z39.getLong(2) == 3L && z39.getLong(3) == 3L
+      && z39.getLong(4) == 5L && z39.getLong(5) == 5L)
+    // the LAYOUT invariant: on a full uniform grid every z-bucket
+    // (bucketBits=6 -> top 3 bits of each dimension) is a 32x32 rectangle
+    import org.apache.spark.sql.functions.{col => c}
+    val grid = spark.range(64 * 64)
+      .select((c("id") % 64).as("a"), (c("id") / 64).cast("long").as("b"))
+    val r = Profile.zorderExtents(grid, "a", "b", bits = 6, bucketBits = 6)
+      .collect()
+    assert(r.length == 64)
+    assert(r.forall(x => x.getLong(1) == 64L
+      && x.getLong(3) - x.getLong(2) == 7L   // ga span: 8 cells (2^3)
+      && x.getLong(5) - x.getLong(4) == 7L)) // gb span: 8 cells
+  }
 }

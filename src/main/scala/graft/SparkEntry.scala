@@ -1192,6 +1192,8 @@ object SparkEntry {
     }),
     "sim_label_purity" -> ((s, dir) =>
       Similarity.labelPurity(emb(s, dir)).orderBy("vec_id")),
+    "sim_centroid_outliers" -> ((s, dir) => // top-k farthest from own centroid
+      Similarity.centroidOutliers(emb(s, dir)).orderBy("label", "rank")),
     "sim_knn_classify" -> ((s, dir) => // exact k-NN majority vote, ties to min label
       Similarity.knnClassify(emb(s, dir), col("vec_id") % 100 === 0, 10)
         .orderBy("query_id")),
@@ -1845,6 +1847,17 @@ object SparkEntry {
         "FROM p JOIN embeddings e ON e.vec_id = p.query_id ORDER BY p.query_id"),
     "sim_label_purity" ->
       "WITH m AS (SELECT label, i, CAST(AVG(v) AS FLOAT) AS mv FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding,1) AS i FROM embeddings) GROUP BY 1,2), cb AS (SELECT label, list(mv ORDER BY i) AS c FROM m GROUP BY 1), a AS (SELECT vec_id, label, cent AS pred_label FROM (SELECT e.vec_id, e.label, s.label AS cent, ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding, s.c) DESC, s.label) AS rn FROM embeddings e CROSS JOIN cb s) WHERE rn = 1) SELECT vec_id, label, CAST(pred_label AS BIGINT) AS pred_label, label = pred_label AS correct FROM a ORDER BY vec_id",
+    // cross-multiplied centroid distance: rank by sum((q*n - s)^2) —
+    // identical ordering to the true distance, no division anywhere
+    "sim_centroid_outliers" ->
+      ("WITH q AS (SELECT vec_id, label, generate_subscripts(embedding,1) AS dim, " +
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1024) AS BIGINT) AS q FROM embeddings), " +
+        "c AS (SELECT label, dim, SUM(q) AS s, COUNT(*) AS n FROM q GROUP BY 1,2), " +
+        "d AS (SELECT q.vec_id, q.label, SUM((q.q*c.n - c.s)*(q.q*c.n - c.s)) AS d2n2 " +
+        "FROM q JOIN c ON c.label = q.label AND c.dim = q.dim GROUP BY 1,2), " +
+        "r AS (SELECT label, vec_id, d2n2, ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2n2 DESC, vec_id) AS rnk FROM d) " +
+        "SELECT CAST(label AS INTEGER) AS label, CAST(rnk AS BIGINT) AS rank, vec_id, d2n2 " +
+        "FROM r WHERE rnk <= 5 ORDER BY 1, 2"),
     // integer quantization codes: double division + floor over identical
     // float inputs is bit-deterministic across engines
     "sim_quantize_int8" ->

@@ -417,6 +417,38 @@ object Similarity {
         (col("label") === col("cent_id")).as("correct"))
   }
 
+  /** Per-label centroid-distance OUTLIERS — the embedding-space curation
+    * pass that audits a labeled corpus for mislabels/anomalies: each
+    * vector's squared distance to its OWN label's centroid, top-k
+    * farthest per label. Exact integers throughout: dims quantize to
+    * floor(x·1024) and the mean cross-multiplies away — with per-label
+    * count n and per-dim sum s, rank by d2n2 = Σ_dims (q·n − s)², which
+    * orders identically to the true distance (n² scales every vector of
+    * a label equally) and never divides. (At extreme n the cross-product
+    * would overflow long; the production variant floor-divides the
+    * centroid once per label instead — same plan, documented tradeoff.)
+    * Shape: one explode→aggregate builds the (label, dim) centroid
+    * relation — bounded by labels×dims, so it BROADCASTS back onto the
+    * exploded vectors for a map-side diff; one hash aggregate per vector
+    * sums the squares; the per-label top-k is a WindowGroupLimit (each
+    * partition keeps k rows). Output: (label, rank, vec_id, d2n2). */
+  def centroidOutliers(emb: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.select(col("vec_id"), col("label"),
+      posexplode(quantized(col("embedding"))).as(Seq("dim", "q")))
+    val cent = q.groupBy("label", "dim")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+    val d2 = q.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("q") * col("n") - col("s")) *
+        (col("q") * col("n") - col("s"))).as("d2n2"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("d2n2").desc, col("vec_id"))
+    d2.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("label", "rank", "vec_id", "d2n2")
+  }
+
   /** Int8 scalar quantization of an embedding column — the storage/transfer
     * compression step of a large-scale vector pipeline (4x smaller than
     * FLOAT, dequantizes to within scale/254 per dimension). Per vector the

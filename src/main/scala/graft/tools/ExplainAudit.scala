@@ -206,6 +206,42 @@ object ExplainAudit {
         spark.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_quantity", "l_linenumber", "l_discount", "l_tax"),
         Map("l_discount" -> 100L, "l_tax" -> 100L)))
+    if (which == "all" || which == "bm25")
+      // final plan: the tokenized postings LEFT-SEMI the broadcast query
+      // terms BEFORE any aggregation; df/dl/totals all derive from the
+      // pruned relation; top-k is a WindowGroupLimit, never a full sort
+      showFinal("text_bm25", graft.text.TextAnalysis.bm25TopK(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        Seq(1 -> Seq("dup", "merge"), 2 -> Seq("hash", "join", "table"))))
+    if (which == "all" || which == "incremental")
+      // final plan: the corpus banded index builds once (persisted);
+      // candidates = delta-bands equi-join corpus-bands; verification
+      // joins only the candidate ids back to the shingle sets; the best-
+      // match election is a hash aggregate (max_by), never a window
+      showFinal("dedup_incremental", graft.dedup.Dedup.incrementalDedup(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        org.apache.spark.sql.functions.col("doc_id") % 5 === 0, 50))
+    if (which == "all" || which == "scd")
+      // final plan: ONE full-outer sort-merge join between the open slice
+      // and the latest-collapsed updates; row fates emit map-side via
+      // Generate(explode); closed history unions around the join
+      showFinal("tpch_scd_customer (fixture-shaped)", {
+        import org.apache.spark.sql.functions._
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("k"),
+            round(col("c_acctbal") * 100).cast("long").as("v"))
+        graft.stats.Analytics.scdMerge(
+          cust.select(col("k"), col("v"), lit(0L).as("valid_from_us"),
+            lit(-1L).as("valid_to_us")),
+          cust.filter(col("k") % 7 === 0)
+            .select(col("k"), (col("v") + 10000L).as("v"),
+              lit(1000000L).as("ts_us")))
+      })
+    if (which == "all" || which == "zorder")
+      // final plan: one broadcast bounds row, pure map-side shift/mask
+      // interleave, one hash aggregate on the bucket — a single Exchange
+      showFinal("profile_zorder", graft.stats.Profile.zorderExtents(
+        spark.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey"))
     spark.stop()
   }
 }

@@ -219,6 +219,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r(5L)._2 == false) // the mislabeled outlier is flagged
   }
 
+  test("centroidOutliers: cross-multiplied distance, per-label top-k, id ties") {
+    import spark.implicits._
+    // label 0 (n=3): quantized dims v1=(0,0), v2=(0,512), v3=(0,-512);
+    // centroid sums s=(0,0); d2n2 = sum((q*3 - 0)^2): v1=0, v2=v3=1536^2
+    // -> tie breaks to the smaller vec_id. label 1 (n=1): always d2n2=0
+    val rows = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.0f, 0.5f), 0),
+      (3L, Array(0.0f, -0.5f), 0), (4L, Array(1.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidOutliers(rows, 2).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(r == Seq(
+      (0, 1L, 2L, 2359296L), (0, 2L, 3L, 2359296L), (1, 1L, 4L, 0L)))
+  }
+
   test("knnClassify: majority of k neighbors, vote ties break to smallest label") {
     import spark.implicits._
     // query 0 at the origin axis; neighbors: two label-1 vecs slightly

@@ -928,6 +928,10 @@ object SparkEntry {
         s.read.parquet(s"$dir/customer.parquet"),
         s.read.parquet(s"$dir/orders.parquet"), "2000-06-01")
         .orderBy("c_nationkey")),
+    "profile_equidepth" -> ((s, dir) => // equal-count buckets, cents-exact
+      graft.stats.Profile.equiDepthHistogram(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice", 8, 100L)
+        .orderBy("bucket")),
     "profile_zorder" -> ((s, dir) => // Morton-interleave layout extents
       graft.stats.Profile.zorderExtents(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey")
@@ -1957,6 +1961,18 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey " +
         "AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00') " +
         "GROUP BY 1 ORDER BY 1"),
+    // equi-depth boundaries at rank-at-floor((n-1)i/8); bucket = count of
+    // boundaries <= v (ties to the higher bucket) — all integer cents
+    "profile_equidepth" ->
+      ("WITH vals AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY 1)), " +
+        "tot AS (SELECT COUNT(*) AS n FROM vals), " +
+        "t AS (SELECT i, CAST(floor((n - 1) * i / 8.0) AS BIGINT) AS target FROM tot CROSS JOIN (SELECT unnest(range(1, 8)) AS i)), " +
+        "bnd AS (SELECT i, MIN(v) AS b FROM cum CROSS JOIN t WHERE cum >= target + 1 GROUP BY 1), " +
+        "barr AS (SELECT list(b ORDER BY i) AS bs FROM bnd) " +
+        "SELECT CAST(len(list_filter(bs, b -> b <= v)) AS BIGINT) AS bucket, " +
+        "MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n_rows " +
+        "FROM vals CROSS JOIN barr GROUP BY 1 ORDER BY 1"),
     // Morton interleave replicated bit-by-bit (8 shift/mask terms per
     // dimension); grid scale + bucket are pure integer floor arithmetic
     "profile_zorder" ->

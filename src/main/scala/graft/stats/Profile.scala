@@ -122,6 +122,41 @@ object Profile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** EQUI-DEPTH histogram — the dual of [[histogram]] and the statistic
+    * query optimizers actually keep (equal-count buckets adapt to skew;
+    * equal-width buckets collapse under it): boundaries are the exact
+    * rank-at-floor((n−1)·i/nb) values (the [[quantiles]] machinery — a
+    * distinct-value histogram + ONE cumulative window bounded by value
+    * CARDINALITY, never row count), collected into a single broadcast
+    * row; each row's bucket is then the map-side count of boundaries ≤ v
+    * (values equal to a boundary go to the higher bucket — deterministic
+    * under ties, so counts may legitimately diverge from n/nb on heavily
+    * tied data: that divergence IS the skew signal). Integer space via
+    * `scale`, same as [[histogram]]. Output: (bucket, lo, hi, n_rows) for
+    * occupied buckets. */
+  def equiDepthHistogram(df: DataFrame, column: String, nBuckets: Int,
+      scale: Long = 1L): DataFrame = {
+    require(nBuckets >= 2, "at least two buckets")
+    val v = round(col(column).cast("double") * scale).cast("long")
+    val vals = df.select(v.as("v")).filter(col("v").isNotNull)
+    val hist = vals.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(Window.orderBy("v")))
+    val targets = vals.agg(count(lit(1)).as("n"))
+      .select(explode(array((1 until nBuckets).map(lit(_)): _*)).as("i"),
+        col("n"))
+      .select(col("i"), floor((col("n") - 1) * col("i") / nBuckets).as("target"))
+    val barr = cum.crossJoin(broadcast(targets))
+      .filter(col("cum") >= col("target") + 1)
+      .groupBy("i").agg(min("v").as("b"))
+      .agg(array_sort(collect_list(struct(col("i"), col("b")))).as("bs"))
+      .select(col("bs.b").as("barr"))
+    vals.crossJoin(broadcast(barr))
+      .select(col("v"),
+        size(filter(col("barr"), b => b <= col("v"))).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n_rows"))
+  }
+
   /** Profile DRIFT between two snapshots of the same relation — the
     * data-quality regression monitor a pipeline runs between ingests:
     * per column, the row/null/distinct deltas plus whether the min/max

@@ -132,6 +132,26 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(5) == 74L && r.getLong(6) == 13L && r.getLong(7) == 31L)
   }
 
+  test("equiDepthHistogram: rank boundaries, higher-bucket ties, skew signal") {
+    import spark.implicits._
+    // 8 values 1..8, nb=4: targets floor(7i/4) = 1,3,5 -> boundaries are
+    // the values at cum>=2,4,6 = 2,4,6; bucket = #{b <= v}:
+    // v=1 -> 0 | v=2,3 -> 1 | v=4,5 -> 2 | v=6,7,8 -> 3
+    val d = (1 to 8).map(_.toLong).toDF("x")
+    val r = Profile.equiDepthHistogram(d, "x", 4).orderBy("bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq((0L, 1L, 1L, 1L), (1L, 2L, 3L, 2L),
+      (2L, 4L, 5L, 2L), (3L, 6L, 8L, 3L)))
+    // heavy ties: one value dominates -> its whole mass lands in ONE
+    // bucket, 9-vs-1 instead of 5-vs-5 (the divergence from n/nb that
+    // equi-depth is FOR). Boundary = 5 (cum>=5); ties go UP: all nine
+    // 5s land in bucket 1, the lone 1 stays in bucket 0
+    val skew = (Seq.fill(9)(5L) :+ 1L).toDF("x")
+    val rs = Profile.equiDepthHistogram(skew, "x", 2).orderBy("bucket")
+      .collect().map(x => (x.getLong(0), x.getLong(3))).toSeq
+    assert(rs == Seq((0L, 1L), (1L, 9L)))
+  }
+
   test("zorderExtents: known interleave + every bucket a tight rectangle") {
     import spark.implicits._
     // hand-checked Morton: grid is the identity when max+1 divides 256

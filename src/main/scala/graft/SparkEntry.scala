@@ -936,6 +936,19 @@ object SparkEntry {
       graft.stats.Profile.zorderExtents(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey")
         .orderBy("bucket")),
+    "tpch_priority_pivot" -> ((s, dir) => // Dataset.pivot, explicit value list
+      graft.stats.Analytics.priorityPivot(
+        s.read.parquet(s"$dir/orders.parquet"),
+        s.read.parquet(s"$dir/lineitem.parquet"))
+        .orderBy("ship_year")),
+    "tpch_important_parts" -> ((s, dir) => // Q11 analog: group vs global share
+      graft.stats.Analytics.importantParts(
+        s.read.parquet(s"$dir/lineitem.parquet"), 150)
+        .orderBy("l_partkey")),
+    "tpch_banded_revenue" -> ((s, dir) => // Q19 analog: OR-of-ANDs pushdown
+      graft.stats.Analytics.bandedRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        s.read.parquet(s"$dir/part.parquet"))),
     "tpch_colocated_join" -> ((s, dir) => // bucketed fact-fact join, no Exchange
       graft.stats.Analytics.colocatedPriorityRevenue(
         s.read.parquet(s"$dir/orders.parquet"),
@@ -1986,6 +1999,33 @@ object SparkEntry {
         "SELECT zv >> 10 AS bucket, COUNT(*) AS n_rows, " +
         "MIN(ga) AS ga_min, MAX(ga) AS ga_max, MIN(gb) AS gb_min, MAX(gb) AS gb_max " +
         "FROM z GROUP BY 1 ORDER BY 1"),
+    // pivot == conditional aggregation: the oracle spells out the CASEs
+    // Catalyst compiles the explicit-values pivot into
+    "tpch_priority_pivot" ->
+      ("SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year, " +
+        "COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent, " +
+        "COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high, " +
+        "COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium, " +
+        "COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified, " +
+        "COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low " +
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    // Q11 analog: per-part revenue vs 150% of the average part's,
+    // cross-multiplied — rev*n*100 > total*150 (scale-invariant bar)
+    "tpch_important_parts" ->
+      ("WITH pp AS (SELECT l_partkey, CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem GROUP BY 1), " +
+        "tot AS (SELECT SUM(revenue_e4) AS total_e4, COUNT(*) AS n_parts FROM pp) " +
+        "SELECT l_partkey, revenue_e4 FROM pp CROSS JOIN tot " +
+        "WHERE revenue_e4 * n_parts * 100 > total_e4 * 150 ORDER BY 1"),
+    // Q19 analog: OR of brand/size/quantity conjunction bands
+    "tpch_banded_revenue" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity <= 20) " +
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity <= 30) " +
+        "OR (p_brand = 'Brand#3' AND p_size >= 20 AND l_quantity <= 40)"),
     // plain join/rollup SQL — the bucketed layout changes the PLAN, never
     // the result
     "tpch_colocated_join" ->

@@ -580,6 +580,66 @@ object Analytics {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"), sum("rev_e4").as("revenue_e4"))
 
+  /** Q12-flavored priority PIVOT: ship-year rows × order-priority
+    * columns, lineitem counts in the cells — the wide-matrix report
+    * shape, exercised through Dataset.pivot WITH the value list given
+    * explicitly (Catalyst then compiles it to ONE aggregate of CASE
+    * expressions — no second values-discovery pass, no extra shuffle;
+    * an unlisted-values pivot would scan twice, the documented trap).
+    * Output: (ship_year, urgent, high, medium, not_specified, low). */
+  def priorityPivot(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), year(col("l_shipdate")).as("ship_year"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        Seq("l_orderkey"))
+      .groupBy("ship_year")
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("ship_year"),
+        coalesce(col("`1-URGENT`"), lit(0L)).as("urgent"),
+        coalesce(col("`2-HIGH`"), lit(0L)).as("high"),
+        coalesce(col("`3-MEDIUM`"), lit(0L)).as("medium"),
+        coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("not_specified"),
+        coalesce(col("`5-LOW`"), lit(0L)).as("low"))
+
+  /** Q11-flavored important parts: parts whose revenue exceeds
+    * `pctOfAvg`% of the AVERAGE part's — the group-aggregate-vs-global-
+    * fraction threshold (Q11's HAVING > SUM(...)·fraction), stated
+    * relative to the average so the predicate is SCALE-INVARIANT (a
+    * fixed share-of-total bar silently empties as the part count
+    * grows). One shuffle builds the per-part relation; the global
+    * (total, count) re-aggregates THAT (never rescans lineitem) into
+    * one broadcast row; the compare cross-multiplies
+    * (rev·n_parts·100 > total·pctOfAvg) so no division or floating
+    * fraction exists anywhere. Output: (l_partkey, revenue_e4). */
+  def importantParts(lineitem: DataFrame, pctOfAvg: Int): DataFrame = {
+    val perPart = lineitem.groupBy("l_partkey")
+      .agg(sum(revenueE4).as("revenue_e4"))
+    val total = perPart.agg(sum("revenue_e4").as("total_e4"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("revenue_e4") * col("n_parts") * 100L >
+        col("total_e4") * pctOfAvg)
+      .select("l_partkey", "revenue_e4")
+  }
+
+  /** Q19-flavored disjunctive revenue: an OR of brand/size/quantity
+    * conjunction bands — the multi-branch predicate that tests
+    * PUSHDOWN: the common conjuncts Catalyst can factor
+    * (p_size >= 1, the join key non-null) push to the scans, the
+    * disjunction evaluates post-join as one codegen'd boolean, and the
+    * part side broadcasts. Output: one (n_items, revenue_e4) row. */
+  def bandedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        revenueE4.as("rev_e4"))
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size") <= 10 && col("qty") <= 20) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(5, 25) && col("qty") <= 30) ||
+        (col("p_brand") === "Brand#3" && col("p_size") >= 20 && col("qty") <= 40))
+      .agg(count(lit(1)).as("n_items"), sum("rev_e4").as("revenue_e4"))
+
   /** SCD Type-2 MERGE — the warehouse upsert that keeps dimension
     * history: apply an update batch to the current snapshot, closing out
     * changed rows and opening new versions. Row fates (key = `k`, open

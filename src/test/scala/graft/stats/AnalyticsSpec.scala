@@ -348,6 +348,56 @@ class AnalyticsSpec extends SparkSpec {
       "2000-06-01").count() == 0L)
   }
 
+  test("priorityPivot: explicit-values pivot, absent cells coalesce to 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq((1L, "1-URGENT"), (2L, "5-LOW"), (3L, "1-URGENT"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("1996-03-01")), (1L, ts("1996-04-01")), // two urgent lines in 96
+      (2L, ts("1996-05-01")),                         // one low line in 96
+      (3L, ts("1997-01-01")))                         // one urgent line in 97
+      .toDF("l_orderkey", "l_shipdate")
+    val r = Analytics.priorityPivot(orders, li).orderBy("ship_year").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5))).toSeq
+    assert(r == Seq(
+      (1996, 2L, 0L, 0L, 0L, 1L),
+      (1997, 1L, 0L, 0L, 0L, 0L))) // every absent priority reads 0, not null
+  }
+
+  test("importantParts: cross-multiplied percent-of-average threshold") {
+    import spark.implicits._
+    // part 1: 90.00 revenue; part 2: 10.00 -> average 50.00; at 100% of
+    // average only part 1 passes (strict >); at 179% it still passes
+    // (90 = 1.8x avg), at 180% the strict compare excludes it
+    val li = Seq((1L, 90.00, 0.00), (2L, 10.00, 0.00))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val r = Analytics.importantParts(li, 100).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((1L, 900000L)))
+    assert(Analytics.importantParts(li, 179).count() == 1L)
+    assert(Analytics.importantParts(li, 180).count() == 0L)
+  }
+
+  test("bandedRevenue: each OR band admits, near-misses drop") {
+    import spark.implicits._
+    val part = Seq(
+      (1L, "Brand#1", 8), (2L, "Brand#2", 15), (3L, "Brand#3", 30),
+      (4L, "Brand#1", 11)) // size 11 > 10: Brand#1 band near-miss
+      .toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq(
+      (1L, 10.0, 100.00, 0.00), // band 1: qty 10 <= 20 -> in
+      (1L, 25.0, 100.00, 0.00), // band 1 near-miss: qty 25 > 20
+      (2L, 30.0, 50.00, 0.00),  // band 2: qty 30 <= 30 -> in
+      (3L, 40.0, 25.00, 0.00),  // band 3: qty 40 <= 40 -> in
+      (4L, 5.0, 999.00, 0.00))  // part near-miss
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val r = Analytics.bandedRevenue(li, part).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1750000L) // 175.00 e4
+  }
+
   test("colocatedPriorityRevenue: correct rollup AND a shuffle-free join") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -341,6 +341,31 @@ object Soak {
       run("tpch_dominant_suppliers_sf1",
         Analytics.dominantSuppliers(li1, supp1, nation,
           "1996-01-01", "1997-01-01"))
+      // the round-9 wide-report shapes: pivot is one aggregate of CASEs,
+      // importance re-aggregates the per-part relation, the disjunction
+      // is a broadcast join + one boolean
+      run("tpch_priority_pivot_sf1", Analytics.priorityPivot(ord1, li1))
+      run("tpch_important_parts_sf1", Analytics.importantParts(li1, 150))
+      run("tpch_banded_revenue_sf1", Analytics.bandedRevenue(li1, part1))
+    }
+    if (which("stream-enrich")) {
+      // stream-static enrichment at 10x stream volume: the broadcast dim
+      // re-plans per micro-batch; window-agg state is bounded by open
+      // windows x categories
+      import spark.implicits._
+      val events1 = graft.streaming.EventSource.events(spark, sfDir)
+        .crossJoin(shardIds)
+        .withColumn("event_id", col("event_id") + col("shard").cast("long") * 100000000L)
+        .drop("shard")
+        .persist()
+      System.err.println(s"soak events: ${events1.count()}")
+      run("events_enriched_stream_sf1", {
+        val ev = events1.select(col("ts"), col("event_type"), col("value"))
+          .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+        graft.streaming.StreamDriver.enrichedStreamed(spark, ev, Seq(
+          ("click", "engagement", 1L), ("view", "engagement", 1L),
+          ("purchase", "revenue", 5L), ("signup", "growth", 3L)))
+      })
     }
     if (which("pathclosure"))
       // sharded triples = 10 DISJOINT graph copies: closure depth is

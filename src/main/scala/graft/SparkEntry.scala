@@ -1088,6 +1088,12 @@ object SparkEntry {
     "text_pagerank" -> ((s, dir) => // content-centrality over shared-window edges
       graft.graph.Graph.contentPageRank(docs(s, dir), 8, 80, 3)
         .orderBy("doc_id")),
+    "text_zipf_slope" -> ((s, dir) => // log-log regression over the vocab head
+      graft.text.TextAnalysis.zipfFit(docs(s, dir), 1000)),
+    "tpch_order_gaps" -> ((s, dir) => // lag-window inter-arrival profile
+      graft.stats.Analytics.orderGaps(
+        s.read.parquet(s"$dir/orders.parquet"), 4L)
+        .orderBy("o_custkey")),
     "tpch_running_totals" -> ((s, dir) => // partitioned running-sum window
       graft.stats.Analytics.runningTotals(
         s.read.parquet(s"$dir/customer.parquet"),
@@ -2207,6 +2213,29 @@ object SparkEntry {
     // `//` floor-div == Spark `div` (operands positive throughout)
     "text_pagerank" ->
       ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7],' '))) AS ng FROM tokd), df AS (SELECT ng, COUNT(*) AS df FROM w GROUP BY 1), ek AS (SELECT ng FROM df WHERE df BETWEEN 2 AND 80), e0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM w x JOIN w y USING (ng) JOIN ek USING (ng) WHERE x.doc_id < y.doc_id), sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1), p0 AS (SELECT doc_id AS src, CAST(1000000000000 AS BIGINT) AS pr FROM documents), c1 AS (SELECT s.dst, SUM((p.pr * 85) // (100 * d.deg)) AS cin FROM sym s JOIN p0 p ON p.src = s.src JOIN deg d ON d.src = s.src GROUP BY 1), p1 AS (SELECT d.doc_id AS src, 150000000000 + COALESCE(c1.cin, 0) AS pr FROM documents d LEFT JOIN c1 ON c1.dst = d.doc_id), c2 AS (SELECT s.dst, SUM((p.pr * 85) // (100 * d.deg)) AS cin FROM sym s JOIN p1 p ON p.src = s.src JOIN deg d ON d.src = s.src GROUP BY 1), p2 AS (SELECT d.doc_id AS src, 150000000000 + COALESCE(c2.cin, 0) AS pr FROM documents d LEFT JOIN c2 ON c2.dst = d.doc_id), c3 AS (SELECT s.dst, SUM((p.pr * 85) // (100 * d.deg)) AS cin FROM sym s JOIN p2 p ON p.src = s.src JOIN deg d ON d.src = s.src GROUP BY 1), p3 AS (SELECT d.doc_id AS src, 150000000000 + COALESCE(c3.cin, 0) AS pr FROM documents d LEFT JOIN c3 ON c3.dst = d.doc_id) SELECT src AS doc_id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY doc_id"),
+    // rank fully determined by (cnt desc, token); round(,6) is the suite's
+    // standard last-ulp tolerance for O(1) float ratios
+    "text_zipf_slope" ->
+      ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), " +
+        "c AS (SELECT token, COUNT(*) AS cnt FROM tokv GROUP BY 1), " +
+        "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank FROM c " +
+        "ORDER BY cnt DESC, token LIMIT 1000) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_terms, " +
+        "round(regr_slope(ln(cnt), ln(rank)), 6) AS slope, " +
+        "round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept, " +
+        "round(regr_r2(ln(cnt), ln(rank)), 6) AS r2 FROM r"),
+    // gaps in integer microseconds; (o_orderdate, o_orderkey) makes the
+    // lag pairing deterministic under equal timestamps
+    "tpch_order_gaps" ->
+      ("WITH g AS (SELECT o_custkey, epoch_us(o_orderdate) - " +
+        "lag(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_us " +
+        "FROM orders) " +
+        "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(COUNT(gap_us) AS BIGINT) AS n_gaps, " +
+        "CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us, " +
+        "CAST(MIN(gap_us) AS BIGINT) AS min_gap_us, " +
+        "CAST(MAX(gap_us) AS BIGINT) AS max_gap_us " +
+        "FROM g GROUP BY 1 HAVING COUNT(*) >= 4 ORDER BY 1"),
     "tpch_running_totals" ->
       ("SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, " +
         "CAST(round(o_totalprice*100) AS BIGINT) AS price_cents, " +

@@ -720,4 +720,36 @@ object Analytics {
         when(col("r_name").isNull, 2L)
           .when(col("n_name").isNull, 1L).otherwise(0L))
   }
+
+  /** Reorder-interval profile: per-customer statistics over the gaps
+    * between CONSECUTIVE orders — the inter-arrival analysis behind
+    * churn/replenishment models, and the one warehouse shape built on
+    * `lag` + re-aggregation (vs the running-sum and rank-per-group
+    * windows elsewhere in this suite). One partitioned window keyed by
+    * the customer (deterministic (o_orderdate, o_orderkey) order — equal
+    * timestamps cannot flip the lag pairing between engines), then a
+    * map-side-combinable aggregate over the same key, which AQE plans
+    * WITHOUT a second exchange: the window's hash partitioning on
+    * o_custkey is reused by the groupBy. Gaps stay in integer
+    * MICROSECONDS (`unix_micros`) — no date truncation or float division
+    * for engines to disagree about. Only three columns survive pruning;
+    * per-partition cost is linear. Customers below `minOrders` drop
+    * (single-order customers have no gap at all).
+    * Output: (o_custkey, n_orders, n_gaps, sum_gap_us, min_gap_us,
+    * max_gap_us). */
+  def orderGaps(orders: DataFrame, minOrders: Long = 4L): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("ts_us"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("gap_us")).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .filter(col("n_orders") >= minOrders)
+  }
 }

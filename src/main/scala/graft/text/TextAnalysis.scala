@@ -698,6 +698,38 @@ object TextAnalysis {
       .select("query_id", "rank", "doc_id", "score")
   }
 
+  /** Zipf log-log fit over the corpus vocabulary — the one-row corpus
+    * healthiness statistic (natural text tracks slope ≈ −1; synthetic or
+    * template-heavy corpora flatten or steepen it). The working relation
+    * is the VOCABULARY, not the corpus: one explode→two-phase
+    * hash-aggregate collapses the token stream to per-token counts with
+    * map-side combine, TakeOrderedAndProject keeps the `topK` head
+    * without sorting the vocabulary, and the regression aggregates
+    * (`regr_slope`/`regr_intercept`/`regr_r2` of ln cnt on ln rank)
+    * reduce those k rows to ONE — the driver never holds more than the
+    * final row. Rank is fully determined by (cnt desc, token asc), so
+    * equal-count ties cannot flip ranks between engines; `round(..., 6)`
+    * absorbs last-ulp disagreement in the float reduction (the suite's
+    * standard tolerance; the ratios are O(1)).
+    * Output: (n_terms, slope, intercept, r2). */
+  def zipfFit(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    require(topK > 1, "need at least two ranks to fit")
+    val ranked = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token"))).cast("long"))
+    val (ly, lx) = (log(col("cnt").cast("double")),
+      log(col("rank").cast("double")))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      round(regr_slope(ly, lx), 6).as("slope"),
+      round(regr_intercept(ly, lx), 6).as("intercept"),
+      round(regr_r2(ly, lx), 6).as("r2"))
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col("text"), lit(pat), lit(0)))

@@ -242,6 +242,20 @@ object ExplainAudit {
       // interleave, one hash aggregate on the bucket — a single Exchange
       showFinal("profile_zorder", graft.stats.Profile.zorderExtents(
         spark.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey"))
+    if (which == "all" || which == "zipf")
+      // final plan: text-only scan -> explode -> partial/final hash agg
+      // across ONE exchange -> TakeOrderedAndProject(k) -> k-row window
+      // -> one-row regression aggregate; the vocabulary is never sorted
+      showFinal("text_zipf_slope",
+        graft.text.TextAnalysis.zipfFit(
+          spark.read.parquet(s"$dir/documents.parquet"), 1000))
+    if (which == "all" || which == "ordergaps")
+      // final plan: the groupBy REUSES the lag window's hashpartitioning
+      // on o_custkey — window, gap projection, and both aggregate halves
+      // share one codegen stage, no exchange between them; the only later
+      // exchange is the caller's ORDER BY
+      showFinal("tpch_order_gaps", graft.stats.Analytics.orderGaps(
+        spark.read.parquet(s"$dir/orders.parquet"), 4L))
     spark.stop()
   }
 }

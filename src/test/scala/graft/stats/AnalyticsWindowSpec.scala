@@ -41,4 +41,25 @@ class AnalyticsWindowSpec extends SparkSpec {
     assert(r == Seq((10L, 1L, 10L), (10L, 2L, 9L), (10L, 3L, 8L),
       (11L, 1L, 11L)))
   }
+
+  test("orderGaps: lag-window inter-arrival stats, tie-stable, minOrders cut") {
+    import spark.implicits._
+    val day = 86400L * 1000000L // one day in microseconds
+    val ord = Seq(
+      (1L, 10L, ts("1996-01-01")),
+      (2L, 10L, ts("1996-01-03")),  // +2d
+      // SAME timestamp as order 2: o_orderkey pins the lag pairing, so
+      // this row contributes a zero gap (not a reordering)
+      (3L, 10L, ts("1996-01-03")),
+      (4L, 10L, ts("1996-01-10")),  // +7d
+      (5L, 11L, ts("1996-02-01")),  // only two orders: below minOrders
+      (6L, 11L, ts("1996-03-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val r = Analytics.orderGaps(ord, 4L).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert((x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+      x.getLong(4), x.getLong(5)) ==
+      (10L, 4L, 3L, 9 * day, 0L, 7 * day))
+  }
 }

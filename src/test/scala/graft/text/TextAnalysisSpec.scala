@@ -327,4 +327,17 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r(i.toLong) == ((nf, sc, sc >= 0)), s"doc $i '$t'")
     }
   }
+
+  test("zipfFit: exact two-point fit — slope -1, intercept ln4, r2 1") {
+    // counts a=4 (rank 1), b=2 (rank 2): the points (ln1, ln4), (ln2, ln2)
+    // lie on y = -x + ln4 exactly, so the regression is closed-form
+    val r = TextAnalysis.zipfFit(docs((0L, "a a a a b b")), 10).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert(x.getLong(0) == 2L)
+    assert(x.getDouble(1) == -1.0)
+    assert(x.getDouble(2) == math.rint(math.log(4) * 1e6) / 1e6 ||
+      math.abs(x.getDouble(2) - math.log(4)) < 1e-6)
+    assert(x.getDouble(3) == 1.0)
+  }
 }

@@ -1333,6 +1333,17 @@ object SparkEntry {
     "events_top_paths" -> ((s, dir) => // dominant 3-step user journeys
       graft.streaming.EventStream.topPaths(events(s, dir), 3, 20)
         .orderBy("rank")),
+    "profile_quality_checks" -> ((s, dir) => // one-pass constraint verdicts
+      graft.stats.Profile.qualityChecks(
+        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey",
+        notNullCols = Seq("o_custkey", "o_orderdate"),
+        // 'P' deliberately outside the domain: the fail path carries a
+        // real violation count instead of a wall of zeros
+        domains = Map("o_orderstatus" -> Seq("O", "F")),
+        nonNegativeCols = Seq("o_totalprice"),
+        fk = Some(("o_custkey",
+          s.read.parquet(s"$dir/customer.parquet"), "c_custkey")))
+        .orderBy("check_name")),
     "profile_correlation" -> ((s, dir) => // pairwise moments, exact BIGINTs
       graft.stats.Profile.correlationMoments(
         s.read.parquet(s"$dir/lineitem.parquet"),
@@ -1782,6 +1793,27 @@ object SparkEntry {
       s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
     }.mkString(" UNION ALL ") + " ORDER BY column_name"),
     // the same per-column profile, evaluated over both snapshots and
+    // constraint verdicts: every metric from ONE aggregate over the
+    // fact left-joined to distinct dim keys; ASCII check names sort
+    // identically in both engines
+    "profile_quality_checks" ->
+      ("WITH j AS (SELECT o.*, c.c_custkey AS dimk FROM orders o " +
+        "LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey), " +
+        "a AS (SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_key, " +
+        "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust, " +
+        "SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_date, " +
+        "SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS dom_st, " +
+        "SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_tp, " +
+        "SUM(CASE WHEN dimk IS NULL THEN 1 ELSE 0 END) AS fk_viol FROM j) " +
+        "SELECT check_name, CAST(metric AS BIGINT) AS metric, passed FROM (" +
+        "SELECT 'row_count' AS check_name, n_rows AS metric, n_rows > 0 AS passed FROM a " +
+        "UNION ALL SELECT 'key_unique:o_orderkey', n_rows - n_key, n_rows = n_key FROM a " +
+        "UNION ALL SELECT 'not_null:o_custkey', null_cust, null_cust = 0 FROM a " +
+        "UNION ALL SELECT 'not_null:o_orderdate', null_date, null_date = 0 FROM a " +
+        "UNION ALL SELECT 'domain:o_orderstatus', dom_st, dom_st = 0 FROM a " +
+        "UNION ALL SELECT 'non_negative:o_totalprice', neg_tp, neg_tp = 0 FROM a " +
+        "UNION ALL SELECT 'fk:o_custkey->c_custkey', fk_viol, fk_viol = 0 FROM a" +
+        ") ORDER BY 1"),
     // differenced — min/max compare as the rendered strings, like profile
     "profile_drift" -> {
       def prof(src: String, sfx: String) = profileCols.map { c =>

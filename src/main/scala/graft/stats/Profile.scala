@@ -294,4 +294,62 @@ object Profile {
     }: _*)
     one.select(explode(rows).as("r")).select("r.*")
   }
+
+  /** Constraint-suite evaluation — the named-check verdict table a
+    * pipeline gates ingests on (the declarative data-quality pattern:
+    * each constraint yields a violation METRIC and a pass/fail verdict,
+    * never a filtered copy of the data). All checks evaluate in ONE pass:
+    * the optional FK check left-joins the fact to the DISTINCT dim keys
+    * (broadcast at dim scale, shuffled at fact scale — AQE's call), and
+    * every metric — row count, key-duplicate count, per-column null
+    * counts, domain violations, sign violations, FK misses — lands in a
+    * single aggregate over that relation (one scan, one join, one
+    * reduced row; the lone `count_distinct` is the only Expand). The
+    * constant-size verdict rows unpivot from the single aggregate row.
+    * A domain violation is a NON-NULL value outside `domains(c)`
+    * (missingness is `notNullCols`' job — keeps NULL semantics identical
+    * across engines). Metrics are BIGINT counts; `passed` = metric == 0
+    * (row_count: > 0).
+    * Output: (check_name, metric, passed). */
+  def qualityChecks(df: DataFrame, keyCol: String,
+      notNullCols: Seq[String] = Nil,
+      domains: Map[String, Seq[String]] = Map.empty,
+      nonNegativeCols: Seq[String] = Nil,
+      fk: Option[(String, DataFrame, String)] = None): DataFrame = {
+    val joined = fk match {
+      case Some((c, dim, dimKey)) =>
+        df.join(dim.select(col(dimKey).as("_dim_key")).distinct(),
+            df(c) === col("_dim_key"), "left")
+          .withColumn("_fk_miss", col("_dim_key").isNull)
+      case None => df.withColumn("_fk_miss", lit(false))
+    }
+    def viol(cond: org.apache.spark.sql.Column, nm: String) =
+      sum(when(cond, 1L).otherwise(0L)).as(nm)
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      count_distinct(col(keyCol)).as("n_key"),
+      viol(col("_fk_miss"), "fk_viol")) ++
+      notNullCols.map(c => viol(col(c).isNull, s"null_$c")) ++
+      domains.toSeq.sortBy(_._1).map { case (c, vs) =>
+        viol(col(c).isNotNull && !col(c).isin(vs.map(lit): _*), s"dom_$c") } ++
+      nonNegativeCols.map(c => viol(col(c) < 0, s"neg_$c"))
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+    def check(nm: String, metric: org.apache.spark.sql.Column,
+        passed: org.apache.spark.sql.Column) =
+      struct(lit(nm).as("check_name"), metric.cast("long").as("metric"),
+        passed.as("passed"))
+    val rows =
+      Seq(check("row_count", col("n_rows"), col("n_rows") > 0L),
+        check(s"key_unique:$keyCol", col("n_rows") - col("n_key"),
+          col("n_rows") === col("n_key"))) ++
+      notNullCols.map(c =>
+        check(s"not_null:$c", col(s"null_$c"), col(s"null_$c") === 0L)) ++
+      domains.keys.toSeq.sorted.map(c =>
+        check(s"domain:$c", col(s"dom_$c"), col(s"dom_$c") === 0L)) ++
+      nonNegativeCols.map(c =>
+        check(s"non_negative:$c", col(s"neg_$c"), col(s"neg_$c") === 0L)) ++
+      fk.toSeq.map { case (c, _, dimKey) =>
+        check(s"fk:$c->$dimKey", col("fk_viol"), col("fk_viol") === 0L) }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
 }

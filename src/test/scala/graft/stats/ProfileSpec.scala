@@ -177,4 +177,32 @@ class ProfileSpec extends SparkSpec {
       && x.getLong(3) - x.getLong(2) == 7L   // ga span: 8 cells (2^3)
       && x.getLong(5) - x.getLong(4) == 7L)) // gb span: 8 cells
   }
+
+  test("qualityChecks: every constraint class fires on a violating fixture") {
+    import spark.implicits._
+    val fact = Seq(
+      (1L, Option(10L), Option("O"), 5L),
+      (1L, Option(10L), Option("O"), 5L),    // duplicate key
+      (2L, None, Option("F"), 5L),           // null FK column
+      (3L, Option(10L), Option("X"), 5L),    // domain violation
+      (4L, Option(10L), None, -1L),          // null domain value: NOT a
+                                             // domain viol; negative fires
+      (5L, Option(99L), Option("O"), 5L))    // FK miss (no dim 99)
+      .toDF("k", "custkey", "status", "amount")
+    val dim = Seq(10L, 10L).toDF("dk")       // dup dim keys must NOT fan out
+    val r = Profile.qualityChecks(fact, "k",
+        notNullCols = Seq("custkey"),
+        domains = Map("status" -> Seq("O", "F")),
+        nonNegativeCols = Seq("amount"),
+        fk = Some(("custkey", dim, "dk")))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getBoolean(2))))
+      .toMap
+    assert(r("row_count") == ((6L, true)))
+    assert(r("key_unique:k") == ((1L, false)))
+    assert(r("not_null:custkey") == ((1L, false)))
+    assert(r("domain:status") == ((1L, false)))
+    assert(r("non_negative:amount") == ((1L, false)))
+    // misses: the null-custkey row AND the 99 row (null never matches)
+    assert(r("fk:custkey->dk") == ((2L, false)))
+  }
 }

@@ -1333,6 +1333,15 @@ object SparkEntry {
     "events_top_paths" -> ((s, dir) => // dominant 3-step user journeys
       graft.streaming.EventStream.topPaths(events(s, dir), 3, 20)
         .orderBy("rank")),
+    "tpch_status_cube" -> ((s, dir) => // CUBE: cells + both marginals + total
+      graft.stats.Analytics.statusCube(
+        s.read.parquet(s"$dir/lineitem.parquet"), "1998-09-01")
+        .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))),
+    "profile_contingency" -> ((s, dir) => // exact categorical association input
+      graft.stats.Profile.contingency(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", "l_linestatus")
+        .orderBy("x", "y")),
     "profile_quality_checks" -> ((s, dir) => // one-pass constraint verdicts
       graft.stats.Profile.qualityChecks(
         s.read.parquet(s"$dir/orders.parquet"), "o_orderkey",
@@ -1793,6 +1802,23 @@ object SparkEntry {
       s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
     }.mkString(" UNION ALL ") + " ORDER BY column_name"),
     // the same per-column profile, evaluated over both snapshots and
+    // CUBE levels disambiguated by explicit lvl bits (dims never NULL in
+    // the data); integer _e4 money like the rollup
+    "tpch_status_cube" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4, " +
+        "CAST(CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL THEN 3 " +
+        "WHEN l_linestatus IS NULL THEN 1 WHEN l_returnflag IS NULL THEN 2 ELSE 0 END AS BIGINT) AS lvl " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY lvl, l_returnflag, l_linestatus"),
+    // cell relation is |X|x|Y|; marginals as window sums over it
+    "profile_contingency" ->
+      ("WITH cells AS (SELECT CAST(l_returnflag AS VARCHAR) AS x, " +
+        "CAST(l_linestatus AS VARCHAR) AS y, COUNT(*) AS n_xy FROM lineitem GROUP BY 1, 2) " +
+        "SELECT x, y, CAST(n_xy AS BIGINT) AS n_xy, " +
+        "CAST(SUM(n_xy) OVER (PARTITION BY x) AS BIGINT) AS n_x, " +
+        "CAST(SUM(n_xy) OVER (PARTITION BY y) AS BIGINT) AS n_y, " +
+        "CAST(SUM(n_xy) OVER () AS BIGINT) AS n FROM cells ORDER BY x, y"),
     // constraint verdicts: every metric from ONE aggregate over the
     // fact left-joined to distinct dim keys; ASCII check names sort
     // identically in both engines

@@ -721,6 +721,29 @@ object Analytics {
           .when(col("n_name").isNull, 1L).otherwise(0L))
   }
 
+  /** Q1-family CUBE: revenue and item counts for every subset of
+    * (returnflag, linestatus) — cells, BOTH one-dimension marginals, and
+    * the grand total in one pass. The remaining grouping-set geometry
+    * next to [[revenueRollup]]'s hierarchy: CUBE's Expand emits 4 rows
+    * per input row (2^dims), all collapsing into the same map-side
+    * hash-aggregate partials before the single Exchange — at 100 TB the
+    * shuffle still moves only the 4x-of-6-groups reduced relation. The
+    * dimension columns are never NULL in the data, so NULL marks the
+    * rolled-up levels unambiguously; `lvl` encodes the grouping bits
+    * explicitly (0 = cell, 1 = returnflag marginal, 2 = linestatus
+    * marginal, 3 = grand total) rather than relying on engine GROUPING()
+    * bit orders. Integer `_e4` money.
+    * Output: (l_returnflag, l_linestatus, n_items, revenue_e4, lvl). */
+  def statusCube(lineitem: DataFrame, until: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(until).cast("timestamp"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sum(revenueE4).as("revenue_e4"))
+      .withColumn("lvl",
+        when(col("l_returnflag").isNull && col("l_linestatus").isNull, 3L)
+          .when(col("l_linestatus").isNull, 1L)
+          .when(col("l_returnflag").isNull, 2L).otherwise(0L))
+
   /** Reorder-interval profile: per-customer statistics over the gaps
     * between CONSECUTIVE orders — the inter-arrival analysis behind
     * churn/replenishment models, and the one warehouse shape built on

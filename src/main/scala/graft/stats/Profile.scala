@@ -295,6 +295,27 @@ object Profile {
     one.select(explode(rows).as("r")).select("r.*")
   }
 
+  /** Exact contingency table with marginals — the integer input every
+    * categorical-association statistic (chi-square, mutual information,
+    * Cramér's V) is computed FROM, emitted instead of the statistic so
+    * the result stays BIGINT-exact in any engine. One hash aggregate
+    * collapses the table to its cells; the marginal and total sums are
+    * window sums OVER THE CELL RELATION, whose size is |X|·|Y| —
+    * dimension-bounded, never data-bounded — so the global window is the
+    * same documented dimension-sized pattern as the strata/bounds tables
+    * elsewhere in this repo. NULL categories participate as their own
+    * level (they aggregate and join into marginals like any value).
+    * Output: (x, y, n_xy, n_x, n_y, n). */
+  def contingency(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .select(col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    cells
+      .withColumn("n_x", sum("n_xy").over(Window.partitionBy("x")))
+      .withColumn("n_y", sum("n_xy").over(Window.partitionBy("y")))
+      .withColumn("n", sum("n_xy").over(Window.partitionBy()))
+  }
+
   /** Constraint-suite evaluation — the named-check verdict table a
     * pipeline gates ingests on (the declarative data-quality pattern:
     * each constraint yields a violation METRIC and a pass/fail verdict,

@@ -502,4 +502,25 @@ class AnalyticsSpec extends SparkSpec {
         x.getLong(3), x.getLong(4))).toSeq
     assert(r == Seq((100L, "SuppA", "FRANCE", 1L, 6L)))
   }
+
+  test("statusCube: cells, both marginals, grand total, explicit lvl bits") {
+    import spark.implicits._
+    val li = Seq(
+      (100.00, 0.00, "A", "F", ts("1998-01-01")),  // e4 = 10000*100
+      (10.00, 0.10, "A", "O", ts("1998-02-01")),   // e4 = 1000*90
+      (1.00, 0.00, "R", "F", ts("1998-03-01")),    // e4 = 100*100
+      (99.0, 0.0, "R", "F", ts("1999-01-01")))     // past cutoff: excluded
+      .toDF("l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Analytics.statusCube(li, "1998-09-01").collect()
+      .map(x => (Option(x.getString(0)).getOrElse("-"),
+        Option(x.getString(1)).getOrElse("-"),
+        x.getLong(2), x.getLong(3), x.getLong(4))).toSet
+    assert(r == Set(
+      ("A", "F", 1L, 1000000L, 0L), ("A", "O", 1L, 90000L, 0L),
+      ("R", "F", 1L, 10000L, 0L),
+      ("A", "-", 2L, 1090000L, 1L), ("R", "-", 1L, 10000L, 1L),
+      ("-", "F", 2L, 1010000L, 2L), ("-", "O", 1L, 90000L, 2L),
+      ("-", "-", 3L, 1100000L, 3L)))
+  }
 }

@@ -205,4 +205,17 @@ class ProfileSpec extends SparkSpec {
     // misses: the null-custkey row AND the 99 row (null never matches)
     assert(r("fk:custkey->dk") == ((2L, false)))
   }
+
+  test("contingency: exact cells with row/column marginals and total") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
+      .toDF("u", "v")
+    val r = Profile.contingency(df, "u", "v").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toSet
+    assert(r == Set(
+      ("a", "x", 2L, 3L, 3L, 4L),
+      ("a", "y", 1L, 3L, 1L, 4L),
+      ("b", "x", 1L, 1L, 3L, 4L)))
+  }
 }

@@ -1333,6 +1333,13 @@ object SparkEntry {
     "events_top_paths" -> ((s, dir) => // dominant 3-step user journeys
       graft.streaming.EventStream.topPaths(events(s, dir), 3, 20)
         .orderBy("rank")),
+    "tpch_priority_percentiles" -> ((s, dir) => // per-group exact quantiles
+      graft.stats.Profile.groupQuantiles(
+        s.read.parquet(s"$dir/orders.parquet"), "o_orderpriority",
+        round(col("o_totalprice") * 100), Seq(50, 90))
+        .withColumnRenamed("p50", "p50_cents")
+        .withColumnRenamed("p90", "p90_cents")
+        .orderBy("o_orderpriority")),
     "tpch_status_cube" -> ((s, dir) => // CUBE: cells + both marginals + total
       graft.stats.Analytics.statusCube(
         s.read.parquet(s"$dir/lineitem.parquet"), "1998-09-01")
@@ -1802,6 +1809,17 @@ object SparkEntry {
       s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
     }.mkString(" UNION ALL ") + " ORDER BY column_name"),
     // the same per-column profile, evaluated over both snapshots and
+    // per-group quantile_disc via the distinct-value cumulative histogram
+    // — the same integer logic in both engines, never a row sort
+    "tpch_priority_percentiles" ->
+      ("WITH vc AS (SELECT o_orderpriority AS g, CAST(round(o_totalprice*100) AS BIGINT) AS v, COUNT(*) AS c " +
+        "FROM orders GROUP BY 1, 2), " +
+        "cum AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum, " +
+        "SUM(c) OVER (PARTITION BY g) AS cnt FROM vc) " +
+        "SELECT g AS o_orderpriority, CAST(MAX(cnt) AS BIGINT) AS n_rows, " +
+        "CAST(MIN(CASE WHEN cum >= (cnt*50+99)//100 THEN v END) AS BIGINT) AS p50_cents, " +
+        "CAST(MIN(CASE WHEN cum >= (cnt*90+99)//100 THEN v END) AS BIGINT) AS p90_cents " +
+        "FROM cum GROUP BY 1 ORDER BY 1"),
     // CUBE levels disambiguated by explicit lvl bits (dims never NULL in
     // the data); integer _e4 money like the rollup
     "tpch_status_cube" ->

@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -293,6 +293,36 @@ object Profile {
         coalesce(col(s"_${pi}_sxy"), lit(0L)).as("sum_xy"))
     }: _*)
     one.select(explode(rows).as("r")).select("r.*")
+  }
+
+  /** Exact per-group discrete quantiles WITHOUT sorting the data: the
+    * group-partitioned generalization of [[quantiles]], built like
+    * [[equidepthHistogram]] — aggregate to per-(group, value) counts
+    * first, then cumulative window sums over that DISTINCT-VALUE
+    * relation (bounded by value cardinality, never row count), then the
+    * p-th quantile is the least value whose cumulative count reaches
+    * ceil(n·p/100) — quantile_disc semantics, integer-exact. The naive
+    * shape (rank window over raw rows) caps parallelism at the number
+    * of groups and sorts every row; this one's only per-group sort
+    * touches distinct values. `value` should be an integer-valued
+    * expression (cents, counts) so engines cannot disagree.
+    * Output: (group, n_rows, p<p> for each p). */
+  def groupQuantiles(df: DataFrame, groupCol: String, value: Column,
+      ps: Seq[Int] = Seq(50, 90)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
+      "percentiles must be in (0, 100]")
+    val vc = df.select(col(groupCol).as("g"), value.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val cum = vc
+      .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("v")))
+      .withColumn("cnt", sum("c").over(Window.partitionBy("g")))
+    val aggs = max("cnt").as("n_rows") +: ps.map { p =>
+      // ceil(cnt*p/100) in integer space; cnt*p < 2^53 so the double
+      // division truncates exactly
+      val target = floor((col("cnt") * p + lit(99)) / lit(100)).cast("long")
+      min(when(col("cum") >= target, col("v"))).as(s"p$p")
+    }
+    cum.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact contingency table with marginals — the integer input every

@@ -206,6 +206,21 @@ class ProfileSpec extends SparkSpec {
     assert(r("fk:custkey->dk") == ((2L, false)))
   }
 
+  test("groupQuantiles: quantile_disc per group from the value histogram") {
+    import spark.implicits._
+    // group a: values 1..10 → p50 = 5 (cum 5 >= ceil(10*0.5)=5),
+    //                          p90 = 9; p100 = 10
+    // group b: 7,7,7,9 → p50 = 7 (cum 3 >= 2), p90 = 9 (ceil(3.6)=4), p100 = 9
+    import org.apache.spark.sql.functions.col
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 7L), ("b", 7L), ("b", 7L), ("b", 9L))).toDF("g", "v")
+    val r = Profile.groupQuantiles(df, "g", col("v"), Seq(50, 90, 100))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("a") == ((10L, 5L, 9L, 10L)))
+    assert(r("b") == ((4L, 7L, 9L, 9L)))
+  }
+
   test("contingency: exact cells with row/column marginals and total") {
     import spark.implicits._
     val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))

@@ -1333,6 +1333,18 @@ object SparkEntry {
     "events_top_paths" -> ((s, dir) => // dominant 3-step user journeys
       graft.streaming.EventStream.topPaths(events(s, dir), 3, 20)
         .orderBy("rank")),
+    "tpch_cohort_revenue" -> ((s, dir) => // first-order-year LTV matrix
+      graft.stats.Analytics.cohortRevenue(
+        s.read.parquet(s"$dir/orders.parquet"))
+        .orderBy("cohort_year", "order_year")),
+    "dedup_source_report" -> ((s, dir) => // per-source exact-dup mass
+      graft.dedup.Dedup.sourceDupReport(docs(s, dir)).orderBy("source")),
+    "sim_knn_confusion" -> ((s, dir) => // label confusion matrix over k-NN
+      Similarity.knnClassify(emb(s, dir), col("vec_id") % 100 === 0, 10)
+        .groupBy("label", "pred_label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+        .orderBy("label", "pred_label")),
     "tpch_priority_percentiles" -> ((s, dir) => // per-group exact quantiles
       graft.stats.Profile.groupQuantiles(
         s.read.parquet(s"$dir/orders.parquet"), "o_orderpriority",
@@ -1809,6 +1821,31 @@ object SparkEntry {
       s"SELECT '$c' AS column_name, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val FROM lineitem"
     }.mkString(" UNION ALL ") + " ORDER BY column_name"),
     // the same per-column profile, evaluated over both snapshots and
+    // min-of-year == year-of-min (monotone); integer cents
+    "tpch_cohort_revenue" ->
+      ("WITH c AS (SELECT o_custkey, MIN(CAST(year(o_orderdate) AS BIGINT)) AS cohort_year FROM orders GROUP BY 1) " +
+        "SELECT c.cohort_year, CAST(year(o.o_orderdate) AS BIGINT) AS order_year, " +
+        "CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+        "CAST(SUM(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM orders o JOIN c ON o.o_custkey = c.o_custkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // md5 hex is engine-identical; only 32-byte keys ever aggregate
+    "dedup_source_report" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique, " +
+        "CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
+    // confusion rollup of the knn_classify relation (same CTE chain)
+    "sim_knn_confusion" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), " +
+        "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score FROM q, embeddings e WHERE e.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM s), " +
+        "v AS (SELECT r.query_id, CAST(e.label AS BIGINT) AS nl, COUNT(*) AS cnt FROM r JOIN embeddings e ON e.vec_id = r.vec_id WHERE r.rnk <= 10 GROUP BY 1,2), " +
+        "p AS (SELECT query_id, nl AS pred_label FROM (SELECT query_id, nl, cnt, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, nl) AS rn FROM v) WHERE rn = 1) " +
+        "SELECT CAST(e.label AS BIGINT) AS label, p.pred_label, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN CAST(e.label AS BIGINT) = p.pred_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct " +
+        "FROM p JOIN embeddings e ON e.vec_id = p.query_id GROUP BY 1, 2 ORDER BY 1, 2"),
     // per-group quantile_disc via the distinct-value cumulative histogram
     // — the same integer logic in both engines, never a row sort
     "tpch_priority_percentiles" ->

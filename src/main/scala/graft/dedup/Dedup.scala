@@ -29,6 +29,19 @@ object Dedup {
       .withColumn("keep", col("doc_id") === min("doc_id").over(w))
   }
 
+  /** Per-source duplication report — the corpus-intake dashboard row:
+    * how much of each source is exact-duplicate mass. One md5 projection
+    * (32-byte keys shuffle, never text) and one aggregate; the single
+    * `count_distinct` is the only Expand. Duplicates counted per source
+    * independently (a doc repeated across sources counts in both — the
+    * cross-source view is [[crossSourceOverlap]]'s job).
+    * Output: (source, n_docs, n_unique, n_dups). */
+  def sourceDupReport(docs: DataFrame): DataFrame =
+    docs.select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), count_distinct(col("h")).as("n_unique"))
+      .withColumn("n_dups", col("n_docs") - col("n_unique"))
+
   /** Shingles shared by more documents than this are dropped before any
     * inverted-index self-join (the standard stop-shingle cap): a single
     * boilerplate shingle with document frequency f contributes f^2 rows to

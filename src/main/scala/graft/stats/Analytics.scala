@@ -744,6 +744,32 @@ object Analytics {
           .when(col("l_linestatus").isNull, 1L)
           .when(col("l_returnflag").isNull, 2L).otherwise(0L))
 
+  /** Acquisition-cohort revenue matrix — customers grouped by FIRST
+    * order year, revenue tracked across subsequent order years: the
+    * lifetime-value table behind every retention curve. The classic
+    * two-phase decorrelation: a per-customer aggregate derives the
+    * cohort (min order year — year() is monotone, so min-of-year equals
+    * year-of-min), joins back on the same o_custkey the aggregate
+    * already partitioned by (no third shuffle shape to pay), and the
+    * matrix rollup is one map-side-combinable aggregate whose output is
+    * years×years — constant-bounded. The lone `count_distinct` rides
+    * the matrix aggregate (active customers per cell). Integer cents.
+    * Output: (cohort_year, order_year, n_customers, n_orders,
+    * revenue_cents). */
+  def cohortRevenue(orders: DataFrame): DataFrame = {
+    val cohorts = orders
+      .groupBy("o_custkey")
+      .agg(min(year(col("o_orderdate")).cast("long")).as("cohort_year"))
+    orders
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("order_year"),
+        cents(col("o_totalprice")).as("cents"))
+      .join(cohorts, Seq("o_custkey"))
+      .groupBy("cohort_year", "order_year")
+      .agg(count_distinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum("cents").as("revenue_cents"))
+  }
+
   /** Reorder-interval profile: per-customer statistics over the gaps
     * between CONSECUTIVE orders — the inter-arrival analysis behind
     * churn/replenishment models, and the one warehouse shape built on

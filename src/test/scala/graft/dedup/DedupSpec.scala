@@ -306,4 +306,16 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => x).toSeq
     assert(spans == spans64 && spans.nonEmpty)
   }
+
+  test("sourceDupReport: per-source dup mass; cross-source repeats count in both") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "dup", "web"), (2L, "dup", "web"), (3L, "solo", "web"),
+      (4L, "dup", "books"))   // same text, other source: unique THERE
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.sourceDupReport(d).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r == Map("web" -> ((3L, 2L, 1L)), "books" -> ((1L, 1L, 0L))))
+  }
 }

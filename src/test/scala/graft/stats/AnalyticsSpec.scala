@@ -503,6 +503,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(r == Seq((100L, "SuppA", "FRANCE", 1L, 6L)))
   }
 
+  test("cohortRevenue: first-order-year cohorts, per-cell actives and cents") {
+    import spark.implicits._
+    val ord = Seq(
+      (1L, 10L, ts("1996-03-01"), 1.00),  // cust 10: cohort 1996
+      (2L, 10L, ts("1997-01-01"), 2.00),
+      (3L, 11L, ts("1996-06-01"), 4.00),  // cust 11: cohort 1996
+      (4L, 12L, ts("1997-05-01"), 8.00))  // cust 12: cohort 1997
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val r = Analytics.cohortRevenue(ord).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map(
+      (1996L, 1996L) -> ((2L, 2L, 500L)),   // custs 10+11, 100+400 cents
+      (1996L, 1997L) -> ((1L, 1L, 200L)),   // cust 10 returning
+      (1997L, 1997L) -> ((1L, 1L, 800L))))  // cust 12 new
+  }
+
   test("statusCube: cells, both marginals, grand total, explicit lvl bits") {
     import spark.implicits._
     val li = Seq(

@@ -1361,6 +1361,16 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet"),
         "l_returnflag", "l_linestatus")
         .orderBy("x", "y")),
+    "profile_fds" -> ((s, dir) => // exact single-column FD discovery
+      graft.stats.Profile.functionalDeps(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("lhs", "rhs")),
+    "profile_uniques" -> ((s, dir) => // UCC discovery, arity <= 2
+      graft.stats.Profile.uniqueCombinations(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("combo")),
     "profile_quality_checks" -> ((s, dir) => // one-pass constraint verdicts
       graft.stats.Profile.qualityChecks(
         s.read.parquet(s"$dir/orders.parquet"), "o_orderkey",
@@ -1877,6 +1887,29 @@ object SparkEntry {
     // constraint verdicts: every metric from ONE aggregate over the
     // fact left-joined to distinct dim keys; ASCII check names sort
     // identically in both engines
+    // FD X->Y holds iff |distinct(X,Y)| == |distinct X|; values compare
+    // as strings exactly like the Spark side's injective casts
+    "profile_fds" -> {
+      val fdCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      (for { x <- fdCols; y <- fdCols if x != y } yield
+        s"SELECT '$x' AS lhs, '$y' AS rhs, COUNT(DISTINCT l) AS n_lhs, " +
+          "COUNT(*) AS n_pairs, COUNT(*) - COUNT(DISTINCT l) AS n_violations, " +
+          "COUNT(*) = COUNT(DISTINCT l) AS holds FROM " +
+          s"(SELECT DISTINCT CAST($x AS VARCHAR) AS l, CAST($y AS VARCHAR) AS r FROM orders)"
+        ).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY lhs, rhs")
+    },
+    "profile_uniques" -> {
+      val uCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val singles = uCols.map(c =>
+        s"SELECT '$c' AS combo, COUNT(DISTINCT CAST($c AS VARCHAR)) AS n_distinct FROM orders")
+      val pairs = for { (x, i) <- uCols.zipWithIndex; y <- uCols.drop(i + 1) } yield
+        s"SELECT '$x,$y' AS combo, COUNT(*) AS n_distinct FROM " +
+          s"(SELECT DISTINCT CAST($x AS VARCHAR) AS a, CAST($y AS VARCHAR) AS b FROM orders)"
+      (singles ++ pairs).mkString(
+        "WITH t AS (SELECT COUNT(*) AS n_rows FROM orders) SELECT combo, n_distinct, n_rows, " +
+          "n_distinct = n_rows AS is_unique FROM (", " UNION ALL ",
+        ") CROSS JOIN t ORDER BY combo")
+    },
     "profile_quality_checks" ->
       ("WITH j AS (SELECT o.*, c.c_custkey AS dimk FROM orders o " +
         "LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey), " +

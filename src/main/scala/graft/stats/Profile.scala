@@ -403,4 +403,68 @@ object Profile {
         check(s"fk:$c->$dimKey", col("fk_viol"), col("fk_viol") === 0L) }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Exact single-column functional-dependency discovery: for every
+    * ordered pair (X, Y) of the given columns, does X → Y hold — i.e.
+    * does each X value map to exactly ONE Y value? The sibling dependency
+    * class to the reference's inclusion dependencies (rdfind mines INDs;
+    * FDs and UCCs are the other two classics of the same data-profiling
+    * family), expressed over arbitrary relations.
+    *
+    * Shape chosen FOR scale: the naive plan (one aggregate with
+    * `count_distinct(struct(x, y))` per pair) Expands every input row
+    * p²+p times before the shuffle. Instead each row explodes into its
+    * p·(p−1) (pair, x-value, y-value) instances and is immediately
+    * `distinct()`-ed — the map-side partial aggregate collapses repeats
+    * inside each task, so the ONE wide shuffle carries Σ|π_{X,Y}| rows
+    * (the sum of distinct value-pair relations — vocabulary-sized), never
+    * p²·N. Two narrow vocabulary-sized aggregates then reduce each pair
+    * to a verdict: X → Y holds iff no X value owns two distinct Y values.
+    * Values compare as strings (casts from the int/string/date columns a
+    * profile targets are injective, so distinctness is preserved; skip
+    * raw doubles, whose rendering is engine-specific).
+    *
+    * Output: (lhs, rhs, n_lhs = |π_X|, n_pairs = |π_{X,Y}|,
+    * n_violations = n_pairs − n_lhs, holds), one row per ordered pair. */
+  def functionalDeps(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "FD discovery needs at least two columns")
+    val arms = for { x <- cols; y <- cols if x != y } yield
+      struct(lit(x).as("lhs"), lit(y).as("rhs"),
+        col(x).cast("string").as("lv"), col(y).cast("string").as("rv"))
+    df.select(explode(array(arms: _*)).as("e")).select(col("e.*"))
+      .distinct()
+      .groupBy("lhs", "rhs", "lv").agg(count(lit(1)).as("k"))
+      .groupBy("lhs", "rhs").agg(
+        count(lit(1)).as("n_lhs"),
+        sum("k").as("n_pairs"),
+        (sum("k") - count(lit(1))).as("n_violations"),
+        (max("k") <= 1L).as("holds"))
+  }
+
+  /** Exact unique-column-combination discovery (arity ≤ 2): which single
+    * columns and which column pairs form a key of the relation? A combo
+    * is unique iff its distinct-value count equals the row count. Same
+    * distinct-before-shuffle shape as [[functionalDeps]]: rows explode
+    * into (combo, v1, v2) instances (singles carry v2 = "", which cannot
+    * collide with pairs — the combo name disambiguates) and map-side
+    * `distinct()` bounds the shuffle by the sum of the combos' distinct
+    * counts. The row total joins in from a broadcast single-row aggregate
+    * (the repo's documented scalar pattern).
+    * Output: (combo, n_distinct, n_rows, is_unique). */
+  def uniqueCombinations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "UCC discovery of zero columns")
+    val singles = cols.map(c =>
+      struct(lit(c).as("combo"), col(c).cast("string").as("v1"),
+        lit("").as("v2")))
+    val pairs = for { (x, i) <- cols.zipWithIndex; y <- cols.drop(i + 1) }
+      yield struct(lit(s"$x,$y").as("combo"), col(x).cast("string").as("v1"),
+        col(y).cast("string").as("v2"))
+    val counts = df
+      .select(explode(array((singles ++ pairs): _*)).as("e")).select(col("e.*"))
+      .distinct()
+      .groupBy("combo").agg(count(lit(1)).as("n_distinct"))
+    val total = df.agg(count(lit(1)).as("n_rows"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("is_unique", col("n_distinct") === col("n_rows"))
+  }
 }

@@ -256,6 +256,14 @@ object ExplainAudit {
       // exchange is the caller's ORDER BY
       showFinal("tpch_order_gaps", graft.stats.Analytics.orderGaps(
         spark.read.parquet(s"$dir/orders.parquet"), 4L))
+    if (which == "all" || which == "fds")
+      // the scale claim to verify: ONE wide exchange, fed by a partial
+      // (map-side) HashAggregate over the exploded pair instances —
+      // shuffle rows bounded by sum of distinct-pair relations, never
+      // p^2 x N; the two verdict aggregates after it are vocab-sized
+      showFinal("profile_fds", graft.stats.Profile.functionalDeps(
+        spark.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
     spark.stop()
   }
 }

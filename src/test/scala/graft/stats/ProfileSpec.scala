@@ -233,4 +233,38 @@ class ProfileSpec extends SparkSpec {
       ("a", "y", 1L, 3L, 1L, 4L),
       ("b", "x", 1L, 1L, 3L, 4L)))
   }
+
+  test("functionalDeps: holds iff every LHS value owns one RHS value") {
+    import spark.implicits._
+    // id -> city holds (key); city -> zip holds; zip -> city violated
+    // (zip 10 maps to both X and Y); repeats must not affect verdicts
+    val df = Seq(
+      (1L, "X", 10L), (2L, "X", 10L), (2L, "X", 10L),
+      (3L, "Y", 10L), (4L, "Y", 20L))
+      .toDF("id", "city", "zip")
+    val r = Profile.functionalDeps(df, Seq("id", "city", "zip"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getBoolean(5)))).toMap
+    assert(r.size == 6)
+    assert(r(("id", "city")) == ((4L, 4L, 0L, true)))
+    assert(r(("id", "zip")) == ((4L, 4L, 0L, true)))
+    assert(r(("city", "zip")) == ((2L, 3L, 1L, false))) // Y -> {10, 20}
+    assert(r(("zip", "city")) == ((2L, 3L, 1L, false))) // 10 -> {X, Y}
+    assert(r(("city", "id")) == ((2L, 4L, 2L, false)))
+    assert(r(("zip", "id")) == ((2L, 4L, 2L, false)))
+  }
+
+  test("uniqueCombinations: singles and pairs vs the row count") {
+    import spark.implicits._
+    // (a,b) is a key; neither column alone is; trailing "" sentinel in
+    // singles must not collide with pair encodings
+    val df = Seq((1L, "p"), (1L, "q"), (2L, "p")).toDF("a", "b")
+    val r = Profile.uniqueCombinations(df, Seq("a", "b"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r == Map(
+      "a" -> ((2L, 3L, false)),
+      "b" -> ((2L, 3L, false)),
+      "a,b" -> ((3L, 3L, true))))
+  }
 }

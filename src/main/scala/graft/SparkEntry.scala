@@ -534,6 +534,9 @@ object SparkEntry {
       TripleStats.countDistinctValues(triples(s, dir))),
     "stats_hash_collisions" -> ((s, dir) =>
       TripleStats.hashCollisions(triples(s, dir)).orderBy("hash")),
+    "stats_degree_distribution" -> ((s, dir) => // graph structure profile
+      TripleStats.degreeDistribution(triples(s, dir))
+        .orderBy("side", "degree")),
     "rdf_shorten_urls" -> ((s, dir) =>
       TripleStats.shortenTriples(triples(s, dir), prefixes)
         .orderBy("subj", "pred", "obj")),
@@ -590,6 +593,9 @@ object SparkEntry {
     "events_trending" -> ((s, dir) => // top types per window: WindowGroupLimit
       EventStream.trendingTypes(events(s, dir), 3)
         .orderBy("bucket_start", "rank")),
+    "events_changepoint" -> ((s, dir) => // mean-shift scores on hourly rates
+      EventStream.changepoints(events(s, dir), bucketSec = 3600L, w = 6)
+        .orderBy("event_type", "bucket_start")),
     "events_hopping_stream" -> ((s, dir) => {
       // the overlapping-window finalization path through the engine: each
       // event is in TWO in-flight windows; sentinel closes them all
@@ -1517,6 +1523,13 @@ object SparkEntry {
       s"WITH $cte, vals AS (SELECT subj AS v FROM triples UNION SELECT pred FROM triples UNION SELECT obj FROM triples) SELECT COUNT(*) AS n_values, CAST(SUM(CASE WHEN v LIKE '%:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_refs, CAST(SUM(CASE WHEN v LIKE '%:%' THEN 0 ELSE 1 END) AS BIGINT) AS n_literals FROM vals",
     "stats_hash_collisions" ->
       s"WITH $cte, vals AS (SELECT subj AS v FROM triples UNION SELECT pred FROM triples UNION SELECT obj FROM triples) SELECT substr(md5(v),1,4) AS hash, COUNT(*) AS n_values FROM vals GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1",
+    "stats_degree_distribution" ->
+      (s"WITH $cte, o AS (SELECT subj, COUNT(*) AS degree FROM triples GROUP BY 1), " +
+        "i AS (SELECT obj, COUNT(*) AS degree FROM triples GROUP BY 1) " +
+        "SELECT side, degree, n_nodes FROM (" +
+        "SELECT 'out' AS side, degree, COUNT(*) AS n_nodes FROM o GROUP BY 2 " +
+        "UNION ALL SELECT 'in', degree, COUNT(*) FROM i GROUP BY 2) " +
+        "ORDER BY side, degree"),
     "rdf_shorten_urls" ->
       s"WITH $cte SELECT ${shortenSql("subj")} AS subj, pred, ${shortenSql("obj")} AS obj FROM triples ORDER BY 1,2,3",
     "rdf_parse_ntriples" ->
@@ -1555,6 +1568,18 @@ object SparkEntry {
     "events_window_users" -> windowUsersOracleSql,
     "events_window_users_stream" -> windowUsersOracleSql,
     // the streaming session_window execution answers the same
+    // same populated-bucket relation and symmetric row frames both sides
+    "events_changepoint" ->
+      ("WITH r AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))/3600)*3600 AS BIGINT) AS bucket_start, " +
+        "COUNT(*) AS n_events FROM events GROUP BY 1,2), " +
+        "s AS (SELECT *, " +
+        "SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket_start ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS before_sum, " +
+        "SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket_start ROWS BETWEEN 1 FOLLOWING AND 6 FOLLOWING) AS after_sum, " +
+        "COUNT(*) OVER (PARTITION BY event_type ORDER BY bucket_start ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS nb, " +
+        "COUNT(*) OVER (PARTITION BY event_type ORDER BY bucket_start ROWS BETWEEN 1 FOLLOWING AND 6 FOLLOWING) AS na FROM r) " +
+        "SELECT event_type, bucket_start, n_events, before_sum, after_sum, " +
+        "after_sum - before_sum AS shift FROM s WHERE nb = 6 AND na = 6 " +
+        "ORDER BY event_type, bucket_start"),
     "events_trending" ->
       ("WITH c AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, " +
         "event_type, COUNT(*) AS n_events FROM events GROUP BY 1,2), " +

@@ -48,6 +48,22 @@ object TripleStats {
         sum(when(col("v").contains(":"), 1L).otherwise(0L)).as("n_refs"),
         sum(when(col("v").contains(":"), 0L).otherwise(1L)).as("n_literals"))
 
+  /** Degree distribution of the RDF graph — the first structural profile
+    * of an unknown triple corpus: how many subjects emit k triples
+    * (out-degree) and how many objects receive k (in-degree). Two
+    * two-level aggregate chains: the first shuffle is bounded by the
+    * distinct node vocabulary (map-side combine collapses each node's
+    * triples per task), the second by the distinct DEGREE values — a
+    * histogram-sized relation. No window, no sort until the caller's
+    * ORDER BY. Output: (side 'out'|'in', degree, n_nodes). */
+  def degreeDistribution(triples: DataFrame): DataFrame = {
+    def side(node: String, label: String) =
+      triples.groupBy(col(node).as("node")).agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .select(lit(label).as("side"), col("degree"), col("n_nodes"))
+    side("subj", "out").unionAll(side("obj", "in"))
+  }
+
   /** Hash collisions over the distinct value vocabulary
     * (reference programs/CheckHashCollisions.scala:46-73; hash-agnostic
     * semantics — we use a 16-bit md5 prefix so both Spark and any SQL oracle

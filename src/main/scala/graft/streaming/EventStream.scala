@@ -324,6 +324,47 @@ object EventStream {
       .select("event_id", "event_type", "value_milli", "thr_milli")
   }
 
+  /** Sliding-window mean-shift changepoint scores over the per-type
+    * event-rate series: bucket events into `bucketSec` windows, then for
+    * every bucket with `w` populated buckets on BOTH sides, score the
+    * level shift as sum(next w) − sum(previous w). A spike or drop in a
+    * type's rate shows up as a large |shift| centered on the change —
+    * the deterministic two-sample precursor to CUSUM (whose running
+    * reset-max is a recursion neither SQL engine expresses; the
+    * symmetric-window form is exactly reproducible in both).
+    *
+    * Scale: one hash-agg shuffle reduces the event stream to the
+    * (type, bucket) rate relation — bounded by types × time buckets,
+    * never row count; the scoring window partitions by type and is
+    * serial only in a type's BUCKET count (a 100 TB year of hourly
+    * buckets is 8,760 rows per type). Frames span populated buckets
+    * (empty buckets don't emit rows — both engines see the same
+    * relation).
+    * Output: (event_type, bucket_start, n_events, before_sum,
+    * after_sum, shift), rows where both frames are full. */
+  def changepoints(events: DataFrame, bucketSec: Long = 3600,
+      w: Int = 6): DataFrame = {
+    require(w >= 1, "window must span at least one bucket")
+    import org.apache.spark.sql.expressions.Window
+    val rate = events
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / bucketSec) * bucketSec)
+          .cast("long").as("bucket_start"))
+      .groupBy("event_type", "bucket_start").agg(count(lit(1)).as("n_events"))
+    val ord = Window.partitionBy("event_type").orderBy("bucket_start")
+    val before = ord.rowsBetween(-w, -1)
+    val after = ord.rowsBetween(1, w)
+    rate
+      .withColumn("before_sum", sum("n_events").over(before))
+      .withColumn("after_sum", sum("n_events").over(after))
+      .withColumn("nb", count(lit(1)).over(before))
+      .withColumn("na", count(lit(1)).over(after))
+      .filter(col("nb") === w && col("na") === w)
+      .select(col("event_type"), col("bucket_start"), col("n_events"),
+        col("before_sum"), col("after_sum"),
+        (col("after_sum") - col("before_sum")).as("shift"))
+  }
+
   /** Range join: each left row gets the ranges [lo, hi) that contain
     * `valueCol`. Spark plans a plain `lo <= v AND v < hi` join as
     * BroadcastNestedLoopJoin — fine for a literal band table, quadratic

@@ -80,4 +80,16 @@ class BgpSpec extends SparkSpec {
       .collect().map(x => (x.getString(0), x.getString(1))).sorted.toSeq
     assert(r2 == Seq(("o1", "DE"), ("o1", "FR")))
   }
+
+  test("degreeDistribution: out over subjects, in over objects") {
+    // subjects: a emits 3, b emits 1 -> out: (1,1),(3,1)
+    // objects: x receives 2, y 1, b 1 -> in: (1,2),(2,1)
+    val fix = t(
+      ("a", "p", "x"), ("a", "p", "y"), ("a", "q", "x"), ("b", "p", "b"))
+    val r = TripleStats.degreeDistribution(fix).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set(
+      ("out", 1L, 1L), ("out", 3L, 1L),
+      ("in", 1L, 2L), ("in", 2L, 1L)))
+  }
 }

@@ -384,6 +384,26 @@ class EventStreamSpec extends SparkSpec {
     assert(r.forall { case (_, t, v, thr) => t == "A" && thr == 5000L && v > thr })
   }
 
+  test("changepoints: symmetric frames, full-frame rows only, exact shift") {
+    import spark.implicits._
+    // one type, minute buckets, w=2. Rates per bucket 0..6:
+    // 1,1,1,5,5,5,5 (a level shift at bucket 3). Full frames exist for
+    // buckets 2..4: b2 before=1+1=2 after=5+5=10 shift=8;
+    // b3 before=1+1=2 after=5+5=10 shift=8; b4 before=1+5=6 after=10.
+    val ev = (0 to 6).flatMap { b =>
+      val n = if (b < 3) 1 else 5
+      (1 to n).map(i => (Timestamp.valueOf(f"2024-01-01 10:$b%02d:00"), "A", i))
+    }.toDF("ts", "event_type", "x")
+    val r = EventStream.changepoints(ev, bucketSec = 60L, w = 2)
+      .orderBy("bucket_start").collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(r.length == 3)
+    assert(r(0) == ((base + 120, 1L, 2L, 10L, 8L)))
+    assert(r(1) == ((base + 180, 5L, 2L, 10L, 8L)))
+    assert(r(2) == ((base + 240, 5L, 6L, 10L, 4L)))
+  }
+
   test("transitionsStream equals batch transitions across micro-batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

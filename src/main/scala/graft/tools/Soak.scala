@@ -95,11 +95,29 @@ object Soak {
     }
     System.err.println(s"soak inputs: $nTriples triples, $nDocs docs")
 
+    // Timed sink is a noop WRITE, not count(): under count() Catalyst
+    // prunes every column the final row-count doesn't need — for the
+    // nested-aggregate profilers (functionalDeps, uniqueCombinations) that
+    // deletes the distinct() and inner groupBy entirely, reading 3 s for a
+    // pipeline whose materialization costs 23 s (measured, r9). The noop
+    // sink forces the full result; an Observation recovers the row count
+    // from the same single execution.
     def run(name: String, body: => DataFrame): Unit = {
       tally.reset()
+      val obs = org.apache.spark.sql.Observation(name)
       val t0 = System.nanoTime()
-      val rows = body.count()
+      body.observe(obs, count(lit(1)).as("rows"))
+        .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      val rows = obs.get("rows").asInstanceOf[Long]
+      // the listener bus is ASYNC: a short job's stage-completed events
+      // can still be in flight when the write returns, reading as a bogus
+      // 0-MB shuffle. Poll until the tally stops moving (2 quiet reads).
+      var prev = -1L
+      var spins = 0
+      while (tally.totalWrite != prev && spins < 50) {
+        prev = tally.totalWrite; spins += 1; Thread.sleep(100)
+      }
       println(f"""{"query":"$name","rows":$rows,"sec":$sec%.1f,""" +
         f""""shuffle_write_mb":${tally.totalWrite / 1e6}%.0f,""" +
         f""""max_stage_shuffle_mb":${tally.maxStageWrite / 1e6}%.0f}""")
@@ -423,6 +441,26 @@ object Soak {
       System.err.println(s"soak colocated: ${li1.count()} lineitems")
       run("tpch_colocated_join_sf1",
         graft.stats.Analytics.colocatedPriorityRevenue(ord1, li1))
+    }
+    if (which("fds")) {
+      // FD/UCC discovery at 10x facts. Keys shard with offsets (stay
+      // keys), categoricals keep their 3-5 value domains — the worst
+      // case for the distinct-before-shuffle claim is exactly this mix:
+      // the o_orderkey-LHS pairs contribute vocabulary ~= row count
+      // (distinct barely collapses), the categorical-LHS pairs collapse
+      // ~N:1. Shuffle volume should track Σ|π_{X,Y}|, not 12x rows.
+      val OFF = 100000000L
+      val ord1 = spark.read.parquet(s"$sfDir/orders.parquet")
+        .crossJoin(shardIds)
+        .withColumn("o_orderkey", col("o_orderkey") + col("shard").cast("long") * OFF)
+        .withColumn("o_custkey", col("o_custkey") + col("shard").cast("long") * OFF)
+        .drop("shard").persist()
+      System.err.println(s"soak fds: ${ord1.count()} orders")
+      val fdCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      run("profile_fds_sf1", graft.stats.Profile.functionalDeps(ord1, fdCols))
+      run("profile_uniques_sf1", graft.stats.Profile.uniqueCombinations(ord1, fdCols))
+      run("stats_degree_distribution_sf1",
+        graft.rdf.TripleStats.degreeDistribution(triples1))
     }
     spark.stop()
   }

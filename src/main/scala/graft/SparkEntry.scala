@@ -180,6 +180,14 @@ object SparkEntry {
   /** Doc shingle-set sizes + pairwise intersections (over the capped index). */
   private val pairCtes =
     "sz AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1), i AS (SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS inter FROM shc x JOIN shc y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1,2)"
+  /** Hashed-linear classifier score per doc (shared by the scoring,
+    * AUC and calibration oracles) — md5-bucket weights, integer space. */
+  private val clsCtes =
+    "bgf AS (SELECT a.doc_id, a.w || ' ' || b.w AS f FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1), " +
+    "feats AS (SELECT doc_id, w AS f FROM tok UNION ALL SELECT doc_id, f FROM bgf), " +
+    "wt AS (SELECT doc_id, (ascii(substr(md5(f),1,1))*256 + ascii(substr(md5(f),2,1))) % 1001 - 500 AS w FROM feats), " +
+    "sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score FROM wt GROUP BY 1), " +
+    "lb AS (SELECT sc.doc_id, sc.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos FROM sc JOIN documents d USING (doc_id))"
   /** Shared body of the exact-Jaccard pair oracles. */
   private val jaccardSql =
     s"$pairCtes SELECT i.doc_id_a, i.doc_id_b, i.inter, sa.n AS n_a, sb.n AS n_b, CAST(floor(100*i.inter/(sa.n+sb.n-i.inter)) AS BIGINT) AS jaccard_pct FROM i JOIN sz sa ON sa.doc_id = i.doc_id_a JOIN sz sb ON sb.doc_id = i.doc_id_b WHERE floor(100*i.inter/(sa.n+sb.n-i.inter)) >= 50 ORDER BY 1,2"
@@ -1472,7 +1480,23 @@ object SparkEntry {
         .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
       graft.streaming.StreamDriver.transitionsStreamed(s, ev)
         .orderBy("prev_type", "next_type")
-    })
+    }),
+    "tpch_revenue_deciles" -> ((s, dir) => // NTILE over the customer aggregate
+      graft.stats.Analytics.revenueDeciles(
+        s.read.parquet(s"$dir/orders.parquet"), 10)
+        .orderBy("decile")),
+    "text_classifier_auc" -> ((s, dir) => // Mann-Whitney U, distinct-score relation
+      TextAnalysis.classifierAuc(docs(s, dir), "en")),
+    "text_calibration" -> ((s, dir) => // fixed-width reliability bins
+      TextAnalysis.scoreCalibration(docs(s, dir), "en", 5000L)
+        .orderBy("bin")),
+    "er_name_pairs" -> ((s, dir) => // FastSS deletion-neighborhood linkage
+      graft.dedup.Dedup.editNeighborPairs(
+        s.read.parquet(s"$dir/customer.parquet"), "c_custkey", "c_name")
+        .orderBy("a_c_custkey", "b_c_custkey")),
+    "events_attribution" -> ((s, dir) => // last-touch rollup on the as-of core
+      EventStream.attribution(events(s, dir), "purchase", "1 hour")
+        .orderBy("attr_type"))
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -2608,6 +2632,42 @@ object SparkEntry {
           s"CAST(SUM($x*$x) AS BIGINT) AS sum_xx, CAST(SUM($y*$y) AS BIGINT) AS sum_yy, " +
           s"CAST(SUM($x*$y) AS BIGINT) AS sum_xy FROM v"
       }.mkString("", " UNION ALL ", " ORDER BY col_x, col_y")
-    }
+    },
+    "tpch_revenue_deciles" ->
+      ("WITH pc AS (SELECT o_custkey, SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
+        "d AS (SELECT rev, NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile FROM pc) " +
+        "SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_customers, " +
+        "CAST(SUM(rev) AS BIGINT) AS total_cents, CAST(MIN(rev) AS BIGINT) AS min_cents, " +
+        "CAST(MAX(rev) AS BIGINT) AS max_cents FROM d GROUP BY 1 ORDER BY 1"),
+    // midrank Mann-Whitney over the distinct-score histogram; u2 = 2U stays
+    // BIGINT (ranks are half-integers), auc = u2/(2 P N) rounded 6
+    "text_classifier_auc" ->
+      (s"WITH $tokCte, $clsCtes, " +
+        "ps AS (SELECT score, COUNT(*) AS n, SUM(pos) AS np FROM lb GROUP BY 1), " +
+        "c AS (SELECT n, np, SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ps) " +
+        "SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg, " +
+        "CAST(SUM(np*(2*(cum-n)+n+1)) - SUM(np)*(SUM(np)+1) AS BIGINT) AS u2, " +
+        "round(CAST(SUM(np*(2*(cum-n)+n+1)) - SUM(np)*(SUM(np)+1) AS DOUBLE) / (2.0*SUM(np)*(SUM(n)-SUM(np))), 6) AS auc FROM c"),
+    "text_calibration" ->
+      (s"WITH $tokCte, $clsCtes " +
+        "SELECT CAST(floor(CAST(score AS DOUBLE)/5000) AS BIGINT) AS bin, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos, " +
+        "round(CAST(SUM(pos) AS DOUBLE)/COUNT(*), 6) AS pos_rate, " +
+        "round(CAST(SUM(score) AS DOUBLE)/COUNT(*), 6) AS mean_score " +
+        "FROM lb GROUP BY 1 ORDER BY 1"),
+    // blocking is exact for distance <= 1, so the all-pairs oracle and the
+    // deletion-neighborhood plan agree row-for-row
+    "er_name_pairs" ->
+      ("SELECT CAST(a.c_custkey AS BIGINT) AS a_c_custkey, a.c_name AS a_c_name, " +
+        "CAST(b.c_custkey AS BIGINT) AS b_c_custkey, b.c_name AS b_c_name " +
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+        "AND levenshtein(a.c_name, b.c_name) = 1 ORDER BY 1, 3"),
+    "events_attribution" ->
+      ("WITH p AS (SELECT event_id, ts, user_id, CAST(round(value*100) AS BIGINT) AS vc FROM events WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2), " +
+        "a AS (SELECT p.vc, CASE WHEN t.ts IS NOT NULL AND t.ts > p.ts - INTERVAL 1 HOUR THEN t.touch_type ELSE '(none)' END AS attr_type " +
+        "FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts) " +
+        "SELECT attr_type, CAST(COUNT(*) AS BIGINT) AS n_conversions, " +
+        "CAST(SUM(vc) AS BIGINT) AS value_cents FROM a GROUP BY 1 ORDER BY 1")
   )
 }

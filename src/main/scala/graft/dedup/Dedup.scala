@@ -703,4 +703,42 @@ object Dedup {
     pairs.groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Edit-distance-1 record linkage (FastSS / deletion-neighborhood
+    * blocking): all pairs of records whose `nameCol` values are exactly
+    * one edit apart (substitution, insertion or deletion). The classic
+    * quadratic trap is the all-pairs verify; the deletion neighborhood
+    * makes blocking EXACT instead of heuristic — two strings at edit
+    * distance ≤ 1 necessarily share a key in {name} ∪ {single-char
+    * deletions of name}: a substitution pair shares the deletion at the
+    * differing position, an insert/delete pair shares the shorter string
+    * itself. So the candidate join touches only same-key buckets, whose
+    * size is bounded by how many records collide on an (L−1)-gram — the
+    * Σ|bucket|² candidate cost is the same class as the shingle index's
+    * Σdf², with the same property that the exact verify
+    * (`levenshtein == 1`, engine-built-in on both sides) never sees a
+    * pair blocking didn't justify. Keys are L+1 short strings per
+    * DISTINCT name (`array_distinct` collapses the duplicate deletions a
+    * repeated character produces); a pair matching on several keys is
+    * collapsed by one distinct on the verified pair relation. At 100 TB
+    * the working relation is the name VOCABULARY, never the fact rows.
+    * Output: (a_id, a_name, b_id, b_name), a_id < b_id, distance == 1
+    * (equal names are exact-dup territory, not linkage). */
+  def editNeighborPairs(records: DataFrame, idCol: String,
+      nameCol: String): DataFrame = {
+    val keyed = records
+      .select(col(idCol).cast("long").as("_id"), col(nameCol).as("_nm"))
+      .withColumn("_key", explode(array_distinct(array_union(
+        transform(sequence(lit(1), length(col("_nm"))),
+          i => concat(col("_nm").substr(lit(1), i - 1),
+            col("_nm").substr(i + 1, length(col("_nm"))))),
+        array(col("_nm"))))))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a._key") === col("b._key") && col("a._id") < col("b._id"))
+      .filter(levenshtein(col("a._nm"), col("b._nm")) === 1)
+      .select(col("a._id").as(s"a_$idCol"), col("a._nm").as(s"a_$nameCol"),
+        col("b._id").as(s"b_$idCol"), col("b._nm").as(s"b_$nameCol"))
+      .distinct()
+  }
 }

@@ -801,4 +801,30 @@ object Analytics {
         max(col("gap_us")).as("max_gap_us"))
       .filter(col("n_orders") >= minOrders)
   }
+
+  /** Customer revenue deciles — the "who are my top 10% customers"
+    * distribution report. The working relation is the per-customer
+    * aggregate (one map-side-combinable groupBy collapses orders to one
+    * row per customer), so the NTILE window ranks CUSTOMERS, never
+    * orders: the global sort the decile assignment needs runs over the
+    * customer-bounded relation — at 100 TB of orders that is still only
+    * |customers| rows, and range partitioning keeps it parallel (a
+    * single-partition window would be the trap; ntile's frame is the
+    * whole relation, so the sort IS global — acceptable precisely
+    * because the relation is dimension-sized). Ties order by
+    * (revenue desc, o_custkey) so decile boundaries are deterministic in
+    * both engines. Money stays in integer cents end-to-end.
+    * Output: (decile, n_customers, total_cents, min_cents, max_cents). */
+  def revenueDeciles(orders: DataFrame, n: Int = 10): DataFrame = {
+    val perCust = orders.groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    val w = Window.orderBy(col("rev_cents").desc, col("o_custkey"))
+    perCust
+      .withColumn("decile", ntile(n).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("rev_cents").as("total_cents"),
+        min("rev_cents").as("min_cents"),
+        max("rev_cents").as("max_cents"))
+  }
 }

@@ -701,6 +701,38 @@ object EventStream {
         payload.map(p => col(s"_asof.$p").as(s"asof_$p")): _*)
   }
 
+  /** Last-touch attribution — for every conversion event, the user's most
+    * recent NON-conversion event at or before the conversion's timestamp,
+    * counted only when it falls inside `lookback`; conversions with no
+    * in-window touch land in the `(none)` row. Composes [[asOfJoin]]
+    * (union-tag + ONE partitioned window — no per-conversion probe join
+    * ever): touches are first reduced to one row per (user, ts) with the
+    * highest-event_id winner (arg-max by a struct max, making the as-of
+    * contract's "right unique per (key, ts)" hold deterministically),
+    * then the as-of result is checked against the lookback. The
+    * latest-overall-then-check is equivalent to latest-within-window:
+    * any touch inside the window is ≥ every touch outside it, so if the
+    * latest is outside, the window is empty. Revenue stays integer cents.
+    * Output: (attr_type, n_conversions, value_cents). */
+  def attribution(events: DataFrame, conversion: String = "purchase",
+      lookback: String = "1 hour"): DataFrame = {
+    val conv = events.filter(col("event_type") === conversion)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+    val touch = events.filter(col("event_type") =!= conversion)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("_t"))
+      .select(col("user_id"), col("ts"), col("_t.event_type").as("touch_type"))
+    val lb = expr(s"INTERVAL $lookback")
+    asOfJoin(conv, touch, "user_id", "ts", Seq("touch_type", "ts"))
+      .withColumn("attr_type",
+        when(col("asof_ts") > col("ts") - lb, col("asof_touch_type"))
+          .otherwise(lit("(none)")))
+      .groupBy("attr_type")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum("value_cents").as("value_cents"))
+  }
+
   /** Per-user rolling-frame statistics — the "is this event unusual for
     * THIS user" signal feeding rate limiting and anomaly review: over the
     * user's last `frame` events (event-count frame, ordered by ts with

@@ -730,6 +730,61 @@ object TextAnalysis {
       round(regr_r2(ly, lx), 6).as("r2"))
   }
 
+  /** Mann-Whitney AUC of [[classifierScore]] against a binary label
+    * (`lang == posLang`) — the model-eval statistic for a quality filter
+    * at corpus scale. The naive formulation ranks every document in one
+    * global window (corpus-sized sort); here the working relation is the
+    * DISTINCT-SCORE histogram: one map-side-combinable aggregate
+    * collapses the corpus to (score, n, n_pos) rows, a cumulative window
+    * over that score-cardinality-bounded relation assigns midrank mass,
+    * and one final aggregate reduces to a single row — no document row
+    * ever enters a sort. Tie handling is the standard midrank: for a
+    * score block starting after `cum_before` rows with n members,
+    * 2·avgrank = 2·cum_before + n + 1, so `u2` = 2·ΣR⁺ − P(P+1) stays a
+    * BIGINT (ranks are half-integers; doubling keeps every engine
+    * bit-exact). AUC = u2 / (2·P·N), rounded 6 (the suite's standard
+    * last-ulp tolerance on O(1) ratios).
+    * Output: one row (n_pos, n_neg, u2, auc). */
+  def classifierAuc(docs: DataFrame, posLang: String = "en"): DataFrame = {
+    val labeled = classifierScore(docs)
+      .join(docs.select(col("doc_id"),
+        (col("lang") === posLang).cast("long").as("pos")), "doc_id")
+    val perScore = labeled.groupBy("score")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perScore.withColumn("cum_n", sum("n").over(w))
+      .agg(sum("n_pos").as("p"), (sum("n") - sum("n_pos")).as("nn"),
+        sum(col("n_pos") *
+          (lit(2L) * (col("cum_n") - col("n")) + col("n") + lit(1L)))
+          .as("sum_r2"))
+      .select(col("p").as("n_pos"), col("nn").as("n_neg"),
+        (col("sum_r2") - col("p") * (col("p") + lit(1L))).as("u2"),
+        round((col("sum_r2") - col("p") * (col("p") + lit(1L)))
+          .cast("double") / (lit(2.0) * col("p") * col("nn")), 6).as("auc"))
+  }
+
+  /** Reliability diagram for [[classifierScore]]: fixed-width score bins
+    * (never quantile bins — NTILE would need a corpus-wide sort; a
+    * fixed-width bin is a pure map-side expression at any scale) with
+    * per-bin count, positive count, positive rate and mean score. Scores
+    * are integers, so `floor(score / width)` is exact in double well past
+    * any reachable magnitude; the two rates are O(1) ratios rounded 6.
+    * Output: (bin, n, n_pos, pos_rate, mean_score). */
+  def scoreCalibration(docs: DataFrame, posLang: String = "en",
+      width: Long = 5000L): DataFrame = {
+    require(width > 0, "bin width must be positive")
+    classifierScore(docs)
+      .join(docs.select(col("doc_id"),
+        (col("lang") === posLang).cast("long").as("pos")), "doc_id")
+      .groupBy(floor(col("score").cast("double") / width).cast("long")
+        .as("bin"))
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        round(sum("pos").cast("double") / count(lit(1)), 6).as("pos_rate"),
+        round(sum("score").cast("double") / count(lit(1)), 6).as("mean_score"))
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col("text"), lit(pat), lit(0)))

@@ -318,4 +318,33 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(r == Map("web" -> ((3L, 2L, 1L)), "books" -> ((1L, 1L, 0L))))
   }
+
+  test("editNeighborPairs matches the all-pairs levenshtein==1 oracle") {
+    import spark.implicits._
+    // substitutions (abc/abd), insert/delete (abc/abcd, abc/ab), a
+    // multi-key false-positive candidate (abc/acb shares TWO deletion
+    // keys but is distance 2), and an equal-name pair (7/8) which is
+    // exact-dup territory, not linkage
+    val names = Seq(1L -> "abc", 2L -> "abd", 3L -> "abcd", 4L -> "ab",
+      5L -> "acb", 6L -> "xyz", 7L -> "same", 8L -> "same")
+    val df = names.toDF("id", "name")
+    val got = Dedup.editNeighborPairs(df, "id", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev(na, nb) == 1
+    } yield (ia, ib)).sorted
+    assert(got == want)
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) &&
+      got.contains((1L, 4L)) && !got.contains((1L, 5L)) &&
+      !got.contains((7L, 8L)))
+  }
 }

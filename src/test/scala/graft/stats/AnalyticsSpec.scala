@@ -540,4 +540,25 @@ class AnalyticsSpec extends SparkSpec {
       ("-", "F", 2L, 1010000L, 2L), ("-", "O", 1L, 90000L, 2L),
       ("-", "-", 3L, 1100000L, 3L)))
   }
+
+  test("revenueDeciles: customer aggregate first, deterministic tie order") {
+    import spark.implicits._
+    // 4 customers, quartiles (n=4): revenues 30, 20, 20, 10 — the two
+    // ties order by custkey, so quartile 2 is custkey 1, quartile 3 is
+    // custkey 3 (both 2000 cents)
+    val orders = Seq(
+      (1L, 10.00), (1L, 10.00),   // cust 1: 2000 cents
+      (2L, 30.00),                // cust 2: 3000
+      (3L, 20.00),                // cust 3: 2000
+      (4L, 10.00))                // cust 4: 1000
+      .toDF("o_custkey", "o_totalprice")
+    val r = Analytics.revenueDeciles(orders, 4).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map(
+      1L -> ((1L, 3000L, 3000L, 3000L)),
+      2L -> ((1L, 2000L, 2000L, 2000L)),
+      3L -> ((1L, 2000L, 2000L, 2000L)),
+      4L -> ((1L, 1000L, 1000L, 1000L))))
+  }
 }

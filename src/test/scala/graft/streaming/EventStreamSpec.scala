@@ -452,4 +452,28 @@ class EventStreamSpec extends SparkSpec {
     val r = EventStream.topPaths(ev, depth = 3, k = 10).collect()
     assert(r.length == 1 && r.head.getString(1) == "a>b>c")
   }
+
+  test("attribution: last touch inside lookback, equal-ts touch counts, (none) bucket") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click@0, view@5, purchase@6 -> attributes to view (latest)
+      (1L, ts(0), 1L, "click", 0.0), (2L, ts(5), 1L, "view", 0.0),
+      (3L, ts(6), 1L, "purchase", 10.0),
+      // user 2: touch at the SAME instant as the purchase -> counts
+      (4L, ts(10), 2L, "click", 0.0), (5L, ts(10), 2L, "purchase", 20.0),
+      // user 3: latest touch outside the 10-minute lookback -> (none)
+      (6L, ts(0), 3L, "view", 0.0), (7L, ts(20), 3L, "purchase", 5.0),
+      // user 4: no touch at all -> (none)
+      (8L, ts(30), 4L, "purchase", 1.5),
+      // user 2 again: two touches at one instant -> max event_id wins
+      (9L, ts(40), 2L, "view", 0.0), (10L, ts(40), 2L, "click", 0.0),
+      (11L, ts(41), 2L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.attribution(ev, "purchase", "10 minutes").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(
+      "view" -> ((1L, 1000L)),     // user 1
+      "click" -> ((2L, 2200L)),    // user 2 twice (equal-ts + id-10 click)
+      "(none)" -> ((2L, 650L))))   // users 3 and 4
+  }
 }

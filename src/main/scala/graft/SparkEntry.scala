@@ -1496,7 +1496,48 @@ object SparkEntry {
         .orderBy("a_c_custkey", "b_c_custkey")),
     "events_attribution" -> ((s, dir) => // last-touch rollup on the as-of core
       EventStream.attribution(events(s, dir), "purchase", "1 hour")
-        .orderBy("attr_type"))
+        .orderBy("attr_type")),
+    "events_attribution_stream" -> ((s, dir) => {
+      // the SAME last-touch attribution as events_attribution, with the
+      // as-of core executed through the STREAMING engine (the 18th
+      // engine-verified query): conversions and (user, ts)-reduced
+      // touches feed the watermarked flatMapGroupsWithState as-of state
+      // machine; the touch type is DICTIONARY-ENCODED so strings never
+      // enter stream state, and the lookback check + rollup run
+      // batch-side on the appended rows (counts commute with arrival
+      // order — same precedent as events_transitions_stream). Shares the
+      // batch oracle verbatim.
+      import s.implicits._
+      val ev = events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+      val types = ev.filter(col("event_type") =!= "purchase")
+        .select("event_type").distinct().as[String].collect().sorted
+      val code = types.zipWithIndex.toMap
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max(struct(col("event_id"), col("event_type"))).as("_t"))
+        .select(col("user_id"), col("ts"), col("_t.event_type"))
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+        .map { case (u, t, ty) => (u, t, code(ty).toDouble) }
+      val joined = graft.streaming.StreamDriver.asOfStreamed(s, conv, touches)
+      val decoded = types.zipWithIndex.foldLeft(lit("(none)")) {
+        case (acc, (t, i)) =>
+          when(col("asof_v") === lit(i.toDouble), lit(t)).otherwise(acc)
+      }
+      val vals = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("id"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+      joined.join(vals, "id")
+        .withColumn("attr_type",
+          when(col("asof_ts") > col("ts") - expr("INTERVAL 1 hour"), decoded)
+            .otherwise(lit("(none)")))
+        .groupBy("attr_type")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum("value_cents").as("value_cents"))
+        .orderBy("attr_type")
+    })
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -2663,6 +2704,14 @@ object SparkEntry {
         "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
         "AND levenshtein(a.c_name, b.c_name) = 1 ORDER BY 1, 3"),
     "events_attribution" ->
+      ("WITH p AS (SELECT event_id, ts, user_id, CAST(round(value*100) AS BIGINT) AS vc FROM events WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2), " +
+        "a AS (SELECT p.vc, CASE WHEN t.ts IS NOT NULL AND t.ts > p.ts - INTERVAL 1 HOUR THEN t.touch_type ELSE '(none)' END AS attr_type " +
+        "FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts) " +
+        "SELECT attr_type, CAST(COUNT(*) AS BIGINT) AS n_conversions, " +
+        "CAST(SUM(vc) AS BIGINT) AS value_cents FROM a GROUP BY 1 ORDER BY 1"),
+    // the streaming execution answers the SAME attribution question
+    "events_attribution_stream" ->
       ("WITH p AS (SELECT event_id, ts, user_id, CAST(round(value*100) AS BIGINT) AS vc FROM events WHERE event_type = 'purchase'), " +
         "t AS (SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2), " +
         "a AS (SELECT p.vc, CASE WHEN t.ts IS NOT NULL AND t.ts > p.ts - INTERVAL 1 HOUR THEN t.touch_type ELSE '(none)' END AS attr_type " +

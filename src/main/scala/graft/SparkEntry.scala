@@ -1092,6 +1092,19 @@ object SparkEntry {
     }),
     "text_hll_registers" -> ((s, dir) => // HyperLogLog as a 2^p-row relation
       TextAnalysis.hllRegisters(docs(s, dir), 10).orderBy("register")),
+    "text_kmv_distinct" -> ((s, dir) => // k-minimum-values distinct estimate
+      TextAnalysis.kmvDistinct(docs(s, dir), 64).orderBy("source")),
+    "text_kmv_overlap" -> ((s, dir) => // theta-sketch pairwise set overlap
+      TextAnalysis.kmvOverlap(docs(s, dir), 64)
+        .orderBy("source_a", "source_b")),
+    "text_kmv_stream" -> ((s, dir) => { // sharded online k-min, bounded state
+      import s.implicits._
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+      graft.streaming.StreamDriver.kmvStreamed(s, batches, 64, 8)
+        .orderBy("rank")
+    }),
     "text_cms_estimates" -> ((s, dir) => // Count-Min point queries vs exact
       TextAnalysis.cmsEstimates(docs(s, dir), 4, 1024, 50).orderBy("token")),
     "text_triangles" -> ((s, dir) => { // wedge-join clustering structure
@@ -2710,6 +2723,43 @@ object SparkEntry {
         "FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts) " +
         "SELECT attr_type, CAST(COUNT(*) AS BIGINT) AS n_conversions, " +
         "CAST(SUM(vc) AS BIGINT) AS value_cents FROM a GROUP BY 1 ORDER BY 1"),
+    // KMV/theta sketches over per-doc-distinct 3-token shingle hashes
+    // (shared md5-prefix hash; the 32 tokens are too few, shingles give
+    // a real value space). s2 = the per-source k-min sketch relation.
+    "text_kmv_distinct" ->
+      (s"WITH $tokCte, $shCte, " +
+        "shs AS (SELECT d.source, s.sh FROM sh s JOIN documents d USING (doc_id)), " +
+        "h AS (SELECT DISTINCT source, CAST(('0x'||substring(md5(sh),1,8)) AS BIGINT) AS v FROM shs), " +
+        "sk AS (SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS r FROM h), " +
+        "s2 AS (SELECT source, v FROM sk WHERE r <= 64), " +
+        "ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM (SELECT DISTINCT source, sh FROM shs) GROUP BY 1), " +
+        "agg AS (SELECT source, COUNT(*) AS k_used, MAX(v) AS theta FROM s2 GROUP BY 1) " +
+        "SELECT agg.source, CAST(k_used AS BIGINT) AS k_used, CAST(theta AS BIGINT) AS theta, " +
+        "round(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE) ELSE 63*4294967296.0/theta END, 6) AS est_distinct, " +
+        "n_exact FROM agg JOIN ex USING (source) ORDER BY source"),
+    "text_kmv_overlap" ->
+      (s"WITH $tokCte, $shCte, " +
+        "shs AS (SELECT d.source, s.sh FROM sh s JOIN documents d USING (doc_id)), " +
+        "h AS (SELECT DISTINCT source, CAST(('0x'||substring(md5(sh),1,8)) AS BIGINT) AS v FROM shs), " +
+        "sk AS (SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS r FROM h), " +
+        "s2 AS (SELECT source, v FROM sk WHERE r <= 64), " +
+        "srcs AS (SELECT DISTINCT source FROM s2), " +
+        "pr AS (SELECT a.source AS sa, b.source AS sb FROM srcs a JOIN srcs b ON a.source < b.source), " +
+        "uv AS (SELECT pr.sa, pr.sb, s2.v, MAX(CASE WHEN s2.source = pr.sa THEN 1 ELSE 0 END) AS ina, " +
+        "MAX(CASE WHEN s2.source = pr.sb THEN 1 ELSE 0 END) AS inb " +
+        "FROM pr JOIN s2 ON s2.source = pr.sa OR s2.source = pr.sb GROUP BY 1,2,3), " +
+        "l AS (SELECT sa, sb, v, ina, inb, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY v) AS r FROM uv), " +
+        "c AS (SELECT sa, sb, COUNT(*) AS ku, SUM(ina*inb) AS nc, MAX(v) AS theta FROM l WHERE r <= 64 GROUP BY 1,2) " +
+        "SELECT sa AS source_a, sb AS source_b, CAST(ku AS BIGINT) AS k_used, CAST(nc AS BIGINT) AS n_common, " +
+        "CAST(theta AS BIGINT) AS theta, round(CAST(nc AS DOUBLE)/ku, 6) AS jaccard_est, " +
+        "round(CAST(nc AS DOUBLE)/ku * (CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE) ELSE 63*4294967296.0/theta END), 6) AS inter_est " +
+        "FROM c ORDER BY 1, 2"),
+    // the sharded online k-min merges to exactly the corpus k smallest
+    "text_kmv_stream" ->
+      (s"WITH $tokCte, $shCte, " +
+        "h AS (SELECT DISTINCT CAST(('0x'||substring(md5(sh),1,8)) AS BIGINT) AS v FROM sh) " +
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT) AS rank, v " +
+        "FROM (SELECT v FROM h ORDER BY v LIMIT 64) ORDER BY rank"),
     // the streaming execution answers the SAME attribution question
     "events_attribution_stream" ->
       ("WITH p AS (SELECT event_id, ts, user_id, CAST(round(value*100) AS BIGINT) AS vc FROM events WHERE event_type = 'purchase'), " +

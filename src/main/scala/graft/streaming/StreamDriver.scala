@@ -501,6 +501,37 @@ object StreamDriver {
     }
   }
 
+  /** Run the STREAMING KMV sketch over bounded (doc_id, text) batches:
+    * micro-batches fold into the sharded k-min state
+    * ([[StreamingText.kmvSketchStream]], bounded k·shards longs); the
+    * latest shard summaries union batch-side into the global k smallest
+    * distinct shingle hashes (each global minimum is within its own
+    * shard's k smallest, so the union covers it). Returns (rank, v). */
+  def kmvStreamed(spark: SparkSession, batches: Seq[Seq[(Long, String)]],
+      k: Int = 64, numShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val name = "kmv_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingText.kmvSketchStream(
+        in.toDF().toDF("doc_id", "text"), k, numShards)
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    val vs =
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { in.addData(b); q.processAllAvailable() }
+        }
+        spark.table(name).collect()
+          .groupBy(_.getInt(0)).values
+          .flatMap(_.maxBy(_.getLong(1)).getSeq[Long](2)).toSeq
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+    vs.sorted.take(k).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("rank", "v")
+  }
+
   def asOfStreamed(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],
       rights: Seq[(Long, Timestamp, Double)]): DataFrame = {
     import spark.implicits._

@@ -17,9 +17,44 @@ final case class MgShardState(tokens: Array[String], counts: Array[Long],
 final case class MgShardOut(shard: Int, ver: Long, tokens: Seq[String],
     counts: Seq[Long], n: Long)
 
+/** Per-shard KMV state: the k smallest distinct hash values seen by this
+  * shard, plus the version bump (latest row per shard is live). */
+final case class KmvShardState(vs: Array[Long], ver: Long)
+
+/** One emitted KMV shard summary. */
+final case class KmvShardOut(shard: Int, ver: Long, vs: Seq[Long])
+
 /** STREAMING text sketches — the online halves of the batch
   * sketch-then-recount operators in [[graft.text.TextAnalysis]]. */
 object StreamingText {
+
+  /** Streaming KMV (k-minimum-values) sketch intake: the fourth mergeable
+    * sketch run ONLINE. Hash values partition over `numShards` state
+    * cells by pmod (shards hold DISJOINT value ranges, so the batch-side
+    * merge is a plain union, no dedup); each micro-batch folds its share
+    * into the shard's k smallest distinct values — state is EXACTLY
+    * k·numShards longs, bounded for any stream length, unlike a
+    * groupBy(v) streaming distinct whose state grows with the vocabulary.
+    * Update mode; take the latest version per shard. */
+  def kmvSketchStream(docs: DataFrame, k: Int = 64,
+      numShards: Int = 8): Dataset[KmvShardOut] = {
+    import docs.sparkSession.implicits._
+    require(k >= 2 && numShards > 0, "need k >= 2 and at least one shard")
+    docs.select(explode(TextAnalysis.shingles(col("text"))).as("sh"))
+      .select(TextAnalysis.kmvHash(col("sh")).as("v"))
+      .select(col("v"), pmod(col("v"), lit(numShards)).cast("int").as("shard"))
+      .as[(Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (shard: Int, rows: Iterator[(Long, Int)],
+            state: GroupState[KmvShardState]) => {
+          val st = state.getOption.getOrElse(KmvShardState(Array.empty, 0L))
+          val merged = (st.vs.toSet ++ rows.map(_._1)).toArray.sorted.take(k)
+          val next = KmvShardState(merged, st.ver + 1)
+          state.update(next)
+          Iterator.single(KmvShardOut(shard, next.ver, merged.toIndexedSeq))
+        })
+  }
 
   /** Streaming Misra-Gries heavy-hitter intake: the mergeable-summary
     * sketch ([[graft.scale.MisraGries]]) run ONLINE across micro-batches.

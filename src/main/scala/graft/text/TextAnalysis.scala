@@ -730,6 +730,99 @@ object TextAnalysis {
       round(regr_r2(ly, lx), 6).as("r2"))
   }
 
+  /** 32-bit md5-prefix hash shared by the KMV (k-minimum-values / theta)
+    * sketches — engine-independent, same construction as the HLL/CMS
+    * coordinates. */
+  private[graft] def kmvHash(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  /** Per-source KMV sketch: the k SMALLEST distinct shingle-hash values
+    * per source — the fourth mergeable sketch in the suite (after CMS,
+    * HLL, Misra-Gries), and the one that buys SET OPERATIONS: two KMV
+    * sketches combine into union/intersection/Jaccard estimates, which
+    * HLL registers cannot do without inclusion-exclusion error stacking.
+    * Shape: one explode → hash-DISTINCT aggregate (map-side combine;
+    * the working relation is the per-source shingle-hash vocabulary) →
+    * per-source row_number ≤ k, which Spark compiles to WindowGroupLimit:
+    * every partition keeps at most k rows BEFORE the exchange, so the
+    * final shuffle moves O(k·sources) rows at any corpus size.
+    * Output: (source, v, r). */
+  private[graft] def kmvSketches(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "need k >= 2 for the (k-1)/theta estimator")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("v")
+    docs.select(col("source"), explode(shingles(col("text"))).as("sh"))
+      .select(col("source"), kmvHash(col("sh")).as("v")).distinct()
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= k)
+  }
+
+  /** Per-source distinct-shingle estimate from the KMV sketch, with the
+    * exact count alongside (the sketch targets distinct HASHES, which at
+    * 32 bits equals distinct shingles up to birthday noise). A sketch
+    * that is not full (k_used < k) has seen EVERY value — the estimate
+    * is exact by construction; a full sketch uses the standard
+    * (k−1)·2³²/θ estimator. Output: (source, k_used, theta,
+    * est_distinct, n_exact). */
+  def kmvDistinct(docs: DataFrame, k: Int = 64): DataFrame = {
+    val sk = kmvSketches(docs, k).groupBy("source")
+      .agg(count(lit(1)).as("k_used"), max("v").as("theta"))
+    val ex = docs.select(col("source"), explode(shingles(col("text"))).as("sh"))
+      .distinct().groupBy("source").agg(count(lit(1)).as("n_exact"))
+    sk.join(ex, "source")
+      .select(col("source"), col("k_used"), col("theta"),
+        round(when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1) * 4294967296.0) / col("theta")), 6)
+          .as("est_distinct"),
+        col("n_exact"))
+  }
+
+  /** Pairwise cross-source overlap estimated ENTIRELY from the per-source
+    * KMV sketches — the 100 TB path for "how much do my sources share":
+    * after the one vocabulary-bounded sketch build, every relation is
+    * sketch-sized (sources × k), so the all-pairs combination is O(S²·k)
+    * regardless of corpus size — compare dedup_cross_source, which pays
+    * the exact per-token pass. Combination is the standard theta-sketch
+    * rule: per pair, the k smallest of the UNION of the two sketches
+    * form the combined sketch; n_common counts combined values present
+    * in both; Jaccard ≈ n_common/k_used and intersection ≈ Jaccard ×
+    * union-estimate (exact when the combined sketch is not full).
+    * Output: (source_a, source_b, k_used, n_common, theta, jaccard_est,
+    * inter_est). */
+  def kmvOverlap(docs: DataFrame, k: Int = 64): DataFrame = {
+    val sk = kmvSketches(docs, k).select("source", "v")
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.as("pa").join(srcs.as("pb"),
+        col("pa.source") < col("pb.source"))
+      .select(col("pa.source").as("sa"), col("pb.source").as("sb"))
+    // two equi-joins (never an OR-condition nested loop): each sketch row
+    // lands in every pair its source participates in
+    val ua = pairs.join(sk, sk("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("v"),
+        lit(1L).as("ina"), lit(0L).as("inb"))
+    val ub = pairs.join(sk, sk("source") === col("sb"))
+      .select(col("sa"), col("sb"), col("v"),
+        lit(0L).as("ina"), lit(1L).as("inb"))
+    val uv = ua.unionByName(ub).groupBy("sa", "sb", "v")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sa", "sb").orderBy("v")
+    val combined = uv.withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("ina") * col("inb")).as("n_common"),
+        max("v").as("theta"))
+    val unionEst = when(col("k_used") < k, col("k_used").cast("double"))
+      .otherwise(lit((k - 1) * 4294967296.0) / col("theta"))
+    combined.select(col("sa").as("source_a"), col("sb").as("source_b"),
+      col("k_used"), col("n_common"), col("theta"),
+      round(col("n_common").cast("double") / col("k_used"), 6)
+        .as("jaccard_est"),
+      round(col("n_common").cast("double") / col("k_used") * unionEst, 6)
+        .as("inter_est"))
+  }
+
   /** Mann-Whitney AUC of [[classifierScore]] against a binary label
     * (`lang == posLang`) — the model-eval statistic for a quality filter
     * at corpus scale. The naive formulation ranks every document in one

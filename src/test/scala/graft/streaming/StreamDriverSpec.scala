@@ -208,4 +208,24 @@ class StreamDriverSpec extends SparkSpec {
     assert(got == batch)
     assert(got == Seq(("the", 80L)))
   }
+
+  test("kmvStreamed equals the corpus k smallest distinct shingle hashes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    // enough distinct shingles (> k) that shard state genuinely evicts,
+    // fed across four micro-batches; duplicates across batches must not
+    // double-enter any shard's set
+    val docsSeq = (1L to 40L).map(i =>
+      (i, (1 to 10).map(j => s"w${i}_$j").mkString(" ") + " common tail here"))
+    val batches = docsSeq.grouped(10).toSeq
+    val got = StreamDriver.kmvStreamed(spark, batches, k = 16, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = docsSeq.toDF("doc_id", "text")
+      .select(explode(graft.text.TextAnalysis.shingles(col("text"))).as("sh"))
+      .select(graft.text.TextAnalysis.kmvHash(col("sh")).as("v"))
+      .distinct().orderBy("v").limit(16)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toSeq.sorted
+    assert(got == want && got.length == 16)
+  }
 }

@@ -328,6 +328,39 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("kmvDistinct: not-full sketch is exact; full sketch uses (k-1)/theta") {
+    import spark.implicits._
+    // source A: 4 distinct shingles (sketch of k=2 is FULL -> estimator
+    // branch); source B: 1 shingle (not full -> exact branch)
+    val d = Seq(
+      (1L, "a b c d e f", "A"),   // shingles: abc bcd cde def
+      (2L, "x y z", "B"))         // shingle: xyz
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.kmvDistinct(d, 2).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getLong(4)))).toMap
+    val (kuA, thetaA, estA, exA) = r("A")
+    assert(kuA == 2L && exA == 4L)
+    assert(estA == math.rint(1 * 4294967296.0 / thetaA * 1e6) / 1e6)
+    val (kuB, _, estB, exB) = r("B")
+    assert(kuB == 1L && estB == 1.0 && exB == 1L)
+  }
+
+  test("kmvOverlap: identical sources estimate Jaccard 1, disjoint 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e", "A"), (2L, "a b c d e", "B"),  // identical sets
+      (3L, "p q r s t", "C"))                          // disjoint
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.kmvOverlap(d, 64).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getDouble(5)))).toMap
+    val (kuAB, ncAB, jAB) = r(("A", "B"))
+    assert(kuAB == 3L && ncAB == 3L && jAB == 1.0)   // 3 shingles, all shared
+    val (_, ncAC, jAC) = r(("A", "C"))
+    assert(ncAC == 0L && jAC == 0.0)
+  }
+
   test("classifierAuc: midrank U matches the direct pairwise count") {
     import spark.implicits._
     // four texts with known integer scores; labels chosen so ties

@@ -747,7 +747,14 @@ object Dedup {
         array(struct(nm.as("k"), lit(2).as("kind"))))).as("_kk"))
       .select(col("_id"), nm, col("_kk.k").as("_key"),
         col("_kk.kind").as("_kind"))
-    keyed.as("a")
+    // shuffle-hash, NOT the optimizer's broadcast pick: the keyed relation
+    // is (2L+1)x the input and Spark's size estimate does not see through
+    // the Generate — at the 150k-name soak AQE broadcast a 5.5M-row hashed
+    // relation and ran 91 s / zero parallel shuffle; the hinted shuffled
+    // hash join reads 11.6 s there and is cost-identical at 15k names
+    // (2.6 s). Bucket-hash partitioning on _key is the plan you'd pick by
+    // hand at any scale.
+    keyed.as("a").hint("shuffle_hash")
       .join(keyed.as("b"),
         col("a._key") === col("b._key") && col("a._id") < col("b._id") &&
           ((col("a._kind") === 0 && col("b._kind") === 0) ||

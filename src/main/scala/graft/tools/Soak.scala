@@ -462,6 +462,31 @@ object Soak {
       run("stats_degree_distribution_sf1",
         graft.rdf.TripleStats.degreeDistribution(triples1))
     }
+    if (which("er")) {
+      // 10x customers; the "#shard" suffix makes every base name a
+      // 10-clique of cross-shard distance-1 neighbors ON TOP of the
+      // within-shard digit pairs — the adversarial shape: hot wildcard
+      // buckets (10 names share the shard-position key) and ~3.3M result
+      // pairs (10 x 262.5k within-shard + 15k x C(10,2) cross-shard)
+      val cust1 = spark.read.parquet(s"$sfDir/customer.parquet")
+        .crossJoin(shardIds)
+        .withColumn("c_custkey",
+          col("c_custkey") + col("shard").cast("long") * 10000000L)
+        .withColumn("c_name", concat(col("c_name"), lit("#"), col("shard")))
+        .drop("shard").persist()
+      System.err.println(s"soak er: ${cust1.count()} customers")
+      run("er_name_pairs_sf1",
+        Dedup.editNeighborPairs(cust1, "c_custkey", "c_name"))
+    }
+    if (which("kmv")) {
+      // sharded docs repeat content: input rows 10x, per-source shingle
+      // vocabulary UNCHANGED — wall and shuffle should track the scan,
+      // the sketch relations stay sources x k by construction
+      run("text_kmv_distinct_sf1",
+        graft.text.TextAnalysis.kmvDistinct(docs1, 64))
+      run("text_kmv_overlap_sf1",
+        graft.text.TextAnalysis.kmvOverlap(docs1, 64))
+    }
     spark.stop()
   }
 }

@@ -1494,6 +1494,13 @@ object SparkEntry {
       graft.streaming.StreamDriver.transitionsStreamed(s, ev)
         .orderBy("prev_type", "next_type")
     }),
+    "profile_robust_z" -> ((s, dir) => // median/MAD on the distinct-value histogram
+      graft.stats.Profile.robustOutliers(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
+        round(col("l_quantity")), 3).orderBy("l_returnflag")),
+    "events_decayed_counts" -> ((s, dir) => // integer-exact dyadic half-life decay
+      EventStream.decayedCounts(events(s, dir), "1 hour", 40)
+        .orderBy("event_type")),
     "tpch_revenue_deciles" -> ((s, dir) => // NTILE over the customer aggregate
       graft.stats.Analytics.revenueDeciles(
         s.read.parquet(s"$dir/orders.parquet"), 10)
@@ -2687,6 +2694,26 @@ object SparkEntry {
           s"CAST(SUM($x*$y) AS BIGINT) AS sum_xy FROM v"
       }.mkString("", " UNION ALL ", " ORDER BY col_x, col_y")
     },
+    // both medians are quantile_disc (least value reaching ceil(n/2)),
+    // built with the same cumulative construction as the Spark plan
+    "profile_robust_z" ->
+      ("WITH vc AS (SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS v, COUNT(*) AS c FROM lineitem GROUP BY 1,2), " +
+        "m1 AS (SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum, SUM(c) OVER (PARTITION BY g) AS cnt FROM vc), " +
+        "med AS (SELECT g, MAX(cnt) AS n_rows, MIN(CASE WHEN cum >= CAST(floor((cnt+1)/2) AS BIGINT) THEN v END) AS median FROM m1 GROUP BY 1), " +
+        "dev AS (SELECT vc.g, abs(vc.v - med.median) AS v, SUM(vc.c) AS c FROM vc JOIN med USING (g) GROUP BY 1,2), " +
+        "m2 AS (SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum, SUM(c) OVER (PARTITION BY g) AS cnt FROM dev), " +
+        "mad AS (SELECT g, MIN(CASE WHEN cum >= CAST(floor((cnt+1)/2) AS BIGINT) THEN v END) AS mad FROM m2 GROUP BY 1), " +
+        "o AS (SELECT vc.g, SUM(CASE WHEN abs(vc.v - med.median) > 3*mad.mad THEN vc.c ELSE 0 END) AS n_outliers FROM vc JOIN med USING (g) JOIN mad USING (g) GROUP BY 1) " +
+        "SELECT med.g AS l_returnflag, CAST(n_rows AS BIGINT) AS n_rows, CAST(median AS BIGINT) AS median, " +
+        "CAST(mad.mad AS BIGINT) AS mad, CAST(n_outliers AS BIGINT) AS n_outliers " +
+        "FROM med JOIN mad USING (g) JOIN o USING (g) ORDER BY 1"),
+    // dyadic weights 2^(40-k) stay BIGINT; only the display value divides
+    "events_decayed_counts" ->
+      ("WITH r AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events), " +
+        "w AS (SELECT event_type, CASE WHEN k <= 40 THEN CAST(power(2, 40-k) AS BIGINT) ELSE 0 END AS w FROM " +
+        "(SELECT event_type, CAST(floor((r.ref_us - epoch_us(ts))/3600000000.0) AS BIGINT) AS k FROM events, r)) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(w) AS BIGINT) AS decayed_scaled, " +
+        "round(SUM(w)/power(2, 40), 6) AS decayed FROM w GROUP BY 1 ORDER BY 1"),
     "tpch_revenue_deciles" ->
       ("WITH pc AS (SELECT o_custkey, SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev FROM orders GROUP BY 1), " +
         "d AS (SELECT rev, NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile FROM pc) " +

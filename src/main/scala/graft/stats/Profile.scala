@@ -325,6 +325,47 @@ object Profile {
     cum.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Robust per-group outlier statistics — median + MAD (median absolute
+    * deviation), the estimator family that survives the contamination a
+    * mean/stddev z-score is defeated by (one corrupt batch shifts a mean;
+    * it cannot shift a median). Same distinct-value-histogram shape as
+    * [[groupQuantiles]], applied TWICE: the per-(group, value) count
+    * relation yields the median by cumulative window (value-cardinality
+    * bounded), the derived |v − median| relation (built by joining the
+    * medians back onto the SAME counts — never a second scan of the
+    * fact rows) yields the MAD the identical way, and the outlier count
+    * is one aggregate over counts with |v − median| > k·MAD. Medians are
+    * quantile_disc (least value reaching ceil(n/2)) so everything stays
+    * BIGINT-exact; `value` should be integer-valued.
+    * Output: (group, n_rows, median, mad, n_outliers). */
+  def robustOutliers(df: DataFrame, groupCol: String, value: Column,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "need a positive MAD multiplier")
+    val vc = df.select(col(groupCol).as("g"), value.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c")).persist()
+    def discMedian(counts: DataFrame): DataFrame = counts
+      .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("v")))
+      .withColumn("cnt", sum("c").over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(max("cnt").as("n_rows"),
+        min(when(col("cum") >=
+          floor((col("cnt") + lit(1)) / lit(2)).cast("long"), col("v")))
+          .as("med"))
+    val med = discMedian(vc).select(col("g"), col("n_rows"),
+      col("med").as("median"))
+    val dev = vc.join(med, "g")
+      .select(col("g"), abs(col("v") - col("median")).as("v"), col("c"))
+      .groupBy("g", "v").agg(sum("c").as("c"))
+    val mad = discMedian(dev).select(col("g"), col("med").as("mad"))
+    val out = vc.join(med, "g").join(mad, "g")
+      .groupBy("g")
+      .agg(sum(when(abs(col("v") - col("median")) > lit(k) * col("mad"),
+        col("c")).otherwise(lit(0L))).as("n_outliers"))
+    med.join(mad, "g").join(out, "g")
+      .select(col("g").as(groupCol), col("n_rows"), col("median"),
+        col("mad"), col("n_outliers"))
+  }
+
   /** Exact contingency table with marginals — the integer input every
     * categorical-association statistic (chi-square, mutual information,
     * Cramér's V) is computed FROM, emitted instead of the statistic so

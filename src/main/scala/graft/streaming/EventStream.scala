@@ -733,6 +733,37 @@ object EventStream {
         sum("value_cents").as("value_cents"))
   }
 
+  /** Half-life-decayed event counts — the "what's hot NOW" statistic
+    * (each event contributes 2^(−age/halfLife); an hour-old event at a
+    * 1-hour half-life counts half) — computed INTEGER-EXACT: the decay
+    * exponent k = ⌊age/halfLife⌋ is a whole number, so each weight is
+    * the BIGINT 2^(maxAge−k) (events older than maxAge half-lives weigh
+    * 0) and the per-type sum is exact integer addition in any engine —
+    * no float summation order to disagree about; the display value just
+    * rescales by 2^maxAge. Reference time = max event ts, a one-row
+    * broadcast (the same scalar-subquery shape as the threshold
+    * queries). Pure map-side weighting + one aggregate: the 100 TB plan
+    * is the scan. Output: (event_type, n_events, decayed_scaled,
+    * decayed). */
+  def decayedCounts(events: DataFrame, halfLife: String = "1 hour",
+      maxAge: Int = 40): DataFrame = {
+    require(maxAge >= 1 && maxAge <= 62, "maxAge half-lives in 1..62")
+    val hl = expr(
+      s"unix_micros(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL $halfLife)")
+    val ref = events.agg(max(unix_micros(col("ts"))).as("ref_us"))
+    events.select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .crossJoin(broadcast(ref))
+      .withColumn("k",
+        floor((col("ref_us") - col("ts_us")).cast("double") / hl).cast("long"))
+      .withColumn("w",
+        when(col("k") <= maxAge,
+          pow(lit(2.0), lit(maxAge) - col("k")).cast("long"))
+          .otherwise(lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("w").as("decayed_scaled"),
+        round(sum("w") / pow(lit(2.0), maxAge), 6).as("decayed"))
+  }
+
   /** Per-user rolling-frame statistics — the "is this event unusual for
     * THIS user" signal feeding rate limiting and anomaly review: over the
     * user's last `frame` events (event-count frame, ordered by ts with

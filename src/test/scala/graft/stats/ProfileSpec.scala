@@ -267,4 +267,22 @@ class ProfileSpec extends SparkSpec {
       "b" -> ((2L, 3L, false)),
       "a,b" -> ((3L, 3L, true))))
   }
+
+  test("robustOutliers: disc median, MAD, k*MAD fence; outlier can't shift it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group A: values 1..7 plus a wild 1000 (8 rows): disc median = least
+    // v with cum >= ceil(8/2)=4 -> 4; |v-4| = {3,2,1,0,1,2,3,996}, sorted
+    // {0,1,1,2,2,3,3,996}: MAD = 4th smallest = 2; fence 3*2=6 -> only
+    // 1000 is outside. group B: constant -> median=5, MAD=0, any
+    // deviation is an outlier (none here)
+    val df = ((1L to 7L) :+ 1000L).map(("A", _)).++(Seq(("B", 5L), ("B", 5L)))
+      .toDF("g", "v")
+    val r = Profile.robustOutliers(df, "g", col("v"), 3).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map(
+      "A" -> ((8L, 4L, 2L, 1L)),
+      "B" -> ((2L, 5L, 0L, 0L))))
+  }
 }

@@ -453,6 +453,24 @@ class EventStreamSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getString(1) == "a>b>c")
   }
 
+  test("decayedCounts: dyadic weights halve per half-life, old events weigh zero") {
+    import spark.implicits._
+    def hrs(h: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600_000L)
+    val ev = Seq(
+      (1L, hrs(50), 1L, "a", 0.0),   // ref (newest): k=0, weight 2^40
+      (2L, hrs(49), 1L, "a", 0.0),   // k=1, weight 2^39
+      (3L, hrs(48), 2L, "b", 0.0),   // k=2, weight 2^38
+      (4L, hrs(0), 2L, "b", 0.0))    // k=50 > maxAge=40 -> weight 0
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.decayedCounts(ev, "1 hour", 40).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r == Map(
+      "a" -> ((2L, (1L << 40) + (1L << 39), 1.5)),
+      "b" -> ((2L, 1L << 38, 0.25))))
+  }
+
   test("attribution: last touch inside lookback, equal-ts touch counts, (none) bucket") {
     import spark.implicits._
     val ev = Seq(

@@ -923,6 +923,9 @@ object SparkEntry {
     "curate_source_cap" -> ((s, dir) => // per-source top-k via bounded aggregator
       graft.pipeline.Curation.capPerSource(docs(s, dir), 10)
         .orderBy("source", "rank")),
+    "curate_pps_sample" -> ((s, dir) => // systematic PPS draws, zero randomness
+      graft.pipeline.Curation.ppsSample(docs(s, dir), 100)
+        .orderBy("doc_id")),
     "curate_split" -> ((s, dir) => // deterministic hash train/valid/test split
       graft.pipeline.Curation.splitCorpus(docs(s, dir),
         Seq(("train", 90), ("valid", 5), ("test", 5))).orderBy("doc_id")),
@@ -2694,6 +2697,15 @@ object SparkEntry {
           s"CAST(SUM($x*$y) AS BIGINT) AS sum_xy FROM v"
       }.mkString("", " UNION ALL ", " ORDER BY col_x, col_y")
     },
+    // same doc_id-ordered token layout as pack_sequences; the double
+    // floors are exact (quotients are integers or >= 1/step from one)
+    "curate_pps_sample" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t), " +
+        "tot AS (SELECT MAX(cum) AS total FROM c), " +
+        "s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS cb, GREATEST(1, CAST(floor(total/100) AS BIGINT)) AS step FROM c, tot), " +
+        "p AS (SELECT doc_id, n_tokens, CAST(floor(CAST(cum AS DOUBLE)/step) - floor(CAST(cb AS DOUBLE)/step) AS BIGINT) AS picks FROM s) " +
+        "SELECT doc_id, n_tokens, picks FROM p WHERE picks > 0 ORDER BY doc_id"),
     // both medians are quantile_disc (least value reaching ceil(n/2)),
     // built with the same cumulative construction as the Spark plan
     "profile_robust_z" ->

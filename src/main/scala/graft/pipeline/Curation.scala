@@ -286,6 +286,36 @@ object Curation {
     * until the budget is hit" step of corpus assembly. Prefix sum via
     * [[tokenPrefixSum]] (bucketed, never a global window).
     * Output: (doc_id, n_tokens, cum_tokens, in_budget). */
+  /** Systematic PPS sampling — n draws with probability proportional to
+    * token mass, the design a "sample 100 documents representative of the
+    * corpus BY VOLUME" request actually means ([[budgetSample]] is the
+    * prefix cut; this spreads the picks across the whole corpus). Lay
+    * the documents end to end in doc_id order (the same exclusive
+    * prefix-sum engine as [[packSequences]] — bucketed two-phase, the
+    * driver sees 256 bucket totals) and take the owner of every step-th
+    * token slot, step = ⌊total/n⌋: a document spanning m slots is drawn
+    * m times (`picks` is its sampling weight), giving exactly the
+    * textbook systematic PPS inclusion probabilities with ZERO
+    * randomness — reproducible across engines and runs. All arithmetic
+    * is integer-valued (the double floors are exact: quotients are
+    * either exact integers or ≥ 1/step away from one).
+    * Output: (doc_id, n_tokens, picks), picks ≥ 1 rows only. */
+  def ppsSample(docs: DataFrame, n: Long,
+      numBuckets: Int = 256): DataFrame = {
+    require(n > 0, "need a positive sample size")
+    val ps = tokenPrefixSum(docs, numBuckets)
+    val tot = ps.agg(max("cum_tokens").as("total"))
+    ps.crossJoin(broadcast(tot))
+      .withColumn("step", greatest(lit(1L),
+        floor(col("total").cast("double") / n).cast("long")))
+      .withColumn("picks",
+        (floor(col("cum_tokens").cast("double") / col("step")) -
+          floor((col("cum_tokens") - col("n_tokens")).cast("double") /
+            col("step"))).cast("long"))
+      .filter(col("picks") > 0)
+      .select("doc_id", "n_tokens", "picks")
+  }
+
   def budgetSample(docs: DataFrame, budgetTokens: Long,
       numBuckets: Int = 256): DataFrame =
     tokenPrefixSum(docs, numBuckets)

@@ -73,6 +73,19 @@ class CurationSpec extends SparkSpec {
     assert(r(4L) == ((1L, 10L, false)))
   }
 
+  test("ppsSample: picks = slots crossed, a giant doc draws multiple times") {
+    // tokens: 3, 2, 12, 1 -> total 18, n=6 -> step 3; slots at 3,6,9,12,15,18
+    // doc 1 covers (0,3]: slot 3 -> 1 pick; doc 2 (3,5]: none;
+    // doc 3 (5,17]: slots 6,9,12,15 -> 4 picks; doc 4 (17,18]: slot 18 -> 1
+    val d = docs((1L, "a b c"), (2L, "d e"),
+      (3L, "f g h i j k l m n o p q"), (4L, "r"))
+    val r = Curation.ppsSample(d, 6, numBuckets = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(1L -> ((3L, 1L)), 3L -> ((12L, 4L)), 4L -> ((1L, 1L))))
+    // total picks == n whenever step divides total
+    assert(r.values.map(_._2).sum == 6L)
+  }
+
   test("budgetSample: bucketed prefix sum equals the single-partition truth") {
     import org.apache.spark.sql.functions._
     val rows = (0L until 97L).map(i => (i * 3 % 97, ("tok " * (i % 7 + 1).toInt).trim))

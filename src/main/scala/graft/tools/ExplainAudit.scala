@@ -264,6 +264,35 @@ object ExplainAudit {
       showFinal("profile_fds", graft.stats.Profile.functionalDeps(
         spark.read.parquet(s"$dir/orders.parquet"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+    if (which == "all" || which == "er")
+      // the claim: ShuffledHashJoin on _key (hinted — AQE cannot size the
+      // post-Generate relation), kind-pairing + levenshtein as the join
+      // residual, NO post-join aggregate
+      showFinal("er_name_pairs", graft.dedup.Dedup.editNeighborPairs(
+        spark.read.parquet(s"$dir/customer.parquet"), "c_custkey", "c_name"))
+    if (which == "all" || which == "auc")
+      // the claim: two hash aggregates (doc scores, then score histogram)
+      // and a distinct-score-sized window; no document-level sort
+      showFinal("text_classifier_auc", graft.text.TextAnalysis.classifierAuc(
+        spark.read.parquet(s"$dir/documents.parquet"), "en"))
+    if (which == "all" || which == "kmv")
+      // the claim: WindowGroupLimit caps per-source rows at k BEFORE the
+      // exchange; everything after the sketch build is sketch-sized
+      showFinal("text_kmv_overlap", graft.text.TextAnalysis.kmvOverlap(
+        spark.read.parquet(s"$dir/documents.parquet"), 64))
+    if (which == "all" || which == "robust")
+      // the claim: the deviation relation derives from the distinct-value
+      // counts (vc is scanned from its persisted form, never the fact
+      // table twice); windows run over value cardinality
+      showFinal("profile_robust_z", graft.stats.Profile.robustOutliers(
+        spark.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("l_quantity")), 3))
+    if (which == "all" || which == "attribution")
+      // the claim: ONE union-tag window on user_id (the as-of core), the
+      // touch pre-reduction reuses that partitioning, one final rollup
+      showFinal("events_attribution", graft.streaming.EventStream.attribution(
+        graft.streaming.EventSource.events(spark, dir), "purchase", "1 hour"))
     spark.stop()
   }
 }

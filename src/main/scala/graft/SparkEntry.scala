@@ -1497,6 +1497,14 @@ object SparkEntry {
       graft.streaming.StreamDriver.transitionsStreamed(s, ev)
         .orderBy("prev_type", "next_type")
     }),
+    "profile_entropy" -> ((s, dir) => // per-column Shannon bits, value-bounded
+      graft.stats.Profile.entropy(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber", "l_quantity"))
+        .orderBy("column_name")),
+    "text_kn_bigrams" -> ((s, dir) => // Kneser-Ney table, integer fractions
+      TextAnalysis.knBigrams(docs(s, dir), 100)
+        .orderBy(col("c").desc, col("w1"), col("w2"))),
     "profile_robust_z" -> ((s, dir) => // median/MAD on the distinct-value histogram
       graft.stats.Profile.robustOutliers(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
@@ -2706,6 +2714,30 @@ object SparkEntry {
         "s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS cb, GREATEST(1, CAST(floor(total/100) AS BIGINT)) AS step FROM c, tot), " +
         "p AS (SELECT doc_id, n_tokens, CAST(floor(CAST(cum AS DOUBLE)/step) - floor(CAST(cb AS DOUBLE)/step) AS BIGINT) AS picks FROM s) " +
         "SELECT doc_id, n_tokens, picks FROM p WHERE picks > 0 ORDER BY doc_id"),
+    // each log2 evaluates on an integer count — identical doubles in any
+    // engine; round 6 absorbs the k-term reduction
+    "profile_entropy" ->
+      ("WITH lr AS (SELECT column_name, value FROM (" +
+        "SELECT 'l_returnflag' AS column_name, CAST(l_returnflag AS VARCHAR) AS value FROM lineitem UNION ALL " +
+        "SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR) FROM lineitem UNION ALL " +
+        "SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem UNION ALL " +
+        "SELECT 'l_quantity', CAST(l_quantity AS VARCHAR) FROM lineitem) WHERE value IS NOT NULL), " +
+        "vc AS (SELECT column_name, value, COUNT(*) AS c FROM lr GROUP BY 1,2) " +
+        "SELECT column_name, CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_distinct, " +
+        "round(log2(SUM(c)) - SUM(c*log2(c))/SUM(c), 6) AS entropy_bits " +
+        "FROM vc GROUP BY 1 ORDER BY 1"),
+    "text_kn_bigrams" ->
+      (s"WITH $tokCte, " +
+        "bg AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1), " +
+        "c AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1,2), " +
+        "l AS (SELECT w1, SUM(c) AS cw1, COUNT(*) AS nw1 FROM c GROUP BY 1), " +
+        "r AS (SELECT w2, COUNT(*) AS ncw2 FROM c GROUP BY 1), " +
+        "t AS (SELECT COUNT(*) AS t FROM c) " +
+        "SELECT w1, w2, c, CAST(GREATEST(4*c-3, 0)*t + 3*nw1*ncw2 AS BIGINT) AS num, " +
+        "CAST(4*cw1*t AS BIGINT) AS den, " +
+        "round(log2(4*cw1*t) - log2(GREATEST(4*c-3, 0)*t + 3*nw1*ncw2), 6) AS bits " +
+        "FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t " +
+        "ORDER BY c DESC, w1, w2 LIMIT 100"),
     // both medians are quantile_disc (least value reaching ceil(n/2)),
     // built with the same cumulative construction as the Spark plan
     "profile_robust_z" ->

@@ -244,6 +244,28 @@ object Profile {
       .select("column_name", "rank", "value", "cnt")
   }
 
+  /** Per-column Shannon entropy — the column-profiling staple ranking
+    * columns by information content (a constant column reads 0 bits, a
+    * key reads log2 n). Same long-relation shape as [[frequentValues]]:
+    * one explode puts every (column, value) on a row, one hash aggregate
+    * collapses to value counts, and the entropy reduces per column over
+    * the value-cardinality-bounded relation. H = log2(n) − Σc·log2(c)/n
+    * evaluates each log on an INTEGER count (the engines' log2 of the
+    * same integer is the same double; only the k-term reduction varies,
+    * absorbed by the standard round 6).
+    * Output: (column_name, n_rows, n_distinct, entropy_bits). */
+  def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val longRel = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("value"))): _*)).as("p"))
+      .select(col("p.*")).filter(col("value").isNotNull)
+    longRel.groupBy("column_name", "value").agg(count(lit(1)).as("c"))
+      .groupBy("column_name")
+      .agg(sum("c").as("n_rows"), count(lit(1)).as("n_distinct"),
+        round(log2(sum("c")) -
+          sum(col("c") * log2(col("c"))) / sum("c"), 6).as("entropy_bits"))
+  }
+
   /** Pairwise correlation MOMENTS of integer-valued columns:
     * (col_x, col_y, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) for every
     * unordered pair — everything Pearson's r needs, kept in exact BIGINT

@@ -730,6 +730,40 @@ object TextAnalysis {
       round(regr_r2(ly, lx), 6).as("r2"))
   }
 
+  /** Kneser-Ney smoothed bigram table — the smoothing that actually ships
+    * in n-gram LMs (raw MLE assigns zero mass to unseen continuations;
+    * KN discounts every observed count and backs off to CONTINUATION
+    * probability, "how many contexts does w2 follow", not raw frequency).
+    * Kept ENGINE-EXACT by clearing denominators: with discount d = 3/4,
+    *   p_KN(w2|w1) · (4·c(w1·)·T) = max(4c−3, 0)·T + 3·N(w1·)·N(·w2)
+    * where c(w1·) is the left-context total, N(w1·)/N(·w2) are
+    * successor/predecessor type counts and T is the bigram type total —
+    * every factor a BIGINT, so the probability is an exact integer
+    * fraction (num, den) and the surprisal is log2(den) − log2(num),
+    * each log taken ON AN INTEGER (identical double in any engine;
+    * round 6 absorbs the one subtraction). Four aggregates over the
+    * bigram-type relation + one broadcast scalar; top-k by (count desc,
+    * w1, w2) via TakeOrderedAndProject.
+    * Output: (w1, w2, c, num, den, bits). */
+  def knBigrams(docs: DataFrame, k: Int = 100): DataFrame = {
+    val c = docs.select(explode(bigrams(col("text"))).as("b"))
+      .select(split(col("b"), " ").getItem(0).as("w1"),
+        split(col("b"), " ").getItem(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val left = c.groupBy("w1").agg(sum("c").as("cw1"), count(lit(1)).as("nw1"))
+    val right = c.groupBy("w2").agg(count(lit(1)).as("ncw2"))
+    val t = c.agg(count(lit(1)).as("t"))
+    val num = (greatest(lit(4L) * col("c") - 3L, lit(0L)) * col("t") +
+      lit(3L) * col("nw1") * col("ncw2")).as("num")
+    val den = (lit(4L) * col("cw1") * col("t")).as("den")
+    c.join(left, "w1").join(right, "w2").crossJoin(broadcast(t))
+      .select(col("w1"), col("w2"), col("c"), num, den,
+        round(log2(lit(4L) * col("cw1") * col("t")) -
+          log2(greatest(lit(4L) * col("c") - 3L, lit(0L)) * col("t") +
+            lit(3L) * col("nw1") * col("ncw2")), 6).as("bits"))
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(k)
+  }
+
   /** 32-bit md5-prefix hash shared by the KMV (k-minimum-values / theta)
     * sketches — engine-independent, same construction as the HLL/CMS
     * coordinates. */

@@ -268,6 +268,19 @@ class ProfileSpec extends SparkSpec {
       "a,b" -> ((3L, 3L, true))))
   }
 
+  test("entropy: uniform pairs read 1 bit, constants 0, keys log2 n") {
+    import spark.implicits._
+    val df = Seq(("a", "k", 1L), ("a", "k", 2L), ("b", "k", 3L), ("b", "k", 4L))
+      .toDF("x", "y", "z")
+    val r = Profile.entropy(df, Seq("x", "y", "z")).collect()
+      .map(v => v.getString(0) ->
+        ((v.getLong(1), v.getLong(2), v.getDouble(3)))).toMap
+    assert(r == Map(
+      "x" -> ((4L, 2L, 1.0)),
+      "y" -> ((4L, 1L, 0.0)),
+      "z" -> ((4L, 4L, 2.0))))
+  }
+
   test("robustOutliers: disc median, MAD, k*MAD fence; outlier can't shift it") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

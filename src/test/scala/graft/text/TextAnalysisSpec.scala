@@ -328,6 +328,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("knBigrams: hand-computed integer fractions; contexts sum to 1") {
+    import spark.implicits._
+    // "a b a b a c": c(a,b)=2 c(b,a)=2 c(a,c)=1; T=3 types;
+    // left a: cw1=3 nw1=2; left b: cw1=2 nw1=1; every ncw2=1
+    val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.knBigrams(d, 100).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map(
+      ("a", "b") -> ((2L, 21L, 36L)),    // p = 7/12
+      ("b", "a") -> ((2L, 18L, 24L)),    // p = 3/4
+      ("a", "c") -> ((1L, 9L, 36L))))    // p = 1/4
+    // KN mass check for context a over the full type vocabulary {a,b,c}:
+    // seen 21/36 + 9/36, unseen (a,a) backoff 3*nw1*ncw2/den = 6/36 -> 1
+    assert(21L + 9L + 3 * 2 * 1 == 36L)
+  }
+
   test("kmvDistinct: not-full sketch is exact; full sketch uses (k-1)/theta") {
     import spark.implicits._
     // source A: 4 distinct shingles (sketch of k=2 is FULL -> estimator

@@ -1497,6 +1497,13 @@ object SparkEntry {
       graft.streaming.StreamDriver.transitionsStreamed(s, ev)
         .orderBy("prev_type", "next_type")
     }),
+    "profile_mutual_info" -> ((s, dir) => // MI + marginal entropies from cells
+      graft.stats.Profile.mutualInfo(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", "l_linestatus")),
+    "profile_ks_drift" -> ((s, dir) => // exact two-sample KS on value milli-units
+      graft.stats.Profile.ksDrift(events(s, dir), "event_type",
+        "click", "view", round(col("value") * 1000))),
     "profile_entropy" -> ((s, dir) => // per-column Shannon bits, value-bounded
       graft.stats.Profile.entropy(
         s.read.parquet(s"$dir/lineitem.parquet"),
@@ -2714,6 +2721,25 @@ object SparkEntry {
         "s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS cb, GREATEST(1, CAST(floor(total/100) AS BIGINT)) AS step FROM c, tot), " +
         "p AS (SELECT doc_id, n_tokens, CAST(floor(CAST(cum AS DOUBLE)/step) - floor(CAST(cb AS DOUBLE)/step) AS BIGINT) AS picks FROM s) " +
         "SELECT doc_id, n_tokens, picks FROM p WHERE picks > 0 ORDER BY doc_id"),
+    "profile_mutual_info" ->
+      ("WITH ct AS (SELECT CAST(l_returnflag AS VARCHAR) AS x, CAST(l_linestatus AS VARCHAR) AS y, COUNT(*) AS n_xy FROM lineitem GROUP BY 1,2), " +
+        "m AS (SELECT x, y, n_xy, SUM(n_xy) OVER (PARTITION BY x) AS n_x, SUM(n_xy) OVER (PARTITION BY y) AS n_y, SUM(n_xy) OVER () AS n FROM ct) " +
+        "SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells, " +
+        "round(SUM(n_xy*(log2(n_xy) + log2(n) - log2(n_x) - log2(n_y)))/MAX(n), 6) AS mi_bits, " +
+        "round(log2(MAX(n)) - SUM(n_xy*log2(n_x))/MAX(n), 6) AS h_x, " +
+        "round(log2(MAX(n)) - SUM(n_xy*log2(n_y))/MAX(n), 6) AS h_y FROM m"),
+    // D's numerator max|cumA*nB - cumB*nA| stays BIGINT end to end
+    "profile_ks_drift" ->
+      ("WITH vc AS (SELECT CAST(round(value*1000) AS BIGINT) AS v, " +
+        "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca, " +
+        "SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb " +
+        "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1), " +
+        "c AS (SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma, " +
+        "SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb, " +
+        "SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM vc) " +
+        "SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b, " +
+        "CAST(MAX(abs(cuma*nb - cumb*na)) AS BIGINT) AS d_num, " +
+        "round(CAST(MAX(abs(cuma*nb - cumb*na)) AS DOUBLE) / (MAX(na)*MAX(nb)), 6) AS d FROM c"),
     // each log2 evaluates on an integer count — identical doubles in any
     // engine; round 6 absorbs the k-term reduction
     "profile_entropy" ->

@@ -409,6 +409,58 @@ object Profile {
       .withColumn("n", sum("n_xy").over(Window.partitionBy()))
   }
 
+  /** Mutual information (and both marginal entropies) between two
+    * categorical columns, composed ON TOP of [[contingency]] — the
+    * association statistic itself, for when the caller wants the number
+    * and not the table. Every log2 evaluates on an INTEGER count
+    * (n_xy, n_x, n_y, n), so the per-cell terms are engine-identical
+    * doubles and only the cell-count reduction varies — absorbed by the
+    * standard round 6. The whole thing is one aggregate over the
+    * dimension-bounded cell relation.
+    * Output: one row (n, n_cells, mi_bits, h_x, h_y). */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val ct = contingency(df, xCol, yCol)
+    val term = col("n_xy") * (log2(col("n_xy")) + log2(col("n")) -
+      log2(col("n_x")) - log2(col("n_y")))
+    ct.agg(max("n").as("n"), count(lit(1)).as("n_cells"),
+      round(sum(term) / max("n"), 6).as("mi_bits"),
+      round(log2(max("n")) -
+        sum(col("n_xy") * log2(col("n_x"))) / max("n"), 6).as("h_x"),
+      round(log2(max("n")) -
+        sum(col("n_xy") * log2(col("n_y"))) / max("n"), 6).as("h_y"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov distance between the `valueCol`
+    * distributions of two slices — the drift alarm that is sensitive to
+    * SHAPE, not just moments (a variance swap with equal means sails
+    * through a mean-drift check; it cannot pass KS). Exact-integer
+    * construction: per-distinct-value counts for both slices in ONE
+    * aggregate, cumulative window over the merged distinct-value
+    * relation (value-cardinality bounded), and D's numerator is
+    * max |cumA·nB − cumB·nA| — a BIGINT; only the final display ratio
+    * divides. `valueCol` should be integer-valued (scale floats first).
+    * Output: one row (n_a, n_b, d_num, d). */
+  def ksDrift(df: DataFrame, sliceCol: String, sliceA: String,
+      sliceB: String, valueCol: Column): DataFrame = {
+    val vc = df.filter(col(sliceCol).isin(sliceA, sliceB))
+      .select(col(sliceCol).as("s"), valueCol.cast("long").as("v"))
+      .groupBy("v")
+      .agg(sum(when(col("s") === sliceA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("s") === sliceB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vc.withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(Window.partitionBy()))
+      .withColumn("nb", sum("cb").over(Window.partitionBy()))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") / (col("n_a") * col("n_b")), 6)
+          .as("d"))
+  }
+
   /** Constraint-suite evaluation — the named-check verdict table a
     * pipeline gates ingests on (the declarative data-quality pattern:
     * each constraint yields a violation METRIC and a pass/fail verdict,

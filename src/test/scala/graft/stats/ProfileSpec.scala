@@ -281,6 +281,31 @@ class ProfileSpec extends SparkSpec {
       "z" -> ((4L, 4L, 2.0))))
   }
 
+  test("mutualInfo: independent columns read 0 bits, copies read H") {
+    import spark.implicits._
+    // x and y independent (all four combos equal): MI = 0, H = 1 bit each
+    val ind = Seq(("a","p"),("a","q"),("b","p"),("b","q")).toDF("x","y")
+    val ri = Profile.mutualInfo(ind, "x", "y").collect().head
+    assert((ri.getLong(0), ri.getLong(1)) == ((4L, 4L)))
+    assert(ri.getDouble(2) == 0.0 && ri.getDouble(3) == 1.0 && ri.getDouble(4) == 1.0)
+    // y a copy of x: MI = H(x) = 1 bit
+    val cp = Seq(("a","a"),("a","a"),("b","b"),("b","b")).toDF("x","y")
+    val rc = Profile.mutualInfo(cp, "x", "y").collect().head
+    assert(rc.getDouble(2) == 1.0)
+  }
+
+  test("ksDrift: identical slices read 0; disjoint supports read 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val same = Seq(("A",1L),("A",2L),("B",1L),("B",2L)).toDF("s","v")
+    val r0 = Profile.ksDrift(same, "s", "A", "B", col("v")).collect().head
+    assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0)
+    // A's values all below B's: at the boundary cumA*nB - cumB*nA = 2*2
+    val dis = Seq(("A",1L),("A",2L),("B",3L),("B",4L)).toDF("s","v")
+    val r1 = Profile.ksDrift(dis, "s", "A", "B", col("v")).collect().head
+    assert(r1.getLong(2) == 4L && r1.getDouble(3) == 1.0)
+  }
+
   test("robustOutliers: disc median, MAD, k*MAD fence; outlier can't shift it") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -1120,6 +1120,9 @@ object SparkEntry {
         .orderBy("doc_id")),
     "text_zipf_slope" -> ((s, dir) => // log-log regression over the vocab head
       graft.text.TextAnalysis.zipfFit(docs(s, dir), 1000)),
+    "text_communities" -> ((s, dir) => // synchronous LPA, argmax by max-struct
+      graft.graph.Graph.contentCommunities(docs(s, dir), 8, 80, 3)
+        .orderBy("doc_id")),
     "tpch_order_gaps" -> ((s, dir) => // lag-window inter-arrival profile
       graft.stats.Analytics.orderGaps(
         s.read.parquet(s"$dir/orders.parquet"), 4L)
@@ -2483,6 +2486,27 @@ object SparkEntry {
       ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), ds AS (SELECT unnest(range(0,4)) AS d), cl AS (SELECT ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM tokv CROSS JOIN ds GROUP BY 1,2), top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tokv GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 50), pr AS (SELECT token, exact_cnt, ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell FROM top CROSS JOIN ds) SELECT p.token, p.exact_cnt, MIN(c.n) AS cms_estimate FROM pr p JOIN cl c ON c.d = p.d AND c.cell = p.cell GROUP BY 1,2 ORDER BY token"),
     "text_triangles" ->
       ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7],' '))) AS ng FROM tokd), df AS (SELECT ng, COUNT(*) AS df FROM w GROUP BY 1), ek AS (SELECT ng FROM df WHERE df BETWEEN 2 AND 80), e0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM w x JOIN w y USING (ng) JOIN ek USING (ng) WHERE x.doc_id < y.doc_id), deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), tri AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc FROM e0 x JOIN e0 y ON x.b = y.a WHERE EXISTS (SELECT 1 FROM e0 z WHERE z.a = x.a AND z.b = y.b)), pn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (SELECT ta AS v FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri) GROUP BY 1) SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree, COALESCE(pn.n_triangles, 0) AS n_triangles FROM documents d LEFT JOIN deg ON deg.v = d.doc_id LEFT JOIN pn ON pn.v = d.doc_id ORDER BY d.doc_id"),
+    // 3 unrolled synchronous LPA rounds over the same window graph as
+    // text_pagerank; per round: vote counts, then rank-1 pick by
+    // (cnt desc, label asc) — the same tie rule as the Spark max-struct
+    "text_communities" ->
+      ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7],' '))) AS ng FROM tokd), " +
+        "df AS (SELECT ng, COUNT(*) AS df FROM w GROUP BY 1), " +
+        "ek AS (SELECT ng FROM df WHERE df BETWEEN 2 AND 80), " +
+        "e0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM w x JOIN w y USING (ng) JOIN ek USING (ng) WHERE x.doc_id < y.doc_id), " +
+        "sym AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0), " +
+        "l0 AS (SELECT doc_id AS src, doc_id AS label FROM documents), " +
+        "v1 AS (SELECT s.dst, l.label, COUNT(*) AS cnt FROM sym s JOIN l0 l ON l.src = s.src GROUP BY 1,2), " +
+        "b1 AS (SELECT dst, label FROM (SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS r FROM v1) WHERE r = 1), " +
+        "l1 AS (SELECT l0.src, COALESCE(b1.label, l0.label) AS label FROM l0 LEFT JOIN b1 ON b1.dst = l0.src), " +
+        "v2 AS (SELECT s.dst, l.label, COUNT(*) AS cnt FROM sym s JOIN l1 l ON l.src = s.src GROUP BY 1,2), " +
+        "b2 AS (SELECT dst, label FROM (SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS r FROM v2) WHERE r = 1), " +
+        "l2 AS (SELECT l1.src, COALESCE(b2.label, l1.label) AS label FROM l1 LEFT JOIN b2 ON b2.dst = l1.src), " +
+        "v3 AS (SELECT s.dst, l.label, COUNT(*) AS cnt FROM sym s JOIN l2 l ON l.src = s.src GROUP BY 1,2), " +
+        "b3 AS (SELECT dst, label FROM (SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS r FROM v3) WHERE r = 1), " +
+        "l3 AS (SELECT l2.src, COALESCE(b3.label, l2.label) AS label FROM l2 LEFT JOIN b3 ON b3.dst = l2.src) " +
+        "SELECT src AS doc_id, label AS community FROM l3 ORDER BY doc_id"),
     // 3 unrolled integer PageRank rounds over the shared-window graph;
     // `//` floor-div == Spark `div` (operands positive throughout)
     "text_pagerank" ->

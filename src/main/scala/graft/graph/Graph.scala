@@ -105,4 +105,47 @@ object Graph {
   def contentPageRank(docs: DataFrame, n: Int = 8, dfCap: Int = 80,
       iters: Int = 3): DataFrame =
     pageRank(docs.select("doc_id"), windowEdges(docs, n, dfCap), iters)
+
+  /** Synchronous label propagation communities — the near-linear
+    * community detector (vs the min-label connected components in the
+    * dedup family, which merges everything reachable: LPA keeps DENSELY
+    * linked groups together while letting thin bridges separate). Fully
+    * deterministic: every node starts labeled with its own id, and each
+    * round every node simultaneously takes the most frequent label among
+    * its neighbors, ties to the SMALLEST label (isolated nodes keep their
+    * own). Rounds unroll into one declarative plan — per round one
+    * equi-join of the symmetric edge list against the label relation, a
+    * map-side-combinable (node, label) count, and a per-node argmax via
+    * the same max-struct trick as the top-supplier query (no window, no
+    * sort): max(struct(cnt, −label)) picks highest count then lowest
+    * label. Fixed small `iters` like [[pageRank]]; a many-round variant
+    * would localCheckpoint per round.
+    * Output: (doc_id, community). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters in 1..10 (lineage unrolls)")
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    var lab = nodes.select(col("doc_id").as("src"),
+      col("doc_id").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = sym.join(lab, "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst").as("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src"), (-col("m.nl")).as("new_label"))
+      lab = nodes.select(col("doc_id").as("src"))
+        .join(lab, "src")
+        .join(votes, Seq("src"), "left")
+        .select(col("src"), coalesce(col("new_label"), col("label"))
+          .as("label"))
+    }
+    lab.select(col("src").as("doc_id"), col("label").as("community"))
+  }
+
+  /** [[labelPropagation]] over the shared-window content graph. */
+  def contentCommunities(docs: DataFrame, n: Int = 8, dfCap: Int = 80,
+      iters: Int = 3): DataFrame =
+    labelPropagation(docs.select("doc_id"), windowEdges(docs, n, dfCap),
+      iters)
 }

@@ -67,4 +67,34 @@ class GraphSpec extends SparkSpec {
     assert(pr(1L) == pr(2L) && pr(2L) == pr(3L))
     assert(pr(1L) > pr(4L) && pr(4L) == 150000000000L)
   }
+
+  test("labelPropagation: dense groups keep their min label, isolated keep their own") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {10,11,12}; node 20 isolated. After one
+    // sync round every triangle member sees two neighbor labels (tie)
+    // -> min label; rounds 2-3 are stable.
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("a", "b")
+    val r = Graph.labelPropagation(nodes, edges, 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("labelPropagation: majority beats minimum — the vote is by count") {
+    import spark.implicits._
+    // node 5's neighbors: labels {1} once, {7} twice after round 1 setup:
+    // direct fixture — neighbors 1, 7, 8 where 7,8 share label 7 after
+    // round 1 (7-8 edge, both > 7's partner)... keep it single-round
+    // readable: neighbors of 5 = {1, 7, 8}; 7 and 8 are ALSO connected
+    // to each other. Round 1: node 5 sees labels 1,7,8 (all once) -> min
+    // 1. Node 7 sees {5,8} -> 5; node 8 sees {5,7} -> 5. Round 2: node 5
+    // sees labels {1, 5, 5} -> 5 wins BY COUNT over the smaller 1.
+    val nodes = Seq(1L, 5L, 7L, 8L).toDF("doc_id")
+    val edges = Seq((1L, 5L), (5L, 7L), (5L, 8L), (7L, 8L)).toDF("a", "b")
+    val r2 = Graph.labelPropagation(nodes, edges, 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r2(5L) == 5L)
+  }
 }

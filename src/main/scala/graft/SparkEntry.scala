@@ -1522,6 +1522,13 @@ object SparkEntry {
     "events_decayed_counts" -> ((s, dir) => // integer-exact dyadic half-life decay
       EventStream.decayedCounts(events(s, dir), "1 hour", 40)
         .orderBy("event_type")),
+    "events_user_growth" -> ((s, dir) => // first-seen decomposition, never re-distinct
+      EventStream.userGrowth(events(s, dir), "1 day")
+        .orderBy("bucket_us")),
+    "rdf_char_sets" -> ((s, dir) => // Neumann-Moerkotte characteristic sets
+      graft.rdf.TripleStats.characteristicSets(
+        graft.rdf.TripleSource.derive(s, dir), 50)
+        .orderBy(col("n_subjects").desc, col("char_set"))),
     "tpch_revenue_deciles" -> ((s, dir) => // NTILE over the customer aggregate
       graft.stats.Analytics.revenueDeciles(
         s.read.parquet(s"$dir/orders.parquet"), 10)
@@ -1599,6 +1606,21 @@ object SparkEntry {
         "SELECT subj, dest FROM reach ORDER BY 1, 2"),
     "rdf_triples" ->
       s"WITH $cte SELECT subj, pred, obj FROM triples ORDER BY 1,2,3",
+    // per-subject sorted predicate sets; DuckDB string_agg over an
+    // ordered distinct matches Spark's array_sort(collect_set) join
+    "rdf_char_sets" ->
+      (s"WITH $cte, sp AS (SELECT DISTINCT subj, pred FROM triples), " +
+        "cs AS (SELECT subj, string_agg(pred, ' ' ORDER BY pred) AS char_set FROM sp GROUP BY 1), " +
+        "agg AS (SELECT char_set, CAST(len(string_split(char_set, ' ')) AS BIGINT) AS set_size, COUNT(*) AS n_subjects FROM cs GROUP BY 1, 2) " +
+        "SELECT char_set, set_size, CAST(n_subjects AS BIGINT) AS n_subjects FROM agg ORDER BY n_subjects DESC, char_set LIMIT 50"),
+    // first-seen decomposition: one row per user ever shuffles, the
+    // cumulative window runs over the day-bucket relation
+    "events_user_growth" ->
+      ("WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS fus FROM events GROUP BY 1), " +
+        "b AS (SELECT fus - fus % 86400000000 AS bucket_us, COUNT(*) AS new_users FROM f GROUP BY 1) " +
+        "SELECT CAST(bucket_us AS BIGINT) AS bucket_us, CAST(new_users AS BIGINT) AS new_users, " +
+        "CAST(SUM(new_users) OVER (ORDER BY bucket_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
+        "FROM b ORDER BY bucket_us"),
     "cind_condition_counts" ->
       s"WITH $cte, $condsCte SELECT cond_code, v1, v2, COUNT(*) AS cnt FROM conds GROUP BY 1,2,3 HAVING COUNT(*) >= $MS ORDER BY 1,2,3",
     "cind_frequent_captures" ->

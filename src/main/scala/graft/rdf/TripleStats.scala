@@ -64,6 +64,29 @@ object TripleStats {
     side("subj", "out").unionAll(side("obj", "in"))
   }
 
+  /** Characteristic sets (Neumann & Moerkotte's RDF structure profile):
+    * the distinct PREDICATE SET each subject carries, and how many
+    * subjects share each set — the statistic RDF optimizers estimate
+    * star-join cardinalities from, and the natural "what entity shapes
+    * does this graph contain" summary. Two map-side-combinable
+    * aggregates: distinct (subj, pred) → per-subject sorted predicate
+    * array (collect_set + array_sort inside the aggregate — subjects
+    * with thousands of predicates stay a single buffer entry each, the
+    * array is predicate-vocabulary bounded) → count per serialized set.
+    * Top-k by (n_subjects desc, set) via TakeOrderedAndProject.
+    * Output: (char_set, set_size, n_subjects). */
+  def characteristicSets(triples: DataFrame, k: Int = 50): DataFrame =
+    triples.select("subj", "pred").distinct()
+      .groupBy("subj")
+      .agg(concat_ws(" ", array_sort(collect_set(col("pred"))))
+        .as("char_set"))
+      .groupBy("char_set")
+      .agg(count(lit(1)).as("n_subjects"))
+      .select(col("char_set"),
+        (size(split(col("char_set"), " "))).cast("long").as("set_size"),
+        col("n_subjects"))
+      .orderBy(col("n_subjects").desc, col("char_set")).limit(k)
+
   /** Hash collisions over the distinct value vocabulary
     * (reference programs/CheckHashCollisions.scala:46-73; hash-agnostic
     * semantics — we use a 16-bit md5 prefix so both Spark and any SQL oracle

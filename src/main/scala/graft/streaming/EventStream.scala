@@ -733,6 +733,28 @@ object EventStream {
         sum("value_cents").as("value_cents"))
   }
 
+  /** User-growth curve — per time bucket, how many users appear for the
+    * FIRST time ever, plus the cumulative total: the canonical adoption
+    * chart. Naive cumulative-distinct over time is quadratic (each day
+    * re-distincts its whole prefix); first-seen decomposition makes it
+    * two aggregates — min(ts) per user (map-side-combinable; the shuffle
+    * carries one row per user), a bucket histogram, then one cumulative
+    * window over the BUCKET relation, bounded by time span / bucket
+    * width, never by users or events. All integer micros.
+    * Output: (bucket_us, new_users, cum_users). */
+  def userGrowth(events: DataFrame, bucket: String = "1 day"): DataFrame = {
+    val w = expr(
+      s"unix_micros(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL $bucket)")
+    events.groupBy("user_id").agg(min(unix_micros(col("ts"))).as("fus"))
+      .groupBy((col("fus") - pmod(col("fus"), w)).as("bucket_us"))
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(
+        org.apache.spark.sql.expressions.Window.orderBy("bucket_us")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+  }
+
   /** Half-life-decayed event counts — the "what's hot NOW" statistic
     * (each event contributes 2^(−age/halfLife); an hour-old event at a
     * 1-hour half-life counts half) — computed INTEGER-EXACT: the decay

@@ -92,4 +92,14 @@ class BgpSpec extends SparkSpec {
       ("out", 1L, 1L), ("out", 3L, 1L),
       ("in", 1L, 2L), ("in", 2L, 1L)))
   }
+
+  test("characteristicSets: predicate-set shapes, duplicates collapse, sorted") {
+    val fix = t(
+      ("s1", "name", "x"), ("s1", "age", "1"), ("s1", "age", "2"), // dup pred
+      ("s2", "age", "3"), ("s2", "name", "y"),                     // same shape
+      ("s3", "name", "z"))                                         // smaller shape
+    val r = TripleStats.characteristicSets(fix, 10).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(("age name", 2L, 2L), ("name", 1L, 1L)))
+  }
 }

@@ -453,6 +453,21 @@ class EventStreamSpec extends SparkSpec {
     assert(r.length == 1 && r.head.getString(1) == "a>b>c")
   }
 
+  test("userGrowth: first-seen buckets only, cumulative total") {
+    import spark.implicits._
+    def day(d: Int, m: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-0$d 10:$m%02d:00")
+    val ev = Seq(
+      (day(1, 0), 1L), (day(1, 5), 2L), (day(1, 9), 1L),  // users 1,2 on day 1
+      (day(2, 0), 1L),                                    // user 1 again: NOT new
+      (day(3, 0), 3L))                                    // user 3 on day 3
+      .toDF("ts", "user_id")
+    val r = EventStream.userGrowth(ev, "1 day").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sortBy(_._1)
+    assert(r.map(x => (x._2, x._3)) == Seq((2L, 2L), (1L, 3L)))
+    assert(r.map(_._1).distinct.size == 2)   // day 2 has no bucket row
+  }
+
   test("decayedCounts: dyadic weights halve per half-life, old events weigh zero") {
     import spark.implicits._
     def hrs(h: Int): Timestamp =

@@ -1123,6 +1123,11 @@ object SparkEntry {
     "text_communities" -> ((s, dir) => // synchronous LPA, argmax by max-struct
       graft.graph.Graph.contentCommunities(docs(s, dir), 8, 80, 3)
         .orderBy("doc_id")),
+    "sim_mmr_rerank" -> ((s, dir) => // greedy diversity rerank, candidate-sized
+      graft.sim.Similarity.mmrRerank(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        col("vec_id") % 100 === 0, 5, 20, 70)
+        .orderBy("query_id", "rank")),
     "tpch_order_gaps" -> ((s, dir) => // lag-window inter-arrival profile
       graft.stats.Analytics.orderGaps(
         s.read.parquet(s"$dir/orders.parquet"), 4L)
@@ -2508,6 +2513,30 @@ object SparkEntry {
       ("WITH tokv AS (SELECT unnest(string_split(text,' ')) AS token FROM documents), ds AS (SELECT unnest(range(0,4)) AS d), cl AS (SELECT ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM tokv CROSS JOIN ds GROUP BY 1,2), top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tokv GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 50), pr AS (SELECT token, exact_cnt, ds.d, CAST(('0x'||substring(md5(CAST(ds.d AS VARCHAR)||':'||token),1,8)) AS BIGINT) % 1024 AS cell FROM top CROSS JOIN ds) SELECT p.token, p.exact_cnt, MIN(c.n) AS cms_estimate FROM pr p JOIN cl c ON c.d = p.d AND c.cell = p.cell GROUP BY 1,2 ORDER BY token"),
     "text_triangles" ->
       ("WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7],' '))) AS ng FROM tokd), df AS (SELECT ng, COUNT(*) AS df FROM w GROUP BY 1), ek AS (SELECT ng FROM df WHERE df BETWEEN 2 AND 80), e0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM w x JOIN w y USING (ng) JOIN ek USING (ng) WHERE x.doc_id < y.doc_id), deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1), tri AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc FROM e0 x JOIN e0 y ON x.b = y.a WHERE EXISTS (SELECT 1 FROM e0 z WHERE z.a = x.a AND z.b = y.b)), pn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (SELECT ta AS v FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri) GROUP BY 1) SELECT d.doc_id, COALESCE(deg.degree, 0) AS degree, COALESCE(pn.n_triangles, 0) AS n_triangles FROM documents d LEFT JOIN deg ON deg.v = d.doc_id LEFT JOIN pn ON pn.v = d.doc_id ORDER BY d.doc_id"),
+    // greedy MMR unrolled: round 1 is pure relevance; each later round
+    // re-scores the unpicked candidates against the picked set. The
+    // oracle writes (1 - 0.7) so both engines mix with the identical
+    // double constant.
+    "sim_mmr_rerank" -> {
+      val base =
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0), " +
+        "sc AS (SELECT q.query_id, e.vec_id, e.embedding, list_cosine_similarity(q.qe, e.embedding) AS rel FROM q, embeddings e WHERE e.vec_id <> q.query_id), " +
+        "cand AS (SELECT query_id, vec_id, embedding, rel FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS r FROM sc) WHERE r <= 20), " +
+        "pr AS (SELECT x.query_id, x.vec_id, y.vec_id AS s, list_cosine_similarity(x.embedding, y.embedding) AS cs FROM cand x JOIN cand y ON y.query_id = x.query_id AND y.vec_id <> x.vec_id), " +
+        "p1 AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS r FROM cand) WHERE r = 1)"
+      val rounds = (2 to 5).map { t =>
+        val u = if (t == 2) "p1"
+          else (1 until t).map(i => s"SELECT * FROM p$i").mkString("(", " UNION ALL ", ")")
+        s"r$t AS (SELECT pr.query_id, pr.vec_id, MAX(cs) AS red FROM pr JOIN $u u ON u.query_id = pr.query_id AND u.vec_id = pr.s GROUP BY 1,2), " +
+        s"s$t AS (SELECT c.query_id, c.vec_id, 0.7*c.rel - (1 - 0.7)*COALESCE(r$t.red, 0) AS mmr FROM cand c LEFT JOIN r$t ON r$t.query_id = c.query_id AND r$t.vec_id = c.vec_id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $u u2 WHERE u2.query_id = c.query_id AND u2.vec_id = c.vec_id)), " +
+        s"p$t AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id) AS r FROM s$t) WHERE r = 1)"
+      }.mkString(", ")
+      val sel = (1 to 5).map(t =>
+        s"SELECT query_id, CAST($t AS BIGINT) AS rank, vec_id AS neighbor_id FROM p$t")
+        .mkString(" UNION ALL ")
+      s"$base, $rounds $sel ORDER BY query_id, rank"
+    },
     // 3 unrolled synchronous LPA rounds over the same window graph as
     // text_pagerank; per round: vote counts, then rank-1 pick by
     // (cnt desc, label asc) — the same tie rule as the Spark max-struct

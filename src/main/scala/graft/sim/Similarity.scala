@@ -912,4 +912,74 @@ object Similarity {
         col("label").cast("long").as("neighbor_label")), Seq("neighbor_id"))
       .select("query_id", "rank", "neighbor_id", "neighbor_label")
   }
+
+  /** Maximal Marginal Relevance reranking — the diversity pass a
+    * retrieval stack runs AFTER top-k (plain cosine top-k returns five
+    * near-copies of the best hit; MMR greedily picks the item maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked). λ is given
+    * in integer percent. The greedy loop is `k` unrolled DataFrame
+    * rounds, each a join + argmax over CANDIDATE-SIZED relations only:
+    * candidates are the per-query top-`m` (WindowGroupLimit), their
+    * pairwise cosines compute ONCE (q·m² rows — m is a constant, so this
+    * scales as the query count), and every round is one semi-join of
+    * that pair relation against the picked set + a max-struct argmax
+    * per query (no window, no sort). Ties break to the smallest vec_id,
+    * same as every ranking in this file.
+    * Output: (query_id, rank, neighbor_id), rank 1..k. */
+  def mmrRerank(emb: DataFrame, queryPred: Column, k: Int = 5,
+      m: Int = 20, lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && m >= k, "need m >= k >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambda in 0..100 percent")
+    val lam = lambdaPct / 100.0
+    val en = emb.withColumn("nrm", norm(col("embedding")))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("vec_id"))
+    val cand = en.crossJoin(broadcast(en.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("nrm"),
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("rel"))
+      .withColumn("r", row_number().over(rw))
+      .filter(col("r") <= m)
+      .select("query_id", "vec_id", "embedding", "nrm", "rel")
+      .persist()
+    // pairwise candidate cosines, once (q·m·(m−1) rows, m constant)
+    val pair = cand.as("x").join(cand.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.query_id").as("query_id"), col("x.vec_id").as("vec_id"),
+        col("y.vec_id").as("s"),
+        (dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm"))).as("cs"))
+      .persist()
+    val rel = cand.select("query_id", "vec_id", "rel")
+    def argmax(scores: DataFrame, scoreCol: String, rank: Int): DataFrame =
+      scores.groupBy("query_id")
+        .agg(max(struct(col(scoreCol), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("query_id"), (-col("m.nid")).as("vec_id"),
+          lit(rank.toLong).as("rank"))
+    // round 1: pure relevance argmax. Each round's picked set is
+    // localCheckpoint-ed (eager): round t's plan must build on the
+    // MATERIALIZED t−1 picks, not the unrolled history — without it the
+    // union lineage recomputes every earlier round inside every later
+    // one (the same trap the CC loop documents). The relation is
+    // queries × t rows — materialization is trivially cheap.
+    var all = argmax(rel, "rel", 1).localCheckpoint()
+    for (t <- 2 to k) {
+      val pickedSet = all.select(col("query_id"), col("vec_id").as("s"))
+      val red = pair.join(pickedSet, Seq("query_id", "s"))
+        .groupBy("query_id", "vec_id").agg(max("cs").as("red"))
+      val scored = rel
+        .join(all.select("query_id", "vec_id"), Seq("query_id", "vec_id"),
+          "left_anti")
+        .join(red, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("vec_id"),
+          (lit(lam) * col("rel") -
+            lit(1.0 - lam) * coalesce(col("red"), lit(0.0))).as("mmr"))
+      all = all.unionByName(argmax(scored, "mmr", t)).localCheckpoint()
+    }
+    all.select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
 }

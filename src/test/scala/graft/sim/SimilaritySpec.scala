@@ -427,4 +427,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
     assert(got == expected)
   }
+
+  test("mmrRerank: diversity displaces the near-copy at rank 2") {
+    import spark.implicits._
+    // query (1,0); candidates 1 and 2 are EXACT copies (rel ~.9939,
+    // mutual cos 1), candidate 3 their mirror (same rel, cos13 ~.9756).
+    // Rank 1 = v1 (tie to smallest id). At lambda=50 the copy scores
+    // .5*(rel-1) < 0 while the mirror scores .5*(rel-.9756) > 0 -> v3.
+    val emb = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.9f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.mmrRerank(emb, col("vec_id") === 0, k = 2, m = 3,
+        lambdaPct = 50)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(1L -> 1L, 2L -> 3L))
+    // sanity: pure relevance (lambda=100) keeps the near-copy at rank 2
+    val r100 = Similarity.mmrRerank(emb, col("vec_id") === 0, k = 2, m = 3,
+        lambdaPct = 100)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toMap
+    assert(r100 == Map(1L -> 1L, 2L -> 2L))
+  }
 }

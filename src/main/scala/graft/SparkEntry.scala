@@ -1251,6 +1251,28 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(e.unionByName(dups), 0.95, dims = 64)
         .select("vec_id_a", "vec_id_b").orderBy("vec_id_a", "vec_id_b")
     }),
+    "sim_decontaminate" -> ((s, dir) => {
+      // test set = injected scaled copies of every 50th train vector
+      // (contaminated, cosine 1.0 to their source, identical signature ->
+      // recall exactly 1.0) plus NEGATED copies of every 70th (clean:
+      // cosine -1, must report n_matches = 0). Directional probe — the
+      // train side is never self-joined.
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val contaminated = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+      val clean = e.filter(col("vec_id") % 70 === 0)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(-1.5f)).as("embedding"))
+      Similarity.semanticDecontaminate(
+          e.unionByName(contaminated).unionByName(clean),
+          col("vec_id") >= 100000, 0.95, dims = 64)
+        .orderBy("test_id")
+    }),
+    "profile_benford" -> ((s, dir) => // first-digit law on order amounts
+      graft.stats.Profile.benford(
+        s.read.parquet(s"$dir/orders.parquet"),
+        round(col("o_totalprice") * 100)).orderBy("digit")),
     "sim_label_purity" -> ((s, dir) =>
       Similarity.labelPurity(emb(s, dir)).orderBy("vec_id")),
     "sim_centroid_outliers" -> ((s, dir) => // top-k farthest from own centroid
@@ -2191,6 +2213,26 @@ object SparkEntry {
       "WITH s AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(x))) AS scale FROM embeddings), q AS (SELECT vec_id, unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(scale AS DOUBLE)) AS INTEGER))) AS q, generate_subscripts(embedding, 1) - 1 AS dim FROM s WHERE scale > 0) SELECT vec_id, CAST(dim AS INTEGER) AS dim, q FROM q ORDER BY vec_id, dim",
     "sim_near_dup_pairs" ->
       "WITH e2 AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 50 = 0) SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 ORDER BY 1, 2",
+    // directional probe oracle: every test row reports; the only >= 0.95
+    // train match of a scaled copy is its source, negated copies match
+    // nothing (threshold margins >= 4e-4, far above engine float paths)
+    "sim_decontaminate" ->
+      ("WITH tr AS (SELECT vec_id, embedding FROM embeddings), " +
+        "te AS (SELECT vec_id + 100000 AS test_id, list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 50 = 0 " +
+        "UNION ALL SELECT vec_id + 200000 AS test_id, list_transform(embedding, x -> CAST(x * -1.5 AS FLOAT)) AS embedding FROM embeddings WHERE vec_id % 70 = 0), " +
+        "m AS (SELECT te.test_id, tr.vec_id AS train_id " +
+        "FROM te JOIN tr ON list_cosine_similarity(te.embedding, tr.embedding) >= 0.95), " +
+        "b AS (SELECT test_id, CAST(COUNT(*) AS BIGINT) AS n_matches, MIN(train_id) AS best_train_id FROM m GROUP BY 1) " +
+        "SELECT te.test_id, COALESCE(b.n_matches, 0) AS n_matches, " +
+        "COALESCE(b.best_train_id, -1) AS best_train_id " +
+        "FROM te LEFT JOIN b USING (test_id) ORDER BY test_id"),
+    "profile_benford" ->
+      ("WITH d AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit " +
+        "FROM orders WHERE CAST(round(o_totalprice*100) AS BIGINT) > 0), " +
+        "h AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1), " +
+        "t AS (SELECT SUM(n) AS total FROM h) " +
+        "SELECT digit, CAST(n AS BIGINT) AS n, round(CAST(n AS DOUBLE)/total, 6) AS pct, " +
+        "round(log10(1.0 + 1.0/digit), 6) AS expected_pct FROM h, t ORDER BY digit"),
     // threshold margins verified >= 4e-4 at both test scales — far above
     // any float/double divergence between the engines' cosine paths
     "sim_range_search" ->

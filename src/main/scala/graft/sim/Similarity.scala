@@ -913,6 +913,56 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "neighbor_label")
   }
 
+  /** Semantic decontamination — flag evaluation/test vectors whose
+    * nearest TRAIN vector clears `minCosine` (the embedding-level
+    * counterpart of the n-gram `text_decontaminate`: paraphrases and
+    * near-copies that share no 13-gram still collide here). Directional
+    * PROBE, never a corpus self-join: test-side band buckets join the
+    * train-side index, candidates carry ids only, and the exact cosine
+    * verifies each candidate — train-train pairs are never enumerated,
+    * so the cost is the test set's bucket collisions, not |corpus|².
+    * Every test row reports, flagged or clean (n_matches = 0,
+    * best_train_id = −1); the reported match is the SMALLEST matching
+    * train id — scores stay internal because a floored score is
+    * ulp-unstable exactly at the cosine-1.0 boundary injected copies sit
+    * on (the threshold compare itself has the documented ≥4e-4 margin).
+    * Output: (test_id, n_matches, best_train_id). */
+  def semanticDecontaminate(emb: DataFrame, testPred: Column,
+      minCosine: Double, dims: Int, bandBits: Int = 4,
+      numPlanes: Int = DefaultNumPlanes): DataFrame = {
+    require(numPlanes % bandBits == 0,
+      s"bandBits $bandBits must divide numPlanes $numPlanes")
+    val bands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    def bandRel(df: DataFrame, idAs: String) = df
+      .withColumn("sig", signature(col("embedding"), dims, numPlanes))
+      .select(col("vec_id").as(idAs), posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+    val test = emb.filter(testPred)
+    val train = emb.filter(!testPred)
+    val candidates = bandRel(test, "test_id")
+      .join(bandRel(train, "train_id"), Seq("band", "bucket"))
+      .select("test_id", "train_id").dropDuplicates()
+    val en = emb.withColumn("nrm", norm(col("embedding")))
+    val matches = candidates
+      .join(en.select(col("vec_id").as("test_id"), col("embedding").as("te"),
+        col("nrm").as("tn")), "test_id")
+      .join(en.select(col("vec_id").as("train_id"), col("embedding").as("re"),
+        col("nrm").as("rn")), "train_id")
+      .select(col("test_id"), col("train_id"),
+        (dot(col("te"), col("re")) / (col("tn") * col("rn"))).as("score"))
+      .filter(col("score") >= minCosine)
+      .groupBy("test_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("train_id")).as("best"))
+    test.select(col("vec_id").as("test_id"))
+      .join(matches, Seq("test_id"), "left")
+      .select(col("test_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best"), lit(-1L)).as("best_train_id"))
+  }
+
   /** Maximal Marginal Relevance reranking — the diversity pass a
     * retrieval stack runs AFTER top-k (plain cosine top-k returns five
     * near-copies of the best hit; MMR greedily picks the item maximizing

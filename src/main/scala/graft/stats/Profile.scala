@@ -409,6 +409,26 @@ object Profile {
       .withColumn("n", sum("n_xy").over(Window.partitionBy()))
   }
 
+  /** Benford first-significant-digit profile — the fraud/synthetic-data
+    * smell test: naturally occurring amounts follow P(d) = log10(1+1/d);
+    * fabricated or truncated columns don't. One map-side first-digit
+    * projection (string head of the positive integer value — no float
+    * log in the digit extraction) + one 9-row aggregate; the share and
+    * the expected share round 6, expected evaluated from the same
+    * integer d in both engines. Zero/negative values are excluded (they
+    * have no Benford digit). Output: (digit, n, pct, expected_pct). */
+  def benford(df: DataFrame, valueCol: Column): DataFrame = {
+    val digits = df.select(valueCol.cast("long").as("v"))
+      .filter(col("v") > 0L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(Window.partitionBy()))
+    digits.select(col("digit"), col("n"),
+      round(col("n").cast("double") / col("total"), 6).as("pct"),
+      round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+        .as("expected_pct"))
+  }
+
   /** Mutual information (and both marginal entropies) between two
     * categorical columns, composed ON TOP of [[contingency]] — the
     * association statistic itself, for when the caller wants the number

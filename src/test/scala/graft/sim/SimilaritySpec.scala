@@ -428,6 +428,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("semanticDecontaminate: copies flag with their source, clean rows report 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (100L, Array(1.5f, 0f, 0f, 0f)),     // test: scaled copy of 0
+      (200L, Array(0f, 0f, -2f, 1f)))      // test: matches nothing
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDecontaminate(emb,
+        col("vec_id") >= 100, 0.95, dims = 4)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(100L -> ((1L, 0L)), 200L -> ((0L, -1L))))
+  }
+
   test("mmrRerank: diversity displaces the near-copy at rank 2") {
     import spark.implicits._
     // query (1,0); candidates 1 and 2 are EXACT copies (rel ~.9939,

@@ -478,6 +478,31 @@ object Soak {
       run("er_name_pairs_sf1",
         Dedup.editNeighborPairs(cust1, "c_custkey", "c_name"))
     }
+    if (which("wave2")) {
+      // 10x events: shard offsets keep user timelines intact per shard
+      // (user_id offset => 10x distinct users, same per-user density —
+      // the growth regime a production stream actually has)
+      val ev = graft.streaming.EventSource.events(spark, sfDir)
+      val ev1 = ev.crossJoin(shardIds)
+        .withColumn("user_id",
+          col("user_id") + col("shard").cast("long") * 10000000L)
+        .withColumn("event_id",
+          col("event_id") + col("shard").cast("long") * 1000000000L)
+        .drop("shard").persist()
+      System.err.println(s"soak wave2: ${ev1.count()} events")
+      run("events_attribution_sf1",
+        graft.streaming.EventStream.attribution(ev1, "purchase", "1 hour"))
+      run("events_user_growth_sf1",
+        graft.streaming.EventStream.userGrowth(ev1, "1 day"))
+      run("events_decayed_counts_sf1",
+        graft.streaming.EventStream.decayedCounts(ev1, "1 hour", 40))
+      // 10x docs, unchanged bigram vocabulary: the KN table and the MMR
+      // candidate relations must stay vocabulary/candidate-sized
+      run("text_kn_bigrams_sf1",
+        graft.text.TextAnalysis.knBigrams(docs1, 100))
+      run("sim_mmr_rerank_sf1", graft.sim.Similarity.mmrRerank(
+        emb1, col("vec_id") % 1000 === 0, 5, 20, 70))
+    }
     if (which("kmv")) {
       // sharded docs repeat content: input rows 10x, per-source shingle
       // vocabulary UNCHANGED — wall and shuffle should track the scan,

@@ -1556,6 +1556,14 @@ object SparkEntry {
       graft.rdf.TripleStats.characteristicSets(
         graft.rdf.TripleSource.derive(s, dir), 50)
         .orderBy(col("n_subjects").desc, col("char_set"))),
+    "rdf_pred_cooccurrence" -> ((s, dir) => // pairwise char-set marginal
+      graft.rdf.TripleStats.predicateCooccurrence(
+        graft.rdf.TripleSource.derive(s, dir))
+        .orderBy("pred_a", "pred_b")),
+    "tpch_forecast_revenue" -> ((s, dir) => // Q6: the plan IS the scan
+      graft.stats.Analytics.forecastRevenue(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "1996-01-01", "1997-01-01", 6L, 24L)),
     "tpch_revenue_deciles" -> ((s, dir) => // NTILE over the customer aggregate
       graft.stats.Analytics.revenueDeciles(
         s.read.parquet(s"$dir/orders.parquet"), 10)
@@ -1633,6 +1641,16 @@ object SparkEntry {
         "SELECT subj, dest FROM reach ORDER BY 1, 2"),
     "rdf_triples" ->
       s"WITH $cte SELECT subj, pred, obj FROM triples ORDER BY 1,2,3",
+    "rdf_pred_cooccurrence" ->
+      (s"WITH $cte, sp AS (SELECT DISTINCT subj, pred FROM triples) " +
+        "SELECT a.pred AS pred_a, b.pred AS pred_b, CAST(COUNT(*) AS BIGINT) AS n_subjects " +
+        "FROM sp a JOIN sp b ON b.subj = a.subj AND a.pred < b.pred " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "tpch_forecast_revenue" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_items, " +
+        "CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_e4 " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7 AND l_quantity < 24"),
     // per-subject sorted predicate sets; DuckDB string_agg over an
     // ordered distinct matches Spark's array_sort(collect_set) join
     "rdf_char_sets" ->

@@ -87,6 +87,22 @@ object TripleStats {
         col("n_subjects"))
       .orderBy(col("n_subjects").desc, col("char_set")).limit(k)
 
+  /** Predicate co-occurrence — the pairwise marginal of
+    * [[characteristicSets]]: for every unordered predicate pair, how many
+    * subjects carry BOTH (the statistic a star-join selectivity estimate
+    * multiplies from when full characteristic sets are too sparse). One
+    * distinct (subj, pred) relation self-joined on subj with p1 < p2 —
+    * the per-subject fan-out is bounded by the predicate vocabulary, so
+    * candidates are Σ(preds-per-subject choose 2), never |subjects|².
+    * Output: (pred_a, pred_b, n_subjects). */
+  def predicateCooccurrence(triples: DataFrame): DataFrame = {
+    val sp = triples.select("subj", "pred").distinct()
+    sp.as("a").join(sp.as("b"),
+        col("a.subj") === col("b.subj") && col("a.pred") < col("b.pred"))
+      .groupBy(col("a.pred").as("pred_a"), col("b.pred").as("pred_b"))
+      .agg(count(lit(1)).as("n_subjects"))
+  }
+
   /** Hash collisions over the distinct value vocabulary
     * (reference programs/CheckHashCollisions.scala:46-73; hash-agnostic
     * semantics — we use a 16-bit md5 prefix so both Spark and any SQL oracle

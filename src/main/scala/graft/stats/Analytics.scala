@@ -802,6 +802,24 @@ object Analytics {
       .filter(col("n_orders") >= minOrders)
   }
 
+  /** Q6-style forecast revenue change — the canonical pushdown showcase:
+    * three range predicates and a two-column projection, ONE aggregate.
+    * The point at 100 TB is what the scan does: every predicate reaches
+    * the parquet reader as a PushedFilter and only (extendedprice,
+    * discount) survive column pruning — the plan IS the scan. Revenue in
+    * cents×percent (1e-4 units), BIGINT-exact.
+    * Output: one row (n_items, revenue_e4). */
+  def forecastRevenue(lineitem: DataFrame, from: String, until: String,
+      discountPct: Long, maxQty: Long): DataFrame =
+    lineitem.filter(
+        col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        pct(col("l_discount")).between(discountPct - 1, discountPct + 1) &&
+        col("l_quantity") < maxQty)
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice")) * pct(col("l_discount")))
+          .as("revenue_e4"))
+
   /** Customer revenue deciles — the "who are my top 10% customers"
     * distribution report. The working relation is the per-customer
     * aggregate (one map-side-combinable groupBy collapses orders to one

@@ -102,4 +102,17 @@ class BgpSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
     assert(r == Seq(("age name", 2L, 2L), ("name", 1L, 1L)))
   }
+
+  test("predicateCooccurrence: unordered pairs, duplicate triples collapse") {
+    val fix = t(
+      ("s1", "name", "x"), ("s1", "age", "1"), ("s1", "age", "2"),
+      ("s2", "age", "3"), ("s2", "name", "y"), ("s2", "city", "c"),
+      ("s3", "name", "z"))
+    val r = TripleStats.predicateCooccurrence(fix).collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    assert(r == Map(
+      ("age", "name") -> 2L,
+      ("age", "city") -> 1L,
+      ("city", "name") -> 1L))
+  }
 }

@@ -131,7 +131,7 @@ object SparkEntry {
       "COALESCE(category, 'other') AS category, " +
       "CAST(round(value*100) AS BIGINT) * COALESCE(weight, 0) AS wcents " +
       "FROM events LEFT JOIN dim USING (event_type)) " +
-      "SELECT bucket_start, category, COUNT(*) AS n_events, SUM(wcents) AS weighted_cents " +
+      "SELECT bucket_start, category, COUNT(*) AS n_events, CAST(SUM(wcents) AS BIGINT) AS weighted_cents " +
       "FROM e GROUP BY 1, 2 ORDER BY 1, 2")
 
   /** dHash32 CTEs over a (doc_id, text) relation named `$src`: 33 evenly
@@ -1659,10 +1659,12 @@ object SparkEntry {
         "agg AS (SELECT char_set, CAST(len(string_split(char_set, ' ')) AS BIGINT) AS set_size, COUNT(*) AS n_subjects FROM cs GROUP BY 1, 2) " +
         "SELECT char_set, set_size, CAST(n_subjects AS BIGINT) AS n_subjects FROM agg ORDER BY n_subjects DESC, char_set LIMIT 50"),
     // first-seen decomposition: one row per user ever shuffles, the
-    // cumulative window runs over the day-bucket relation
+    // cumulative window runs over the day-bucket relation. Floor-mod
+    // (not DuckDB's truncating %) so pre-epoch timestamps bucket the
+    // same as Spark's pmod
     "events_user_growth" ->
       ("WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS fus FROM events GROUP BY 1), " +
-        "b AS (SELECT fus - fus % 86400000000 AS bucket_us, COUNT(*) AS new_users FROM f GROUP BY 1) " +
+        "b AS (SELECT fus - ((fus % 86400000000 + 86400000000) % 86400000000) AS bucket_us, COUNT(*) AS new_users FROM f GROUP BY 1) " +
         "SELECT CAST(bucket_us AS BIGINT) AS bucket_us, CAST(new_users AS BIGINT) AS new_users, " +
         "CAST(SUM(new_users) OVER (ORDER BY bucket_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
         "FROM b ORDER BY bucket_us"),
@@ -1746,12 +1748,12 @@ object SparkEntry {
       ("WITH r AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))/3600)*3600 AS BIGINT) AS bucket_start, " +
         "COUNT(*) AS n_events FROM events GROUP BY 1,2), " +
         "s AS (SELECT *, " +
-        "SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket_start ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS before_sum, " +
-        "SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket_start ROWS BETWEEN 1 FOLLOWING AND 6 FOLLOWING) AS after_sum, " +
+        "CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket_start ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS BIGINT) AS before_sum, " +
+        "CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket_start ROWS BETWEEN 1 FOLLOWING AND 6 FOLLOWING) AS BIGINT) AS after_sum, " +
         "COUNT(*) OVER (PARTITION BY event_type ORDER BY bucket_start ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS nb, " +
         "COUNT(*) OVER (PARTITION BY event_type ORDER BY bucket_start ROWS BETWEEN 1 FOLLOWING AND 6 FOLLOWING) AS na FROM r) " +
         "SELECT event_type, bucket_start, n_events, before_sum, after_sum, " +
-        "after_sum - before_sum AS shift FROM s WHERE nb = 6 AND na = 6 " +
+        "CAST(after_sum - before_sum AS BIGINT) AS shift FROM s WHERE nb = 6 AND na = 6 " +
         "ORDER BY event_type, bucket_start"),
     "events_trending" ->
       ("WITH c AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, " +
@@ -1946,8 +1948,8 @@ object SparkEntry {
         "sc AS (SELECT dtf.doc_id, SUM(tf) AS n_bigrams, " +
         "SUM(tf * (length(bin(CAST((c1 + v) * 1024 // (n + 1) AS BIGINT))) - 1)) AS bits " +
         "FROM dtf JOIN model USING (bg) JOIN pre ON pre.w1 = string_split(dtf.bg, ' ')[1] CROSS JOIN vv GROUP BY 1) " +
-        "SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, COALESCE(sc.bits, 0) AS bits, " +
-        "CASE WHEN sc.n_bigrams > 0 THEN sc.bits * 1000 // sc.n_bigrams ELSE 0 END AS bpb_milli " +
+        "SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, CAST(COALESCE(sc.bits, 0) AS BIGINT) AS bits, " +
+        "CAST(CASE WHEN sc.n_bigrams > 0 THEN sc.bits * 1000 // sc.n_bigrams ELSE 0 END AS BIGINT) AS bpb_milli " +
         "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id ORDER BY d.doc_id"),
     // most-frequent-token count (longest sorted run == max group count)
     // + in-row duplicate bigrams; integer floor percentages
@@ -2220,7 +2222,7 @@ object SparkEntry {
       ("WITH q AS (SELECT vec_id, label, generate_subscripts(embedding,1) AS dim, " +
         "CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1024) AS BIGINT) AS q FROM embeddings), " +
         "c AS (SELECT label, dim, SUM(q) AS s, COUNT(*) AS n FROM q GROUP BY 1,2), " +
-        "d AS (SELECT q.vec_id, q.label, SUM((q.q*c.n - c.s)*(q.q*c.n - c.s)) AS d2n2 " +
+        "d AS (SELECT q.vec_id, q.label, CAST(SUM((q.q*c.n - c.s)*(q.q*c.n - c.s)) AS BIGINT) AS d2n2 " +
         "FROM q JOIN c ON c.label = q.label AND c.dim = q.dim GROUP BY 1,2), " +
         "r AS (SELECT label, vec_id, d2n2, ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2n2 DESC, vec_id) AS rnk FROM d) " +
         "SELECT CAST(label AS INTEGER) AS label, CAST(rnk AS BIGINT) AS rank, vec_id, d2n2 " +
@@ -2588,7 +2590,7 @@ object SparkEntry {
         val u = if (t == 2) "p1"
           else (1 until t).map(i => s"SELECT * FROM p$i").mkString("(", " UNION ALL ", ")")
         s"r$t AS (SELECT pr.query_id, pr.vec_id, MAX(cs) AS red FROM pr JOIN $u u ON u.query_id = pr.query_id AND u.vec_id = pr.s GROUP BY 1,2), " +
-        s"s$t AS (SELECT c.query_id, c.vec_id, 0.7*c.rel - (1 - 0.7)*COALESCE(r$t.red, 0) AS mmr FROM cand c LEFT JOIN r$t ON r$t.query_id = c.query_id AND r$t.vec_id = c.vec_id " +
+        s"s$t AS (SELECT c.query_id, c.vec_id, 70*c.rel - 30*COALESCE(r$t.red, 0) AS mmr FROM cand c LEFT JOIN r$t ON r$t.query_id = c.query_id AND r$t.vec_id = c.vec_id " +
         s"WHERE NOT EXISTS (SELECT 1 FROM $u u2 WHERE u2.query_id = c.query_id AND u2.vec_id = c.vec_id)), " +
         s"p$t AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id) AS r FROM s$t) WHERE r = 1)"
       }.mkString(", ")
@@ -2947,7 +2949,8 @@ object SparkEntry {
       ("SELECT CAST(a.c_custkey AS BIGINT) AS a_c_custkey, a.c_name AS a_c_name, " +
         "CAST(b.c_custkey AS BIGINT) AS b_c_custkey, b.c_name AS b_c_name " +
         "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
-        "AND levenshtein(a.c_name, b.c_name) = 1 ORDER BY 1, 3"),
+        "AND levenshtein(a.c_name, b.c_name) = 1 " +
+        "AND length(a.c_name) > 0 AND length(b.c_name) > 0 ORDER BY 1, 3"),
     "events_attribution" ->
       ("WITH p AS (SELECT event_id, ts, user_id, CAST(round(value*100) AS BIGINT) AS vc FROM events WHERE event_type = 'purchase'), " +
         "t AS (SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2), " +

@@ -728,7 +728,11 @@ object Dedup {
     * ~2L+1 short keys per DISTINCT name; Σ|bucket|² candidate cost, the
     * same class as the shingle index's Σdf². At 100 TB the working
     * relation is the name VOCABULARY, never the fact rows. Names must
-    * not contain U+0000 (the sentinel).
+    * not contain U+0000 (the sentinel) and must be NON-EMPTY: for "" the
+    * descending sequence(1, 0) = [1, 0] would emit two identical wildcard
+    * keys, breaking the duplicate-free invariant — empty names are
+    * filtered, not linked (an empty name has no edit-distance-1 business
+    * being a record key anyway).
     * Output: (a_id, a_name, b_id, b_name), a_id < b_id, distance == 1
     * (equal names are exact-dup territory, not linkage). */
   def editNeighborPairs(records: DataFrame, idCol: String,
@@ -743,6 +747,7 @@ object Dedup {
       d => struct(d.as("k"), lit(1).as("kind")))
     val keyed = records
       .select(col(idCol).cast("long").as("_id"), col(nameCol).as("_nm"))
+      .filter(length(nm) > 0)
       .select(col("_id"), nm, explode(concat(wild, dels,
         array(struct(nm.as("k"), lit(2).as("kind"))))).as("_kk"))
       .select(col("_id"), nm, col("_kk.k").as("_key"),

@@ -286,16 +286,19 @@ object Curation {
     * until the budget is hit" step of corpus assembly. Prefix sum via
     * [[tokenPrefixSum]] (bucketed, never a global window).
     * Output: (doc_id, n_tokens, cum_tokens, in_budget). */
-  /** Systematic PPS sampling — n draws with probability proportional to
-    * token mass, the design a "sample 100 documents representative of the
-    * corpus BY VOLUME" request actually means ([[budgetSample]] is the
-    * prefix cut; this spreads the picks across the whole corpus). Lay
-    * the documents end to end in doc_id order (the same exclusive
+  /** Systematic PPS sampling — draws with probability proportional to
+    * token mass, the design a "sample ~100 documents representative of
+    * the corpus BY VOLUME" request actually means ([[budgetSample]] is
+    * the prefix cut; this spreads the picks across the whole corpus).
+    * Lay the documents end to end in doc_id order (the same exclusive
     * prefix-sum engine as [[packSequences]] — bucketed two-phase, the
     * driver sees 256 bucket totals) and take the owner of every step-th
     * token slot, step = ⌊total/n⌋: a document spanning m slots is drawn
-    * m times (`picks` is its sampling weight), giving exactly the
-    * textbook systematic PPS inclusion probabilities with ZERO
+    * m times (`picks` is its sampling weight). NOTE the draw count is
+    * ⌊total/step⌋ ∈ [n, 2n), NOT exactly n — the integer step
+    * over-draws by up to n−1 when step does not divide total (it equals
+    * n exactly when it does; the spec pins this). Inclusion stays
+    * proportional to token mass with ZERO
     * randomness — reproducible across engines and runs. All arithmetic
     * is integer-valued (the double floors are exact: quotients are
     * either exact integers or ≥ 1/step away from one).

@@ -980,7 +980,6 @@ object Similarity {
       m: Int = 20, lambdaPct: Int = 70): DataFrame = {
     require(k >= 1 && m >= k, "need m >= k >= 1")
     require(lambdaPct >= 0 && lambdaPct <= 100, "lambda in 0..100 percent")
-    val lam = lambdaPct / 100.0
     val en = emb.withColumn("nrm", norm(col("embedding")))
     val rw = Window.partitionBy("query_id")
       .orderBy(col("rel").desc, col("vec_id"))
@@ -1025,9 +1024,13 @@ object Similarity {
         .join(all.select("query_id", "vec_id"), Seq("query_id", "vec_id"),
           "left_anti")
         .join(red, Seq("query_id", "vec_id"), "left")
+        // score 100·mmr with exact integer coefficients: lit(0.3) and
+        // DuckDB's (1 - 0.7) differ by 1 ulp (DECIMAL parse), and an
+        // unrounded coefficient feeding an argmax is a latent cross-engine
+        // rank flip — lambdaPct·rel − (100−lambdaPct)·red is ulp-safe
         .select(col("query_id"), col("vec_id"),
-          (lit(lam) * col("rel") -
-            lit(1.0 - lam) * coalesce(col("red"), lit(0.0))).as("mmr"))
+          (lit(lambdaPct.toDouble) * col("rel") -
+            lit((100 - lambdaPct).toDouble) * coalesce(col("red"), lit(0.0))).as("mmr"))
       all = all.unionByName(argmax(scored, "mmr", t)).localCheckpoint()
     }
     all.select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))

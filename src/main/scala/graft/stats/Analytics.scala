@@ -824,12 +824,11 @@ object Analytics {
     * distribution report. The working relation is the per-customer
     * aggregate (one map-side-combinable groupBy collapses orders to one
     * row per customer), so the NTILE window ranks CUSTOMERS, never
-    * orders: the global sort the decile assignment needs runs over the
-    * customer-bounded relation — at 100 TB of orders that is still only
-    * |customers| rows, and range partitioning keeps it parallel (a
-    * single-partition window would be the trap; ntile's frame is the
-    * whole relation, so the sort IS global — acceptable precisely
-    * because the relation is dimension-sized). Ties order by
+    * orders: Spark executes the un-partitioned NTILE window in a SINGLE
+    * partition (Window.orderBy with no partitionBy — same shape ksDrift
+    * documents), acceptable precisely because the relation was first
+    * collapsed to dimension size: at 100 TB of orders it is still only
+    * |customers| rows entering that one partition. Ties order by
     * (revenue desc, o_custkey) so decile boundaries are deterministic in
     * both engines. Money stays in integer cents end-to-end.
     * Output: (decile, n_customers, total_cents, min_cents, max_cents). */

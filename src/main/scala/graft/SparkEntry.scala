@@ -949,6 +949,13 @@ object SparkEntry {
       graft.stats.Profile.equiDepthHistogram(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice", 8, 100L)
         .orderBy("bucket")),
+    "profile_quantile_sketch" -> ((s, dir) => // mergeable hash-rank sample
+      graft.stats.Profile.quantileSketch(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
+        round(col("l_extendedprice") * 100),
+        col("l_orderkey") * 10 + col("l_linenumber"),
+        Seq(50, 90, 99), 512)
+        .orderBy("l_returnflag")),
     "profile_zorder" -> ((s, dir) => // Morton-interleave layout extents
       graft.stats.Profile.zorderExtents(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey")
@@ -2346,6 +2353,24 @@ object SparkEntry {
         "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = cust.c_custkey " +
         "AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00') " +
         "GROUP BY 1 ORDER BY 1"),
+    // deterministic hash-rank subsample quantile sketch: md5 low bits are
+    // the sampling coin (same derandomization as the CMS/HLL oracles), so
+    // both engines draw the identical sample; level = bit_length(ceil(n/
+    // cap)-1), weight 2^level, quantile_disc selection on estimated ranks
+    "profile_quantile_sketch" ->
+      ("WITH base AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice*100) AS BIGINT) AS v, " +
+        "CAST(('0x'||substring(md5(CAST(l_orderkey*10 + l_linenumber AS VARCHAR)),25,8)) AS BIGINT) AS h FROM lineitem), " +
+        "lv AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(CASE WHEN (COUNT(*) + 511)//512 <= 1 THEN 0 ELSE length(bin((COUNT(*) + 511)//512 - 1)) END AS BIGINT) AS level FROM base GROUP BY 1), " +
+        "sv AS (SELECT b.g, lv.n_rows, lv.level, (CAST(1 AS BIGINT) << CAST(lv.level AS INT)) AS w, b.v " +
+        "FROM base b JOIN lv USING (g) WHERE b.h % (CAST(1 AS BIGINT) << CAST(lv.level AS INT)) = 0), " +
+        "cm AS (SELECT g, n_rows, level, w, v, CAST(COUNT(*) AS BIGINT) AS c FROM sv GROUP BY 1,2,3,4,5), " +
+        "cc AS (SELECT *, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM cm) " +
+        "SELECT g AS l_returnflag, MAX(n_rows) AS n_rows, MAX(level) AS level, CAST(SUM(c) AS BIGINT) AS n_sample, " +
+        "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*50 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p50_est, " +
+        "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*90 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p90_est, " +
+        "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*99 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p99_est " +
+        "FROM cc GROUP BY g ORDER BY 1"),
     // equi-depth boundaries at rank-at-floor((n-1)i/8); bucket = count of
     // boundaries <= v (ties to the higher bucket) — all integer cents
     "profile_equidepth" ->

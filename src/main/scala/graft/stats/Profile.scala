@@ -347,6 +347,68 @@ object Profile {
     cum.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Mergeable quantile SKETCH — deterministic hash-rank subsampling, the
+    * sampling-based mergeable quantile summary (the random-sample branch of
+    * the mergeable-summaries family alongside the KLL compactor),
+    * derandomized the way this repo's CMS/HLL/KMV are: md5 is the sampling
+    * coin, so runs, shards and the SQL oracle all draw the SAME sample.
+    *
+    * Every row's unique `key` hashes to 32 uniform bits; a row survives to
+    * level j iff the low j bits are zero (P = 2^-j). Level-(j+1) survivors
+    * are by construction a SUBSET of level-j survivors — that nesting is
+    * the mergeability: shard summaries taken at different levels union by
+    * filtering to the max level (one more hash-bit test, the compaction
+    * step), exactly how a 1000-executor run combines per-partition
+    * summaries; Spark's map-side combine performs it here. The level is
+    * chosen per group as the least j with expected survivors n/2^j <= cap
+    * — j = bit_length(ceil(n/cap) - 1) — so the summary is <= ~cap rows
+    * per group at ANY n. A survivor carries weight 2^j; the estimated rank
+    * of v is 2^j * |survivors <= v|, and the p-th quantile estimate is the
+    * least survivor value whose estimated rank reaches ceil(n*p/100) (the
+    * same quantile_disc convention as [[groupQuantiles]]), falling back to
+    * the sample maximum when the sample's total estimated rank undershoots
+    * the target (high p + sampling deficit). Expected rank error is
+    * O(n/sqrt(cap)); the spec gates it.
+    *
+    * Two column-pruned scans at 100 TB: group counts (map-side combinable,
+    * groups-sized) and the hash-filter scan that emits only ~cap rows per
+    * group — the exact [[groupQuantiles]] shuffles every distinct value;
+    * this is the variant a profiler can afford when value cardinality is
+    * unbounded. `value` must be integer-valued; `key` must be unique per
+    * row (a row id) — it is the sampling coin, not data.
+    * Output: (group, n_rows, level, n_sample, p<p>_est per p). */
+  def quantileSketch(df: DataFrame, groupCol: String, value: Column,
+      key: Column, ps: Seq[Int] = Seq(50, 90, 99),
+      cap: Int = 512): DataFrame = {
+    require(cap >= 16, "cap too small to estimate anything")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
+      "percentiles must be in (0, 100]")
+    val base = df.select(col(groupCol).as("g"), value.cast("long").as("v"),
+      conv(substring(md5(key.cast("string")), 25, 8), 16, 10)
+        .cast("long").as("h"))
+    val lv = base.groupBy("g").agg(count(lit(1)).as("n_rows"))
+      .withColumn("cd",
+        floor((col("n_rows") + lit(cap - 1)) / lit(cap)).cast("long"))
+      .withColumn("level", when(col("cd") <= 1, lit(0L))
+        .otherwise(length(bin(col("cd") - 1)).cast("long")))
+      .select("g", "n_rows", "level")
+    // weight 2^level; level <= ~40 in any universe, the shift is safe
+    val w = expr("shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))")
+    val surv = base.join(broadcast(lv), Seq("g"))
+      .filter(pmod(col("h"), w) === 0)
+    val cum = surv.groupBy("g", "level", "n_rows", "v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("v")))
+    val pAggs = ps.map { p =>
+      val target = floor((col("n_rows") * p + lit(99)) / lit(100)).cast("long")
+      coalesce(min(when(col("cum") * w >= target, col("v"))), max("v"))
+        .as(s"p${p}_est")
+    }
+    val aggs = Seq(max("n_rows").as("n_rows"), max("level").as("level"),
+      sum("c").as("n_sample")) ++ pAggs
+    cum.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Robust per-group outlier statistics — median + MAD (median absolute
     * deviation), the estimator family that survives the contamination a
     * mean/stddev z-score is defeated by (one corrupt batch shifts a mean;

@@ -221,6 +221,62 @@ class ProfileSpec extends SparkSpec {
     assert(r("b") == ((4L, 7L, 9L, 9L)))
   }
 
+  test("quantileSketch: exact at level 0, bounded rank error above it, " +
+      "nested (mergeable) samples") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // small group: n <= cap => level 0, every row survives, estimates
+    // MUST equal the exact groupQuantiles verbatim
+    val small = (1 to 100).map(v => ("s", v.toLong, v.toLong)).toDF("g", "v", "k")
+    val rs = Profile.quantileSketch(small, "g", col("v"), col("k"),
+      Seq(50, 90, 99), cap = 512).collect().head
+    assert(rs.getLong(1) == 100L && rs.getLong(2) == 0L &&
+      rs.getLong(3) == 100L)
+    val ex = Profile.groupQuantiles(small, "g", col("v"), Seq(50, 90, 99))
+      .collect().head
+    assert((rs.getLong(4), rs.getLong(5), rs.getLong(6)) ==
+      ((ex.getLong(2), ex.getLong(3), ex.getLong(4))))
+
+    // large group: 40k rows of v = rank => exact rank of the estimate is
+    // the estimate itself; gate |rank(est) - target| <= 10% of n. The
+    // sample is deterministic (md5 coin), so this either always passes
+    // or always fails — no flake.
+    val n = 40000
+    val big = (1 to n).map(v => ("b", v.toLong, v.toLong)).toDF("g", "v", "k")
+    val rb = Profile.quantileSketch(big, "g", col("v"), col("k"),
+      Seq(50, 90, 99), cap = 512).collect().head
+    val (lvl, m) = (rb.getLong(2), rb.getLong(3))
+    // level = bit_length(ceil(40000/512)-1) = bit_length(78) = 7
+    assert(lvl == 7L, s"level $lvl")
+    // expected survivors n/2^level = 312; binomial spread is narrow
+    assert(m > 200 && m < 450, s"sample size $m")
+    for ((p, i) <- Seq(50, 90, 99).zipWithIndex) {
+      val est = rb.getLong(4 + i)
+      val target = (n.toLong * p + 99) / 100
+      assert(math.abs(est - target) <= n / 10,
+        s"p$p: est rank $est vs target $target")
+    }
+
+    // mergeability = sample nesting: the level-(j+1) survivor set must be
+    // a subset of the level-j one (filtering a shard summary up to the
+    // global max level discards rows, never invents them) — checked on
+    // the raw md5 coin the implementation uses
+    import org.apache.spark.sql.functions._
+    val coins = big.select(
+      conv(substring(md5(col("k").cast("string")), 25, 8), 16, 10)
+        .cast("long").as("h"))
+    val at = (j: Int) => coins.filter(pmod(col("h"), lit(1L << j)) === 0)
+      .count()
+    val sizes = (0 to 8).map(at)
+    assert(sizes.head == n.toLong)
+    sizes.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"nesting violated: $sizes") }
+    // and the subset property itself, not just the counts
+    val s7 = coins.filter(pmod(col("h"), lit(1L << 7)) === 0)
+    val s8 = coins.filter(pmod(col("h"), lit(1L << 8)) === 0)
+    assert(s8.except(s7).count() == 0L)
+  }
+
   test("contingency: exact cells with row/column marginals and total") {
     import spark.implicits._
     val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))

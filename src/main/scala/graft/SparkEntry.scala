@@ -145,6 +145,18 @@ object SparkEntry {
       "pd AS (SELECT doc_id, i, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM ps), " +
       "ph AS (SELECT doc_id, CAST(SUM(CASE WHEN v > pv THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END) AS BIGINT) AS phash FROM pd WHERE i >= 1 GROUP BY 1)"
 
+  /** P6-container encode CTEs over a (doc_id, text) relation named `$src`
+    * — the oracle-side mirror of Multimodal.blobTable (w = 8 + first byte
+    * mod 8, h = 8 + length mod 8, raster = text repeated cyclically to
+    * w*h*3; empty text encodes a single space). The Spark side DECODES the
+    * binary container it built ([[graft.multimodal.Multimodal.PpmCodec]]);
+    * the oracle reconstructs what the decode must recover, so every mm_*
+    * check verifies the round-trip. Final CTE: px(doc_id, w, h, payload). */
+  private def ppmCtes(src: String): String =
+    s"pe AS (SELECT doc_id, CASE WHEN length(text) > 0 THEN text ELSE ' ' END AS s FROM $src), " +
+      "pm AS (SELECT doc_id, s, length(s) AS n, 8 + ascii(substr(s,1,1)) % 8 AS w, 8 + length(s) % 8 AS h FROM pe), " +
+      "px AS (SELECT doc_id, w, h, substr(repeat(s, CAST((w*h*3 + n - 1)//n AS INTEGER)), 1, w*h*3) AS payload FROM pm)"
+
   /** Iterated-BPE oracle CTEs: k unrolled rounds of the SAME relational
     * trainer TextAnalysis.bpeTrain runs — lead-pair counts over the word
     * frequency table, top-1 by (cnt desc, x, y), then the
@@ -2274,23 +2286,46 @@ object SparkEntry {
         "nbr AS (SELECT b.vec_id, MIN(a.vec_id) AS nbr_id FROM lists a JOIN lists b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95 GROUP BY 1) " +
         "SELECT l.vec_id, l.cent_id, COALESCE(n.nbr_id, l.vec_id) AS rep_id, COALESCE(n.nbr_id, l.vec_id) <> l.vec_id AS is_dup " +
         "FROM lists l LEFT JOIN nbr n ON n.vec_id = l.vec_id ORDER BY l.vec_id"),
+    // the oracle RE-ENCODES the P6 container from text (ppmCtes mirrors
+    // blobTable) and states what a correct decode must recover: header
+    // byte length, parsed dimensions, raster checksum
     "mm_decode_meta" ->
-      "WITH ch AS (SELECT doc_id, CAST(SUM(ascii(c)) % 65536 AS BIGINT) AS checksum FROM (SELECT doc_id, unnest(string_split(text,'')) AS c FROM documents) GROUP BY 1) SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS byte_len, CAST(64 + ascii(substr(d.text,1,1)) % 64 AS INTEGER) AS width, CAST(64 + ascii(substr(d.text,2,1)) % 64 AS INTEGER) AS height, ch.checksum FROM documents d JOIN ch ON ch.doc_id = d.doc_id ORDER BY d.doc_id",
+      (s"WITH ${ppmCtes("documents")}, " +
+        "ch AS (SELECT doc_id, CAST(SUM(ascii(c)) % 65536 AS BIGINT) AS checksum FROM (SELECT doc_id, unnest(string_split(payload,'')) AS c FROM px) GROUP BY 1) " +
+        "SELECT p.doc_id, CAST(9 + length(CAST(p.w AS VARCHAR)) + length(CAST(p.h AS VARCHAR)) + p.w*p.h*3 AS INTEGER) AS byte_len, " +
+        "CAST(p.w AS INTEGER) AS width, CAST(p.h AS INTEGER) AS height, ch.checksum " +
+        "FROM px p JOIN ch USING (doc_id) ORDER BY p.doc_id"),
     "mm_frames" ->
-      "WITH f AS (SELECT doc_id, text, unnest(generate_series(0, CAST(floor((length(text)-1)/128) AS BIGINT))) AS i FROM documents) SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i*128 AS INTEGER) AS frame_off, ascii(substr(text, CAST(i*128+1 AS INTEGER), 1)) AS frame_byte FROM f ORDER BY doc_id, frame_idx",
+      (s"WITH ${ppmCtes("documents")}, " +
+        "f AS (SELECT doc_id, payload, unnest(generate_series(0, CAST(floor((length(payload)-1)/128) AS BIGINT))) AS i FROM px) " +
+        "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, CAST(i*128 AS INTEGER) AS frame_off, " +
+        "ascii(substr(payload, CAST(i*128+1 AS INTEGER), 1)) AS frame_byte FROM f ORDER BY doc_id, frame_idx"),
     "mm_resize" ->
-      "WITH m AS (SELECT doc_id, CAST(64 + ascii(substr(text,1,1)) % 64 AS INTEGER) AS width, CAST(64 + ascii(substr(text,2,1)) % 64 AS INTEGER) AS height FROM documents) SELECT doc_id, width, height, CAST(CASE WHEN greatest(width,height) <= 64 THEN width ELSE greatest(1, CAST(floor(width*64/greatest(width,height)) AS INTEGER)) END AS INTEGER) AS out_w, CAST(CASE WHEN greatest(width,height) <= 64 THEN height ELSE greatest(1, CAST(floor(height*64/greatest(width,height)) AS INTEGER)) END AS INTEGER) AS out_h FROM m ORDER BY doc_id",
+      (s"WITH ${ppmCtes("documents")} " +
+        "SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(CASE WHEN greatest(w,h) <= 12 THEN w ELSE greatest(1, CAST(floor(w*12/greatest(w,h)) AS INTEGER)) END AS INTEGER) AS out_w, " +
+        "CAST(CASE WHEN greatest(w,h) <= 12 THEN h ELSE greatest(1, CAST(floor(h*12/greatest(w,h)) AS INTEGER)) END AS INTEGER) AS out_h " +
+        "FROM px ORDER BY doc_id"),
     "mm_features" ->
-      "WITH ch AS (SELECT doc_id, ascii(unnest(string_split(text,''))) % 16 AS bucket FROM documents), cnt AS (SELECT doc_id, bucket, COUNT(*) AS n FROM ch GROUP BY 1,2), bk AS (SELECT unnest(generate_series(0,15)) AS bucket) SELECT d.doc_id, CAST(bk.bucket AS INTEGER) AS bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_bytes FROM documents d CROSS JOIN bk LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bucket = bk.bucket ORDER BY 1, 2",
+      (s"WITH ${ppmCtes("documents")}, " +
+        "ch AS (SELECT doc_id, ascii(unnest(string_split(payload,''))) % 16 AS bucket FROM px), " +
+        "cnt AS (SELECT doc_id, bucket, COUNT(*) AS n FROM ch GROUP BY 1,2), " +
+        "bk AS (SELECT unnest(generate_series(0,15)) AS bucket) " +
+        "SELECT d.doc_id, CAST(bk.bucket AS INTEGER) AS bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_bytes " +
+        "FROM documents d CROSS JOIN bk LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.bucket = bk.bucket ORDER BY 1, 2"),
     "mm_phash" ->
-      s"WITH ${phashCtes("documents")} SELECT doc_id, phash FROM ph ORDER BY doc_id",
+      (s"WITH ${ppmCtes("documents")}, pp AS (SELECT doc_id, payload AS text FROM px), " +
+        s"${phashCtes("pp")} SELECT doc_id, phash FROM ph ORDER BY doc_id"),
     // edited copies (one in-place byte) injected exactly like the Spark side;
     // all-pairs filter is the oracle for the banded search (complete <= 3)
     "mm_phash_pairs" ->
-      s"WITH e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), ${phashCtes("e2")} SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming FROM ph a JOIN ph b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY 1, 2",
+      (s"WITH e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), " +
+        s"${ppmCtes("e2")}, pp AS (SELECT doc_id, payload AS text FROM px), ${phashCtes("pp")} " +
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming FROM ph a JOIN ph b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.phash, b.phash)) <= 3 ORDER BY 1, 2"),
     // recursive min-label closure over the SAME perceptual pair set
     "mm_media_clusters" ->
-      (s"WITH RECURSIVE e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), ${phashCtes("e2")}, " +
+      (s"WITH RECURSIVE e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), " +
+        s"${ppmCtes("e2")}, pp AS (SELECT doc_id, payload AS text FROM px), ${phashCtes("pp")}, " +
         "p AS (SELECT a.doc_id AS a, b.doc_id AS b FROM ph a JOIN ph b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.phash, b.phash)) <= 3), " +
         "e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p), " +
         "reach AS (SELECT doc_id AS node, doc_id AS lab FROM e2 UNION SELECT e.a AS node, r.lab FROM e JOIN reach r ON r.node = e.b), " +

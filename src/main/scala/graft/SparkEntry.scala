@@ -157,6 +157,24 @@ object SparkEntry {
       "pm AS (SELECT doc_id, s, length(s) AS n, 8 + ascii(substr(s,1,1)) % 8 AS w, 8 + length(s) % 8 AS h FROM pe), " +
       "px AS (SELECT doc_id, w, h, substr(repeat(s, CAST((w*h*3 + n - 1)//n AS INTEGER)), 1, w*h*3) AS payload FROM pm)"
 
+  /** Hash-rank subsample quantile-sketch oracle over lineitem cents —
+    * shared by the batch sketch and its streaming twin (which runs the
+    * same construction over a deterministic row subset via `where`). */
+  private def quantileSketchOracleSql(where: String): String =
+    (s"WITH base AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice*100) AS BIGINT) AS v, " +
+      s"CAST(('0x'||substring(md5(CAST(l_orderkey*10 + l_linenumber AS VARCHAR)),25,8)) AS BIGINT) AS h FROM lineitem$where), " +
+      "lv AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+      "CAST(CASE WHEN (COUNT(*) + 511)//512 <= 1 THEN 0 ELSE length(bin((COUNT(*) + 511)//512 - 1)) END AS BIGINT) AS level FROM base GROUP BY 1), " +
+      "sv AS (SELECT b.g, lv.n_rows, lv.level, (CAST(1 AS BIGINT) << CAST(lv.level AS INT)) AS w, b.v " +
+      "FROM base b JOIN lv USING (g) WHERE b.h % (CAST(1 AS BIGINT) << CAST(lv.level AS INT)) = 0), " +
+      "cm AS (SELECT g, n_rows, level, w, v, CAST(COUNT(*) AS BIGINT) AS c FROM sv GROUP BY 1,2,3,4,5), " +
+      "cc AS (SELECT *, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM cm) " +
+      "SELECT g AS l_returnflag, MAX(n_rows) AS n_rows, MAX(level) AS level, CAST(SUM(c) AS BIGINT) AS n_sample, " +
+      "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*50 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p50_est, " +
+      "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*90 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p90_est, " +
+      "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*99 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p99_est " +
+      "FROM cc GROUP BY g ORDER BY 1")
+
   /** Iterated-BPE oracle CTEs: k unrolled rounds of the SAME relational
     * trainer TextAnalysis.bpeTrain runs — lead-pair counts over the word
     * frequency table, top-1 by (cnt desc, x, y), then the
@@ -968,6 +986,25 @@ object SparkEntry {
         col("l_orderkey") * 10 + col("l_linenumber"),
         Seq(50, 90, 99), 512)
         .orderBy("l_returnflag")),
+    "profile_quantile_sketch_stream" -> ((s, dir) => { // online subsample intake
+      // a deterministic quarter of lineitem keeps the driver-fed fixture
+      // in line with the other stream harnesses; the sharded state folds
+      // ONLINE and the shared tail answers the batch oracle construction
+      import s.implicits._
+      val rows = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("k"),
+          col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("g", "v", "k")
+        .as[(String, Long, String)].collect().toSeq
+      val batches = rows.grouped(math.max(1, (rows.size + 3) / 4)).toSeq
+      graft.streaming.StreamDriver.quantileSketchStreamed(s, batches)
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag")
+    }),
     "profile_zorder" -> ((s, dir) => // Morton-interleave layout extents
       graft.stats.Profile.zorderExtents(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey")
@@ -2392,20 +2429,12 @@ object SparkEntry {
     // the sampling coin (same derandomization as the CMS/HLL oracles), so
     // both engines draw the identical sample; level = bit_length(ceil(n/
     // cap)-1), weight 2^level, quantile_disc selection on estimated ranks
-    "profile_quantile_sketch" ->
-      ("WITH base AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice*100) AS BIGINT) AS v, " +
-        "CAST(('0x'||substring(md5(CAST(l_orderkey*10 + l_linenumber AS VARCHAR)),25,8)) AS BIGINT) AS h FROM lineitem), " +
-        "lv AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
-        "CAST(CASE WHEN (COUNT(*) + 511)//512 <= 1 THEN 0 ELSE length(bin((COUNT(*) + 511)//512 - 1)) END AS BIGINT) AS level FROM base GROUP BY 1), " +
-        "sv AS (SELECT b.g, lv.n_rows, lv.level, (CAST(1 AS BIGINT) << CAST(lv.level AS INT)) AS w, b.v " +
-        "FROM base b JOIN lv USING (g) WHERE b.h % (CAST(1 AS BIGINT) << CAST(lv.level AS INT)) = 0), " +
-        "cm AS (SELECT g, n_rows, level, w, v, CAST(COUNT(*) AS BIGINT) AS c FROM sv GROUP BY 1,2,3,4,5), " +
-        "cc AS (SELECT *, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM cm) " +
-        "SELECT g AS l_returnflag, MAX(n_rows) AS n_rows, MAX(level) AS level, CAST(SUM(c) AS BIGINT) AS n_sample, " +
-        "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*50 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p50_est, " +
-        "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*90 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p90_est, " +
-        "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*99 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p99_est " +
-        "FROM cc GROUP BY g ORDER BY 1"),
+    "profile_quantile_sketch" -> quantileSketchOracleSql(""),
+    // the stream twin folds the same subsample ONLINE (sharded bounded
+    // state, hash-bit compaction) and answers the identical construction
+    // over its deterministic quarter of the rows
+    "profile_quantile_sketch_stream" ->
+      quantileSketchOracleSql(" WHERE l_orderkey % 4 = 0"),
     // equi-depth boundaries at rank-at-floor((n-1)i/8); bucket = count of
     // boundaries <= v (ties to the higher bucket) — all integer cents
     "profile_equidepth" ->

@@ -42,20 +42,24 @@ object Graph {
     * round re-bases at the damping mass (S·15) div 100. Isolated nodes
     * settle at the base mass after round one.
     *
-    * Scale shape: the degree relation computes once and the `iters`
-    * rounds unroll into ONE declarative plan — per round one equi-join of
-    * the symmetric edge list against the rank relation plus a map-side-
-    * combinable sum, exactly the join+aggregate pair every distributed
-    * PageRank runs; Catalyst reuses the edge/degree exchanges across
-    * rounds. Fixed small `iters` (the curation signal stabilizes fast);
-    * a many-iteration variant would persist + localCheckpoint each round
-    * like the connected-components loop to truncate lineage. */
+    * Scale shape: the edge list MATERIALIZES once (localCheckpoint — the
+    * same lineage cut as the connected-components loop; GraphX does the
+    * identical thing) and the `iters` rounds unroll into ONE declarative
+    * plan — per round one equi-join of the symmetric edge list against
+    * the rank relation plus a map-side-combinable sum, exactly the
+    * join+aggregate pair every distributed PageRank runs. Relying on
+    * Catalyst exchange reuse instead of the explicit cut re-ran the
+    * window-edge self-join per unrolled round at sf1 density (measured:
+    * 82.5 s -> 27 s at 50k docs / 45x edges). Fixed small `iters` (the
+    * curation signal stabilizes fast); a many-iteration variant would
+    * also localCheckpoint each round's ranks. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 10, "iters in 1..10 (lineage unrolls)")
     val S = 1000000000000L
     val base = S * 15L / 100L
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val e = edges.localCheckpoint()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     var pr = nodes.select(col("doc_id").as("src"), lit(S).as("pr"))
     for (_ <- 0 until iters) {
@@ -84,6 +88,14 @@ object Graph {
     * equi-joins; the count aggregate is map-side combinable.
     * Output: (doc_id, degree, n_triangles) for every node. */
   def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // the edge relation feeds four plan positions (degree, both wedge
+    // sides, the closing semi-join) but must stay DECLARATIVE: Catalyst
+    // reuses one edge exchange across all four (identical subtrees),
+    // while a localCheckpoint hands AQE an exact size that flips the
+    // wedge join to broadcasting the multi-million-row edge list
+    // (measured at sf1 density: 15.6 s declarative vs 49.8 s
+    // checkpointed — the OPPOSITE trade pageRank/labelPropagation make,
+    // where the per-round join partner is the nodes-sized rank relation)
     val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("degree"))
     val wedges = edges.as("x").join(edges.as("y"), col("x.b") === col("y.a"))
@@ -118,14 +130,16 @@ object Graph {
     * map-side-combinable (node, label) count, and a per-node argmax via
     * the same max-struct trick as the top-supplier query (no window, no
     * sort): max(struct(cnt, −label)) picks highest count then lowest
-    * label. Fixed small `iters` like [[pageRank]]; a many-round variant
-    * would localCheckpoint per round.
+    * label. The edge list materializes once (localCheckpoint) like
+    * [[pageRank]]; fixed small `iters` — a many-round variant would also
+    * localCheckpoint per round.
     * Output: (doc_id, community). */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
       iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 10, "iters in 1..10 (lineage unrolls)")
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val e = edges.localCheckpoint()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     var lab = nodes.select(col("doc_id").as("src"),
       col("doc_id").as("label"))
     for (_ <- 1 to iters) {

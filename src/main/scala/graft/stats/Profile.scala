@@ -381,22 +381,44 @@ object Profile {
       key: Column, ps: Seq[Int] = Seq(50, 90, 99),
       cap: Int = 512): DataFrame = {
     require(cap >= 16, "cap too small to estimate anything")
+    val base = df.select(col(groupCol).as("g"), value.cast("long").as("v"),
+      sketchCoin(key).as("h"))
+    val lv = base.groupBy("g").agg(count(lit(1)).as("n_rows"))
+      .withColumn("level", sketchLevel(col("n_rows"), cap))
+      .select("g", "n_rows", "level")
+    val surv = base.join(broadcast(lv), Seq("g"))
+      .filter(pmod(col("h"), sketchWeight) === 0)
+      .select("g", "v")
+    quantileFromSurvivors(surv, lv, ps).withColumnRenamed("g", groupCol)
+  }
+
+  /** The sampling coin: 32 uniform md5 bits of the row key — shared
+    * bit-for-bit by the batch sketch, the streaming intake and the SQL
+    * oracle (the repo's standard derandomization). */
+  private[graft] def sketchCoin(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 25, 8), 16, 10).cast("long")
+
+  /** level = bit_length(ceil(n/cap) - 1): least j with n <= cap * 2^j. */
+  private[graft] def sketchLevel(nRows: Column, cap: Int): Column = {
+    val cd = floor((nRows + lit(cap - 1)) / lit(cap)).cast("long")
+    when(cd <= 1, lit(0L)).otherwise(length(bin(cd - 1)).cast("long"))
+  }
+
+  /** Weight 2^level; level <= ~40 in any universe, the shift is safe. */
+  private[graft] def sketchWeight: Column =
+    expr("shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))")
+
+  /** The estimate tail over an already-drawn survivor sample — shared by
+    * the batch sketch and the streaming intake (the stream-built summary
+    * answers the batch query's oracle). `surv` = (g, v) survivor rows at
+    * the group's level; `lv` = (g, n_rows, level). */
+  private[graft] def quantileFromSurvivors(surv: DataFrame, lv: DataFrame,
+      ps: Seq[Int]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
       "percentiles must be in (0, 100]")
-    val base = df.select(col(groupCol).as("g"), value.cast("long").as("v"),
-      conv(substring(md5(key.cast("string")), 25, 8), 16, 10)
-        .cast("long").as("h"))
-    val lv = base.groupBy("g").agg(count(lit(1)).as("n_rows"))
-      .withColumn("cd",
-        floor((col("n_rows") + lit(cap - 1)) / lit(cap)).cast("long"))
-      .withColumn("level", when(col("cd") <= 1, lit(0L))
-        .otherwise(length(bin(col("cd") - 1)).cast("long")))
-      .select("g", "n_rows", "level")
-    // weight 2^level; level <= ~40 in any universe, the shift is safe
-    val w = expr("shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))")
-    val surv = base.join(broadcast(lv), Seq("g"))
-      .filter(pmod(col("h"), w) === 0)
-    val cum = surv.groupBy("g", "level", "n_rows", "v")
+    val w = sketchWeight
+    val cum = surv.join(broadcast(lv), Seq("g"))
+      .groupBy("g", "level", "n_rows", "v")
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("v")))
     val pAggs = ps.map { p =>
@@ -406,7 +428,7 @@ object Profile {
     }
     val aggs = Seq(max("n_rows").as("n_rows"), max("level").as("level"),
       sum("c").as("n_sample")) ++ pAggs
-    cum.groupBy(col("g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+    cum.groupBy("g").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Robust per-group outlier statistics — median + MAD (median absolute

@@ -532,6 +532,63 @@ object StreamDriver {
       .map { case (v, i) => ((i + 1).toLong, v) }.toDF("rank", "v")
   }
 
+  /** Run the STREAMING quantile-sketch pipeline end-to-end: (group, value,
+    * key) micro-batches fold into the sharded online subsample
+    * ([[StreamingText.quantileSketchStream]] — bounded survivor state with
+    * hash-bit compaction), then the batch-side tail merges the latest
+    * per-(group, shard) summaries: exact n from the shard counts, the
+    * batch's global level from n, shard survivors re-filtered UP to that
+    * level (sample NESTING — the level-j sample contains every level->=j
+    * one), and the shared [[graft.stats.Profile.quantileFromSurvivors]]
+    * selection. Output is IDENTICAL to the batch sketch over the same
+    * rows, so it shares the oracle construction. A shard whose adaptive
+    * level overshot the global one would have discarded needed coins —
+    * loudly rejected (expected survivors per shard at the global level are
+    * cap/numShards, so overshoot needs a ~numShards-fold hash clump). */
+  def quantileSketchStreamed(spark: SparkSession,
+      batches: Seq[Seq[(String, Long, String)]], ps: Seq[Int] = Seq(50, 90, 99),
+      cap: Int = 512, numShards: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long, String)]
+    val name = "qs_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingText.quantileSketchStream(
+        in.toDF().toDF("g", "v", "k"), cap, numShards)
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    val latest =
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { in.addData(b); q.processAllAvailable() }
+        }
+        spark.table(name).collect()
+          .groupBy(r => (r.getString(0), r.getInt(1))).values
+          .map(_.maxBy(_.getLong(2))).toSeq
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+      }
+    val summaries = latest.map(r => (r.getString(0), r.getLong(3),
+      r.getInt(4), r.getSeq[Long](5), r.getSeq[Long](6)))
+      .toDF("g", "n", "shard_level", "vs", "hs")
+    val lv = summaries.groupBy("g").agg(sum("n").as("n_rows"))
+      .withColumn("level", graft.stats.Profile.sketchLevel(col("n_rows"), cap))
+    val coins = summaries
+      .select(col("g"), col("shard_level"),
+        explode(arrays_zip(col("vs"), col("hs"))).as("p"))
+      .select(col("g"), col("shard_level"), col("p.vs").as("v"), col("p.hs").as("h"))
+      .join(broadcast(lv), Seq("g"))
+    val overshoot = coins.filter(col("shard_level") > col("level")).count()
+    require(overshoot == 0L,
+      s"shard compaction overshot the global level on $overshoot survivors " +
+        "— raise cap or numShards")
+    val surv = coins
+      .filter(pmod(col("h"), graft.stats.Profile.sketchWeight) === 0)
+      .select("g", "v")
+    graft.stats.Profile.quantileFromSurvivors(
+      surv, lv.select("g", "n_rows", "level"), ps)
+  }
+
   def asOfStreamed(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],
       rights: Seq[(Long, Timestamp, Double)]): DataFrame = {
     import spark.implicits._

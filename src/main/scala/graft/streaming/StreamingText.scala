@@ -24,6 +24,15 @@ final case class KmvShardState(vs: Array[Long], ver: Long)
 /** One emitted KMV shard summary. */
 final case class KmvShardOut(shard: Int, ver: Long, vs: Seq[Long])
 
+/** Per-(group, shard) quantile-sketch state: rows seen, the shard's
+  * current sampling level, and the survivor (value, coin) pairs. */
+final case class QsShardState(n: Long, level: Int, vs: Array[Long],
+    hs: Array[Long], ver: Long)
+
+/** One emitted quantile-sketch shard summary. */
+final case class QsShardOut(g: String, shard: Int, ver: Long, n: Long,
+    level: Int, vs: Seq[Long], hs: Seq[Long])
+
 /** STREAMING text sketches — the online halves of the batch
   * sketch-then-recount operators in [[graft.text.TextAnalysis]]. */
 object StreamingText {
@@ -93,6 +102,62 @@ object StreamingText {
   def hllRegistersStream(docs: DataFrame, p: Int = 10): DataFrame =
     TextAnalysis.hllPairs(docs, p)
       .groupBy("register").agg(max("rho").as("max_rho"))
+
+  /** Streaming quantile-sketch intake: the hash-rank subsample summary
+    * ([[graft.stats.Profile.quantileSketch]]) run ONLINE. Rows
+    * (group, value, key) shard over `numShards` state cells by the coin's
+    * HIGH bits — the level filter tests the LOW bits, so shard routing and
+    * survival stay independent (sharding by pmod would funnel every
+    * level>=3 survivor into shard 0). Each micro-batch folds its share
+    * into the shard's survivor set; when survivors exceed `cap` the shard
+    * compacts — level += 1, survivors re-filtered by one more coin bit —
+    * so state is numShards x O(cap) for ANY stream length, and the final
+    * shard state is arrival-order-independent: survivors-at-level-j of
+    * the full set only grow with prefixes, so the final level is exactly
+    * the least j whose full survivor set fits cap. Update mode; take the
+    * latest version per (group, shard). The batch-side tail re-filters the
+    * union UP to the batch's global level (sample nesting) and answers
+    * with the batch query's oracle. */
+  def quantileSketchStream(rows: DataFrame, cap: Int = 512,
+      numShards: Int = 8): Dataset[QsShardOut] = {
+    import rows.sparkSession.implicits._
+    require(cap >= 16 && numShards > 0, "degenerate sketch geometry")
+    rows
+      .select(col("g"), col("v").cast("long").as("v"),
+        graft.stats.Profile.sketchCoin(col("k")).as("h"))
+      .select(col("g"), col("v"), col("h"),
+        pmod(shiftrightunsigned(col("h"), 20), lit(numShards))
+          .cast("int").as("shard"))
+      .as[(String, Long, Long, Int)]
+      .groupByKey(r => (r._1, r._4))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (String, Int), it: Iterator[(String, Long, Long, Int)],
+            state: GroupState[QsShardState]) => {
+          val st = state.getOption
+            .getOrElse(QsShardState(0L, 0, Array.empty, Array.empty, 0L))
+          var n = st.n
+          var level = st.level
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var i = 0
+          while (i < st.vs.length) { buf += ((st.vs(i), st.hs(i))); i += 1 }
+          def mask = (1L << level) - 1
+          it.foreach { case (_, v, h, _) =>
+            n += 1
+            if ((h & mask) == 0L) {
+              buf += ((v, h))
+              while (buf.length > cap) {
+                level += 1
+                buf.filterInPlace(p => (p._2 & mask) == 0L)
+              }
+            }
+          }
+          val next = QsShardState(n, level, buf.map(_._1).toArray,
+            buf.map(_._2).toArray, st.ver + 1)
+          state.update(next)
+          Iterator.single(QsShardOut(key._1, key._2, next.ver, n, level,
+            next.vs.toIndexedSeq, next.hs.toIndexedSeq))
+        })
+  }
 
   def mgSummaryStream(docs: DataFrame, cap: Int = 512,
       numShards: Int = 8): Dataset[MgShardOut] = {

@@ -503,6 +503,48 @@ object Soak {
       run("sim_mmr_rerank_sf1", graft.sim.Similarity.mmrRerank(
         emb1, col("vec_id") % 1000 === 0, 5, 20, 70))
     }
+    if (which("graph")) {
+      // the round-9 iterative/graph family at 10x docs (VERDICT r9 #5).
+      // Cross-shard identical docs: every originally-unique window gains
+      // df=10 -> 45 pairs per window through the capped self-join, so the
+      // edge relation is ~45x the sf0.1 one while nodes are 10x — the
+      // densest regime the df cap admits, and the wedge join's worst case
+      val d = docs1
+      run("text_pagerank_sf1", graft.graph.Graph.contentPageRank(d, 8, 80, 3))
+      run("text_communities_sf1", graft.graph.Graph.contentCommunities(d, 8, 80, 3))
+      run("text_triangles_sf1", graft.graph.Graph.triangleCounts(
+        d.select("doc_id"), graft.graph.Graph.windowEdges(d, 8, 80)))
+    }
+    if (which("bgp")) {
+      // BGP panel on 10x triples. The generic triples1 sharding suffixes
+      // EVERY obj, which empties literal-valued constraints (status='F'
+      // never matches 'F#3') — here objs suffix only when the predicate
+      // is an entity REF (structural joins stay shard-local, disjoint
+      // copies), literals keep their raw values so every star/minus
+      // filter keeps its selectivity and results read exactly 10x the
+      // sf0.1 cardinality (built-in sanity check)
+      import graft.rdf.TripleStats
+      val refs = Seq("customer", "nation", "region", "part", "supplier")
+      val triplesBgp = TripleSource.derive(spark, sfDir)
+        .crossJoin(shardIds)
+        .select(concat(col("subj"), lit("#"), col("shard")).as("subj"),
+          col("pred"),
+          when(col("pred").isin(refs: _*),
+            concat(col("obj"), lit("#"), col("shard")))
+            .otherwise(col("obj")).as("obj"))
+        .persist()
+      System.err.println(s"soak bgp triples: ${triplesBgp.count()}")
+      run("rdf_bgp_star_sf1", TripleStats.bgpStar(triplesBgp,
+        Seq(("status", "F"), ("priority", "1-URGENT")), "customer"))
+      run("rdf_bgp_chain_sf1", TripleStats.bgpChain(triplesBgp,
+        Seq("customer", "nation", "region", "name")))
+      run("rdf_bgp_optional_sf1", TripleStats.bgpOptional(triplesBgp,
+        Seq(), "part", "flag"))
+      run("rdf_bgp_minus_sf1", TripleStats.bgpMinus(triplesBgp,
+        Seq(("status", "F")), "customer", "priority", "1-URGENT"))
+      run("rdf_char_sets_sf1", TripleStats.characteristicSets(triplesBgp))
+      run("rdf_pred_cooccurrence_sf1", TripleStats.predicateCooccurrence(triplesBgp))
+    }
     if (which("kmv")) {
       // sharded docs repeat content: input rows 10x, per-source shingle
       // vocabulary UNCHANGED — wall and shuffle should track the scan,

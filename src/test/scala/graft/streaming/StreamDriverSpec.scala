@@ -209,6 +209,37 @@ class StreamDriverSpec extends SparkSpec {
     assert(got == Seq(("the", 80L)))
   }
 
+  test("quantileSketchStreamed equals the batch sketch, compaction exercised") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two groups, 4000 rows each at cap 64 -> global level 6; per-shard
+    // state (4 shards) must compact several times across the 4 batches,
+    // and batch-split must not matter (order-independent final state)
+    val rows = (1L to 8000L).map(i =>
+      (if (i % 2 == 0) "a" else "b", i / 2, i.toString))
+    val batches = rows.grouped(2000).toSeq
+    val got = StreamDriver.quantileSketchStreamed(spark, batches,
+        ps = Seq(50, 90), cap = 64, numShards = 4)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val batch = graft.stats.Profile.quantileSketch(
+        rows.toDF("g", "v", "k"), "g", col("v"), col("k"),
+        Seq(50, 90), cap = 64)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == batch)
+    assert(got.forall(_._3 == 6L)) // the level the construction implies
+    // a different batch split reaches the identical summary
+    val got2 = StreamDriver.quantileSketchStreamed(spark,
+        rows.grouped(3000).toSeq, ps = Seq(50, 90), cap = 64, numShards = 4)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got2 == batch)
+  }
+
   test("kmvStreamed equals the corpus k smallest distinct shingle hashes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode}

@@ -388,8 +388,8 @@ object Profile {
       .select("g", "n_rows", "level")
     val surv = base.join(broadcast(lv), Seq("g"))
       .filter(pmod(col("h"), sketchWeight) === 0)
-      .select("g", "v")
-    quantileFromSurvivors(surv, lv, ps).withColumnRenamed("g", groupCol)
+      .select("g", "v", "n_rows", "level")
+    quantileFromSurvivors(surv, ps).withColumnRenamed("g", groupCol)
   }
 
   /** The sampling coin: 32 uniform md5 bits of the row key — shared
@@ -410,14 +410,16 @@ object Profile {
 
   /** The estimate tail over an already-drawn survivor sample — shared by
     * the batch sketch and the streaming intake (the stream-built summary
-    * answers the batch query's oracle). `surv` = (g, v) survivor rows at
-    * the group's level; `lv` = (g, n_rows, level). */
-  private[graft] def quantileFromSurvivors(surv: DataFrame, lv: DataFrame,
+    * answers the batch query's oracle). `surv` = (g, v, n_rows, level)
+    * survivor rows at the group's level, carrying their group's stats so
+    * the level relation never re-joins (one lv join total — keeps the
+    * batch sketch at exactly two fact scans). */
+  private[graft] def quantileFromSurvivors(surv: DataFrame,
       ps: Seq[Int]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
       "percentiles must be in (0, 100]")
     val w = sketchWeight
-    val cum = surv.join(broadcast(lv), Seq("g"))
+    val cum = surv
       .groupBy("g", "level", "n_rows", "v")
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("v")))

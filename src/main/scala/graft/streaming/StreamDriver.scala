@@ -584,9 +584,8 @@ object StreamDriver {
         "— raise cap or numShards")
     val surv = coins
       .filter(pmod(col("h"), graft.stats.Profile.sketchWeight) === 0)
-      .select("g", "v")
-    graft.stats.Profile.quantileFromSurvivors(
-      surv, lv.select("g", "n_rows", "level"), ps)
+      .select("g", "v", "n_rows", "level")
+    graft.stats.Profile.quantileFromSurvivors(surv, ps)
   }
 
   def asOfStreamed(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],

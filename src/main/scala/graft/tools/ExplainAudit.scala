@@ -288,6 +288,31 @@ object ExplainAudit {
         spark.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
         org.apache.spark.sql.functions.round(
           org.apache.spark.sql.functions.col("l_quantity")), 3))
+    if (which == "all" || which == "qsketch")
+      // the claim: two column-pruned scans (group counts; coin+filter),
+      // the survivor relation enters its Exchange already ~cap rows per
+      // group (the hash filter is map-side, below the shuffle), and the
+      // window runs over the cap-bounded sample — never the fact rows
+      showFinal("profile_quantile_sketch", graft.stats.Profile.quantileSketch(
+        spark.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("l_extendedprice") * 100),
+        org.apache.spark.sql.functions.col("l_orderkey") * 10 +
+          org.apache.spark.sql.functions.col("l_linenumber"),
+        Seq(50, 90, 99), 512))
+    if (which == "all" || which == "mmdecode")
+      // the claim: the codec boundary is ONE mapPartitions (typed decode)
+      // directly over the encoded container projection; the checksum walk
+      // emits scalar meta rows — no per-blob shuffle, no driver loop
+      showFinal("mm_decode_meta", graft.multimodal.Multimodal.decodeMeta(
+        graft.multimodal.Multimodal.blobTable(
+          spark.read.parquet(s"$dir/documents.parquet"))).toDF())
+    if (which == "all" || which == "pagerank")
+      // the claim: the edge list materializes ONCE (localCheckpoint scan
+      // at the leaves), each unrolled round is one equi-join + one
+      // map-side-combinable sum — no window-edge self-join inside rounds
+      showFinal("text_pagerank", graft.graph.Graph.contentPageRank(
+        spark.read.parquet(s"$dir/documents.parquet"), 8, 80, 3))
     if (which == "all" || which == "attribution")
       // the claim: ONE union-tag window on user_id (the as-of core), the
       // touch pre-reduction reuses that partitioning, one final rollup

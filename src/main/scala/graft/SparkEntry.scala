@@ -956,6 +956,9 @@ object SparkEntry {
     "curate_pps_sample" -> ((s, dir) => // systematic PPS draws, zero randomness
       graft.pipeline.Curation.ppsSample(docs(s, dir), 100)
         .orderBy("doc_id")),
+    "curate_leakage_split" -> ((s, dir) => // split + shingle-disjoint eviction
+      graft.pipeline.Curation.leakageSplit(docs(s, dir), 10)
+        .orderBy("doc_id")),
     "curate_split" -> ((s, dir) => // deterministic hash train/valid/test split
       graft.pipeline.Curation.splitCorpus(docs(s, dir),
         Seq(("train", 90), ("valid", 5), ("test", 5))).orderBy("doc_id")),
@@ -2068,6 +2071,16 @@ object SparkEntry {
         "FROM r WHERE rnk <= 10 ORDER BY source, rnk"),
     // md5-bucket assignment reproduced digit by digit (the same
     // hex-digit-extraction trick as the simhash oracle); 90/5/5 cumulative
+    // same md5 split coin as curate_split; eviction = the decontaminate
+    // shingle join with the split's own test side as the benchmark
+    "curate_leakage_split" ->
+      (s"WITH $tokCte, $shCte, " +
+        "sp AS (SELECT doc_id, CASE WHEN CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) % 100 < 90 THEN 'train' ELSE 'test' END AS split FROM documents), " +
+        "bsh AS (SELECT DISTINCT s.sh FROM sh s JOIN sp USING (doc_id) WHERE sp.split = 'test'), " +
+        "hits AS (SELECT s.doc_id, COUNT(*) AS n_overlap FROM sh s JOIN sp USING (doc_id) JOIN bsh USING (sh) WHERE sp.split = 'train' GROUP BY 1) " +
+        "SELECT sp.doc_id, sp.split, CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap, " +
+        "(sp.split = 'test' OR COALESCE(h.n_overlap, 0) = 0) AS kept " +
+        "FROM sp LEFT JOIN hits h USING (doc_id) ORDER BY 1"),
     "curate_split" ->
       ("WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents), " +
         "d AS (SELECT doc_id, ((strpos('0123456789abcdef', substr(m,1,1))-1)*4096 + " +

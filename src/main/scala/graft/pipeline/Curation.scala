@@ -281,6 +281,37 @@ object Curation {
       .withColumn("split", expr)
   }
 
+  /** Leakage-aware train/test split — the composition an eval pipeline
+    * actually needs: [[splitCorpus]]'s deterministic md5 assignment
+    * (train = bucket < 100−testPct, the same coin and cut order), then
+    * EVICT from train every document sharing a 3-token shingle with ANY
+    * test document ([[decontaminate]] with the split's own test side as
+    * the benchmark). A plain split leaks near-copies of held-out
+    * documents into train — the classic eval-inflation bug; this one
+    * guarantees the kept train shards are shingle-disjoint from test.
+    * Test documents always keep; train documents keep iff n_overlap == 0.
+    * Cost = one map-side split projection + one decontaminate probe
+    * (Bloom-prefiltered; the benchmark shingle set is testPct% of the
+    * corpus — at 100 TB route the probe through the capped inverted
+    * index exactly as decontaminate documents).
+    * Output: (doc_id, split, n_overlap, kept). */
+  def leakageSplit(docs: DataFrame, testPct: Int = 10): DataFrame = {
+    require(testPct > 0 && testPct < 100, "testPct in (0, 100)")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val tagged = docs.withColumn("split",
+      when(bucket < lit(100 - testPct), "train").otherwise("test"))
+    val dec = decontaminate(
+      tagged.filter(col("split") === "train"),
+      tagged.filter(col("split") === "test"))
+    tagged.select("doc_id", "split")
+      .join(dec.select("doc_id", "n_overlap"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (col("split") === "test" || coalesce(col("n_overlap"), lit(0L)) === 0)
+          .as("kept"))
+  }
+
   /** Token-budget sampling: running token total in doc_id order and
     * `in_budget` = (cumulative tokens <= budgetTokens) — the "take documents
     * until the budget is hit" step of corpus assembly. Prefix sum via

@@ -175,6 +175,37 @@ class CurationSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("leakageSplit: brute-force agreement — split coin, eviction, keeps") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def text() = Seq.fill(rnd.nextInt(8) + 3)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val all = (0L until 120L).map(i => (i, text()))
+    // the reference model, straight from the contract: md5 bucket splits,
+    // train docs sharing any 3-shingle with any test doc are evicted
+    def bucket(id: Long): Int = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(m.substring(0, 4), 16) % 100
+    }
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val (testRows, trainRows) = all.partition(r => bucket(r._1) >= 90)
+    assert(testRows.nonEmpty && trainRows.nonEmpty)
+    val testSh = testRows.flatMap(r => sh(r._2)).toSet
+    val want = all.map { case (id, t) =>
+      val isTest = bucket(id) >= 90
+      val n = if (isTest) 0L else sh(t).count(testSh.contains).toLong
+      (id, if (isTest) "test" else "train", n, isTest || n == 0L)
+    }.sortBy(_._1)
+    val got = Curation.leakageSplit(docs(all: _*), 10)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getBoolean(3))).toSeq
+    assert(got == want)
+    // the dense tiny-vocab fixture must actually evict someone
+    assert(got.exists(r => r._2 == "train" && !r._4))
+  }
+
   test("capPerSource: bounded aggregator equals the ranking window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -1008,6 +1008,14 @@ object SparkEntry {
         .withColumnRenamed("g", "l_returnflag")
         .orderBy("l_returnflag")
     }),
+    "profile_zonemap_skip" -> ((s, dir) => // layout-vs-skipping report
+      graft.stats.Profile.zoneMapSkipping(
+        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey",
+        round(col("o_totalprice") * 100), 5000000L, 10000000L, 64)
+        .orderBy("layout")),
+    "text_vocab_growth" -> ((s, dir) => // Heaps-law curve, first-bucket charge
+      graft.stats.Profile.vocabGrowth(docs(s, dir), 10)
+        .orderBy("bucket")),
     "profile_zorder" -> ((s, dir) => // Morton-interleave layout extents
       graft.stats.Profile.zorderExtents(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey")
@@ -2071,6 +2079,33 @@ object SparkEntry {
         "FROM r WHERE rnk <= 10 ORDER BY source, rnk"),
     // md5-bucket assignment reproduced digit by digit (the same
     // hex-digit-extraction trick as the simhash oracle); 90/5/5 cumulative
+    // three layouts tagged per row, equal-width buckets by broadcast max,
+    // zone-map pruning = (max < lo OR min > hi) per bucket
+    "profile_zonemap_skip" ->
+      ("WITH b AS (SELECT MAX(CAST(o_orderkey AS BIGINT)) AS kmax, MAX(CAST(round(o_totalprice*100) AS BIGINT)) AS vmax FROM orders), " +
+        "r AS (SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(round(o_totalprice*100) AS BIGINT) AS v FROM orders), " +
+        "t AS (SELECT 'hash_key' AS layout, k % 64 AS bucket, v FROM r " +
+        "UNION ALL SELECT 'range_key', k * 64 // (b.kmax + 1), v FROM r, b " +
+        "UNION ALL SELECT 'range_value', v * 64 // (b.vmax + 1), v FROM r, b), " +
+        "z AS (SELECT layout, bucket, COUNT(*) AS n_rows, MIN(v) AS zmin, MAX(v) AS zmax FROM t GROUP BY 1,2), " +
+        "h AS (SELECT *, NOT (zmax < 5000000 OR zmin > 10000000) AS hit FROM z) " +
+        "SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files, " +
+        "CAST(SUM(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_hit, " +
+        "CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_files_hit, " +
+        "CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_files_skipped " +
+        "FROM h GROUP BY 1 ORDER BY 1"),
+    // each token charges its first doc-id-range bucket; cumulative sums
+    // over the 10-row bucket relation
+    "text_vocab_growth" ->
+      ("WITH bb AS (SELECT MAX(doc_id) AS dmax FROM documents), " +
+        "d AS (SELECT doc_id, text, doc_id * 10 // (bb.dmax + 1) AS bucket FROM documents, bb), " +
+        "tk AS (SELECT bucket, unnest(string_split(text, ' ')) AS token FROM d), " +
+        "fs AS (SELECT token, MIN(bucket) AS fb FROM tk GROUP BY 1), " +
+        "nt AS (SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_tokens FROM fs GROUP BY 1), " +
+        "dc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY 1) " +
+        "SELECT dc.bucket, CAST(SUM(dc.n_docs) OVER (ORDER BY dc.bucket) AS BIGINT) AS n_docs_cum, " +
+        "CAST(SUM(COALESCE(nt.new_tokens, 0)) OVER (ORDER BY dc.bucket) AS BIGINT) AS vocab_cum " +
+        "FROM dc LEFT JOIN nt USING (bucket) ORDER BY 1"),
     // same md5 split coin as curate_split; eviction = the decontaminate
     // shingle join with the split's own test side as the benchmark
     "curate_leakage_split" ->

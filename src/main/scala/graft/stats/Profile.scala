@@ -200,6 +200,85 @@ object Profile {
         min("gb").as("gb_min"), max("gb").as("gb_max"))
   }
 
+  /** Zone-map skipping report — the data-layout decision a 100 TB
+    * lakehouse table lives or dies by, quantified: partition the rows
+    * into `files` buckets under three candidate layouts (hash on the
+    * key; range on the key; range on the PREDICATE column), record each
+    * bucket's (min, max) zone map of the predicate column, and count the
+    * buckets a reader with predicate `[lo, hi]` can skip without opening
+    * (max < lo or min > hi — standard zone-map pruning, exactly what
+    * parquet row-group stats and [[zorderExtents]]'s Morton layout feed).
+    * The expected report: hash layout skips ~nothing (every bucket spans
+    * the full value range), key-range skips only what key/value
+    * correlation gives, value-range skips ~everything outside the
+    * predicate — the measured argument for sort-before-write. ONE scan:
+    * the three (layout, bucket) tags explode per row and one map-side-
+    * combining aggregate reduces to 3 x files zone rows; everything after
+    * is layout-sized. All integer (the value column must be integral).
+    * Output: (layout, n_files, n_rows_hit, n_files_hit, n_files_skipped). */
+  def zoneMapSkipping(df: DataFrame, keyCol: String, value: Column,
+      lo: Long, hi: Long, files: Int = 64): DataFrame = {
+    require(files >= 2 && lo <= hi, "need >= 2 files and lo <= hi")
+    // keys/values assumed non-negative (fixture keys/cents are); a
+    // production layout would range-partition by sort order instead of
+    // equal-width arithmetic, with identical zone-map semantics
+    val bounds = df.agg(max(col(keyCol).cast("long")).as("kmax"),
+      max(value.cast("long")).as("vmax"))
+    val fixed = df
+      .select(col(keyCol).cast("long").as("k"), value.cast("long").as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(col("v"), explode(array(
+        struct(lit("hash_key").as("layout"),
+          pmod(col("k"), lit(files.toLong)).as("bucket")),
+        struct(lit("range_key").as("layout"),
+          expr(s"k * $files div (kmax + 1)").as("bucket")),
+        struct(lit("range_value").as("layout"),
+          expr(s"v * $files div (vmax + 1)").as("bucket")))).as("t"))
+      .select(col("v"), col("t.layout").as("layout"), col("t.bucket").as("bucket"))
+    val zones = fixed.groupBy("layout", "bucket")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("vmin"), max("v").as("vmax"))
+    zones
+      .withColumn("hit", !(col("vmax") < lo || col("vmin") > hi))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("hit"), col("n_rows")).otherwise(0L)).as("n_rows_hit"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_files_hit"),
+        sum(when(col("hit"), 0L).otherwise(1L)).as("n_files_skipped"))
+  }
+
+  /** Vocabulary growth (Heaps-law) profile — distinct-token count as the
+    * corpus grows, the curve a tokenizer/budget planner reads before
+    * committing a vocab size. Documents bucket into `nBuckets` equal
+    * doc_id ranges (pure arithmetic on a broadcast max — no global
+    * ranking window); each token charges its FIRST bucket (min doc_id,
+    * one map-side-combining aggregate over the exploded stream — the
+    * only wide exchange, keyed by token); cumulative sums run over the
+    * nBuckets-row relation. Output: (bucket, n_docs_cum, vocab_cum). */
+  def vocabGrowth(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "need at least two growth points")
+    val bounds = docs.agg(max(col("doc_id")).as("dmax"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("text"),
+        expr(s"doc_id * $nBuckets div (dmax + 1)").as("bucket"))
+    val firstSeen = bucketed
+      .select(col("bucket"), explode(graft.text.TextAnalysis.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").agg(min("bucket").as("first_bucket"))
+      .groupBy("first_bucket").agg(count(lit(1)).as("new_tokens"))
+    val docCounts = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docCounts
+      .join(firstSeen.withColumnRenamed("first_bucket", "bucket"),
+        Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .select(col("bucket"),
+        sum("n_docs").over(w).as("n_docs_cum"),
+        sum("new_tokens").over(w).as("vocab_cum"))
+  }
+
   def profileDiff(before: DataFrame, after: DataFrame,
       cols: Seq[String]): DataFrame = {
     val a = profile(before, cols).select(col("column_name"),

@@ -277,6 +277,35 @@ class ProfileSpec extends SparkSpec {
     assert(s8.except(s7).count() == 0L)
   }
 
+  test("zoneMapSkipping: value-range layout skips, hash layout cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // keys 0..999, value = key (perfect correlation for range_key too);
+    // predicate [0, 99] touches exactly the bottom tenth of the values
+    val df = (0L until 1000L).map(i => (i, i)).toDF("k", "v")
+    val r = Profile.zoneMapSkipping(df, "k", col("v"), 0L, 99L, files = 10)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // hash buckets all span [b, 990+b]: every file hits
+    assert(r("hash_key") == ((10L, 1000L, 10L, 0L)))
+    // key==value: both range layouts confine [0,99] to one file
+    assert(r("range_key") == ((10L, 100L, 1L, 9L)))
+    assert(r("range_value") == ((10L, 100L, 1L, 9L)))
+  }
+
+  test("vocabGrowth: first-bucket charging, cumulative docs and vocab") {
+    import spark.implicits._
+    // bucket 0 = docs 0..4, bucket 1 = docs 5..9 (dmax=9, *2 div 10)
+    val d = (0L until 10L).map(i =>
+      (i, if (i < 5) "common alpha" + (" x" + i) else "common beta" + (" y" + i)))
+      .toDF("doc_id", "text")
+    val r = Profile.vocabGrowth(d, 2).orderBy("bucket").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // bucket 0 vocab: common, alpha, x0..x4 = 7; bucket 1 adds beta,
+    // y5..y9 = 6 new ("common" already charged to bucket 0)
+    assert(r == Seq((0L, 5L, 7L), (1L, 10L, 13L)))
+  }
+
   test("contingency: exact cells with row/column marginals and total") {
     import spark.implicits._
     val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))

@@ -157,6 +157,39 @@ object SparkEntry {
       "pm AS (SELECT doc_id, s, length(s) AS n, 8 + ascii(substr(s,1,1)) % 8 AS w, 8 + length(s) % 8 AS h FROM pe), " +
       "px AS (SELECT doc_id, w, h, substr(repeat(s, CAST((w*h*3 + n - 1)//n AS INTEGER)), 1, w*h*3) AS payload FROM pm)"
 
+  /** The SCD2 fixture shared by tpch_scd_customer and tpch_pit_join:
+    * customer balances as the open snapshot, a change/no-op/insert
+    * update mix at ts 1s/2s/3s, merged through Analytics.scdMerge. */
+  private def scdMerged(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+    val current = cust.select(col("k"), col("v"),
+      lit(0L).as("valid_from_us"), lit(-1L).as("valid_to_us"))
+    val updates = cust.filter(col("k") % 7 === 0)
+        .select(col("k"), (col("v") + 10000L).as("v"), lit(1000000L).as("ts_us"))
+      .unionAll(cust.filter(col("k") % 11 === 0)
+        .select(col("k"), col("v"), lit(2000000L).as("ts_us")))
+      .unionAll(cust.filter(col("k") % 97 === 0)
+        .select((col("k") + 10000000L).as("k"), lit(555L).as("v"),
+          lit(3000000L).as("ts_us")))
+    graft.stats.Analytics.scdMerge(current, updates)
+  }
+
+  /** The SCD2 merged-dimension oracle CTE chain (final CTE: scd). */
+  private val scdOracleCtes: String =
+    "cust AS (SELECT c_custkey AS k, CAST(round(c_acctbal*100) AS BIGINT) AS v FROM customer), " +
+      "upd AS (SELECT k, v + 10000 AS v, 1000000 AS ts FROM cust WHERE k % 7 = 0 " +
+      "UNION ALL SELECT k, v, 2000000 FROM cust WHERE k % 11 = 0 " +
+      "UNION ALL SELECT 10000000 + k, 555, 3000000 FROM cust WHERE k % 97 = 0), " +
+      "latest AS (SELECT k, v, ts FROM (SELECT k, v, ts, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, v DESC) AS rn FROM upd) WHERE rn = 1), " +
+      "scd AS (SELECT k, v, CAST(valid_from_us AS BIGINT) AS valid_from_us, CAST(valid_to_us AS BIGINT) AS valid_to_us FROM (" +
+      "SELECT c.k, c.v, 0 AS valid_from_us, -1 AS valid_to_us FROM cust c WHERE c.k NOT IN (SELECT k FROM latest) " +
+      "UNION ALL SELECT c.k, c.v, 0, -1 FROM cust c JOIN latest u USING (k) WHERE u.v = c.v " +
+      "UNION ALL SELECT c.k, c.v, 0, u.ts FROM cust c JOIN latest u USING (k) WHERE u.v <> c.v " +
+      "UNION ALL SELECT c.k, u.v, u.ts, -1 FROM cust c JOIN latest u USING (k) WHERE u.v <> c.v " +
+      "UNION ALL SELECT u.k, u.v, u.ts, -1 FROM latest u WHERE u.k NOT IN (SELECT k FROM cust)))"
+
   /** Hash-rank subsample quantile-sketch oracle over lineitem cents —
     * shared by the batch sketch and its streaming twin (which runs the
     * same construction over a deterministic row subset via `where`). */
@@ -1038,21 +1071,19 @@ object SparkEntry {
         s.read.parquet(s"$dir/orders.parquet"),
         s.read.parquet(s"$dir/lineitem.parquet"))
         .orderBy("o_orderpriority")),
-    "tpch_scd_customer" -> ((s, dir) => { // SCD2 MERGE: change/no-op/insert mix
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .select(col("c_custkey").as("k"),
-          round(col("c_acctbal") * 100).cast("long").as("v"))
-      val current = cust.select(col("k"), col("v"),
-        lit(0L).as("valid_from_us"), lit(-1L).as("valid_to_us"))
-      val updates = cust.filter(col("k") % 7 === 0)
-          .select(col("k"), (col("v") + 10000L).as("v"), lit(1000000L).as("ts_us"))
-        .unionAll(cust.filter(col("k") % 11 === 0)
-          .select(col("k"), col("v"), lit(2000000L).as("ts_us")))
-        .unionAll(cust.filter(col("k") % 97 === 0)
-          .select((col("k") + 10000000L).as("k"), lit(555L).as("v"),
-            lit(3000000L).as("ts_us")))
-      graft.stats.Analytics.scdMerge(current, updates)
-        .orderBy("k", "valid_from_us")
+    "tpch_scd_customer" -> ((s, dir) => // SCD2 MERGE: change/no-op/insert mix
+      scdMerged(s, dir).orderBy("k", "valid_from_us")),
+    "tpch_pit_join" -> ((s, dir) => { // point-in-time lookup vs the versioned dim
+      // fact timestamps land at 0.5/1.5/2.5s — straddling the 1s change
+      // boundary, so the same customer resolves to DIFFERENT versions
+      // depending on the fact's own time (the as-of-correct semantics)
+      val facts = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("fact_id"),
+          col("o_custkey").cast("long").as("k"),
+          (pmod(col("o_orderkey"), lit(3)).cast("long") * 1000000L + 500000L)
+            .as("ts_us"))
+      graft.stats.Analytics.pitJoin(facts, scdMerged(s, dir))
+        .orderBy("fact_id")
     }),
     "tpch_top_supplier" -> ((s, dir) => // Q15 analog: argmax via equal-to-max
       graft.stats.Analytics.topSupplier(
@@ -2545,18 +2576,16 @@ object SparkEntry {
     // SCD2 MERGE replicated as the UNION of row fates; %77 keys carry TWO
     // updates (change at ts=1M, no-op at ts=2M) so latest-wins is exercised
     "tpch_scd_customer" ->
-      ("WITH cust AS (SELECT c_custkey AS k, CAST(round(c_acctbal*100) AS BIGINT) AS v FROM customer), " +
-        "upd AS (SELECT k, v + 10000 AS v, 1000000 AS ts FROM cust WHERE k % 7 = 0 " +
-        "UNION ALL SELECT k, v, 2000000 FROM cust WHERE k % 11 = 0 " +
-        "UNION ALL SELECT 10000000 + k, 555, 3000000 FROM cust WHERE k % 97 = 0), " +
-        "latest AS (SELECT k, v, ts FROM (SELECT k, v, ts, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, v DESC) AS rn FROM upd) WHERE rn = 1) " +
-        "SELECT k, v, CAST(valid_from_us AS BIGINT) AS valid_from_us, CAST(valid_to_us AS BIGINT) AS valid_to_us FROM (" +
-        "SELECT c.k, c.v, 0 AS valid_from_us, -1 AS valid_to_us FROM cust c WHERE c.k NOT IN (SELECT k FROM latest) " +
-        "UNION ALL SELECT c.k, c.v, 0, -1 FROM cust c JOIN latest u USING (k) WHERE u.v = c.v " +
-        "UNION ALL SELECT c.k, c.v, 0, u.ts FROM cust c JOIN latest u USING (k) WHERE u.v <> c.v " +
-        "UNION ALL SELECT c.k, u.v, u.ts, -1 FROM cust c JOIN latest u USING (k) WHERE u.v <> c.v " +
-        "UNION ALL SELECT u.k, u.v, u.ts, -1 FROM latest u WHERE u.k NOT IN (SELECT k FROM cust)" +
-        ") ORDER BY k, valid_from_us"),
+      s"WITH $scdOracleCtes SELECT k, v, valid_from_us, valid_to_us FROM scd ORDER BY k, valid_from_us",
+    // temporal lookup: equi-join on the key, validity as the residual;
+    // versions are non-overlapping so at most one survives per fact
+    "tpch_pit_join" ->
+      (s"WITH $scdOracleCtes, " +
+        "f AS (SELECT CAST(o_orderkey AS BIGINT) AS fact_id, CAST(o_custkey AS BIGINT) AS k, " +
+        "CAST(o_orderkey % 3 AS BIGINT) * 1000000 + 500000 AS ts_us FROM orders) " +
+        "SELECT f.fact_id, f.k, f.ts_us, CAST(COALESCE(s.v, -1) AS BIGINT) AS v " +
+        "FROM f LEFT JOIN scd s ON s.k = f.k AND s.valid_from_us <= f.ts_us " +
+        "AND (s.valid_to_us = -1 OR f.ts_us < s.valid_to_us) ORDER BY 1"),
     // Q15 analog: per-supplier quarter revenue joined to its own max —
     // ties survive; integer money keeps the argmax exact in any engine
     "tpch_top_supplier" ->

@@ -689,6 +689,30 @@ object Analytics {
     closed.select("k", "v", "valid_from_us", "valid_to_us").unionAll(merged)
   }
 
+  /** Point-in-time (SCD2) join — every fact looks up the dimension
+    * version that was valid AT its timestamp, the temporal join every
+    * as-of-correct report needs (joining the CURRENT version backdates
+    * attribute changes onto old facts — the classic silent bug). Facts =
+    * (fact_id, k, ts_us); dim = [[scdMerge]]-shaped versions
+    * (k, v, valid_from_us, valid_to_us; -1 = open). The join is an
+    * EQUI-join on the key — the only shuffle — with validity as a
+    * residual range predicate: versions per key are non-overlapping and
+    * bounded by update cadence, so per-fact fan-out is the version count
+    * (at most one row survives the residual), never a range-join blowup.
+    * Facts no version covers emit the -1 sentinel (engine-neutral).
+    * Output: (fact_id, k, ts_us, v). */
+  def pitJoin(facts: DataFrame, dim: DataFrame): DataFrame = {
+    val f = facts.select(col("fact_id"), col("k"), col("ts_us"))
+    val d = dim.select(col("k").as("dk"), col("v"),
+      col("valid_from_us"), col("valid_to_us"))
+    f.join(d, col("k") === col("dk") &&
+        col("valid_from_us") <= col("ts_us") &&
+        (col("valid_to_us") === -1L || col("ts_us") < col("valid_to_us")),
+        "left")
+      .select(col("fact_id"), col("k"), col("ts_us"),
+        coalesce(col("v"), lit(-1L)).as("v"))
+  }
+
   /** Grouping-sets revenue: ROLLUP over (region, nation) — per-nation
     * rows, per-region subtotals, and the grand total in ONE aggregation
     * (Catalyst's Expand feeds a single hash aggregate with map-side

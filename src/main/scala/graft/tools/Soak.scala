@@ -545,6 +545,35 @@ object Soak {
       run("rdf_char_sets_sf1", TripleStats.characteristicSets(triplesBgp))
       run("rdf_pred_cooccurrence_sf1", TripleStats.predicateCooccurrence(triplesBgp))
     }
+    if (which("r10")) {
+      // round-10 operators at 10x. lineitem shards with key offsets (the
+      // warehouse recipe); the sketch's working relation must stay
+      // cap-bounded per group while n grows 10x (level rises by ~3-4,
+      // sample size unchanged — THE scale property of the design)
+      val OFF = 100000000L
+      val li1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .crossJoin(shardIds)
+        .withColumn("l_orderkey", col("l_orderkey") + col("shard").cast("long") * OFF)
+        .drop("shard").persist()
+      System.err.println(s"soak r10: ${li1.count()} lineitems")
+      run("profile_quantile_sketch_sf1", graft.stats.Profile.quantileSketch(
+        li1, "l_returnflag", round(col("l_extendedprice") * 100),
+        col("l_orderkey") * 10 + col("l_linenumber"), Seq(50, 90, 99), 512))
+      val ord1 = spark.read.parquet(s"$sfDir/orders.parquet")
+        .crossJoin(shardIds)
+        .withColumn("o_orderkey", col("o_orderkey") + col("shard").cast("long") * OFF)
+        .drop("shard").persist()
+      System.err.println(s"soak r10: ${ord1.count()} orders")
+      run("profile_zonemap_skip_sf1", graft.stats.Profile.zoneMapSkipping(
+        ord1, "o_orderkey", round(col("o_totalprice") * 100),
+        5000000L, 10000000L, 64))
+      // 10x docs, cross-shard identical content: every test doc's
+      // shingles hit 9 train copies — the densest eviction regime
+      run("curate_leakage_split_sf1",
+        graft.pipeline.Curation.leakageSplit(docs1, 10))
+      run("text_vocab_growth_sf1",
+        graft.stats.Profile.vocabGrowth(docs1, 10))
+    }
     if (which("kmv")) {
       // sharded docs repeat content: input rows 10x, per-source shingle
       // vocabulary UNCHANGED — wall and shuffle should track the scan,

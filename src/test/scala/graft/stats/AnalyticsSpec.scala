@@ -464,6 +464,29 @@ class AnalyticsSpec extends SparkSpec {
       (9L, 99L, 950L, -1L))) // insert
   }
 
+  test("pitJoin: facts resolve the version valid AT their ts; gaps -> -1") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, 20L, 0L, 800L),   // key 1: v=20 over [0, 800)
+      (1L, 21L, 800L, -1L),  //        v=21 from 800 on (open)
+      (2L, 30L, 500L, -1L))  // key 2: nothing before 500
+      .toDF("k", "v", "valid_from_us", "valid_to_us")
+    val facts = Seq(
+      (10L, 1L, 100L),  // key 1 @ 100 -> old version 20
+      (11L, 1L, 800L),  // boundary: valid_from inclusive -> 21
+      (12L, 1L, 799L),  // last tick of the old version -> 20
+      (13L, 2L, 100L),  // before key 2 existed -> -1 sentinel
+      (14L, 2L, 500L),  // first tick -> 30
+      (15L, 9L, 100L))  // unknown key -> -1
+      .toDF("fact_id", "k", "ts_us")
+    val r = Analytics.pitJoin(facts, dim).collect()
+      .map(x => (x.getLong(0), x.getLong(3))).sortBy(_._1).toSeq
+    assert(r == Seq((10L, 20L), (11L, 21L), (12L, 20L), (13L, -1L),
+      (14L, 30L), (15L, -1L)))
+    // at most one version survives per fact: row count == fact count
+    assert(Analytics.pitJoin(facts, dim).count() == 6L)
+  }
+
   test("topSupplier: argmax over quarter revenue, ties all survive") {
     import spark.implicits._
     import java.sql.Timestamp

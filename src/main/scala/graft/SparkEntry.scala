@@ -1073,6 +1073,9 @@ object SparkEntry {
         .orderBy("o_orderpriority")),
     "tpch_scd_customer" -> ((s, dir) => // SCD2 MERGE: change/no-op/insert mix
       scdMerged(s, dir).orderBy("k", "valid_from_us")),
+    "events_gap_fill" -> ((s, dir) => // resample: spine + zero-fill + LOCF
+      EventStream.gapFill(events(s, dir), 300)
+        .orderBy("event_type", "bucket_start")),
     "tpch_pit_join" -> ((s, dir) => { // point-in-time lookup vs the versioned dim
       // fact timestamps land at 0.5/1.5/2.5s — straddling the 1s change
       // boundary, so the same customer resolves to DIFFERENT versions
@@ -2577,6 +2580,18 @@ object SparkEntry {
     // updates (change at ts=1M, no-op at ts=2M) so latest-wins is exercised
     "tpch_scd_customer" ->
       s"WITH $scdOracleCtes SELECT k, v, valid_from_us, valid_to_us FROM scd ORDER BY k, valid_from_us",
+    // complete bucket spine from the global [min,max] range; missing
+    // buckets zero-fill; LOCF via last_value IGNORE NULLS (both engines)
+    "events_gap_fill" ->
+      ("WITH c AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS b, " +
+        "COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents FROM events GROUP BY 1,2), " +
+        "bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM c), " +
+        "types AS (SELECT DISTINCT event_type FROM events), " +
+        "spine AS (SELECT t.event_type, unnest(generate_series(bounds.lo, bounds.hi, 300)) AS b FROM types t, bounds), " +
+        "j AS (SELECT s.event_type, s.b, c.n, c.cents FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.b = s.b) " +
+        "SELECT event_type, b AS bucket_start, CAST(COALESCE(n, 0) AS BIGINT) AS n_events, n IS NULL AS filled, " +
+        "CAST(COALESCE(last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS BIGINT) AS last_cents " +
+        "FROM j ORDER BY 1, 2"),
     // temporal lookup: equi-join on the key, validity as the residual;
     // versions are non-overlapping so at most one survives per fact
     "tpch_pit_join" ->

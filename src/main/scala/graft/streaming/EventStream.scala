@@ -365,6 +365,44 @@ object EventStream {
         (col("after_sum") - col("before_sum")).as("shift"))
   }
 
+  /** Gap-filled time series with forward-fill — the resample step every
+    * monitoring/feature pipeline runs before a model sees the series:
+    * per-type bucket counts, a complete bucket SPINE from the global
+    * [min, max] bucket range (one broadcast bounds row + a per-type
+    * `sequence` explode — the spine is NEVER a shuffle, it generates
+    * map-side on the types relation), missing buckets re-enter as
+    * (n_events = 0, filled = true), and the value column forward-fills
+    * (LOCF: `last(_, ignoreNulls)` over the per-type ordered window —
+    * the observation carried until the next one, -1 before any). The
+    * window partitions by type: spine length is bounded by the time
+    * range over the bucket width, dimension-scale per type at any event
+    * volume. Output: (event_type, bucket_start, n_events, filled,
+    * last_cents). */
+  def gapFill(events: DataFrame, bucketSec: Long = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = events
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / bucketSec) * bucketSec)
+          .cast("long").as("bucket_start"),
+        (round(col("value") * 100)).cast("long").as("vc"))
+      .groupBy("event_type", "bucket_start")
+      .agg(count(lit(1)).as("n"), sum("vc").as("cents"))
+    val bounds = c.agg(min("bucket_start").as("lo"), max("bucket_start").as("hi"))
+    val spine = events.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(bucketSec)))
+          .as("bucket_start"))
+    val w = Window.partitionBy("event_type").orderBy("bucket_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(c, Seq("event_type", "bucket_start"), "left")
+      .select(col("event_type"), col("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.as("filled"),
+        coalesce(last(col("cents"), ignoreNulls = true).over(w), lit(-1L))
+          .as("last_cents"))
+  }
+
   /** Range join: each left row gets the ranges [lo, hi) that contain
     * `valueCol`. Spark plans a plain `lo <= v AND v < hi` join as
     * BroadcastNestedLoopJoin — fine for a literal band table, quadratic

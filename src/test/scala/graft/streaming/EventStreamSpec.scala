@@ -384,6 +384,31 @@ class EventStreamSpec extends SparkSpec {
     assert(r.forall { case (_, t, v, thr) => t == "A" && thr == 5000L && v > thr })
   }
 
+  test("gapFill: complete spine, zero-filled gaps, LOCF value carry") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // type a: buckets 0 and 900 populated (600 and 300 are gaps);
+    // type b: only bucket 300 — its spine still spans the GLOBAL range
+    val ev = Seq(
+      (1L, 10L, "a", ts(10), 1.00), (2L, 11L, "a", ts(20), 2.00),
+      (3L, 12L, "a", ts(950), 5.00),
+      (4L, 13L, "b", ts(310), 7.00))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val r = EventStream.gapFill(ev, 300).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3), x.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(r == Seq(
+      ("a", 0L, 2L, false, 300L),   // 100 + 200 cents
+      ("a", 300L, 0L, true, 300L),  // gap: zero-filled, value carried
+      ("a", 600L, 0L, true, 300L),
+      ("a", 900L, 1L, false, 500L),
+      ("b", 0L, 0L, true, -1L),     // before b's first observation
+      ("b", 300L, 1L, false, 700L),
+      ("b", 600L, 0L, true, 700L),
+      ("b", 900L, 0L, true, 700L)))
+  }
+
   test("changepoints: symmetric frames, full-frame rows only, exact shift") {
     import spark.implicits._
     // one type, minute buckets, w=2. Rates per bucket 0..6:

@@ -313,6 +313,43 @@ object ExplainAudit {
       // map-side-combinable sum — no window-edge self-join inside rounds
       showFinal("text_pagerank", graft.graph.Graph.contentPageRank(
         spark.read.parquet(s"$dir/documents.parquet"), 8, 80, 3))
+    if (which == "all" || which == "pit") {
+      // the claim: ONE equi-join exchange on the key; the validity range
+      // is a join residual (no BroadcastNestedLoop, no range-join blowup)
+      import org.apache.spark.sql.functions._
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100).cast("long").as("v"))
+      val dim = graft.stats.Analytics.scdMerge(
+        cust.select(col("k"), col("v"), lit(0L).as("valid_from_us"),
+          lit(-1L).as("valid_to_us")),
+        cust.filter(col("k") % 7 === 0)
+          .select(col("k"), (col("v") + 10000L).as("v"), lit(1000000L).as("ts_us")))
+      val facts = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").cast("long").as("fact_id"),
+          col("o_custkey").cast("long").as("k"),
+          (pmod(col("o_orderkey"), lit(3)).cast("long") * 1000000L + 500000L).as("ts_us"))
+      showFinal("tpch_pit_join", graft.stats.Analytics.pitJoin(facts, dim))
+    }
+    if (which == "all" || which == "gapfill")
+      // the claim: the spine generates map-side (Generate over sequence on
+      // the types relation x one broadcast bounds row); one per-type
+      // window carries the LOCF; the only wide exchange is the bucket agg
+      showFinal("events_gap_fill", graft.streaming.EventStream.gapFill(
+        graft.streaming.EventSource.events(spark, dir), 300))
+    if (which == "all" || which == "zonemap")
+      // the claim: one scan, three layout tags per row via Generate, one
+      // map-side-combining aggregate to 3 x files zone rows
+      showFinal("profile_zonemap_skip", graft.stats.Profile.zoneMapSkipping(
+        spark.read.parquet(s"$dir/orders.parquet"), "o_orderkey",
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("o_totalprice") * 100),
+        5000000L, 10000000L, 64))
+    if (which == "all" || which == "leakage")
+      // the claim: the split is a map-side projection; the probe is the
+      // decontaminate shape (bloom filter BELOW the shingle join)
+      showFinal("curate_leakage_split", graft.pipeline.Curation.leakageSplit(
+        spark.read.parquet(s"$dir/documents.parquet"), 10))
     if (which == "all" || which == "attribution")
       // the claim: ONE union-tag window on user_id (the as-of core), the
       // touch pre-reduction reuses that partitioning, one final rollup

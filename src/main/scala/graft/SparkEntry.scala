@@ -1076,6 +1076,13 @@ object SparkEntry {
     "events_gap_fill" -> ((s, dir) => // resample: spine + zero-fill + LOCF
       EventStream.gapFill(events(s, dir), 300)
         .orderBy("event_type", "bucket_start")),
+    "events_gap_fill_stream" -> ((s, dir) => { // watermark-clock emission
+      import s.implicits._
+      val ev = events(s, dir).select(col("event_type"), col("ts"), col("value"))
+        .as[(String, java.sql.Timestamp, Double)].collect().toSeq
+      graft.streaming.StreamDriver.gapFillStreamed(s, ev, 300)
+        .orderBy("event_type", "bucket_start")
+    }),
     "tpch_pit_join" -> ((s, dir) => { // point-in-time lookup vs the versioned dim
       // fact timestamps land at 0.5/1.5/2.5s — straddling the 1s change
       // boundary, so the same customer resolves to DIFFERENT versions
@@ -2588,6 +2595,19 @@ object SparkEntry {
         "bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM c), " +
         "types AS (SELECT DISTINCT event_type FROM events), " +
         "spine AS (SELECT t.event_type, unnest(generate_series(bounds.lo, bounds.hi, 300)) AS b FROM types t, bounds), " +
+        "j AS (SELECT s.event_type, s.b, c.n, c.cents FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.b = s.b) " +
+        "SELECT event_type, b AS bucket_start, CAST(COALESCE(n, 0) AS BIGINT) AS n_events, n IS NULL AS filled, " +
+        "CAST(COALESCE(last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS BIGINT) AS last_cents " +
+        "FROM j ORDER BY 1, 2"),
+    // the stream twin's per-type spine starts at the TYPE's first bucket
+    // (a stream cannot know the global min); it ends at the global max —
+    // the sentinel closes exactly that bucket
+    "events_gap_fill_stream" ->
+      ("WITH c AS (SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS b, " +
+        "COUNT(*) AS n, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents FROM events GROUP BY 1,2), " +
+        "gb AS (SELECT MAX(b) AS hi FROM c), " +
+        "tmin AS (SELECT event_type, MIN(b) AS lo FROM c GROUP BY 1), " +
+        "spine AS (SELECT t.event_type, unnest(generate_series(t.lo, gb.hi, 300)) AS b FROM tmin t, gb), " +
         "j AS (SELECT s.event_type, s.b, c.n, c.cents FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.b = s.b) " +
         "SELECT event_type, b AS bucket_start, CAST(COALESCE(n, 0) AS BIGINT) AS n_events, n IS NULL AS filled, " +
         "CAST(COALESCE(last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS BIGINT) AS last_cents " +

@@ -52,6 +52,20 @@ final case class TransBuf(pending: List[TransEv], last: Option[String])
 /** One emitted transition; the caller counts pairs batch-side. */
 final case class TransOut(prev_type: String, next_type: String, user_id: Long)
 
+/** One gap-fill stream input row (value already in integer cents). */
+final case class GapEv(event_type: String, ts: java.sql.Timestamp, vc: Long)
+
+/** Per-type gap-fill state: the next bucket to emit (-1 before the first
+  * observation), the carried LOCF cents, and the open buckets' partial
+  * (n, cents) sums — bounded by the watermark window over the bucket
+  * width, never by the stream. */
+final case class GapBuf(nextBucket: Long, lastCents: Long,
+    pending: Map[Long, (Long, Long)])
+
+/** One emitted gap-fill bucket (mirrors the batch gapFill row). */
+final case class GapOut(event_type: String, bucket_start: Long,
+    n_events: Long, filled: Boolean, last_cents: Long)
+
 /** Structured Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value). The transforms are
   * batch/stream agnostic: the same plan runs on a bounded DataFrame (the
@@ -401,6 +415,67 @@ object EventStream {
         col("n").isNull.as("filled"),
         coalesce(last(col("cents"), ignoreNulls = true).over(w), lit(-1L))
           .as("last_cents"))
+  }
+
+  /** STREAMING gap-fill — [[gapFill]]'s per-type resample run as a
+    * watermark-driven state machine, the one stateful shape the rest of
+    * the stream suite doesn't exercise: rows only ACCUMULATE state; the
+    * emission clock is the WATERMARK itself (every bucket whose end the
+    * watermark passes emits exactly once, observed or not — missing
+    * buckets emit as filled zero rows purely from the timer, no input
+    * row ever carries them). Per type the state is (next bucket to emit,
+    * carried LOCF cents, open buckets' partial sums) — bounded by the
+    * watermark window over the bucket width; an event-time timeout
+    * re-fires on every watermark advance so gaps keep emitting while the
+    * type is silent. A bucket [s, s+step) is mature when s+step <= wm
+    * (every possible ts in it is strictly behind the watermark — the
+    * suite's maturity convention). Emission starts at the type's FIRST
+    * observed bucket (a stream cannot know the global min the batch
+    * spine uses — the oracle mirrors this). Output rows match [[gapFill]]
+    * except that per-type spines begin at their own first bucket. */
+  def gapFillStream(events: DataFrame, bucketSec: Long = 300): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    val step = bucketSec * 1000L // state math in millis (watermark units)
+    events
+      .select(col("event_type"), col("ts").cast("timestamp").as("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withWatermark("ts", "0 seconds")
+      .as[GapEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[GapEv], state: GroupState[GapBuf]) => {
+          val st = state.getOption.getOrElse(GapBuf(-1L, -1L, Map.empty))
+          val incoming = if (state.hasTimedOut) Nil else rows.toList
+          var pending = st.pending
+          var nextBucket = st.nextBucket
+          incoming.foreach { e =>
+            val b = Math.floorDiv(e.ts.getTime, step) * step
+            val (n, c) = pending.getOrElse(b, (0L, 0L))
+            pending = pending.updated(b, (n + 1, c + e.vc))
+            if (nextBucket == -1L || b < nextBucket) nextBucket = b
+          }
+          val wm = state.getCurrentWatermarkMs()
+          var lastCents = st.lastCents
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapOut]
+          if (nextBucket != -1L) {
+            while (nextBucket + step <= wm) {
+              val hit = pending.get(nextBucket)
+              hit.foreach { case (_, c) => lastCents = c }
+              out += GapOut(key, nextBucket / 1000L, hit.fold(0L)(_._1),
+                hit.isEmpty, lastCents)
+              pending = pending - nextBucket
+              nextBucket += step
+            }
+          }
+          if (nextBucket == -1L && pending.isEmpty) state.remove()
+          else {
+            state.update(GapBuf(nextBucket, lastCents, pending))
+            // wake on every watermark advance: gaps must keep emitting
+            // even while this type sees no rows at all
+            state.setTimeoutTimestamp(wm + 1)
+          }
+          out.iterator
+        })
   }
 
   /** Range join: each left row gets the ranges [lo, hi) that contain

@@ -588,6 +588,54 @@ object StreamDriver {
     graft.stats.Profile.quantileFromSurvivors(surv, ps)
   }
 
+  /** Run the STREAMING gap-fill end-to-end: (event_type, ts, value) rows
+    * feed in one batch, then two ascending far-future sentinel rows on a
+    * reserved type advance the watermark past the last real bucket's end
+    * (the first closes every real bucket, the second fires the event-time
+    * timeouts so silent types keep emitting their trailing gaps). The
+    * sentinel ts sits 1ms past the last real bucket's end, so the final
+    * closed bucket is EXACTLY the global max — per-type spines end where
+    * the batch oracle's does. Sentinel-type rows are filtered by type,
+    * not by offset. */
+  def gapFillStreamed(spark: SparkSession,
+      rows: Seq[(String, Timestamp, Double)],
+      bucketSec: Long = 300): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(rows.nonEmpty, "gap-fill stream needs at least one row")
+    val sentinelType = " sentinel"
+    val step = bucketSec * 1000L
+    val maxTs = rows.map(_._2.getTime).max
+    val lastBucketEnd = Math.floorDiv(maxTs, step) * step + step
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val name = "gapfill_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStream.gapFillStream(
+        in.toDF().toDF("event_type", "ts", "value"), bucketSec)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // two time-ordered halves: the second batch arrives with the
+      // watermark already at the first's max, so buckets close and gaps
+      // emit INCREMENTALLY across batches (ties at ts == wm are admitted
+      // per the suite convention)
+      val ordered = rows.sortBy(_._2.getTime)
+      val (h1, h2) = ordered.splitAt(ordered.size / 2)
+      Seq(h1, h2).filter(_.nonEmpty).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      in.addData(Seq((sentinelType, new Timestamp(lastBucketEnd + 1), 0.0)))
+      q.processAllAvailable()
+      in.addData(Seq((sentinelType, new Timestamp(lastBucketEnd + 2), 0.0)))
+      q.processAllAvailable()
+      val out = spark.table(name).filter(col("event_type") =!= sentinelType)
+      val collected = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(collected, out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   def asOfStreamed(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],
       rights: Seq[(Long, Timestamp, Double)]): DataFrame = {
     import spark.implicits._

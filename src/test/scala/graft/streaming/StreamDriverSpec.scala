@@ -209,6 +209,41 @@ class StreamDriverSpec extends SparkSpec {
     assert(got == Seq(("the", 80L)))
   }
 
+  test("gapFillStreamed: watermark-clock emission, gaps from timeouts alone") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // type a goes silent after bucket 0 while type b's rows keep pushing
+    // the watermark — a's buckets 300..900 must emit as filled rows from
+    // the event-time TIMEOUT, no further a-row ever arrives
+    val rows = Seq(
+      ("a", ts(10), 1.00), ("a", ts(20), 2.00),
+      ("b", ts(310), 7.00), ("b", ts(1190), 3.00))
+    val got = StreamDriver.gapFillStreamed(spark, rows, 300)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3), x.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      ("a", 0L, 2L, false, 300L),
+      ("a", 300L, 0L, true, 300L),
+      ("a", 600L, 0L, true, 300L),
+      ("a", 900L, 0L, true, 300L),
+      ("b", 300L, 1L, false, 700L),
+      ("b", 600L, 0L, true, 700L),
+      ("b", 900L, 1L, false, 300L)))
+    // parity with the batch operator on the shared span (per-type spine
+    // from the type's own first bucket)
+    import spark.implicits._
+    val batch = graft.streaming.EventStream.gapFill(
+        rows.zipWithIndex.map { case ((t, s, v), i) =>
+          (i.toLong, i.toLong, t, s, v) }
+          .toDF("event_id", "user_id", "event_type", "ts", "value"), 300)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3), x.getLong(4)))
+      .filter { case (t, b, _, _, _) =>
+        b >= (if (t == "a") 0L else 300L) } // drop pre-first spine rows
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == batch)
+  }
+
   test("quantileSketchStreamed equals the batch sketch, compaction exercised") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

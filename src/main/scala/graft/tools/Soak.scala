@@ -573,6 +573,35 @@ object Soak {
         graft.pipeline.Curation.leakageSplit(docs1, 10))
       run("text_vocab_growth_sf1",
         graft.stats.Profile.vocabGrowth(docs1, 10))
+      // PIT join at 10x facts AND 10x dimension versions
+      val cust1 = spark.read.parquet(s"$sfDir/customer.parquet")
+        .crossJoin(shardIds)
+        .withColumn("c_custkey", col("c_custkey") + col("shard").cast("long") * OFF)
+        .drop("shard")
+        .select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100).cast("long").as("v")).persist()
+      val dim1 = graft.stats.Analytics.scdMerge(
+        cust1.select(col("k"), col("v"), lit(0L).as("valid_from_us"),
+          lit(-1L).as("valid_to_us")),
+        cust1.filter(col("k") % 7 === 0)
+          .select(col("k"), (col("v") + 10000L).as("v"), lit(1000000L).as("ts_us")))
+      val facts1 = ord1.select(col("o_orderkey").cast("long").as("fact_id"),
+        col("o_custkey").cast("long").as("k"),
+        (pmod(col("o_orderkey"), lit(3)).cast("long") * 1000000L + 500000L)
+          .as("ts_us"))
+      // note: sharded orders reference UNSHARDED custkeys cross-shard —
+      // ts resolution still exercises the version residual; unmatched
+      // keys exit through the -1 sentinel like any orphan fact
+      run("tpch_pit_join_sf1", graft.stats.Analytics.pitJoin(facts1, dim1))
+      // gap fill at 10x event volume: the spine is TIME-range-bounded, so
+      // 10x events change the counts, never the output cardinality
+      val ev1 = graft.streaming.EventSource.events(spark, sfDir)
+        .crossJoin(shardIds)
+        .withColumn("event_id",
+          col("event_id") + col("shard").cast("long") * 1000000000L)
+        .drop("shard").persist()
+      System.err.println(s"soak r10 events: ${ev1.count()}")
+      run("events_gap_fill_sf1", graft.streaming.EventStream.gapFill(ev1, 300))
     }
     if (which("kmv")) {
       // sharded docs repeat content: input rows 10x, per-source shingle

@@ -1728,7 +1728,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_conversions"),
           sum("value_cents").as("value_cents"))
         .orderBy("attr_type")
-    })
+    }),
+    "tpch_basket_pairs" -> ((s, dir) => // two-round frequent co-ordered pairs
+      graft.stats.Analytics.basketPairs(
+        s.read.parquet(s"$dir/lineitem.parquet"), 2L)
+        .orderBy("part_a", "part_b")),
+    "tpch_basket_rules" -> ((s, dir) => // integer-confidence basket rules
+      graft.stats.Analytics.basketRules(
+        s.read.parquet(s"$dir/lineitem.parquet"), 2L)
+        .orderBy("ante", "cons")),
+    "profile_linreg" -> ((s, dir) => // grouped OLS from one moment aggregate
+      graft.stats.Analytics.groupedLinReg(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
+        round(col("l_quantity")),
+        round(col("l_extendedprice") * 100)) // cents, half-free in both engines
+        .orderBy("l_returnflag")),
+    "events_seasonal" -> ((s, dir) => // hour-of-day baseline deviation
+      EventStream.seasonalBaseline(events(s, dir))
+        .orderBy("event_type", "day", "hr")),
+    "events_xcorr" -> ((s, dir) => // lagged cross-correlation moments
+      EventStream.laggedXcorr(events(s, dir), "click", "purchase", 3)
+        .orderBy("lag")),
+    "text_collocations" -> ((s, dir) => // PMI-lift phrase mining, vocab-bounded
+      TextAnalysis.collocations(docs(s, dir), 5L, 50)
+        .orderBy(col("lift_e4").desc, col("bigram"))),
+    "curate_pareto_docs" -> ((s, dir) => // 2-D skyline, bucket-cummax pre-prune
+      graft.pipeline.Curation.paretoDocs(docs(s, dir))
+        .orderBy(col("n_tokens").desc, col("doc_id")))
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -3203,6 +3229,94 @@ object SparkEntry {
         "a AS (SELECT p.vc, CASE WHEN t.ts IS NOT NULL AND t.ts > p.ts - INTERVAL 1 HOUR THEN t.touch_type ELSE '(none)' END AS attr_type " +
         "FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.ts) " +
         "SELECT attr_type, CAST(COUNT(*) AS BIGINT) AS n_conversions, " +
-        "CAST(SUM(vc) AS BIGINT) AS value_cents FROM a GROUP BY 1 ORDER BY 1")
+        "CAST(SUM(vc) AS BIGINT) AS value_cents FROM a GROUP BY 1 ORDER BY 1"),
+    // unordered co-ordered part pairs, support-thresholded
+    "tpch_basket_pairs" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "p AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, COUNT(*) AS s " +
+        "FROM b a JOIN b c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > a.l_partkey GROUP BY 1, 2) " +
+        "SELECT part_a, part_b, CAST(s AS BIGINT) AS support FROM p WHERE s >= 2 ORDER BY 1, 2"),
+    // both rule directions per surviving pair; floor-division confidence
+    "tpch_basket_rules" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "p AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b, COUNT(*) AS s " +
+        "FROM b a JOIN b c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > a.l_partkey GROUP BY 1, 2), " +
+        "i AS (SELECT l_partkey AS ante, COUNT(DISTINCT l_orderkey) AS ante_support FROM lineitem GROUP BY 1), " +
+        "r AS (SELECT part_a AS ante, part_b AS cons, s FROM p WHERE s >= 2 " +
+        "UNION ALL SELECT part_b, part_a, s FROM p WHERE s >= 2) " +
+        "SELECT r.ante, r.cons, CAST(r.s AS BIGINT) AS support, " +
+        "CAST(i.ante_support AS BIGINT) AS ante_support, " +
+        "CAST(r.s * 1000000 // i.ante_support AS BIGINT) AS conf_e6 " +
+        "FROM r JOIN i USING (ante) ORDER BY 1, 2"),
+    // cleared-denominator OLS; HUGEINT intermediates mirror the DECIMAL(25)
+    // ones Spark-side, // and div both truncate toward zero
+    "profile_linreg" ->
+      ("WITH m AS (SELECT l_returnflag, COUNT(*) AS n, " +
+        "SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_x, " +
+        "SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_y, " +
+        "SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_xy, " +
+        "SUM(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS sum_xx " +
+        "FROM lineitem GROUP BY 1), " +
+        "s AS (SELECT *, CASE WHEN n*sum_xx - sum_x*sum_x <> 0 THEN " +
+        "(1000 * (n*sum_xy - sum_x*sum_y)) // (n*sum_xx - sum_x*sum_x) END AS slope_e3 FROM m) " +
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(sum_x AS BIGINT) AS sum_x, " +
+        "CAST(sum_y AS BIGINT) AS sum_y, CAST(sum_xy AS BIGINT) AS sum_xy, " +
+        "CAST(sum_xx AS BIGINT) AS sum_xx, CAST(slope_e3 AS BIGINT) AS slope_e3, " +
+        "CAST(CASE WHEN slope_e3 IS NOT NULL THEN (1000*sum_y - slope_e3*sum_x) // n END AS BIGINT) AS intercept_e3 " +
+        "FROM s ORDER BY 1"),
+    // TZ-free integer hour/day buckets; dev = day count vs per-day average
+    "events_seasonal" ->
+      ("WITH cnt AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+        "(epoch_us(ts) // 3600000000) % 24 AS hr, COUNT(*) AS n_events FROM events GROUP BY 1, 2, 3), " +
+        "base AS (SELECT event_type, hr, SUM(n_events) AS hour_total FROM cnt GROUP BY 1, 2), " +
+        "days AS (SELECT event_type, COUNT(DISTINCT day) AS n_days FROM cnt GROUP BY 1) " +
+        "SELECT c.event_type, CAST(c.day AS BIGINT) AS day, CAST(c.hr AS BIGINT) AS hr, " +
+        "CAST(c.n_events AS BIGINT) AS n_events, CAST(b.hour_total AS BIGINT) AS hour_total, " +
+        "CAST(d.n_days AS BIGINT) AS n_days, " +
+        "CAST(1000 * c.n_events * d.n_days // b.hour_total AS BIGINT) AS dev_e3 " +
+        "FROM cnt c JOIN base b USING (event_type, hr) JOIN days d USING (event_type) ORDER BY 1, 2, 3"),
+    // zero-filled hourly spine; per-lag BIGINT moments + cleared numerator
+    "events_xcorr" ->
+      ("WITH cnt AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, COUNT(*) AS n " +
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2), " +
+        "bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM cnt), " +
+        "spine AS (SELECT unnest(generate_series(lo, hi)) AS bucket FROM bounds), " +
+        "ser AS (SELECT s.bucket, COALESCE(a.n, 0) AS x, COALESCE(b.n, 0) AS y FROM spine s " +
+        "LEFT JOIN (SELECT bucket, n FROM cnt WHERE event_type = 'click') a USING (bucket) " +
+        "LEFT JOIN (SELECT bucket, n FROM cnt WHERE event_type = 'purchase') b USING (bucket)), " +
+        "lags AS (SELECT unnest([0, 1, 2, 3]) AS lag), " +
+        "j AS (SELECT l.lag, s1.x, s2.y AS yl FROM lags l CROSS JOIN ser s1 " +
+        "JOIN ser s2 ON s2.bucket = s1.bucket + l.lag) " +
+        "SELECT CAST(lag AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(yl) AS BIGINT) AS sum_y, " +
+        "CAST(SUM(x*yl) AS BIGINT) AS sum_xy, CAST(SUM(x*x) AS BIGINT) AS sum_xx, " +
+        "CAST(SUM(yl*yl) AS BIGINT) AS sum_yy, " +
+        "CAST(COUNT(*)*SUM(x*yl) - SUM(x)*SUM(yl) AS BIGINT) AS num " +
+        "FROM j GROUP BY 1 ORDER BY 1"),
+    // marginals re-aggregate the bigram-count relation; integer lift ranking
+    "text_collocations" ->
+      (s"WITH $tokCte, " +
+        "bg AS (SELECT a.w || ' ' || b.w AS bg FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1), " +
+        "cnt AS (SELECT bg, COUNT(*) AS n_xy FROM bg GROUP BY 1), " +
+        "tot AS (SELECT SUM(n_xy) AS n_total FROM cnt), " +
+        "lft AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(n_xy) AS n_x FROM cnt GROUP BY 1), " +
+        "rgt AS (SELECT string_split(bg, ' ')[2] AS w2, SUM(n_xy) AS n_y FROM cnt GROUP BY 1), " +
+        "sc AS (SELECT c.bg AS bigram, c.n_xy, l.n_x, r.n_y, " +
+        "c.n_xy * t.n_total * 10000 // (l.n_x * r.n_y) AS lift_e4 " +
+        "FROM cnt c JOIN lft l ON l.w1 = string_split(c.bg, ' ')[1] " +
+        "JOIN rgt r ON r.w2 = string_split(c.bg, ' ')[2] CROSS JOIN tot t WHERE c.n_xy >= 5) " +
+        "SELECT bigram, CAST(n_xy AS BIGINT) AS n_xy, CAST(n_x AS BIGINT) AS n_x, " +
+        "CAST(n_y AS BIGINT) AS n_y, CAST(lift_e4 AS BIGINT) AS lift_e4 " +
+        "FROM sc ORDER BY lift_e4 DESC, bigram LIMIT 50"),
+    // textbook NOT EXISTS skyline — the Spark side's staircase pre-prune
+    // must return exactly this set, (x, y) twins both kept
+    "curate_pareto_docs" ->
+      ("WITH xy AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000 // len(string_split(text, ' ')) AS BIGINT) AS uniq_e6 " +
+        "FROM documents) " +
+        "SELECT a.doc_id, a.n_tokens, a.uniq_e6 FROM xy a WHERE NOT EXISTS (" +
+        "SELECT 1 FROM xy b WHERE b.n_tokens >= a.n_tokens AND b.uniq_e6 >= a.uniq_e6 " +
+        "AND (b.n_tokens > a.n_tokens OR b.uniq_e6 > a.uniq_e6)) " +
+        "ORDER BY a.n_tokens DESC, a.doc_id")
   )
 }

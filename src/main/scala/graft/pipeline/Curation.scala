@@ -532,6 +532,57 @@ object Curation {
     * Dynamic partition overwrite semantics would apply on refresh (only
     * touched directories rewrite) — local default static mode is fine
     * for the full write here. */
+  /** Pareto-frontier document selection — the skyline of
+    * (n_tokens maximize, distinct-token ratio maximize): documents no
+    * other document beats on both axes, the "longest AND least
+    * repetitive exemplars" curation cut. Axes are integer-exact per-row
+    * projections (no shuffle to compute them): n_tokens and
+    * uniq_e6 = 1e6·n_distinct div n_tokens.
+    *
+    * Distributed shape — never the O(n²) dominance join: documents
+    * bucket by n_tokens div `bucketWidth`; per-bucket max-y is a tiny
+    * combinable aggregate, and the running max over STRICTLY-HIGHER
+    * buckets (every point there has strictly greater x) broadcasts back
+    * as a per-bucket dominance threshold: y <= threshold is provably
+    * dominated and dies map-side. Survivors — at most the per-bucket
+    * y-max staircase plus its local ties — collapse per distinct x to
+    * max-y (same-x lower-y rows are dominated by the strict-y rule),
+    * then one window over DISTINCT x values (x desc; tiny,
+    * single-partition by construction and bounded by the survivor
+    * staircase, the revenueDeciles trade) applies the exact strict
+    * y > cummax test. Frontier docs re-emerge by joining the broadcast
+    * frontier pairs back to the SURVIVOR rows (frontier points always
+    * survive the pre-filter, so no third fact scan), keeping (x, y)
+    * twins — mutually non-dominating — both on the frontier, exactly as
+    * the NOT EXISTS oracle defines it.
+    * Output: (doc_id, n_tokens, uniq_e6). */
+  def paretoDocs(docs: DataFrame, bucketWidth: Long = 16L): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth >= 1")
+    val xy = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("n_distinct * 1000000 div n_tokens").as("uniq_e6"),
+        expr(s"n_tokens div $bucketWidth").as("bucket"))
+    val wb = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thresholds = xy.groupBy("bucket").agg(max("uniq_e6").as("bmax"))
+      .select(col("bucket"), max(col("bmax")).over(wb).as("hi"))
+    val survivors = xy.join(broadcast(thresholds), "bucket")
+      .filter(col("hi").isNull || col("uniq_e6") > col("hi"))
+    val wx = Window.orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontierPairs = survivors.groupBy("n_tokens")
+      .agg(max("uniq_e6").as("uniq_e6"))
+      .withColumn("cm", max(col("uniq_e6")).over(wx))
+      .filter(col("cm").isNull || col("uniq_e6") > col("cm"))
+      .select("n_tokens", "uniq_e6")
+    survivors.join(broadcast(frontierPairs), Seq("n_tokens", "uniq_e6"))
+      .select("doc_id", "n_tokens", "uniq_e6")
+  }
+
   def writePartitionedCorpus(docs: DataFrame, path: String,
       filesPerPartition: Int = 1): Unit =
     docs.repartition(filesPerPartition, col("lang"), col("source"), col("doc_id"))

@@ -868,4 +868,91 @@ object Analytics {
         min("rev_cents").as("min_cents"),
         max("rev_cents").as("max_cents"))
   }
+
+  /** All unordered (a, b) pairs from a sorted distinct array, a < b —
+    * the map-side basket fan-out shared by [[basketPairs]]. */
+  private def arrayPairs(parts: Column): Column =
+    flatten(transform(parts, (x, i) =>
+      transform(slice(parts, i + lit(2), size(parts)),
+        y => struct(x.as("a"), y.as("b")))))
+
+  /** Market-basket co-occurrence: pairs of parts appearing in the same
+    * order at least `minSupport` times. ONE orderkey exchange collapses
+    * each order to its sorted distinct part set; pair generation is then
+    * a MAP-SIDE array fan-out bounded by the basket width (TPC-H orders
+    * carry <= 7 lines, so <= 21 pairs per order — never |parts|^2), and
+    * the pair counts combine map-side before the second exchange. The
+    * support filter prunes the long tail before anything downstream
+    * touches it. At 100 TB the working relations are |orders| baskets
+    * and the surviving pair vocabulary — the classic two-round frequent-
+    * itemset shape, no self-join of the fact table on orderkey (that
+    * plan shuffles lineitem twice and materializes the unfiltered pair
+    * stream through a join instead of a combinable aggregate).
+    * Output: (part_a, part_b, support), part_a < part_b. */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 2L): DataFrame =
+    lineitem.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(arrayPairs(col("parts"))).as("p"))
+      .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+
+  /** Association rules ante -> cons over [[basketPairs]] co-occurrence,
+    * both directions per surviving pair, with integer-exact confidence:
+    * conf_e6 = 1e6 * support(ante, cons) div support(ante) under floor
+    * division, so both engines produce the identical BIGINT. The
+    * antecedent supports live on the part DIMENSION (|parts| rows even
+    * at 100 TB of lineitem) and broadcast into the surviving-pair
+    * relation — no extra exchange beyond the two in basketPairs.
+    * Output: (ante, cons, support, ante_support, conf_e6). */
+  def basketRules(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    val pairSup = basketPairs(lineitem, minSupport)
+    val itemSup = lineitem.groupBy(col("l_partkey").as("ante"))
+      .agg(countDistinct(col("l_orderkey")).as("ante_support"))
+    val directed = pairSup
+      .select(col("part_a").as("ante"), col("part_b").as("cons"),
+        col("support"))
+      .unionByName(pairSup.select(col("part_b").as("ante"),
+        col("part_a").as("cons"), col("support")))
+    directed.join(broadcast(itemSup), "ante")
+      .select(col("ante"), col("cons"), col("support"), col("ante_support"),
+        expr("support * 1000000 div ante_support").as("conf_e6"))
+  }
+
+  /** Per-group ordinary least squares y ~ x with integer-exact scaled
+    * coefficients: ONE map-side-combinable aggregate collects the five
+    * moments per group (n, Σx, Σy, Σxy, Σxx — x and y pre-rounded to
+    * integers by the caller-supplied expressions), then
+    * slope_e3  = 1000 * (n·Σxy − Σx·Σy) div (n·Σxx − Σx²) and
+    * intercept_e3 = (1000·Σy − slope_e3·Σx) div n. Degenerate groups
+    * (zero x-variance) return NULL coefficients rather than divide.
+    * The cleared products n·Σxy run in DECIMAL intermediates because
+    * they overflow int64 near a billion rows per group even when every
+    * MOMENT fits; `div` is Spark's integral division (long result,
+    * truncation toward zero — DuckDB's `//` on HUGEINT agrees, so both
+    * engines produce the identical BIGINT, negative slopes included).
+    * The moments themselves must satisfy max|x·y|·rows < 2^63 —
+    * intended for measure columns (quantities, cents), not keys.
+    * Output: (group, n, sum_x, sum_y, sum_xy, sum_xx, slope_e3,
+    * intercept_e3). */
+  def groupedLinReg(df: DataFrame, groupCol: String, x: Column,
+      y: Column): DataFrame = {
+    def d(c: String) = s"CAST($c AS DECIMAL(25,0))"
+    val den = s"${d("n")} * sum_xx - ${d("sum_x")} * sum_x"
+    df.select(col(groupCol), x.cast("long").as("_x"), y.cast("long").as("_y"))
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum("_x").as("sum_x"), sum("_y").as("sum_y"),
+        sum(col("_x") * col("_y")).as("sum_xy"),
+        sum(col("_x") * col("_x")).as("sum_xx"))
+      .selectExpr(groupCol, "n", "sum_x", "sum_y", "sum_xy", "sum_xx",
+        s"CASE WHEN $den <> 0 THEN " +
+          s"(1000 * (${d("n")} * sum_xy - ${d("sum_x")} * sum_y)) div ($den) " +
+          "END AS slope_e3")
+      .selectExpr("*",
+        "CASE WHEN slope_e3 IS NOT NULL THEN " +
+          s"(1000 * ${d("sum_y")} - slope_e3 * ${d("sum_x")}) div n " +
+          "END AS intercept_e3")
+  }
 }

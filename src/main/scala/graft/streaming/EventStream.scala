@@ -899,6 +899,90 @@ object EventStream {
         round(sum("w") / pow(lit(2.0), maxAge), 6).as("decayed"))
   }
 
+  /** Hour-of-day seasonal baseline with per-day deviation — the "is
+    * Tuesday 3am traffic abnormal for 3am" report behind seasonality-
+    * aware alerting. ONE map-side-combinable exchange collapses the fact
+    * to (event_type, day, hour) counts; the baseline (per-type-and-hour
+    * totals) and the per-type active-day counts are aggregates OF THAT
+    * calendar-bounded relation — the fact table is scanned exactly once
+    * at any scale, and both lookups broadcast back into it. Buckets are
+    * TZ-free integer arithmetic on epoch micros (`div`), so the SQL
+    * oracle replicates them exactly; the deviation is the integer-exact
+    * scaled ratio of the day's count to the hour's per-day average:
+    * dev_e3 = 1000 * n_events * n_days div hour_total (floor division in
+    * both engines). Events are post-epoch in this domain, so truncating
+    * div equals floor div. Output: (event_type, day, hr, n_events,
+    * hour_total, n_days, dev_e3). */
+  def seasonalBaseline(events: DataFrame): DataFrame = {
+    val cnt = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("unix_micros(ts) div 3600000000 % 24").as("hr"))
+      .groupBy("event_type", "day", "hr")
+      .agg(count(lit(1)).as("n_events"))
+    val base = cnt.groupBy("event_type", "hr")
+      .agg(sum("n_events").as("hour_total"))
+    val days = cnt.select("event_type", "day").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    cnt.join(broadcast(base), Seq("event_type", "hr"))
+      .join(broadcast(days), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("hr"), col("n_events"),
+        col("hour_total"), col("n_days"),
+        expr("1000 * n_events * n_days div hour_total").as("dev_e3"))
+  }
+
+  /** Lagged cross-correlation moments between two event-type series —
+    * "do purchases follow clicks, and at what delay". The fact collapses
+    * in ONE exchange to per-(type, bucket) counts; a zero-filled bucket
+    * spine (generated map-side from one broadcast bounds row, the
+    * gapFill pattern) makes missing hours count as 0 rather than vanish;
+    * then every lag 0..maxLag reads the y-series through ONE window pass
+    * (all `lead` offsets share the single sort) and per-lag sums are a
+    * combinable aggregate. The window is global-order but the relation
+    * is CALENDAR-bounded (hours between first and last event — ~9k rows
+    * per year even at 100 TB of events), the same documented trade as
+    * revenueDeciles. Outputs are raw BIGINT moments plus the cleared-
+    * denominator numerator num = n*Σxy − Σx*Σy (positive = x leads y
+    * co-movement); callers divide by the variance terms downstream —
+    * emitting moments keeps every value integer-exact across engines.
+    * Output per lag: (lag, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+    * num). */
+  def laggedXcorr(events: DataFrame, typeA: String, typeB: String,
+      maxLag: Int = 3, bucketSec: Long = 3600): DataFrame = {
+    require(maxLag >= 0, "maxLag >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val usPerBucket = bucketSec * 1000000L
+    val cnt = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) div $usPerBucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val a = cnt.filter(col("event_type") === typeA)
+      .select(col("bucket"), col("n").as("x"))
+    val b = cnt.filter(col("event_type") === typeB)
+      .select(col("bucket"), col("n").as("y"))
+    val spine = cnt.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val series = spine.join(a, Seq("bucket"), "left")
+      .join(b, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy("bucket")
+    // leads materialize as plain window columns FIRST (Spark rejects
+    // window expressions inside a generator), then explode re-shapes
+    val withLeads = series.select(col("x") +:
+      (0 to maxLag).map(l => lead(col("y"), l).over(w).as(s"_y$l")): _*)
+    val leads = array((0 to maxLag).map(l =>
+      struct(lit(l.toLong).as("lag"), col(s"_y$l").as("yl"))): _*)
+    withLeads.select(col("x"), explode(leads).as("p"))
+      .filter(col("p.yl").isNotNull)
+      .groupBy(col("p.lag").as("lag"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
+        sum(col("p.yl")).as("sum_y"), sum(col("x") * col("p.yl")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("p.yl") * col("p.yl")).as("sum_yy"))
+      .withColumn("num", expr("n * sum_xy - sum_x * sum_y"))
+  }
+
   /** Per-user rolling-frame statistics — the "is this event unusual for
     * THIS user" signal feeding rate limiting and anomaly review: over the
     * user's last `frame` events (event-count frame, ordered by ts with

@@ -912,6 +912,40 @@ object TextAnalysis {
         round(sum("score").cast("double") / count(lit(1)), 6).as("mean_score"))
   }
 
+  /** PMI-ranked collocations — the "new york"/"machine learning" phrase
+    * miner behind tokenizer-vocabulary and stopword curation. Every
+    * relation after the first exchange is VOCABULARY-bounded: bigram
+    * counts collapse the token stream once (map-side combinable), the
+    * marginal unigram counts are aggregates OF the bigram-count relation
+    * (the fact is never re-scanned), and the corpus total broadcasts as
+    * one row. Ranking is by integer-exact scaled lift
+    * lift_e4 = n_xy * n_total * 10000 div (n_x * n_y) — the monotone
+    * image of PMI = log lift, so the ordering is PMI ordering without a
+    * float log; e4 scaling keeps n_xy·n_total·10^4 < 2^63 through the
+    * sf1 soak corpus. Ties break on the bigram string, so the top-k cut
+    * (TakeOrderedAndProject, never a global sort) is deterministic in
+    * both engines. `minCount` prunes the hapax tail before the joins.
+    * Output: (bigram, n_xy, n_x, n_y, lift_e4), top `k` by lift. */
+  def collocations(docs: DataFrame, minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    val cnt = docs.select(explode(bigrams(col("text"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_xy"))
+    val tot = cnt.agg(sum("n_xy").as("n_total"))
+    val left = cnt.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("n_xy").as("n_x"))
+    val right = cnt.groupBy(element_at(split(col("bg"), " "), 2).as("w2"))
+      .agg(sum("n_xy").as("n_y"))
+    cnt.filter(col("n_xy") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("bg").as("bigram"), col("n_xy"), col("n_x"), col("n_y"),
+        expr("n_xy * n_total * 10000 div (n_x * n_y)").as("lift_e4"))
+      .orderBy(col("lift_e4").desc, col("bigram"))
+      .limit(k)
+  }
+
   def redactPii(docs: DataFrame): DataFrame = {
     val counts = PiiPatterns.map { case (name, pat, _) =>
       size(regexp_extract_all(col("text"), lit(pat), lit(0)))

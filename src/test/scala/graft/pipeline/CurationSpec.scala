@@ -403,5 +403,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("paretoDocs: exact skyline — twins kept, same-x and strict dominated die") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),          // (4, 1000000) frontier
+      (2L, "a a b b"),          // (4, 500000) dominated same-x by 1
+      (3L, "a a a b"),          // (4, 500000) twin of 2, also dominated
+      (4L, "a b"),              // (2, 1000000) dominated by 1 (strict x, equal y)
+      (5L, "a a a a a a a a"),  // (8, 125000) frontier (max x)
+      (6L, "a b c a b c"),      // (6, 500000) frontier
+      (7L, "x y z x y z"))      // (6, 500000) frontier TWIN of 6 — both kept
+      .toDF("doc_id", "text")
+    for (w <- Seq(1L, 2L, 100L)) {
+      val r = Curation.paretoDocs(docs, w).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(r == Set((1L, 4L, 1000000L), (5L, 8L, 125000L),
+        (6L, 6L, 500000L), (7L, 6L, 500000L)), s"bucketWidth=$w")
+    }
+  }
+
+  test("paretoDocs equals the brute-force dominance skyline on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val xy = docs.selectExpr("doc_id",
+      "CAST(size(split(text, ' ')) AS LONG) AS n_tokens",
+      "CAST(size(array_distinct(split(text, ' '))) AS LONG) * 1000000 " +
+        "div CAST(size(split(text, ' ')) AS LONG) AS uniq_e6")
+    val brute = xy.as("a").join(xy.as("b"),
+        col("b.n_tokens") >= col("a.n_tokens") &&
+          col("b.uniq_e6") >= col("a.uniq_e6") &&
+          (col("b.n_tokens") > col("a.n_tokens") ||
+            col("b.uniq_e6") > col("a.uniq_e6")),
+        "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (w <- Seq(1L, 16L)) {
+      val fast = Curation.paretoDocs(docs, w).collect().map(_.getLong(0)).toSet
+      assert(fast == brute && fast.nonEmpty, s"bucketWidth=$w")
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

@@ -584,4 +584,50 @@ class AnalyticsSpec extends SparkSpec {
       3L -> ((1L, 2000L, 2000L, 2000L)),
       4L -> ((1L, 1000L, 1000L, 1000L))))
   }
+
+  test("basketPairs: distinct per order, support threshold") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 101L), (1L, 101L), (1L, 102L), (1L, 103L), // dup line collapses
+      (2L, 101L), (2L, 102L),
+      (3L, 101L), (3L, 102L),
+      (4L, 103L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = Analytics.basketPairs(li, 2L).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((101L, 102L, 3L)))
+    val all = Analytics.basketPairs(li, 1L).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(all == Set((101L, 102L, 3L), (101L, 103L, 1L), (102L, 103L, 1L)))
+  }
+
+  test("basketRules: both directions, floor-division confidence") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L), (3L, 101L), (3L, 102L),
+      (4L, 101L)) // 101 alone in order 4 -> conf(101->102) = 3/4
+      .toDF("l_orderkey", "l_partkey")
+    val r = Analytics.basketRules(li, 2L).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map(
+      (101L, 102L) -> ((3L, 4L, 750000L)),
+      (102L, 101L) -> ((3L, 3L, 1000000L))))
+  }
+
+  test("groupedLinReg: exact fit, negative slope, degenerate NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),
+      ("dn", 1L, 10L), ("dn", 2L, 8L), ("dn", 3L, 6L),
+      ("flat", 5L, 1L), ("flat", 5L, 9L)) // zero x-variance
+      .toDF("g", "x", "y")
+    val r = Analytics.groupedLinReg(df, "g", col("x"), col("y")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("up").getLong(6) == 2000L && r("up").getLong(7) == 0L)
+    // negative slope exercises truncation-toward-zero agreement
+    assert(r("dn").getLong(6) == -2000L && r("dn").getLong(7) == 12000L)
+    assert(r("flat").isNullAt(6) && r("flat").isNullAt(7))
+    assert(r("dn").getLong(4) == 44L && r("dn").getLong(5) == 14L) // moments
+  }
 }

@@ -534,4 +534,43 @@ class EventStreamSpec extends SparkSpec {
       "click" -> ((2L, 2200L)),    // user 2 twice (equal-ts + id-10 click)
       "(none)" -> ((2L, 650L))))   // users 3 and 4
   }
+
+  test("seasonalBaseline: per-hour baseline, integer deviation ratio") {
+    import spark.implicits._
+    // epoch-anchored timestamps: day/hr indexes are TZ-free by construction
+    def at(day: Int, hour: Int, m: Int): Timestamp =
+      new Timestamp((((day.toLong * 24 + hour) * 60 + m) * 60) * 1000L)
+    val evs = (Seq.fill(2)(at(0, 0, 1)) ++ Seq.fill(4)(at(1, 0, 2)) ++
+      Seq.fill(3)(at(0, 1, 3))).map(t => (t, "a")) :+ ((at(0, 2, 0), "b"))
+    val df = evs.toDF("ts", "event_type")
+    val r = EventStream.seasonalBaseline(df).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)) ->
+        ((x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    assert(r(("a", 0L, 0L)) == ((2L, 6L, 2L, 666L)))   // 1000*2*2 div 6
+    assert(r(("a", 1L, 0L)) == ((4L, 6L, 2L, 1333L)))
+    assert(r(("a", 0L, 1L)) == ((3L, 3L, 2L, 2000L)))  // hour seen one day
+    assert(r(("b", 0L, 2L)) == ((1L, 1L, 1L, 1000L)))
+    assert(r.size == 4)
+  }
+
+  test("laggedXcorr: zero-filled spine, exact per-lag moments") {
+    import spark.implicits._
+    def hb(h: Int, m: Int) = new Timestamp((h * 3600L + m * 60L) * 1000L)
+    // clicks x = [2, 0, 1] over hour buckets 0..2 (bucket 1 is a GAP that
+    // must zero-fill, not vanish); purchases y = [1, 3, 0]
+    val evs = Seq.fill(2)((hb(0, 1), "click")) ++ Seq((hb(2, 1), "click")) ++
+      Seq((hb(0, 2), "purchase")) ++ Seq.fill(3)((hb(1, 2), "purchase"))
+    val df = evs.toDF("ts", "event_type")
+    val r = EventStream.laggedXcorr(df, "click", "purchase", 3).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val l0 = r(0L) // pairs (2,1) (0,3) (1,0)
+    assert((l0.getLong(1), l0.getLong(2), l0.getLong(3), l0.getLong(4),
+      l0.getLong(5), l0.getLong(6), l0.getLong(7)) ==
+      ((3L, 3L, 4L, 2L, 5L, 10L, -6L)))
+    val l1 = r(1L) // pairs (2,3) (0,0)
+    assert((l1.getLong(1), l1.getLong(4), l1.getLong(7)) == ((2L, 6L, 6L)))
+    val l2 = r(2L) // pair (2,0)
+    assert((l2.getLong(1), l2.getLong(2), l2.getLong(4)) == ((1L, 2L, 0L)))
+    assert(!r.contains(3L)) // lag 3 has no overlap -> no row
+  }
 }

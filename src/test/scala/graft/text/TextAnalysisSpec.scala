@@ -431,4 +431,20 @@ class TextAnalysisSpec extends SparkSpec {
       math.abs(x.getDouble(2) - math.log(4)) < 1e-6)
     assert(x.getDouble(3) == 1.0)
   }
+
+  test("collocations: integer lift ranking, marginals from the count relation") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y x y x y x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.collocations(docs, 2L, 10).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    // bigrams: "x y" x5, "y x" x4; N=9; marginals x:5/y:4 (w1), y:5/x:4 (w2)
+    // lift(y x) = 4*9*10000 div 16 = 22500 > lift(x y) = 5*9*10000 div 25
+    assert(r.toSeq == Seq(
+      ("y x", 4L, 4L, 4L, 22500L),
+      ("x y", 5L, 5L, 5L, 18000L)))
+    // minCount prunes: only the 5-count bigram survives at minCount=5
+    val pruned = TextAnalysis.collocations(docs, 5L, 10).collect()
+    assert(pruned.map(_.getString(0)).toSeq == Seq("x y"))
+  }
 }

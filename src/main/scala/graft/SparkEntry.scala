@@ -1754,7 +1754,13 @@ object SparkEntry {
         .orderBy(col("lift_e4").desc, col("bigram"))),
     "curate_pareto_docs" -> ((s, dir) => // 2-D skyline, bucket-cummax pre-prune
       graft.pipeline.Curation.paretoDocs(docs(s, dir))
-        .orderBy(col("n_tokens").desc, col("doc_id")))
+        .orderBy(col("n_tokens").desc, col("doc_id"))),
+    "text_kcore" -> ((s, dir) => // bounded synchronous k-core peel
+      graft.graph.Graph.contentKCore(docs(s, dir), 8, 80, 2, 4)
+        .orderBy("doc_id")),
+    "profile_key_skew" -> ((s, dir) => // hash-partition skew advisor
+      graft.stats.Profile.keySkew(events(s, dir), col("user_id"), 20)
+        .orderBy("rank"))
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -3317,6 +3323,39 @@ object SparkEntry {
         "SELECT a.doc_id, a.n_tokens, a.uniq_e6 FROM xy a WHERE NOT EXISTS (" +
         "SELECT 1 FROM xy b WHERE b.n_tokens >= a.n_tokens AND b.uniq_e6 >= a.uniq_e6 " +
         "AND (b.n_tokens > a.n_tokens OR b.uniq_e6 > a.uniq_e6)) " +
-        "ORDER BY a.n_tokens DESC, a.doc_id")
+        "ORDER BY a.n_tokens DESC, a.doc_id"),
+    // the Spark side runs EXACTLY the same 4 peel rounds — the oracle
+    // unrolls them mechanically over the shared window-edge CTEs. Every
+    // e_i is AS MATERIALIZED: each level references its predecessor twice
+    // (degree count + prune), so inlined CTEs re-evaluate the whole chain
+    // exponentially (the un-hinted form never finished at sf0.01)
+    "text_kcore" -> {
+      val peels = (1 to 4).map { i =>
+        s"d$i AS (SELECT v, COUNT(*) AS c FROM (SELECT a AS v FROM e${i - 1} " +
+          s"UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1), " +
+          s"k$i AS (SELECT v FROM d$i WHERE c >= 2), " +
+          s"e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1} WHERE a IN (SELECT v FROM k$i) " +
+          s"AND b IN (SELECT v FROM k$i))"
+      }.mkString(", ")
+      "WITH tokd AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "w AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)-6), i -> array_to_string(t[i:i+7],' '))) AS ng FROM tokd), " +
+        "df AS (SELECT ng, COUNT(*) AS df FROM w GROUP BY 1), " +
+        "ek AS (SELECT ng FROM df WHERE df BETWEEN 2 AND 80), " +
+        "e0 AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM w x JOIN w y USING (ng) JOIN ek USING (ng) WHERE x.doc_id < y.doc_id), " +
+        peels +
+        " SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree " +
+        "FROM (SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4) GROUP BY 1 ORDER BY 1"
+    },
+    // per-key counts once; totals and the top-k cut over that relation
+    "profile_key_skew" ->
+      ("WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n FROM events GROUP BY 1), " +
+        "t AS (SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows FROM c), " +
+        "tk AS (SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank FROM c ORDER BY n DESC, key LIMIT 20), " +
+        "cu AS (SELECT *, SUM(n) OVER (ORDER BY n DESC, key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n FROM tk) " +
+        "SELECT CAST(rank AS BIGINT) AS rank, key, CAST(n AS BIGINT) AS n, " +
+        "CAST(n * 1000000 // t.n_rows AS BIGINT) AS share_e6, " +
+        "CAST(cum_n * 1000000 // t.n_rows AS BIGINT) AS cum_share_e6, " +
+        "CAST(t.n_keys AS BIGINT) AS n_keys, CAST(t.n_rows AS BIGINT) AS n_rows " +
+        "FROM cu CROSS JOIN t ORDER BY rank")
   )
 }

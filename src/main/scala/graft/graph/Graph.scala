@@ -162,4 +162,54 @@ object Graph {
       iters: Int = 3): DataFrame =
     labelPropagation(docs.select("doc_id"), windowEdges(docs, n, dfCap),
       iters)
+
+  /** Bounded k-core peeling — the density filter behind "which documents
+    * sit in a tightly interlinked cluster" (a stronger cohesion signal
+    * than degree: a hub touching many leaves dies, a clique survives).
+    * Each of `rounds` SYNCHRONOUS rounds drops every node whose degree in
+    * the current subgraph is < k, then the edges touching it; the
+    * operator is deterministically "R rounds of peeling", NOT
+    * "iterate-to-fixpoint", so an engine running the same R rounds
+    * reproduces it exactly at any scale (the spec pins that R rounds
+    * reach the true k-core fixpoint on the fixture). Per round: one
+    * map-side-combinable degree count of the edge list and two semi-joins
+    * back onto it, with a localCheckpoint cutting the unrolled lineage
+    * (same discipline as the CC loop); all relations are edge-bounded and
+    * shrink monotonically. Output: (doc_id, core_degree) for nodes with
+    * surviving edges after round R. */
+  def kCore(edges: DataFrame, k: Int = 3, rounds: Int = 4): DataFrame = {
+    require(k >= 1, "k >= 1")
+    require(rounds >= 1 && rounds <= 16, "rounds in 1..16 (lineage unrolls)")
+    var alive = edges.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = alive.select(col("a").as("v"))
+        .unionAll(alive.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("v")
+      val pruned = alive
+        .join(keep, alive("a") === keep("v"), "left_semi")
+        .join(keep, alive("b") === keep("v"), "left_semi")
+      val next = pruned.localCheckpoint()
+      dropCheckpoint(alive)
+      alive = next
+    }
+    alive.select(col("a").as("doc_id"))
+      .unionAll(alive.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** [[kCore]] over the shared-window content graph. */
+  def contentKCore(docs: DataFrame, n: Int = 8, dfCap: Int = 80,
+      k: Int = 3, rounds: Int = 4): DataFrame =
+    kCore(windowEdges(docs, n, dfCap), k, rounds)
+
+  /** Release a localCheckpoint's block copy (the Dedup.dropCheckpoint
+    * pattern: the checkpointed RDD is the LogicalRDD leaf of the plan —
+    * Dataset.unpersist is a no-op on it). */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

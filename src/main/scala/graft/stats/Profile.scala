@@ -767,4 +767,31 @@ object Profile {
     counts.crossJoin(broadcast(total))
       .withColumn("is_unique", col("n_distinct") === col("n_rows"))
   }
+
+  /** Join-key skew report — the "will this key hash-partition evenly"
+    * advisor read before picking a shuffle key (a hot key here is the
+    * argument for salting or an AQE skew-join). ONE map-side-combinable
+    * exchange collapses the fact to per-key counts; the totals are an
+    * aggregate OF that relation (broadcast back as one row) and the
+    * top-k cut is TakeOrderedAndProject. share_e6 and the top-k
+    * cumulative share are integer floor divisions both engines replicate;
+    * the cumulative window runs over exactly k rows. Ties order by
+    * (n desc, key asc), so the cut is deterministic.
+    * Output: (rank, key, n, share_e6, cum_share_e6, n_keys, n_rows). */
+  def keySkew(df: DataFrame, key: Column, k: Int = 20): DataFrame = {
+    val counts = df.select(key.cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"))
+    val w = Window.orderBy(col("n").desc, col("key"))
+    counts.orderBy(col("n").desc, col("key")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n", sum("n").over(
+        Window.orderBy(col("n").desc, col("key"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(tot))
+      .selectExpr("rank", "key", "n",
+        "n * 1000000 div n_rows AS share_e6",
+        "cum_n * 1000000 div n_rows AS cum_share_e6",
+        "n_keys", "n_rows")
+  }
 }

@@ -97,4 +97,30 @@ class GraphSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(r2(5L) == 5L)
   }
+
+  test("kCore: pendant tail peels, triangle survives, k above density empties") {
+    import spark.implicits._
+    // triangle 1-2-3 with a tail 3-4-5: k=2 peels 5 then 4, keeps the
+    // triangle; k=3 empties (max core degree is 2)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val r = Graph.kCore(edges, 2, 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(Graph.kCore(edges, 3, 4).collect().isEmpty)
+    // one round is NOT enough for the 2-tail: bounded peeling is honest
+    // about its round count (5 dies in round 1, 4 only in round 2)
+    val r1 = Graph.kCore(edges, 2, 1).collect().map(_.getLong(0)).toSet
+    assert(r1 == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("kCore: rounds at fixpoint are idempotent on the real content graph") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val e = Graph.windowEdges(docs, 8, 80)
+    val r4 = Graph.contentKCore(docs, 8, 80, 2, 4).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val r5 = Graph.kCore(e, 2, 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r4 == r5) // 4 rounds reach the true 2-core on this fixture
+  }
 }

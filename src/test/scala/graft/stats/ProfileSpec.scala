@@ -408,4 +408,18 @@ class ProfileSpec extends SparkSpec {
       "A" -> ((8L, 4L, 2L, 1L)),
       "B" -> ((2L, 5L, 0L, 0L))))
   }
+
+  test("keySkew: top-k by count, integer shares, deterministic ties") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = Profile.keySkew(df,
+        org.apache.spark.sql.functions.col("k"), 3).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))
+    assert(r.toSeq == Seq(
+      (1L, "a", 5L, 500000L, 500000L, 4L, 10L),
+      (2L, "b", 3L, 300000L, 800000L, 4L, 10L),
+      (3L, "c", 1L, 100000L, 900000L, 4L, 10L))) // c before d: tie on key asc
+  }
 }

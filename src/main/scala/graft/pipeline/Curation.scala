@@ -552,9 +552,13 @@ object Curation {
     * staircase, the revenueDeciles trade) applies the exact strict
     * y > cummax test. Frontier docs re-emerge by joining the broadcast
     * frontier pairs back to the SURVIVOR rows (frontier points always
-    * survive the pre-filter, so no third fact scan), keeping (x, y)
-    * twins — mutually non-dominating — both on the frontier, exactly as
-    * the NOT EXISTS oracle defines it.
+    * survive the pre-filter), keeping (x, y) twins — mutually
+    * non-dominating — both on the frontier, exactly as the NOT EXISTS
+    * oracle defines it. The xy projection is deliberately NOT
+    * materialized: its consumers re-read documents as column-pruned
+    * map-side scans (audited: three pruned scans), the same documented
+    * trade as the waiting-suppliers double scan — checkpointing a
+    * fact-sized projection would cost more than the re-scans at any SF.
     * Output: (doc_id, n_tokens, uniq_e6). */
   def paretoDocs(docs: DataFrame, bucketWidth: Long = 16L): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth >= 1")

@@ -779,8 +779,11 @@ object Profile {
     * (n desc, key asc), so the cut is deterministic.
     * Output: (rank, key, n, share_e6, cum_share_e6, n_keys, n_rows). */
   def keySkew(df: DataFrame, key: Column, k: Int = 20): DataFrame = {
+    // per-key counts MATERIALIZE once (localCheckpoint, key-cardinality-
+    // bounded): the totals aggregate otherwise re-scans the fact
     val counts = df.select(key.cast("string").as("key"))
       .groupBy("key").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val tot = counts.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"))
     val w = Window.orderBy(col("n").desc, col("key"))
     counts.orderBy(col("n").desc, col("key")).limit(k)

@@ -928,8 +928,13 @@ object TextAnalysis {
     * Output: (bigram, n_xy, n_x, n_y, lift_e4), top `k` by lift. */
   def collocations(docs: DataFrame, minCount: Long = 5L,
       k: Int = 50): DataFrame = {
+    // the count relation MATERIALIZES once (localCheckpoint): three
+    // consumers (total, both marginals) otherwise each re-derive it from
+    // the fact — the audited plan showed three full bigram explodes
+    // where the docstring promises one
     val cnt = docs.select(explode(bigrams(col("text"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
     val tot = cnt.agg(sum("n_xy").as("n_total"))
     val left = cnt.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum("n_xy").as("n_x"))

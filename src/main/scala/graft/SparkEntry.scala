@@ -26,6 +26,20 @@ object SparkEntry {
   /** WITH-clause body deriving the triple relation in DuckDB. */
   private val cte = TripleSource.DUCKDB_CTE
 
+  /** Shared oracle of the events_seasonal batch/stream twins: TZ-free
+    * integer hour/day buckets, dev = day count vs the hour's per-day
+    * average under floor division. */
+  private val eventsSeasonalOracleSql: String =
+    "WITH cnt AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
+      "(epoch_us(ts) // 3600000000) % 24 AS hr, COUNT(*) AS n_events FROM events GROUP BY 1, 2, 3), " +
+      "base AS (SELECT event_type, hr, SUM(n_events) AS hour_total FROM cnt GROUP BY 1, 2), " +
+      "days AS (SELECT event_type, COUNT(DISTINCT day) AS n_days FROM cnt GROUP BY 1) " +
+      "SELECT c.event_type, CAST(c.day AS BIGINT) AS day, CAST(c.hr AS BIGINT) AS hr, " +
+      "CAST(c.n_events AS BIGINT) AS n_events, CAST(b.hour_total AS BIGINT) AS hour_total, " +
+      "CAST(d.n_days AS BIGINT) AS n_days, " +
+      "CAST(1000 * c.n_events * d.n_days // b.hour_total AS BIGINT) AS dev_e3 " +
+      "FROM cnt c JOIN base b USING (event_type, hr) JOIN days d USING (event_type) ORDER BY 1, 2, 3"
+
   /** The 9 valid capture shapes as SQL select-list fragments:
     * (code, v1, v2, joinValue). Single source for all capture-based oracles. */
   private val captureArms = Seq(
@@ -1760,7 +1774,23 @@ object SparkEntry {
         .orderBy("doc_id")),
     "profile_key_skew" -> ((s, dir) => // hash-partition skew advisor
       graft.stats.Profile.keySkew(events(s, dir), col("user_id"), 20)
-        .orderBy("rank"))
+        .orderBy("rank")),
+    "events_seasonal_stream" -> ((s, dir) => {
+      // the SAME hour-of-day baseline with the hourly intake counts
+      // produced by the STREAMING engine (watermarked epoch-aligned
+      // window agg in append mode, sentinel-flushed); the shared batch
+      // tail makes it answer the batch oracle verbatim
+      import s.implicits._
+      val ev = events(s, dir).select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)].collect().toSeq
+      graft.streaming.StreamDriver.seasonalStreamed(s, ev)
+        .orderBy("event_type", "day", "hr")
+    }),
+    "profile_k_anon" -> ((s, dir) => // release-governance re-identification audit
+      graft.stats.Profile.kAnonymity(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"), 10L)
+        .orderBy("q_c_nationkey", "q_c_mktsegment"))
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -3271,16 +3301,15 @@ object SparkEntry {
         "CAST(CASE WHEN slope_e3 IS NOT NULL THEN (1000*sum_y - slope_e3*sum_x) // n END AS BIGINT) AS intercept_e3 " +
         "FROM s ORDER BY 1"),
     // TZ-free integer hour/day buckets; dev = day count vs per-day average
-    "events_seasonal" ->
-      ("WITH cnt AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, " +
-        "(epoch_us(ts) // 3600000000) % 24 AS hr, COUNT(*) AS n_events FROM events GROUP BY 1, 2, 3), " +
-        "base AS (SELECT event_type, hr, SUM(n_events) AS hour_total FROM cnt GROUP BY 1, 2), " +
-        "days AS (SELECT event_type, COUNT(DISTINCT day) AS n_days FROM cnt GROUP BY 1) " +
-        "SELECT c.event_type, CAST(c.day AS BIGINT) AS day, CAST(c.hr AS BIGINT) AS hr, " +
-        "CAST(c.n_events AS BIGINT) AS n_events, CAST(b.hour_total AS BIGINT) AS hour_total, " +
-        "CAST(d.n_days AS BIGINT) AS n_days, " +
-        "CAST(1000 * c.n_events * d.n_days // b.hour_total AS BIGINT) AS dev_e3 " +
-        "FROM cnt c JOIN base b USING (event_type, hr) JOIN days d USING (event_type) ORDER BY 1, 2, 3"),
+    "events_seasonal" -> eventsSeasonalOracleSql,
+    // the streaming execution answers the SAME seasonal question
+    "events_seasonal_stream" -> eventsSeasonalOracleSql,
+    // one groupBy IS the audit; quasi values stringify on both sides
+    "profile_k_anon" ->
+      ("SELECT CAST(c_nationkey AS VARCHAR) AS q_c_nationkey, " +
+        "CAST(c_mktsegment AS VARCHAR) AS q_c_mktsegment, " +
+        "CAST(COUNT(*) AS BIGINT) AS group_size FROM customer " +
+        "GROUP BY 1, 2 HAVING COUNT(*) < 10 ORDER BY 1, 2"),
     // zero-filled hourly spine; per-lag BIGINT moments + cleared numerator
     "events_xcorr" ->
       ("WITH cnt AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, COUNT(*) AS n " +

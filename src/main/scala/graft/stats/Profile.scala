@@ -768,6 +768,24 @@ object Profile {
       .withColumn("is_unique", col("n_distinct") === col("n_rows"))
   }
 
+  /** k-anonymity audit — the release-governance check run before a table
+    * leaves the pipeline: every quasi-identifier combination shared by
+    * fewer than `k` rows is a re-identification risk and is reported with
+    * its group size. ONE map-side-combinable exchange (the groupBy is the
+    * whole plan); the violating-combo relation is bounded by the quasi
+    * space, and the fraction |violators|/|groups| is the generalization
+    * signal (high => coarsen a column, e.g. bucket the balance). Quasi
+    * values stringify so mixed-type identifier sets share one schema.
+    * Output: (q_<col>..., group_size), group_size < k. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long = 5L): DataFrame = {
+    require(quasi.nonEmpty, "k-anonymity of zero quasi-identifiers")
+    val qs = quasi.map(c => col(c).cast("string").as(s"q_$c"))
+    df.select(qs: _*)
+      .groupBy(quasi.map(c => col(s"q_$c")): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
   /** Join-key skew report — the "will this key hash-partition evenly"
     * advisor read before picking a shuffle key (a hot key here is the
     * argument for salting or an AQE skew-join). ONE map-side-combinable

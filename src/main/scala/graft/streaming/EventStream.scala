@@ -913,17 +913,22 @@ object EventStream {
     * both engines). Events are post-epoch in this domain, so truncating
     * div equals floor div. Output: (event_type, day, hr, n_events,
     * hour_total, n_days, dev_e3). */
-  def seasonalBaseline(events: DataFrame): DataFrame = {
-    // calendar-bounded counts MATERIALIZE once (localCheckpoint): the
-    // baseline and active-day aggregates otherwise re-derive them from
-    // the fact — the audited plan showed three event scans for one
-    val cnt = events
+  def seasonalBaseline(events: DataFrame): DataFrame =
+    seasonalFromCounts(events
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         expr("unix_micros(ts) div 3600000000 % 24").as("hr"))
       .groupBy("event_type", "day", "hr")
-      .agg(count(lit(1)).as("n_events"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The baseline/deviation tail of [[seasonalBaseline]] over an already-
+    * aggregated (event_type, day, hr, n_events) relation — shared with
+    * the STREAMING twin, whose engine produces the same counts online.
+    * The counts MATERIALIZE once (localCheckpoint): the baseline and
+    * active-day aggregates otherwise re-derive them from the fact — the
+    * audited plan showed three event scans for one. */
+  private[graft] def seasonalFromCounts(counts: DataFrame): DataFrame = {
+    val cnt = counts.localCheckpoint()
     val base = cnt.groupBy("event_type", "hr")
       .agg(sum("n_events").as("hour_total"))
     val days = cnt.select("event_type", "day").distinct()

@@ -321,6 +321,50 @@ object StreamDriver {
     }
   }
 
+  /** Run the hour-of-day seasonal intake through the streaming engine:
+    * watermarked epoch-aligned HOURLY window counts per event type
+    * finalize in append mode (each (type, hour window) emits once the
+    * watermark passes the window end), then the batch tail
+    * ([[EventStream.seasonalFromCounts]] — the SAME code the batch twin
+    * runs) derives day/hr buckets from the window starts and computes the
+    * baseline deviations over the appended counts. unix_micros of an
+    * epoch-aligned window start reproduces the batch side's TZ-free
+    * integer buckets exactly, so the twin shares the batch oracle
+    * verbatim. Sentinel: one event a clean 2 hours past the latest real
+    * timestamp advances the watermark to flush every in-flight window;
+    * its type is filtered by NAME, never by offset. */
+  def seasonalStreamed(spark: SparkSession,
+      events: Seq[(Timestamp, String)]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val name = "seasonal_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val maxTs = (events.map(_._1.getTime) :+ 0L).max
+      if (events.nonEmpty) { in.addData(events); q.processAllAvailable() }
+      in.addData((new Timestamp(maxTs + 2 * 3600L * 1000), "__sentinel__"))
+      q.processAllAvailable()
+      val mat = spark.table(name)
+        .filter(col("event_type") =!= "__sentinel__")
+        .select(col("event_type"),
+          expr("unix_micros(w.start) div 86400000000").as("day"),
+          expr("unix_micros(w.start) div 3600000000 % 24").as("hr"),
+          col("n_events"))
+      val rows = java.util.Arrays.asList(mat.collect(): _*)
+      EventStream.seasonalFromCounts(
+        spark.createDataFrame(rows, mat.schema))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   /** Run the watermarked 30-minute-gap sessionization ([[EventStream
     * .sessions]], session_window native operator) through the streaming
     * engine in APPEND mode: a session only emits once the watermark passes

@@ -422,4 +422,17 @@ class ProfileSpec extends SparkSpec {
       (2L, "b", 3L, 300000L, 800000L, 4L, 10L),
       (3L, "c", 1L, 100000L, 900000L, 4L, 10L))) // c before d: tie on key asc
   }
+
+  test("kAnonymity: only sub-k quasi groups report; values stringify") {
+    import spark.implicits._
+    val df = Seq(
+      (10, "A"), (10, "A"), (10, "A"),   // safe at k=3
+      (10, "B"), (10, "B"),              // violates
+      (20, "A"))                         // violates
+      .toDF("nat", "seg")
+    val r = Profile.kAnonymity(df, Seq("nat", "seg"), 3L).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSet
+    assert(r == Set(("10", "B", 2L), ("20", "A", 1L)))
+    assert(Profile.kAnonymity(df, Seq("nat", "seg"), 1L).collect().isEmpty)
+  }
 }

@@ -294,4 +294,25 @@ class StreamDriverSpec extends SparkSpec {
       .map { case (v, i) => ((i + 1).toLong, v) }.toSeq.sorted
     assert(got == want && got.length == 16)
   }
+
+  test("seasonalStreamed equals the batch seasonal baseline; sentinel invisible") {
+    import spark.implicits._
+    // two days x three hours, plus a type seen one day only — exercises
+    // hour totals, active-day counts, and the hour-window finalization
+    def at(day: Int, hour: Int, m: Int) =
+      new Timestamp((((day.toLong * 24 + hour) * 60 + m) * 60) * 1000L)
+    val evs = Seq(
+      (at(0, 0, 1), "a"), (at(0, 0, 40), "a"), (at(1, 0, 5), "a"),
+      (at(0, 1, 10), "a"), (at(1, 1, 59), "a"), (at(1, 2, 30), "a"),
+      (at(1, 3, 0), "b"))
+    val got = StreamDriver.seasonalStreamed(spark, evs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val batch = EventStream.seasonalBaseline(evs.toDF("ts", "event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == batch && got.nonEmpty)
+    assert(got.contains(("a", 0L, 0L, 2L, 3L, 2L, 1333L))) // 1000*2*2 div 3
+    assert(!got.exists(_._1 == "__sentinel__"))
+  }
 }

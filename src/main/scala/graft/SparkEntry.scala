@@ -1790,7 +1790,11 @@ object SparkEntry {
       graft.stats.Profile.kAnonymity(
         s.read.parquet(s"$dir/customer.parquet"),
         Seq("c_nationkey", "c_mktsegment"), 10L)
-        .orderBy("q_c_nationkey", "q_c_mktsegment"))
+        .orderBy("q_c_nationkey", "q_c_mktsegment")),
+    "profile_join_size" -> ((s, dir) => // join cardinality WITHOUT the join
+      graft.stats.Profile.joinSize(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
+        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey"))
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -3304,6 +3308,15 @@ object SparkEntry {
     "events_seasonal" -> eventsSeasonalOracleSql,
     // the streaming execution answers the SAME seasonal question
     "events_seasonal_stream" -> eventsSeasonalOracleSql,
+    // the estimate relation is the per-key count join, never the join itself
+    "profile_join_size" ->
+      ("WITH ca AS (SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1), " +
+        "cb AS (SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1), " +
+        "j AS (SELECT CAST(COALESCE(SUM(ca*cb), 0) AS BIGINT) AS join_rows, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_matching_keys, " +
+        "CAST(COALESCE(MAX(ca*cb), 0) AS BIGINT) AS max_key_rows FROM ca JOIN cb USING (k)) " +
+        "SELECT j.*, CAST((SELECT COUNT(*) FROM ca) AS BIGINT) AS n_keys_a, " +
+        "CAST((SELECT COUNT(*) FROM cb) AS BIGINT) AS n_keys_b FROM j"),
     // one groupBy IS the audit; quasi values stringify on both sides
     "profile_k_anon" ->
       ("SELECT CAST(c_nationkey AS VARCHAR) AS q_c_nationkey, " +

@@ -768,6 +768,31 @@ object Profile {
       .withColumn("is_unique", col("n_distinct") === col("n_rows"))
   }
 
+  /** Exact equi-join cardinality statistic — |A ⋈ B on k| computed
+    * WITHOUT executing the join: Σ over matching keys of cA(k)·cB(k),
+    * plus the hottest key's contribution (the skew share an optimizer
+    * weighs against broadcast/salting) and both sides' key cardinalities.
+    * Each side collapses to its per-key count relation in one combinable
+    * exchange and MATERIALIZES once (localCheckpoint, key-bounded) so the
+    * key-cardinality aggregates don't re-scan the facts; the count-join
+    * is key-vocabulary-sized. Requires max cA(k)·cB(k) and the total to
+    * fit int64 — counts, not keys. Output one row: (join_rows,
+    * n_matching_keys, max_key_rows, n_keys_a, n_keys_b). */
+  def joinSize(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String): DataFrame = {
+    val ca = a.groupBy(col(aKey).cast("long").as("k"))
+      .agg(count(lit(1)).as("ca")).localCheckpoint()
+    val cb = b.groupBy(col(bKey).cast("long").as("k"))
+      .agg(count(lit(1)).as("cb")).localCheckpoint()
+    val joined = ca.join(cb, "k")
+      .agg(coalesce(sum(expr("ca * cb")), lit(0L)).as("join_rows"),
+        count(lit(1)).as("n_matching_keys"),
+        coalesce(max(expr("ca * cb")), lit(0L)).as("max_key_rows"))
+    joined
+      .crossJoin(broadcast(ca.agg(count(lit(1)).as("n_keys_a"))))
+      .crossJoin(broadcast(cb.agg(count(lit(1)).as("n_keys_b"))))
+  }
+
   /** k-anonymity audit — the release-governance check run before a table
     * leaves the pipeline: every quasi-identifier combination shared by
     * fewer than `k` rows is a re-identification risk and is reported with

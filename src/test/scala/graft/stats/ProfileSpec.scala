@@ -435,4 +435,17 @@ class ProfileSpec extends SparkSpec {
     assert(r == Set(("10", "B", 2L), ("20", "A", 1L)))
     assert(Profile.kAnonymity(df, Seq("nat", "seg"), 1L).collect().isEmpty)
   }
+
+  test("joinSize: exact cardinality without the join, hot key, side counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("ka")       // counts 3,1,1
+    val b = Seq(1L, 1L, 2L, 9L).toDF("kb")           // counts 2,1,1
+    val r = Profile.joinSize(a, "ka", b, "kb").collect().head
+    // matches: key 1 -> 3*2=6, key 2 -> 1; key 3 and 9 unmatched
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((7L, 2L, 6L, 3L, 3L)))
+    // cross-check against the executed join
+    assert(a.join(b, col("ka") === col("kb")).count() == 7L)
+  }
 }

@@ -908,9 +908,10 @@ object Analytics {
     * both directions per surviving pair, with integer-exact confidence:
     * conf_e6 = 1e6 * support(ante, cons) div support(ante) under floor
     * division, so both engines produce the identical BIGINT. The
-    * antecedent supports live on the part DIMENSION (|parts| rows even
-    * at 100 TB of lineitem) and broadcast into the surviving-pair
-    * relation — no extra exchange beyond the two in basketPairs.
+    * antecedent supports live on the part DIMENSION; the join stays
+    * UN-HINTED (the repo's big-join convention): AQE broadcasts it at
+    * test scale and shuffles on ante at warehouse scale, where a part
+    * dimension in the 10^8 range must not be forced into a broadcast.
     * Output: (ante, cons, support, ante_support, conf_e6). */
   def basketRules(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
     val pairSup = basketPairs(lineitem, minSupport)
@@ -921,7 +922,7 @@ object Analytics {
         col("support"))
       .unionByName(pairSup.select(col("part_b").as("ante"),
         col("part_a").as("cons"), col("support")))
-    directed.join(broadcast(itemSup), "ante")
+    directed.join(itemSup, "ante")
       .select(col("ante"), col("cons"), col("support"), col("ante_support"),
         expr("support * 1000000 div ante_support").as("conf_e6"))
   }

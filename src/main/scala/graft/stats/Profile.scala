@@ -780,9 +780,11 @@ object Profile {
     * n_matching_keys, max_key_rows, n_keys_a, n_keys_b). */
   def joinSize(a: DataFrame, aKey: String, b: DataFrame,
       bKey: String): DataFrame = {
-    val ca = a.groupBy(col(aKey).cast("long").as("k"))
+    // keys keep their native type: a cast would null out non-integral
+    // keys and silently merge them into one group
+    val ca = a.groupBy(col(aKey).as("k"))
       .agg(count(lit(1)).as("ca")).localCheckpoint()
-    val cb = b.groupBy(col(bKey).cast("long").as("k"))
+    val cb = b.groupBy(col(bKey).as("k"))
       .agg(count(lit(1)).as("cb")).localCheckpoint()
     val joined = ca.join(cb, "k")
       .agg(coalesce(sum(expr("ca * cb")), lit(0L)).as("join_rows"),

@@ -215,12 +215,18 @@ object SparkEntry {
       "sv AS (SELECT b.g, lv.n_rows, lv.level, (CAST(1 AS BIGINT) << CAST(lv.level AS INT)) AS w, b.v " +
       "FROM base b JOIN lv USING (g) WHERE b.h % (CAST(1 AS BIGINT) << CAST(lv.level AS INT)) = 0), " +
       "cm AS (SELECT g, n_rows, level, w, v, CAST(COUNT(*) AS BIGINT) AS c FROM sv GROUP BY 1,2,3,4,5), " +
-      "cc AS (SELECT *, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM cm) " +
-      "SELECT g AS l_returnflag, MAX(n_rows) AS n_rows, MAX(level) AS level, CAST(SUM(c) AS BIGINT) AS n_sample, " +
+      "cc AS (SELECT *, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM cm), " +
+      // output derives from lv LEFT JOIN estimates: a zero-survivor group
+      // still reports (n_sample 0, NULL estimates) — mirrors the Spark tail
+      "est AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n_sample, " +
       "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*50 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p50_est, " +
       "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*90 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p90_est, " +
       "CAST(COALESCE(MIN(CASE WHEN cum*w >= (n_rows*99 + 99)//100 THEN v END), MAX(v)) AS BIGINT) AS p99_est " +
-      "FROM cc GROUP BY g ORDER BY 1")
+      "FROM cc GROUP BY g) " +
+      "SELECT lv.g AS l_returnflag, lv.n_rows, lv.level, " +
+      "CAST(COALESCE(est.n_sample, 0) AS BIGINT) AS n_sample, " +
+      "est.p50_est, est.p90_est, est.p99_est " +
+      "FROM lv LEFT JOIN est USING (g) ORDER BY 1")
 
   /** Iterated-BPE oracle CTEs: k unrolled rounds of the SAME relational
     * trainer TextAnalysis.bpeTrain runs — lead-pair counts over the word
@@ -2684,7 +2690,8 @@ object SparkEntry {
       (s"WITH $scdOracleCtes, " +
         "f AS (SELECT CAST(o_orderkey AS BIGINT) AS fact_id, CAST(o_custkey AS BIGINT) AS k, " +
         "CAST(o_orderkey % 3 AS BIGINT) * 1000000 + 500000 AS ts_us FROM orders) " +
-        "SELECT f.fact_id, f.k, f.ts_us, CAST(COALESCE(s.v, -1) AS BIGINT) AS v " +
+        "SELECT f.fact_id, f.k, f.ts_us, s.k IS NOT NULL AS matched, " +
+        "CAST(COALESCE(s.v, -1) AS BIGINT) AS v " +
         "FROM f LEFT JOIN scd s ON s.k = f.k AND s.valid_from_us <= f.ts_us " +
         "AND (s.valid_to_us = -1 OR f.ts_us < s.valid_to_us) ORDER BY 1"),
     // Q15 analog: per-supplier quarter revenue joined to its own max —

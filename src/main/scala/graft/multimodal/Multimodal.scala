@@ -81,8 +81,11 @@ object Multimodal {
           !(blob(i) == '\n' || blob(i) == ' ' || blob(i) == '\r' || blob(i) == '\t'))
         fail("missing raster separator")
       i += 1
-      if (blob.length - i != w * h * 3)
-        fail(s"raster length ${blob.length - i} != ${w * h * 3}")
+      // Long arithmetic: w and h individually pass the 2^20 guard, so
+      // w*h*3 in Int can wrap (3*2^40 ≡ 0 mod 2^32) and a header-only
+      // adversarial blob would slip the check
+      if ((blob.length - i).toLong != w.toLong * h * 3L)
+        fail(s"raster length ${blob.length - i} != ${w.toLong * h * 3L}")
       (w, h, i)
     }
 

@@ -266,12 +266,18 @@ object Curation {
     * range in list order. Pure map-side projection: no shuffle, no UDF
     * (md5/conv are codegen'd builtins), scales as a scan.
     * Output: (doc_id, bucket, split). */
+  /** The ONE split coin: md5 percent bucket of doc_id — shared by
+    * [[splitCorpus]] and [[leakageSplit]] so their train/test membership
+    * can never drift apart. */
+  private def splitBucket: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+
   def splitCorpus(docs: DataFrame,
       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,
       s"split percents must be positive and sum to 100: $splits")
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
+    val bucket = splitBucket
     val cuts = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
     val expr = splits.zip(cuts).foldLeft(Option.empty[org.apache.spark.sql.Column]) {
       case (acc, ((name, _), cut)) =>
@@ -297,8 +303,7 @@ object Curation {
     * Output: (doc_id, split, n_overlap, kept). */
   def leakageSplit(docs: DataFrame, testPct: Int = 10): DataFrame = {
     require(testPct > 0 && testPct < 100, "testPct in (0, 100)")
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
+    val bucket = splitBucket
     val tagged = docs.withColumn("split",
       when(bucket < lit(100 - testPct), "train").otherwise("test"))
     val dec = decontaminate(

@@ -104,10 +104,11 @@ object TripleStats {
     val sets = triples.select("subj", "pred")
       .groupBy("subj").agg(array_sort(collect_set(col("pred"))).as("ps"))
       .filter(size(col("ps")) >= 2)
-    sets.select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + 2, size(col("ps"))),
-          y => struct(x.as("pred_a"), y.as("pred_b")))))).as("p"))
-      .groupBy(col("p.pred_a").as("pred_a"), col("p.pred_b").as("pred_b"))
+    // shared element_at index-pair fan-out (graft.scale.Pairs) — the
+    // transform-over-slice form this replaced copies the array tail per
+    // element (measured 3x slower at the basket soak)
+    sets.select(explode(graft.scale.Pairs.unorderedPairs(col("ps"))).as("p"))
+      .groupBy(col("p.a").as("pred_a"), col("p.b").as("pred_b"))
       .agg(count(lit(1)).as("n_subjects"))
   }
 

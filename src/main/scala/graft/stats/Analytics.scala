@@ -710,6 +710,9 @@ object Analytics {
         (col("valid_to_us") === -1L || col("ts_us") < col("valid_to_us")),
         "left")
       .select(col("fact_id"), col("k"), col("ts_us"),
+        // explicit matched flag: the -1 no-match sentinel alone is
+        // ambiguous against a legitimate v = -1 (cents values go negative)
+        col("dk").isNotNull.as("matched"),
         coalesce(col("v"), lit(-1L)).as("v"))
   }
 
@@ -869,19 +872,6 @@ object Analytics {
         max("rev_cents").as("max_cents"))
   }
 
-  /** All unordered (a, b) pairs from a sorted distinct array of >= 2
-    * elements, a < b — the map-side basket fan-out of [[basketPairs]].
-    * Index pairs + element_at, NOT transform-over-slice: slice copies the
-    * array tail per element, and at the 6M-row soak that O(w²) allocation
-    * made pair generation 3x slower than this O(1)-probe form (49 -> 17 s).
-    * Callers must filter size >= 2 first: sequence(1, size-1) on a
-    * 1-element array DESCENDS ([1, 0]) instead of being empty. */
-  private def arrayPairs(parts: Column): Column =
-    flatten(transform(sequence(lit(1), size(parts) - 1), i =>
-      transform(sequence(i + 1, size(parts)), j =>
-        struct(element_at(parts, i).as("a"),
-          element_at(parts, j).as("b")))))
-
   /** Market-basket co-occurrence: pairs of parts appearing in the same
     * order at least `minSupport` times. ONE orderkey exchange collapses
     * each order to its sorted distinct part set; pair generation is then
@@ -899,7 +889,7 @@ object Analytics {
     lineitem.groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) >= 2) // single-part orders pair with nothing
-      .select(explode(arrayPairs(col("parts"))).as("p"))
+      .select(explode(graft.scale.Pairs.unorderedPairs(col("parts"))).as("p"))
       .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)

@@ -468,7 +468,7 @@ object Profile {
     val surv = base.join(broadcast(lv), Seq("g"))
       .filter(pmod(col("h"), sketchWeight) === 0)
       .select("g", "v", "n_rows", "level")
-    quantileFromSurvivors(surv, ps).withColumnRenamed("g", groupCol)
+    quantileFromSurvivors(surv, lv, ps).withColumnRenamed("g", groupCol)
   }
 
   /** The sampling coin: 32 uniform md5 bits of the row key — shared
@@ -491,9 +491,14 @@ object Profile {
     * the batch sketch and the streaming intake (the stream-built summary
     * answers the batch query's oracle). `surv` = (g, v, n_rows, level)
     * survivor rows at the group's level, carrying their group's stats so
-    * the level relation never re-joins (one lv join total — keeps the
-    * batch sketch at exactly two fact scans). */
-  private[graft] def quantileFromSurvivors(surv: DataFrame,
+    * the level relation never re-joins into the survivor aggregation (one
+    * lv join total — keeps the batch sketch at exactly two fact scans).
+    * The OUTPUT derives from `lv` (g, n_rows, level) left-joined to the
+    * survivor estimates: a group whose every coin misses at level >= 1
+    * (possible — the coins are a deterministic hash) still reports its
+    * row with n_sample = 0 and NULL estimates, never silently vanishing
+    * from a one-row-per-group report. */
+  private[graft] def quantileFromSurvivors(surv: DataFrame, lv: DataFrame,
       ps: Seq[Int]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
       "percentiles must be in (0, 100]")
@@ -507,9 +512,13 @@ object Profile {
       coalesce(min(when(col("cum") * w >= target, col("v"))), max("v"))
         .as(s"p${p}_est")
     }
-    val aggs = Seq(max("n_rows").as("n_rows"), max("level").as("level"),
-      sum("c").as("n_sample")) ++ pAggs
-    cum.groupBy("g").agg(aggs.head, aggs.tail: _*)
+    val aggs = (sum("c").as("n_sample") +: pAggs)
+    val est = cum.groupBy("g").agg(aggs.head, aggs.tail: _*)
+    lv.select("g", "n_rows", "level")
+      .join(est, Seq("g"), "left")
+      .select(Seq(col("g"), col("n_rows"), col("level"),
+        coalesce(col("n_sample"), lit(0L)).as("n_sample")) ++
+        ps.map(p => col(s"p${p}_est")): _*)
   }
 
   /** Robust per-group outlier statistics — median + MAD (median absolute
@@ -781,7 +790,8 @@ object Profile {
   def joinSize(a: DataFrame, aKey: String, b: DataFrame,
       bKey: String): DataFrame = {
     // keys keep their native type: a cast would null out non-integral
-    // keys and silently merge them into one group
+    // keys and silently merge them into one group. Single-shot
+    // checkpoints — ContextCleaner reclaims the blocks (see keySkew)
     val ca = a.groupBy(col(aKey).as("k"))
       .agg(count(lit(1)).as("ca")).localCheckpoint()
     val cb = b.groupBy(col(bKey).as("k"))
@@ -825,7 +835,11 @@ object Profile {
     * Output: (rank, key, n, share_e6, cum_share_e6, n_keys, n_rows). */
   def keySkew(df: DataFrame, key: Column, k: Int = 20): DataFrame = {
     // per-key counts MATERIALIZE once (localCheckpoint, key-cardinality-
-    // bounded): the totals aggregate otherwise re-scans the fact
+    // bounded): the totals aggregate otherwise re-scans the fact. Single-
+    // shot checkpoint: the caller consumes the returned frame, so the
+    // block cannot unpersist here — Spark's ContextCleaner reclaims it
+    // once the result is released (unlike the ITERATIVE loops, which drop
+    // superseded blocks eagerly)
     val counts = df.select(key.cast("string").as("key"))
       .groupBy("key").agg(count(lit(1)).as("n"))
       .localCheckpoint()

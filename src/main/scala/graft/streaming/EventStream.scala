@@ -926,7 +926,10 @@ object EventStream {
     * the STREAMING twin, whose engine produces the same counts online.
     * The counts MATERIALIZE once (localCheckpoint): the baseline and
     * active-day aggregates otherwise re-derive them from the fact — the
-    * audited plan showed three event scans for one. */
+    * audited plan showed three event scans for one. Single-shot
+    * checkpoint, reclaimed by ContextCleaner when the caller releases
+    * the result (the iterative loops drop superseded blocks eagerly;
+    * a one-shot operator cannot drop what its output still reads). */
   private[graft] def seasonalFromCounts(counts: DataFrame): DataFrame = {
     val cnt = counts.localCheckpoint()
     val base = cnt.groupBy("event_type", "hr")

@@ -629,7 +629,7 @@ object StreamDriver {
     val surv = coins
       .filter(pmod(col("h"), graft.stats.Profile.sketchWeight) === 0)
       .select("g", "v", "n_rows", "level")
-    graft.stats.Profile.quantileFromSurvivors(surv, ps)
+    graft.stats.Profile.quantileFromSurvivors(surv, lv, ps)
   }
 
   /** Run the STREAMING gap-fill end-to-end: (event_type, ts, value) rows

@@ -931,7 +931,9 @@ object TextAnalysis {
     // the count relation MATERIALIZES once (localCheckpoint): three
     // consumers (total, both marginals) otherwise each re-derive it from
     // the fact — the audited plan showed three full bigram explodes
-    // where the docstring promises one
+    // where the docstring promises one. Single-shot checkpoint: the
+    // block outlives this call by design and ContextCleaner reclaims it
+    // once the caller releases the result
     val cnt = docs.select(explode(bigrams(col("text"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("n_xy"))
       .localCheckpoint()

@@ -44,6 +44,10 @@ class MultimodalSpec extends SparkSpec {
     rejects(enc("P6\n1 1\n65535\n") ++ Array.fill(3)('x'.toByte)) // 16-bit maxval
     rejects(enc("P6\n0 1\n255\n")) // degenerate dims
     rejects(enc("P6\n1 x\n255\n")) // non-numeric header
+    // Int-wrap adversary: 2^20 x 2^20 passes the per-dimension guard and
+    // w*h*3 = 3*2^40 wraps to 0 in Int — the header-only blob must still
+    // reject (raster length validated in Long)
+    rejects(enc("P6\n1048576 1048576\n255\n"))
   }
 
   test("decodeMeta recovers dimensions and checksum by decoding the bytes") {

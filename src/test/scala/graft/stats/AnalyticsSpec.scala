@@ -480,11 +480,19 @@ class AnalyticsSpec extends SparkSpec {
       (15L, 9L, 100L))  // unknown key -> -1
       .toDF("fact_id", "k", "ts_us")
     val r = Analytics.pitJoin(facts, dim).collect()
-      .map(x => (x.getLong(0), x.getLong(3))).sortBy(_._1).toSeq
-    assert(r == Seq((10L, 20L), (11L, 21L), (12L, 20L), (13L, -1L),
-      (14L, 30L), (15L, -1L)))
+      .map(x => (x.getLong(0), x.getBoolean(3), x.getLong(4)))
+      .sortBy(_._1).toSeq
+    // matched disambiguates a real v = -1 from the no-match sentinel
+    assert(r == Seq((10L, true, 20L), (11L, true, 21L), (12L, true, 20L),
+      (13L, false, -1L), (14L, true, 30L), (15L, false, -1L)))
     // at most one version survives per fact: row count == fact count
     assert(Analytics.pitJoin(facts, dim).count() == 6L)
+    // a legitimately negative dimension value is NOT mistaken for a gap
+    val negDim = Seq((5L, -1L, 0L, -1L))
+      .toDF("k", "v", "valid_from_us", "valid_to_us")
+    val negFact = Seq((20L, 5L, 10L)).toDF("fact_id", "k", "ts_us")
+    val nr = Analytics.pitJoin(negFact, negDim).collect().head
+    assert(nr.getBoolean(3) && nr.getLong(4) == -1L)
   }
 
   test("topSupplier: argmax over quarter revenue, ties all survive") {

@@ -436,6 +436,29 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.kAnonymity(df, Seq("nat", "seg"), 1L).collect().isEmpty)
   }
 
+  test("quantileSketch: a zero-survivor group still reports, with NULL estimates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // brute-force 17 keys whose coin (md5 hex chars 25..32 as a long) is
+    // ODD: at cap=16 the group sits at level 1 and every coin misses the
+    // pmod filter — the report must still carry the group
+    def coin(k: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(24, 32), 16)
+    }
+    val oddKeys = Iterator.from(1).map(_.toLong)
+      .filter(k => coin(k) % 2 == 1).take(17).toSeq
+    val df = oddKeys.map(k => ("dark", k % 7, k)).toDF("g", "v", "k")
+    val r = Profile.quantileSketch(df, "g", col("v"), col("k"),
+      Seq(50), cap = 16).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "dark" && row.getLong(1) == 17L &&
+      row.getLong(2) == 1L && row.getLong(3) == 0L && row.isNullAt(4))
+  }
+
   test("joinSize: exact cardinality without the join, hot key, side counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -648,7 +648,7 @@ object StreamDriver {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     require(rows.nonEmpty, "gap-fill stream needs at least one row")
-    val sentinelType = " sentinel"
+    val sentinelType = "\u0000sentinel" // NUL prefix: no real type collides
     val step = bucketSec * 1000L
     val maxTs = rows.map(_._2.getTime).max
     val lastBucketEnd = Math.floorDiv(maxTs, step) * step + step

@@ -462,9 +462,14 @@ object Profile {
     require(cap >= 16, "cap too small to estimate anything")
     val base = df.select(col(groupCol).as("g"), value.cast("long").as("v"),
       sketchCoin(key).as("h"))
+    // groups-sized, MATERIALIZED once (localCheckpoint): lv now has two
+    // consumers (the survivor broadcast and the final zero-survivor
+    // left join) — un-materialized, the second consumer would re-run the
+    // group-count scan and break the two-fact-scan contract
     val lv = base.groupBy("g").agg(count(lit(1)).as("n_rows"))
       .withColumn("level", sketchLevel(col("n_rows"), cap))
       .select("g", "n_rows", "level")
+      .localCheckpoint()
     val surv = base.join(broadcast(lv), Seq("g"))
       .filter(pmod(col("h"), sketchWeight) === 0)
       .select("g", "v", "n_rows", "level")

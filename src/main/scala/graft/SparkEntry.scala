@@ -787,6 +787,9 @@ object SparkEntry {
       EventStream.rangeJoin(ev, bands, "value", bucketWidth = 50.0)
         .select(col("event_id"), col("tier")).orderBy("event_id", "tier")
     }),
+    "events_funnel_windowed" -> ((s, dir) => // steps must land within 1 day
+      EventStream.funnelWindowed(events(s, dir),
+        Seq("view", "click", "purchase"), 86400L).orderBy("stage")),
     "events_funnel" -> ((s, dir) =>
       // view -> click -> purchase conversion over the canonical micros
       // timestamps — both engines compare the same instants
@@ -1970,6 +1973,16 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), m AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e), g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m) SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start, COUNT(*) AS n_events FROM g GROUP BY user_id, sid ORDER BY 1,2""",
     "events_funnel" ->
       "WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), q2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q1 ON q1.user_id = e.user_id AND e.ts >= q1.t WHERE e.event_type = 'click' GROUP BY 1), q3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q2 ON q2.user_id = e.user_id AND e.ts >= q2.t WHERE e.event_type = 'purchase' GROUP BY 1) SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM q1 UNION ALL SELECT 2, 'click', COUNT(*) FROM q2 UNION ALL SELECT 3, 'purchase', COUNT(*) FROM q3 ORDER BY 1",
+    // the same anchor ladder with the 1-day step bound riding the join
+    // (at this fixture: 150 -> 60 -> 25 vs the unbounded 150/150/150 —
+    // the bound demonstrably bites at every stage)
+    "events_funnel_windowed" ->
+      ("WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "q2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q1 ON q1.user_id = e.user_id AND e.ts >= q1.t AND epoch_us(e.ts) - epoch_us(q1.t) <= 86400000000 WHERE e.event_type = 'click' GROUP BY 1), " +
+        "q3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN q2 ON q2.user_id = e.user_id AND e.ts >= q2.t AND epoch_us(e.ts) - epoch_us(q2.t) <= 86400000000 WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT 1 AS stage, 'view' AS event_type, COUNT(*) AS n_users FROM q1 " +
+        "UNION ALL SELECT 2, 'click', COUNT(*) FROM q2 " +
+        "UNION ALL SELECT 3, 'purchase', COUNT(*) FROM q3 ORDER BY 1"),
     // the same first-occurrence anchors, differenced in exact epoch-micros
     "events_funnel_times" ->
       ("WITH q1 AS (SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +

@@ -201,6 +201,39 @@ object EventStream {
     counts.reduce(_.unionAll(_))
   }
 
+  /** TIME-CONSTRAINED funnel — each step must follow the previous stage's
+    * anchor within `maxGapSec` (the product-analytics semantic: a click a
+    * week after the view is not THAT view's conversion). Same ordered
+    * first-occurrence anchor ladder as [[funnel]] — per stage one
+    * user-keyed join against the (users-at-previous-stage)-sized anchor
+    * relation plus a combinable min — with the gap bound riding the join
+    * residual; anchors still take the EARLIEST qualifying instant, so a
+    * user can convert late at step 2 yet still qualify at step 3 only
+    * within the window of that late anchor. Deterministic integer
+    * comparisons on epoch micros in both engines.
+    * Output: (stage, event_type, n_users). */
+  def funnelWindowed(events: DataFrame, stages: Seq[String],
+      maxGapSec: Long = 3600L): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage")
+    require(maxGapSec > 0, "gap bound must be positive")
+    val gapUs = maxGapSec * 1000000L
+    var prev: DataFrame = null
+    val counts = stages.zipWithIndex.map { case (st, i) =>
+      val ev = events.filter(col("event_type") === st)
+      val q =
+        if (i == 0) ev.groupBy("user_id").agg(min("ts").as("qts"))
+        else ev.join(prev.select(col("user_id"), col("qts").as("pts")), "user_id")
+          .filter(col("ts") >= col("pts") &&
+            unix_micros(col("ts")) - unix_micros(col("pts")) <= gapUs)
+          .groupBy("user_id").agg(min("ts").as("qts"))
+      prev = q
+      q.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    counts.reduce(_.unionAll(_))
+  }
+
   /** Funnel conversion LATENCY: for users who reach stage i+1, the time
     * from their stage-i anchor to the stage-i+1 anchor (the same ordered
     * first-occurrence anchors [[funnel]] counts — min ts at or after the

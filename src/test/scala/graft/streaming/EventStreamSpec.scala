@@ -535,6 +535,32 @@ class EventStreamSpec extends SparkSpec {
       "(none)" -> ((2L, 650L))))   // users 3 and 4
   }
 
+  test("funnelWindowed: a step outside the gap does not convert; late anchors re-open it") {
+    import spark.implicits._
+    val evs = Seq(
+      // user 1: view@0, click@30m (in), purchase@50m from click (in) -> full
+      (ts(0), 1L, "view"), (ts(30), 1L, "click"), (ts(55), 1L, "purchase"),
+      // user 2: view@0, first click 2h later (OUT at 1h gap) -> stage 1 only
+      (new Timestamp(ts(0).getTime + 2 * 3600 * 1000L), 2L, "click"),
+      (ts(0), 2L, "view"),
+      // user 3: early out-of-gap click, then a SECOND view re-anchors and a
+      // click lands within ITS window -> stage 2 via the later anchor? No —
+      // anchors are first-occurrence: q1 = min(view)=0, clicks at 2h only
+      (ts(0), 3L, "view"),
+      (new Timestamp(ts(0).getTime + 2 * 3600 * 1000L), 3L, "purchase"))
+      .toDF("ts", "user_id", "event_type")
+    val r = EventStream.funnelWindowed(evs,
+        Seq("view", "click", "purchase"), 3600L)
+      .collect().map(x => x.getInt(0) -> x.getLong(2)).toMap
+    // q1 = {1,2,3}; q2 = {1} (user 2's click is out of gap, user 3 never
+    // clicks); q3 = {1}
+    assert(r == Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+    // the unbounded funnel admits user 2's late click
+    val plain = EventStream.funnel(evs, Seq("view", "click", "purchase"))
+      .collect().map(x => x.getInt(0) -> x.getLong(2)).toMap
+    assert(plain(2) == 2L)
+  }
+
   test("seasonalBaseline: per-hour baseline, integer deviation ratio") {
     import spark.implicits._
     // epoch-anchored timestamps: day/hr indexes are TZ-free by construction

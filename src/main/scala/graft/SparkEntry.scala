@@ -1803,7 +1803,13 @@ object SparkEntry {
     "profile_join_size" -> ((s, dir) => // join cardinality WITHOUT the join
       graft.stats.Profile.joinSize(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
-        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey"))
+        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey")),
+    "profile_l_diversity" -> ((s, dir) => // sensitive-value diversity audit
+      graft.stats.Profile.lDiversity(
+        s.read.parquet(s"$dir/customer.parquet")
+          .withColumn("bal_k", expr("CAST(round(c_acctbal) AS BIGINT) div 2000")),
+        Seq("c_nationkey", "bal_k"), "c_mktsegment", 4L)
+        .orderBy("q_c_nationkey", "q_bal_k"))
   )
 
   /** DuckDB-runnable equivalents (driver correctness gate). */
@@ -3337,6 +3343,14 @@ object SparkEntry {
         "CAST(COALESCE(MAX(ca*cb), 0) AS BIGINT) AS max_key_rows FROM ca JOIN cb USING (k)) " +
         "SELECT j.*, CAST((SELECT COUNT(*) FROM ca) AS BIGINT) AS n_keys_a, " +
         "CAST((SELECT COUNT(*) FROM cb) AS BIGINT) AS n_keys_b FROM j"),
+    // the k audit's companion: diversity of the sensitive value per group
+    "profile_l_diversity" ->
+      ("WITH b AS (SELECT CAST(c_nationkey AS VARCHAR) AS q_c_nationkey, " +
+        "CAST(CAST(round(c_acctbal) AS BIGINT)//2000 AS VARCHAR) AS q_bal_k, " +
+        "c_mktsegment FROM customer) " +
+        "SELECT q_c_nationkey, q_bal_k, CAST(COUNT(*) AS BIGINT) AS group_size, " +
+        "CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct_sensitive " +
+        "FROM b GROUP BY 1, 2 HAVING COUNT(DISTINCT c_mktsegment) < 4 ORDER BY 1, 2"),
     // one groupBy IS the audit; quasi values stringify on both sides
     "profile_k_anon" ->
       ("SELECT CAST(c_nationkey AS VARCHAR) AS q_c_nationkey, " +

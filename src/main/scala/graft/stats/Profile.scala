@@ -828,6 +828,25 @@ object Profile {
       .filter(col("group_size") < k)
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s companion: a quasi group can be
+    * large enough for k-anonymity yet expose its members anyway when
+    * (nearly) everyone in it shares the SENSITIVE value; groups whose
+    * sensitive attribute takes fewer than `l` distinct values report with
+    * their size and diversity. One combinable groupBy with an exact
+    * distinct (quasi-space-bounded relation), same stringified-quasi
+    * schema as the k audit.
+    * Output: (q_<col>..., group_size, n_distinct_sensitive), diversity < l. */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+      l: Long = 3L): DataFrame = {
+    require(quasi.nonEmpty, "l-diversity of zero quasi-identifiers")
+    val qs = quasi.map(c => col(c).cast("string").as(s"q_$c"))
+    df.select(qs :+ col(sensitive).cast("string").as("_s"): _*)
+      .groupBy(quasi.map(c => col(s"q_$c")): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("_s")).as("n_distinct_sensitive"))
+      .filter(col("n_distinct_sensitive") < l)
+  }
+
   /** Join-key skew report — the "will this key hash-partition evenly"
     * advisor read before picking a shuffle key (a hot key here is the
     * argument for salting or an AQE skew-join). ONE map-side-combinable

@@ -459,6 +459,22 @@ class ProfileSpec extends SparkSpec {
       row.getLong(2) == 1L && row.getLong(3) == 0L && row.isNullAt(4))
   }
 
+  test("lDiversity: low-diversity groups report even when k-anonymous") {
+    import spark.implicits._
+    val df = Seq(
+      // group (10, A): 4 members but ONE sensitive value -> l-violation
+      (10, "A", "x"), (10, "A", "x"), (10, "A", "x"), (10, "A", "x"),
+      // group (10, B): 3 members, 3 distinct -> diverse
+      (10, "B", "x"), (10, "B", "y"), (10, "B", "z"),
+      // group (20, A): 2 members, 2 distinct -> violates l=3
+      (20, "A", "x"), (20, "A", "y"))
+      .toDF("nat", "seg", "diag")
+    val r = Profile.lDiversity(df, Seq("nat", "seg"), "diag", 3L).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    assert(r == Set(("10", "A", 4L, 1L), ("20", "A", 2L, 2L)))
+  }
+
   test("joinSize: exact cardinality without the join, hot key, side counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -1804,6 +1804,11 @@ object SparkEntry {
       graft.stats.Profile.joinSize(
         s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
         s.read.parquet(s"$dir/orders.parquet"), "o_orderkey")),
+    "profile_group_cdf" -> ((s, dir) => // quantile-normalization table
+      graft.stats.Profile.groupCdf(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
+        round(col("l_quantity")))
+        .orderBy("l_returnflag", "v")),
     "profile_l_diversity" -> ((s, dir) => // sensitive-value diversity audit
       graft.stats.Profile.lDiversity(
         s.read.parquet(s"$dir/customer.parquet")
@@ -3343,6 +3348,14 @@ object SparkEntry {
         "CAST(COALESCE(MAX(ca*cb), 0) AS BIGINT) AS max_key_rows FROM ca JOIN cb USING (k)) " +
         "SELECT j.*, CAST((SELECT COUNT(*) FROM ca) AS BIGINT) AS n_keys_a, " +
         "CAST((SELECT COUNT(*) FROM cb) AS BIGINT) AS n_keys_b FROM j"),
+    // per-group cumulative share over distinct values, integer-exact
+    "profile_group_cdf" ->
+      ("WITH h AS (SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS v, COUNT(*) AS c FROM lineitem GROUP BY 1, 2), " +
+        "cc AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS n_rows_le, SUM(c) OVER (PARTITION BY g) AS group_n FROM h) " +
+        "SELECT g AS l_returnflag, v, CAST(n_rows_le AS BIGINT) AS n_rows_le, " +
+        "CAST(group_n AS BIGINT) AS group_n, " +
+        "CAST(n_rows_le * 1000000 // group_n AS BIGINT) AS cdf_e6 " +
+        "FROM cc ORDER BY 1, 2"),
     // the k audit's companion: diversity of the sensitive value per group
     "profile_l_diversity" ->
       ("WITH b AS (SELECT CAST(c_nationkey AS VARCHAR) AS q_c_nationkey, " +

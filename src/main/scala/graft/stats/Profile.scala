@@ -828,6 +828,29 @@ object Profile {
       .filter(col("group_size") < k)
   }
 
+  /** Per-group empirical CDF over distinct values — the quantile-
+    * normalization TRANSFORM TABLE of feature preprocessing (map a raw
+    * feature to its within-group rank share before cross-group
+    * comparison): cdf_e6 = 1e6 · |rows in group with value <= v| div
+    * group_n, integer-exact in both engines. Emitted as the DISTINCT-
+    * value relation (value-cardinality bounded — the same counting shape
+    * as [[groupQuantiles]]: one combinable histogram exchange + a
+    * per-group cumulative window over distinct values, never a row
+    * sort); callers join it back onto rows map-side (broadcast at
+    * dimension scale, shuffled at fact scale).
+    * Output: (group, v, n_rows_le, group_n, cdf_e6). */
+  def groupCdf(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val hist = df.select(col(groupCol).as("g"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    hist
+      .withColumn("n_rows_le",
+        sum("c").over(Window.partitionBy("g").orderBy("v")))
+      .withColumn("group_n", sum("c").over(Window.partitionBy("g")))
+      .selectExpr(s"g AS $groupCol", "v", "n_rows_le", "group_n",
+        "n_rows_le * 1000000 div group_n AS cdf_e6")
+  }
+
   /** l-diversity audit — [[kAnonymity]]'s companion: a quasi group can be
     * large enough for k-anonymity yet expose its members anyway when
     * (nearly) everyone in it shares the SENSITIVE value; groups whose

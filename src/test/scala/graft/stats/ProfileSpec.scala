@@ -459,6 +459,21 @@ class ProfileSpec extends SparkSpec {
       row.getLong(2) == 1L && row.getLong(3) == 0L && row.isNullAt(4))
   }
 
+  test("groupCdf: integer rank shares per group over distinct values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 5L),
+      ("b", 10L)).toDF("g", "v")
+    val r = Profile.groupCdf(df, "g", col("v")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSet
+    assert(r == Set(
+      ("a", 1L, 2L, 4L, 500000L),
+      ("a", 2L, 3L, 4L, 750000L),
+      ("a", 5L, 4L, 4L, 1000000L),
+      ("b", 10L, 1L, 1L, 1000000L)))
+  }
+
   test("lDiversity: low-diversity groups report even when k-anonymous") {
     import spark.implicits._
     val df = Seq(

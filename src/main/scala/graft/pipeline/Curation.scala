@@ -255,6 +255,13 @@ object Curation {
       .select("doc_id", "n_tokens", "cum_tokens")
   }
 
+  /** The ONE split coin: md5 percent bucket of doc_id — shared by
+    * [[splitCorpus]] and [[leakageSplit]] so their train/test membership
+    * can never drift apart. */
+  private def splitBucket: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+
   /** Deterministic corpus split — the train/valid/test assignment every
     * training pipeline makes before materializing shards. Each document
     * hashes to a bucket in [0, 100) via the first 4 hex digits of
@@ -266,13 +273,6 @@ object Curation {
     * range in list order. Pure map-side projection: no shuffle, no UDF
     * (md5/conv are codegen'd builtins), scales as a scan.
     * Output: (doc_id, bucket, split). */
-  /** The ONE split coin: md5 percent bucket of doc_id — shared by
-    * [[splitCorpus]] and [[leakageSplit]] so their train/test membership
-    * can never drift apart. */
-  private def splitBucket: org.apache.spark.sql.Column =
-    conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
-
   def splitCorpus(docs: DataFrame,
       splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0) && splits.map(_._2).sum == 100,

@@ -186,20 +186,43 @@ object EventStream {
     * hash join on user_id. Output: (stage, event_type, n_users). */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage")
+    stageCounts(funnelAnchors(events, stages, None), stages)
+  }
+
+  /** The ONE anchor ladder shared by [[funnel]], [[funnelWindowed]] and
+    * [[funnelTimes]]: per stage, the user's EARLIEST qualifying instant at
+    * or after the previous stage's anchor — with the optional max-gap
+    * bound riding the join residual. One user-keyed join per stage against
+    * the shrinking previous-anchor relation, combinable min. Keeping one
+    * copy is the same drift guard as the shared split coin: a ladder fix
+    * (tie-breaking, dedup) cannot silently miss a sibling. */
+  private def funnelAnchors(events: DataFrame, stages: Seq[String],
+      maxGapUs: Option[Long]): Seq[DataFrame] = {
     var prev: DataFrame = null
-    val counts = stages.zipWithIndex.map { case (st, i) =>
+    stages.zipWithIndex.map { case (st, i) =>
       val ev = events.filter(col("event_type") === st)
       val q =
         if (i == 0) ev.groupBy("user_id").agg(min("ts").as("qts"))
-        else ev.join(prev.select(col("user_id"), col("qts").as("pts")), "user_id")
-          .filter(col("ts") >= col("pts"))
-          .groupBy("user_id").agg(min("ts").as("qts"))
+        else {
+          val inGap = maxGapUs.fold(lit(true))(g =>
+            unix_micros(col("ts")) - unix_micros(col("pts")) <= g)
+          ev.join(prev.select(col("user_id"), col("qts").as("pts")), "user_id")
+            .filter(col("ts") >= col("pts") && inGap)
+            .groupBy("user_id").agg(min("ts").as("qts"))
+        }
       prev = q
-      q.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("stage"), lit(st).as("event_type"), col("n_users"))
+      q
     }
-    counts.reduce(_.unionAll(_))
   }
+
+  /** Per-stage user counts over [[funnelAnchors]] output. */
+  private def stageCounts(anchors: Seq[DataFrame],
+      stages: Seq[String]): DataFrame =
+    anchors.zip(stages).zipWithIndex.map { case ((q, st), i) =>
+      q.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionAll(_))
 
   /** TIME-CONSTRAINED funnel — each step must follow the previous stage's
     * anchor within `maxGapSec` (the product-analytics semantic: a click a
@@ -216,22 +239,8 @@ object EventStream {
       maxGapSec: Long = 3600L): DataFrame = {
     require(stages.nonEmpty, "at least one funnel stage")
     require(maxGapSec > 0, "gap bound must be positive")
-    val gapUs = maxGapSec * 1000000L
-    var prev: DataFrame = null
-    val counts = stages.zipWithIndex.map { case (st, i) =>
-      val ev = events.filter(col("event_type") === st)
-      val q =
-        if (i == 0) ev.groupBy("user_id").agg(min("ts").as("qts"))
-        else ev.join(prev.select(col("user_id"), col("qts").as("pts")), "user_id")
-          .filter(col("ts") >= col("pts") &&
-            unix_micros(col("ts")) - unix_micros(col("pts")) <= gapUs)
-          .groupBy("user_id").agg(min("ts").as("qts"))
-      prev = q
-      q.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("stage"), lit(st).as("event_type"),
-          col("n_users"))
-    }
-    counts.reduce(_.unionAll(_))
+    stageCounts(
+      funnelAnchors(events, stages, Some(maxGapSec * 1000000L)), stages)
   }
 
   /** Funnel conversion LATENCY: for users who reach stage i+1, the time
@@ -245,17 +254,7 @@ object EventStream {
     * max_delta_us). */
   def funnelTimes(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.size >= 2, "need at least two funnel stages")
-    var prev: DataFrame = null
-    val anchors = stages.zipWithIndex.map { case (st, i) =>
-      val ev = events.filter(col("event_type") === st)
-      val q =
-        if (i == 0) ev.groupBy("user_id").agg(min("ts").as("qts"))
-        else ev.join(prev.select(col("user_id"), col("qts").as("pts")), "user_id")
-          .filter(col("ts") >= col("pts"))
-          .groupBy("user_id").agg(min("ts").as("qts"))
-      prev = q
-      q
-    }
+    val anchors = funnelAnchors(events, stages, None)
     anchors.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
       a.select(col("user_id"), col("qts").as("ats"))
         .join(b.select(col("user_id"), col("qts").as("bts")), "user_id")

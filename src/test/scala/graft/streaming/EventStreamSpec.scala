@@ -538,14 +538,14 @@ class EventStreamSpec extends SparkSpec {
   test("funnelWindowed: a step outside the gap does not convert; late anchors re-open it") {
     import spark.implicits._
     val evs = Seq(
-      // user 1: view@0, click@30m (in), purchase@50m from click (in) -> full
+      // user 1: view@0, click@30m (in gap), purchase@55m = 25m after the
+      // click anchor (in gap) -> full conversion
       (ts(0), 1L, "view"), (ts(30), 1L, "click"), (ts(55), 1L, "purchase"),
-      // user 2: view@0, first click 2h later (OUT at 1h gap) -> stage 1 only
+      // user 2: view@0, only click 2h later (OUT at 1h gap) -> stage 1 only
       (new Timestamp(ts(0).getTime + 2 * 3600 * 1000L), 2L, "click"),
       (ts(0), 2L, "view"),
-      // user 3: early out-of-gap click, then a SECOND view re-anchors and a
-      // click lands within ITS window -> stage 2 via the later anchor? No —
-      // anchors are first-occurrence: q1 = min(view)=0, clicks at 2h only
+      // user 3: view@0 and a purchase 2h later but NO click at all ->
+      // stage 1 only (the ladder cannot skip a stage)
       (ts(0), 3L, "view"),
       (new Timestamp(ts(0).getTime + 2 * 3600 * 1000L), 3L, "purchase"))
       .toDF("ts", "user_id", "event_type")

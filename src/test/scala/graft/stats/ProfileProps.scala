@@ -1,0 +1,65 @@
+package graft.stats
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Generative checks for the profiling statistics: group CDF against a
+  * sequential rank-share reference, and joinSize against the EXECUTED
+  * join — on random small relations with dense key/value collisions. */
+object ProfileProps extends Properties("graft.stats.profile") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withWorkers(1)
+
+  lazy val spark = graft.SparkSpec.session
+
+  private val gvGen: Gen[Seq[(String, Long)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-3L, 5L)
+    } yield (g, v))
+  } yield rows
+
+  property("groupCdf == sequential rank shares over distinct values") =
+    forAll(gvGen) { rows =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val got = Profile.groupCdf(rows.toDF("g", "v"), "g", col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, grp) =>
+        val vs = grp.map(_._2)
+        val n = vs.size.toLong
+        vs.distinct.map { v =>
+          val le = vs.count(_ <= v).toLong
+          (g, v) -> ((le, n, le * 1000000L / n))
+        }
+      }
+      got == want
+    }
+
+  private val keysGen: Gen[(Seq[Long], Seq[Long])] = for {
+    na <- Gen.chooseNum(0, 25); nb <- Gen.chooseNum(0, 25)
+    a <- Gen.listOfN(na, Gen.chooseNum(1L, 6L))
+    b <- Gen.listOfN(nb, Gen.chooseNum(1L, 6L))
+  } yield (a, b)
+
+  property("joinSize == the executed join's count, hot key and sides exact") =
+    forAll(keysGen) { case (a, b) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val da = a.toDF("ka"); val db = b.toDF("kb")
+      val r = Profile.joinSize(da, "ka", db, "kb").collect().head
+      val ca = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val prods = ca.keySet.intersect(cb.keySet).toSeq
+        .map(k => ca(k) * cb(k))
+      val executed = da.join(db, col("ka") === col("kb")).count()
+      r.getLong(0) == executed &&
+        r.getLong(0) == prods.sum &&
+        r.getLong(1) == prods.size.toLong &&
+        r.getLong(2) == (if (prods.isEmpty) 0L else prods.max) &&
+        r.getLong(3) == ca.size.toLong && r.getLong(4) == cb.size.toLong
+    }
+}

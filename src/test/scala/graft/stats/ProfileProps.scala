@@ -39,6 +39,30 @@ object ProfileProps extends Properties("graft.stats.profile") {
       got == want
     }
 
+  private val skewGen: Gen[Seq[String]] = for {
+    n <- Gen.chooseNum(1, 50)
+    ks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+  } yield ks
+
+  property("keySkew == sequential top-k with (count desc, key asc) ties") =
+    forAll(skewGen, Gen.chooseNum(1, 6)) { (keys, k) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val got = Profile.keySkew(keys.toDF("k"), col("k"), k).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+      val cnt = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nRows = keys.size.toLong
+      val top = cnt.toSeq.sortBy(p => (-p._2, p._1)).take(k)
+      var cum = 0L
+      val want = top.zipWithIndex.map { case ((key, n), i) =>
+        cum += n
+        ((i + 1).toLong, key, n, n * 1000000L / nRows,
+          cum * 1000000L / nRows, cnt.size.toLong, nRows)
+      }
+      got == want
+    }
+
   private val keysGen: Gen[(Seq[Long], Seq[Long])] = for {
     na <- Gen.chooseNum(0, 25); nb <- Gen.chooseNum(0, 25)
     a <- Gen.listOfN(na, Gen.chooseNum(1L, 6L))

@@ -63,6 +63,34 @@ object ProfileProps extends Properties("graft.stats.profile") {
       got == want
     }
 
+  private val quasiGen: Gen[Seq[(Long, String, String)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    rows <- Gen.listOfN(n, for {
+      q1 <- Gen.chooseNum(1L, 3L)
+      q2 <- Gen.oneOf("A", "B")
+      sv <- Gen.oneOf("x", "y", "z")
+    } yield (q1, q2, sv))
+  } yield rows
+
+  property("kAnonymity and lDiversity == sequential group audits") =
+    forAll(quasiGen, Gen.chooseNum(1L, 5L), Gen.chooseNum(1L, 3L)) {
+      (rows, k, l) =>
+        import spark.implicits._
+        val df = rows.toDF("q1", "q2", "sv")
+        val grp = rows.groupBy(r => (r._1.toString, r._2))
+        val wantK = grp.view.mapValues(_.size.toLong)
+          .filter(_._2 < k).toMap
+        val gotK = Profile.kAnonymity(df, Seq("q1", "q2"), k).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val wantL = grp.view
+          .mapValues(g => (g.size.toLong, g.map(_._3).distinct.size.toLong))
+          .filter(_._2._2 < l).toMap
+        val gotL = Profile.lDiversity(df, Seq("q1", "q2"), "sv", l).collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3)))).toMap
+        gotK == wantK && gotL == wantL
+    }
+
   private val keysGen: Gen[(Seq[Long], Seq[Long])] = for {
     na <- Gen.chooseNum(0, 25); nb <- Gen.chooseNum(0, 25)
     a <- Gen.listOfN(na, Gen.chooseNum(1L, 6L))

@@ -49,6 +49,18 @@ object EventStatsProps extends Properties("graft.streaming.eventstats") {
     got == want
   }
 
+  property("seasonalStreamed == batch seasonalBaseline on random streams") =
+    forAll(Gen.resize(30, evGen)) { evs =>
+      import spark.implicits._
+      val streamed = StreamDriver.seasonalStreamed(spark, evs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      val batch = EventStream.seasonalBaseline(evs.toDF("ts", "event_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      streamed == batch
+    }
+
   property("laggedXcorr == sequential reference over the zero-filled spine") =
     forAll(evGen) { evs =>
       import spark.implicits._

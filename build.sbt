@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output must reach stdout BARE: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which broke the
+// driver's JSON tail-parse of Bench's closing summary four rounds
+// running ("parsed": null in BENCH_r0{5..8,10} — the driver scans the
+// stdout tail for a parseable JSON line and the prefix defeats it).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -392,7 +392,7 @@ object Dedup {
         .localCheckpoint()
       changed = next.join(prev.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
-      dropCheckpoint(prev)
+      graft.scale.Checkpoints.drop(prev)
       labels = next
     }
     edges.unpersist()
@@ -434,18 +434,6 @@ object Dedup {
       .select(col("cluster_id"), (-col("best.negid")).as("canonical_id"),
         col("n_members"), col("best.c").as("max_chars"))
   }
-
-  /** Free a localCheckpoint()ed DataFrame's blocks. They live at the RDD
-    * level (MEMORY_AND_DISK), invisible to the CacheManager, so
-    * Dataset.unpersist is a no-op on them — without this a long cluster
-    * loop accumulates one materialized label copy per iteration until
-    * ContextCleaner GC. The checkpointed RDD is the LogicalRDD leaf of the
-    * returned frame's plan. */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
 
   /** 64-bit SimHash signatures via the native Catalyst expression
     * (graft.functions.SimHash64): (doc_id, simhash). */

@@ -190,7 +190,7 @@ object Graph {
         .join(keep, alive("a") === keep("v"), "left_semi")
         .join(keep, alive("b") === keep("v"), "left_semi")
       val next = pruned.localCheckpoint()
-      dropCheckpoint(alive)
+      graft.scale.Checkpoints.drop(alive)
       alive = next
     }
     alive.select(col("a").as("doc_id"))
@@ -203,13 +203,4 @@ object Graph {
       k: Int = 3, rounds: Int = 4): DataFrame =
     kCore(windowEdges(docs, n, dfCap), k, rounds)
 
-  /** Release a localCheckpoint's block copy (the Dedup.dropCheckpoint
-    * pattern: the checkpointed RDD is the LogicalRDD leaf of the plan —
-    * Dataset.unpersist is a no-op on it). */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ => ()
-    }
 }

@@ -700,7 +700,7 @@ object Analytics {
     * bounded by update cadence, so per-fact fan-out is the version count
     * (at most one row survives the residual), never a range-join blowup.
     * Facts no version covers emit the -1 sentinel (engine-neutral).
-    * Output: (fact_id, k, ts_us, v). */
+    * Output: (fact_id, k, ts_us, matched, v). */
   def pitJoin(facts: DataFrame, dim: DataFrame): DataFrame = {
     val f = facts.select(col("fact_id"), col("k"), col("ts_us"))
     val d = dim.select(col("k").as("dk"), col("v"),

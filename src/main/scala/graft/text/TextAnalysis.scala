@@ -921,8 +921,13 @@ object TextAnalysis {
     * one row. Ranking is by integer-exact scaled lift
     * lift_e4 = n_xy * n_total * 10000 div (n_x * n_y) — the monotone
     * image of PMI = log lift, so the ordering is PMI ordering without a
-    * float log; e4 scaling keeps n_xy·n_total·10^4 < 2^63 through the
-    * sf1 soak corpus. Ties break on the bigram string, so the top-k cut
+    * float log; the cleared product n_xy·n_total·10^4 runs in a
+    * DECIMAL(25,0) intermediate (the groupedLinReg pattern) because it
+    * overflows int64 near 1e9 bigram instances even when every count
+    * fits — Spark (non-ANSI) would wrap SILENTLY while the DuckDB
+    * oracle promotes to HUGEINT, a ranking divergence with no error.
+    * `div` on the decimals returns BIGINT with truncation toward zero,
+    * agreeing with DuckDB `//`. Ties break on the bigram string, so the top-k cut
     * (TakeOrderedAndProject, never a global sort) is deterministic in
     * both engines. `minCount` prunes the hapax tail before the joins.
     * Output: (bigram, n_xy, n_x, n_y, lift_e4), top `k` by lift. */
@@ -948,7 +953,9 @@ object TextAnalysis {
       .join(left, "w1").join(right, "w2")
       .crossJoin(broadcast(tot))
       .select(col("bg").as("bigram"), col("n_xy"), col("n_x"), col("n_y"),
-        expr("n_xy * n_total * 10000 div (n_x * n_y)").as("lift_e4"))
+        expr("CAST(n_xy AS DECIMAL(25,0)) * n_total * 10000 div " +
+            "(CAST(n_x AS DECIMAL(25,0)) * n_y)")
+          .as("lift_e4"))
       .orderBy(col("lift_e4").desc, col("bigram"))
       .limit(k)
   }

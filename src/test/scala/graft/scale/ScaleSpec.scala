@@ -165,6 +165,20 @@ class ScaleSpec extends SparkSpec {
     assert(hubBins("hubA") != hubBins("hubB"), s"hubs stacked: $hubBins")
   }
 
+  test("unorderedPairs is total: empty/singleton arrays yield no pairs, not a crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq.empty[String]), (2L, Seq("a")), (3L, Seq("a", "b")),
+      (4L, Seq("a", "b", "c"))).toDF("id", "arr")
+    // NO size>=2 pre-filter — the guard inside unorderedPairs must make
+    // the degenerate rows empty instead of descending sequence(1, 0)
+    val got = df.select(col("id"), explode(Pairs.unorderedPairs(col("arr"))).as("p"))
+      .select(col("id"), col("p.a"), col("p.b")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((3L, "a", "b"), (4L, "a", "b"), (4L, "a", "c"), (4L, "b", "c")))
+  }
+
   test("repartitionByLoad: null key and the string 'null' stay distinct") {
     import spark.implicits._
     val df = Seq((null.asInstanceOf[String], 1), ("null", 2), ("null", 3), ("k", 4))

@@ -171,6 +171,37 @@ object SparkEntry {
       "pm AS (SELECT doc_id, s, length(s) AS n, 8 + ascii(substr(s,1,1)) % 8 AS w, 8 + length(s) % 8 AS h FROM pe), " +
       "px AS (SELECT doc_id, w, h, substr(repeat(s, CAST((w*h*3 + n - 1)//n AS INTEGER)), 1, w*h*3) AS payload FROM pm)"
 
+  /** WAV-container encode CTEs over a (doc_id, text) relation named
+    * `$src` — the oracle-side mirror of Audio.audioTable's fixture math
+    * (n_samples = 256 + 32·(first byte mod 16), rate = 8000 + 500·(len
+    * mod 8), samples = text repeated cyclically; empty text encodes a
+    * single space). The Spark side DECODES the binary RIFF container it
+    * wrote (graft.multimodal.Audio.WavCodec) — the oracle re-derives what
+    * a correct decode must recover, so every mm_audio_* check pins the
+    * encode∘decode round-trip. Final CTE: ax(doc_id, ns, rate, payload). */
+  private def wavCtes(src: String): String =
+    s"awe AS (SELECT doc_id, CASE WHEN length(text) > 0 THEN text ELSE ' ' END AS s FROM $src), " +
+      "awm AS (SELECT doc_id, s, length(s) AS n, 256 + (ascii(substr(s,1,1)) % 16) * 32 AS ns, 8000 + (length(s) % 8) * 500 AS rate FROM awe), " +
+      "ax AS (SELECT doc_id, ns, rate, substr(repeat(s, CAST((ns + n - 1)//n AS INTEGER)), 1, ns) AS payload FROM awm)"
+
+  /** Window-energy CTEs over `ax` (u8 PCM centered at 128, 16-sample
+    * windows, last partial) — mirrors Audio.windowEnergy.
+    * Final CTE: aen(doc_id, win_idx, energy). */
+  private val wavEnergyCtes: String =
+    "apos AS (SELECT doc_id, ns, unnest(generate_series(1, CAST(ns AS BIGINT))) AS p FROM ax), " +
+      "asm AS (SELECT x.doc_id, apos.p, ascii(substr(x.payload, CAST(apos.p AS INTEGER), 1)) - 128 AS d FROM ax x JOIN apos USING (doc_id)), " +
+      "aen AS (SELECT doc_id, CAST((p-1)//16 AS INTEGER) AS win_idx, CAST(SUM(d*d) AS BIGINT) AS energy FROM asm GROUP BY 1, 2)"
+
+  /** Energy-gradient fingerprint CTEs over `aen` — the audio twin of
+    * [[phashCtes]]: 33 evenly-sampled windows, 32 gradient-sign bits
+    * (mirrors Audio.energyHash). Final CTE: aah(doc_id, ahash). */
+  private val wavHashCtes: String =
+    "anw AS (SELECT doc_id, CAST((ns-1)//16 AS INTEGER) + 1 AS nw FROM ax), " +
+      "apg AS (SELECT unnest(generate_series(0, 32)) AS i), " +
+      "aps AS (SELECT n.doc_id, apg.i, e.energy AS v FROM anw n CROSS JOIN apg JOIN aen e ON e.doc_id = n.doc_id AND e.win_idx = CAST((apg.i*(n.nw-1))//32 AS INTEGER)), " +
+      "apd AS (SELECT doc_id, i, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM aps), " +
+      "aah AS (SELECT doc_id, CAST(SUM(CASE WHEN v > pv THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END) AS BIGINT) AS ahash FROM apd WHERE i >= 1 GROUP BY 1)"
+
   /** The SCD2 fixture shared by tpch_scd_customer and tpch_pit_join:
     * customer balances as the open snapshot, a change/no-op/insert
     * update mix at ts 1s/2s/3s, merged through Analytics.scdMerge. */
@@ -1469,6 +1500,33 @@ object SparkEntry {
       Multimodal.mediaClusters(Multimodal.blobTable(d.unionByName(edited)))
         .orderBy("doc_id")
     }),
+    // --- audio (WAV/RIFF) plumbing ---
+    "mm_audio_meta" -> ((s, dir) => // real RIFF chunk-walk decode
+      graft.multimodal.Audio.decodeAudioMeta(
+          graft.multimodal.Audio.audioTable(docs(s, dir)))
+        .toDF().orderBy("doc_id")),
+    "mm_audio_energy" -> ((s, dir) => // per-window energy envelope
+      graft.multimodal.Audio.windowEnergy(
+          graft.multimodal.Audio.audioTable(docs(s, dir)))
+        .toDF().orderBy("doc_id", "win_idx")),
+    "mm_audio_fingerprint" -> ((s, dir) => // map-side gradient hash
+      graft.multimodal.Audio.fingerprint(
+          graft.multimodal.Audio.audioTable(docs(s, dir)))
+        .orderBy("doc_id")),
+    "mm_audio_pairs" -> ((s, dir) => {
+      // injected near-dups, the mm_phash_pairs approach: every 25th doc
+      // re-appears with ONE in-place byte changed — same length and same
+      // first byte, so rate/sample-count/window alignment all survive and
+      // the edit only perturbs the windows its cyclic occurrences land in
+      val d = docs(s, dir).select("doc_id", "text")
+      val edited = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            expr("substring(text, 11)")).as("text"))
+      graft.multimodal.Audio.nearDupAudio(
+          graft.multimodal.Audio.audioTable(d.unionByName(edited)))
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
     "dedup_paragraphs" -> ((s, dir) => // chunk-level exact dedup + reassembly
       Dedup.paragraphDedup(docs(s, dir), 20).orderBy("doc_id")),
     "dedup_cross_source" -> ((s, dir) => // shared-window contamination matrix
@@ -2553,6 +2611,28 @@ object SparkEntry {
         "reach AS (SELECT doc_id AS node, doc_id AS lab FROM e2 UNION SELECT e.a AS node, r.lab FROM e JOIN reach r ON r.node = e.b), " +
         "cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY 1) " +
         "SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM cl ORDER BY doc_id"),
+    // the oracle RE-DERIVES every field the RIFF decode must recover
+    // (container length, LE-encoded rate, sample count, payload checksum)
+    // from the text via the fixture math — a wrong LE write OR a wrong
+    // chunk-walk read breaks the match
+    "mm_audio_meta" ->
+      (s"WITH ${wavCtes("documents")}, " +
+        "ach AS (SELECT doc_id, CAST(SUM(ascii(c)) % 65536 AS BIGINT) AS checksum FROM (SELECT doc_id, unnest(string_split(payload, '')) AS c FROM ax) GROUP BY 1) " +
+        "SELECT x.doc_id, CAST(44 + x.ns AS INTEGER) AS byte_len, CAST(x.rate AS INTEGER) AS sample_rate, " +
+        "CAST(x.ns AS INTEGER) AS n_samples, ach.checksum FROM ax x JOIN ach USING (doc_id) ORDER BY x.doc_id"),
+    "mm_audio_energy" ->
+      (s"WITH ${wavCtes("documents")}, $wavEnergyCtes " +
+        "SELECT doc_id, win_idx, energy FROM aen ORDER BY 1, 2"),
+    "mm_audio_fingerprint" ->
+      (s"WITH ${wavCtes("documents")}, $wavEnergyCtes, $wavHashCtes " +
+        "SELECT doc_id, ahash FROM aah ORDER BY doc_id"),
+    // edited copies injected exactly like the Spark side; all-pairs filter
+    // is the oracle for the banded search (complete <= 3)
+    "mm_audio_pairs" ->
+      (s"WITH e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), " +
+        s"${wavCtes("e2")}, $wavEnergyCtes, $wavHashCtes " +
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
+        "FROM aah a JOIN aah b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.ahash, b.ahash)) <= 3 ORDER BY 1, 2"),
     // non-overlapping 20-token chunks; global first occurrence (min
     // (doc_id, idx)) survives, survivors re-join in order
     "dedup_paragraphs" ->

@@ -1400,6 +1400,19 @@ object SparkEntry {
       Similarity.ivfPqResidualTopK(emb(s, dir), col("vec_id") % 100 === 0, 10,
         nLists = 16, nProbe = 4)
         .orderBy("query_id", "rank")),
+    "sim_topk_ivfpq_persisted" -> ((s, dir) => {
+      // the build-once/query-for-months lifecycle, end-to-end THROUGH
+      // parquet: train + write the index artifacts, re-open them cold,
+      // serve the search from the re-opened lists (cent_id partition
+      // pruning) — bit-identical to sim_topk_ivfpq by construction
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_ivfpq_index_" + Integer.toHexString(dir.hashCode)).getPath
+      Similarity.writeIvfPqIndex(emb(s, dir), path, nLists = 16)
+      Similarity.ivfPqTopKIndexed(emb(s, dir), col("vec_id") % 100 === 0, 10,
+          Similarity.readIvfPqIndex(s, path), nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     "sim_near_dup_pairs" -> ((s, dir) => {
       // the natural fixture has no pairs >= 0.95 at any sf (max cosine
       // ~0.6), so near-duplicates are INJECTED deterministically: a scaled
@@ -2499,6 +2512,9 @@ object SparkEntry {
     "sim_ivf_recall" -> ivfRecallOracleSql,
     "sim_topk_pq" -> pqOracleSql,
     "sim_topk_ivfpq" -> ivfPqOracleSql,
+    // the persisted path must answer the SAME oracle as the in-memory
+    // one — the round-trip through parquet artifacts changes nothing
+    "sim_topk_ivfpq_persisted" -> ivfPqOracleSql,
     "sim_topk_ivfpq_res" -> ivfPqResOracleSql,
     // float-cast centroids absorb double summation noise (the IVF oracle's
     // determinism contract); argmax ties break toward the smaller label

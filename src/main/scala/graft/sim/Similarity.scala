@@ -646,9 +646,26 @@ object Similarity {
       kAnchors: Int = 16, iters: Int = 2, rerank: Int = 100): DataFrame = {
     val coarse = pqAnchors(emb, 1, nLists, iters)
     val fine = pqAnchors(emb, numSub, kAnchors, iters)
-    val lists = emb.select(col("vec_id"),
+    val lists = ivfPqLists(emb, coarse, fine, numSub)
+    ivfPqSearch(emb, queryPred, k, coarse, fine, lists, numSub, nProbe, rerank)
+  }
+
+  /** The inverted-list relation of an IVF-PQ index: every collection
+    * vector's coarse list assignment and fine PQ codes —
+    * (vec_id, cent_id, codes). */
+  private def ivfPqLists(emb: DataFrame, coarse: Array[Array[Long]],
+      fine: Array[Array[Long]], numSub: Int): DataFrame =
+    emb.select(col("vec_id"),
       element_at(pqCodesCol(col("embedding"), coarse, 1), 1).as("cent_id"),
       pqCodesCol(col("embedding"), fine, numSub).as("codes"))
+
+  /** The probe-and-scan shared by the in-memory and persisted index
+    * paths: identical inputs produce identical results, so re-opening a
+    * written index is bit-for-bit equal to retraining (spec-pinned). */
+  private def ivfPqSearch(emb: DataFrame, queryPred: Column, k: Int,
+      coarse: Array[Array[Long]], fine: Array[Array[Long]],
+      lists: DataFrame, numSub: Int, nProbe: Int, rerank: Int): DataFrame = {
+    val kAnchors = fine.length
     // nProbe nearest coarse centroids per query: the coarse LUT is the
     // exact integer distance to every centroid; K is tiny, so the probe
     // ranking is a posexplode + window over |queries| x nLists rows
@@ -666,6 +683,68 @@ object Similarity {
         negate(adcDistCol(numSub, kAnchors)).as("neg_adc"))
     adcRerank(emb, queryPred, adc, k, rerank)
   }
+
+  /** A re-opened persisted IVF-PQ index: the tiny codebooks (collected to
+    * plan literals, as in the in-memory path) plus the inverted-list
+    * relation, which stays a LAZY parquet scan — at 100 TB the lists are
+    * the index's bulk and are never materialized on the driver. */
+  final case class IvfPqIndex(coarse: Array[Array[Long]],
+      fine: Array[Array[Long]], numSub: Int, lists: DataFrame)
+
+  /** Train an IVF-PQ index once and PERSIST its artifacts as parquet —
+    * the build-once/query-for-months lifecycle a production ANN corpus
+    * needs (today's alternative retrains per query). Layout:
+    *   - `$path/codebooks.parquet` — (kind: coarse|fine, code, anchor,
+    *     num_sub): both tiny codebooks, self-describing.
+    *   - `$path/lists.parquet` — (vec_id, codes) PARTITIONED BY cent_id:
+    *     each inverted list is its own partition directory, so a probed
+    *     search scans only nProbe/nLists of the index bytes (partition
+    *     pruning does at rest what the cent_id equi-join does in memory).
+    * Training is the same deterministic integer Lloyd as [[ivfPqTopK]] —
+    * identical emb in, bit-identical artifacts out. */
+  def writeIvfPqIndex(emb: DataFrame, path: String, nLists: Int = 16,
+      numSub: Int = 4, kAnchors: Int = 16, iters: Int = 2): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val coarse = pqAnchors(emb, 1, nLists, iters)
+    val fine = pqAnchors(emb, numSub, kAnchors, iters)
+    val rows = coarse.zipWithIndex.map { case (v, i) => ("coarse", i, v.toSeq) } ++
+      fine.zipWithIndex.map { case (v, i) => ("fine", i, v.toSeq) }
+    rows.toSeq.toDF("kind", "code", "anchor")
+      .withColumn("num_sub", lit(numSub))
+      .coalesce(1) // two codebooks, <= a few KB — one footer, not 32
+      .write.mode("overwrite").parquet(s"$path/codebooks.parquet")
+    ivfPqLists(emb, coarse, fine, numSub)
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/lists.parquet")
+  }
+
+  /** Re-open a [[writeIvfPqIndex]] index. Codebooks collect to the driver
+    * (they are plan literals in every search); the lists relation stays a
+    * lazy partition-pruned scan. */
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val cb = spark.read.parquet(s"$path/codebooks.parquet").collect()
+    require(cb.nonEmpty, s"empty codebooks at $path")
+    val numSub = cb.head.getAs[Int]("num_sub")
+    def book(kind: String): Array[Array[Long]] = cb
+      .filter(_.getAs[String]("kind") == kind)
+      .sortBy(_.getAs[Int]("code"))
+      .map(_.getSeq[Long](cb.head.fieldIndex("anchor")).toArray)
+    IvfPqIndex(book("coarse"), book("fine"), numSub,
+      spark.read.parquet(s"$path/lists.parquet"))
+  }
+
+  /** IVF-PQ top-k served from a RE-OPENED index — no retraining, no
+    * re-encoding: the probe, ADC scan and exact re-rank run against the
+    * persisted lists (cent_id partition pruning bounds the scan to the
+    * probed lists). `emb` supplies the query vectors and the exact
+    * re-rank lookups only. Result is bit-identical to [[ivfPqTopK]] with
+    * the same parameters (spec-pinned). */
+  def ivfPqTopKIndexed(emb: DataFrame, queryPred: Column, k: Int,
+      index: IvfPqIndex, nProbe: Int = 4, rerank: Int = 100): DataFrame =
+    ivfPqSearch(emb, queryPred, k, index.coarse, index.fine, index.lists,
+      index.numSub, nProbe, rerank)
 
   /** Elementwise shift of a codebook by a coarse centroid: the residual
     * identity argmin_j ||(q − c) − a_j||² = argmin_j ||q − (a_j + c)||²

@@ -102,6 +102,26 @@ class SimilaritySpec extends SparkSpec {
       s"ivfpq@4/16 recall vs full PQ scan: $hits/${full.size}")
   }
 
+  test("persisted IVF-PQ index: re-open == retrain, bit for bit") {
+    val queries = col("vec_id") % 50 === 0
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_spec").toString
+    Similarity.writeIvfPqIndex(real, path, nLists = 16)
+    val idx = Similarity.readIvfPqIndex(spark, path)
+    // the re-opened codebooks ARE the trained ones (collect round-trip)
+    assert(idx.numSub == 4 && idx.coarse.length == 16 && idx.fine.length == 16)
+    val fromIndex = Similarity.ivfPqTopKIndexed(real, queries, 10, idx, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val retrained = Similarity.ivfPqTopK(real, queries, 10,
+      nLists = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(fromIndex.sorted.toSeq == retrained.sorted.toSeq)
+    // the persisted lists are PARTITIONED by cent_id: one directory per
+    // inverted list, so a probed search scans only the probed lists
+    val dirs = new java.io.File(s"$path/lists.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cent_id="))
+    assert(dirs.nonEmpty && dirs.length <= 16, dirs.toSeq.toString)
+  }
+
   test("ivfPqResidualTopK: recall >= the non-residual path at equal params, distances exact") {
     import org.apache.spark.sql.DataFrame
     // the sf0.01 fixture (2k vectors, ~125/list): residual training needs

@@ -446,8 +446,20 @@ object Profile {
     * least survivor value whose estimated rank reaches ceil(n*p/100) (the
     * same quantile_disc convention as [[groupQuantiles]]), falling back to
     * the sample maximum when the sample's total estimated rank undershoots
-    * the target (high p + sampling deficit). Expected rank error is
-    * O(n/sqrt(cap)); the spec gates it.
+    * the target (high p + sampling deficit).
+    *
+    * Rank-error bound as a function of cap: the estimated rank of v is
+    * 2^j · Binomial(true_rank, 2^-j), so its standard deviation is
+    * sqrt(2^j · true_rank) <= sqrt(2^j · n) <= n · sqrt(2/cap) (the level
+    * rule keeps 2^j < 2n/cap). At the default cap = 512 that is ~6.3% of
+    * n per sigma — the spec's 10%-of-n gate is ~1.6 sigma, and the md5
+    * coin makes the draw deterministic, so the gate cannot flake. The
+    * bound is DISTRIBUTION-FREE (it conditions only on true_rank, never
+    * on the value layout); the generative suite (ProfileProps) pins the
+    * implementation exactly — Spark output == a sequential mirror of the
+    * same coin/level/weighted-rank algorithm — on the three shapes that
+    * break sampling sketches: sorted runs, 90%-constant columns, and a
+    * Zipf head with half the mass on one value.
     *
     * Two column-pruned scans at 100 TB: group counts (map-side combinable,
     * groups-sized) and the hash-filter scan that emits only ~cap rows per

@@ -114,4 +114,72 @@ object ProfileProps extends Properties("graft.stats.profile") {
         r.getLong(2) == (if (prods.isEmpty) 0L else prods.max) &&
         r.getLong(3) == ca.size.toLong && r.getLong(4) == cb.size.toLong
     }
+
+  // --- quantileSketch vs a SEQUENTIAL mirror of the same md5-coin
+  // algorithm, on the distribution shapes that break sampling sketches:
+  // sorted runs, constant-heavy (90% one value), and a Zipf head (value
+  // n div i: half the rows tie at 1, a long rare tail above). The mirror
+  // recomputes coin/level/survivors/weighted-rank row by row, so any
+  // divergence in the DISTRIBUTED plan (partitioning, map-side combine,
+  // window frame, zero-survivor fallback) fails EXACTLY, not
+  // statistically.
+
+  /** The sampling coin, sequentially: last 8 md5 hex chars of the
+    * decimal key string (mirrors Profile.sketchCoin on a LONG key). */
+  private def md5Coin(key: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map("%02x".format(_)).mkString.substring(24, 32), 16)
+  }
+
+  /** Sequential quantileSketch: (n, level, n_sample, est per p);
+    * estimates None when no row survives the coin. */
+  private def seqSketch(vs: Seq[Long], cap: Int,
+      ps: Seq[Int]): (Long, Long, Long, Seq[Option[Long]]) = {
+    val n = vs.size.toLong
+    val cd = (n + cap - 1) / cap
+    val level = if (cd <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(cd - 1)
+    val w = 1L << level
+    // key = row index (the generators key rows by index)
+    val surv = vs.zipWithIndex.collect {
+      case (v, i) if md5Coin(i.toLong) % w == 0 => v
+    }
+    val ests = ps.map { p =>
+      val target = (n * p + 99) / 100
+      if (surv.isEmpty) None
+      else {
+        val sorted = surv.sorted
+        val cums = sorted.zipWithIndex.map { case (v, i) => (v, (i + 1) * w) }
+        Some(cums.collectFirst { case (v, c) if c >= target => v }
+          .getOrElse(sorted.last))
+      }
+    }
+    (n, level.toLong, surv.size.toLong, ests)
+  }
+
+  private def sketchShapeProp(shape: Int => Int => Long) =
+    forAll(Gen.chooseNum(50, 3000), Gen.oneOf(16, 64)) { (n, cap) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val vs = (0 until n).map(shape(n))
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+        .toDF("g", "v", "k")
+      val r = Profile.quantileSketch(df, "g", col("v"), col("k"),
+        Seq(50, 90, 99), cap).collect().head
+      val (wn, wl, wm, we) = seqSketch(vs, cap, Seq(50, 90, 99))
+      def est(i: Int): Option[Long] =
+        if (r.isNullAt(4 + i)) None else Some(r.getLong(4 + i))
+      r.getLong(1) == wn && r.getLong(2) == wl && r.getLong(3) == wm &&
+        (0 until 3).forall(i => est(i) == we(i))
+    }
+
+  property("quantileSketch == sequential mirror on SORTED input") =
+    sketchShapeProp(_ => i => i.toLong)
+
+  property("quantileSketch == sequential mirror on CONSTANT-HEAVY input") =
+    sketchShapeProp(_ => i => if (i % 10 == 0) i.toLong else 7L)
+
+  property("quantileSketch == sequential mirror on ZIPF input") =
+    sketchShapeProp(n => i => n.toLong / (i + 1))
 }

@@ -56,16 +56,34 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "1100").toDouble
     val suiteStart = System.nanoTime()
     def elapsed = (System.nanoTime() - suiteStart) / 1e9
+    // Streaming-bimodality instrumentation (VERDICT r10 item 2): per-query
+    // stderr diagnostics snapshot the three suspected JVM-accumulation
+    // mechanisms — loaded state-store providers, maintenance task state,
+    // GC/heap — so a slow stream episode in a full run carries its own
+    // evidence. SPARK_GRAFT_DIAG=0 silences; stdout stays driver-clean.
+    val diag = sys.env.getOrElse("SPARK_GRAFT_DIAG", "1") == "1"
+    // Mitigation under test: between queries no stream is active, so any
+    // provider still loaded is pure heap baggage from an earlier stream
+    // query (HDFSBackedStateStoreProvider pins its version maps until the
+    // 60 s maintenance tick happens to unload it — 22 stream queries x 32
+    // partitions x >=1 stateful op can strand hundreds). Unload them
+    // eagerly; the next stream query reloads lazily at ~ms cost.
+    val unloadBetween = sys.env.getOrElse("SPARK_GRAFT_STATE_UNLOAD", "1") == "1"
     val results = selected.map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         // isolate queries: drop persisted intermediates of earlier ones
         spark.catalog.clearCache()
+        if (unloadBetween) graft.tools.StreamDiag.unloadProviders()
+        val gc0 = if (diag) graft.tools.StreamDiag.gcMillis else 0L
         val t0 = System.nanoTime()
         // failures must be LOUD: a swallowed exception would read as a fast
         // bench number instead of a broken query
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable => Some(e.toString.take(300)) }
-        ((System.nanoTime() - t0) / 1e9, err)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (diag) System.err.println(graft.tools.StreamDiag.snapshotLine(
+          f"q=$name sec=$sec%.2f", s"gcDeltaMs=${graft.tools.StreamDiag.gcMillis - gc0}"))
+        (sec, err)
       }
       val first = once()
       // sub-second queries get one EXTRA rep: min-of-n on them is the

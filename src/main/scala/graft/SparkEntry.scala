@@ -202,6 +202,33 @@ object SparkEntry {
       "apd AS (SELECT doc_id, i, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM aps), " +
       "aah AS (SELECT doc_id, CAST(SUM(CASE WHEN v > pv THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END) AS BIGINT) AS ahash FROM apd WHERE i >= 1 GROUP BY 1)"
 
+  /** Y4M-container encode CTEs over a (doc_id, text) relation named
+    * `$src` — the oracle-side mirror of Video.videoTable's fixture math
+    * (w = 4 + first byte mod 5, h = 4 + len mod 5, n_frames = 3 + first
+    * byte mod 6, fps = (10 + len mod 15):(1 + len mod 2); frame k's
+    * raster = text cyclic from offset 29·[k >= n_frames/2] mod len;
+    * empty text encodes a single space). The Spark side DECODES the
+    * binary container it wrote (graft.multimodal.Video.Y4mCodec) — the
+    * oracle re-derives what a correct decode must recover, so every
+    * mm_video_* check pins the encode∘decode round-trip. Final CTEs:
+    * vm(doc_id, s, n, w, h, nf, fn, fd), vf(doc_id, w, h, nf, k, fpay). */
+  private def y4mCtes(src: String): String =
+    s"ve AS (SELECT doc_id, CASE WHEN length(text) > 0 THEN text ELSE ' ' END AS s FROM $src), " +
+      "vm AS (SELECT doc_id, s, length(s) AS n, 4 + ascii(substr(s,1,1)) % 5 AS w, 4 + length(s) % 5 AS h, " +
+      "3 + ascii(substr(s,1,1)) % 6 AS nf, 10 + length(s) % 15 AS fn, 1 + length(s) % 2 AS fd FROM ve), " +
+      "vk AS (SELECT vm.*, unnest(generate_series(0, nf - 1)) AS k FROM vm), " +
+      "vo AS (SELECT *, (CASE WHEN k >= nf//2 THEN 29 ELSE 0 END) % n AS o FROM vk), " +
+      "vf AS (SELECT doc_id, w, h, nf, k, substr(repeat(s, CAST((o + w*h + n - 1)//n AS INTEGER)), CAST(1 + o AS INTEGER), w*h) AS fpay FROM vo)"
+
+  /** Per-frame dHash CTEs over `vf` — [[phashCtes]]'s 33-sample gradient
+    * formula applied to each frame raster (n = w*h).
+    * Final CTE: vh(doc_id, frame_idx, fhash). */
+  private val y4mHashCtes: String =
+    "vg AS (SELECT unnest(generate_series(0, 32)) AS i), " +
+      "vps AS (SELECT vf.doc_id, vf.k, vg.i, ascii(substr(vf.fpay, CAST((vg.i*(w*h-1))//32 AS INTEGER)+1, 1)) AS v FROM vf, vg), " +
+      "vpd AS (SELECT doc_id, k, i, v, LAG(v) OVER (PARTITION BY doc_id, k ORDER BY i) AS pv FROM vps), " +
+      "vh AS (SELECT doc_id, CAST(k AS INTEGER) AS frame_idx, CAST(SUM(CASE WHEN v > pv THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END) AS BIGINT) AS fhash FROM vpd WHERE i >= 1 GROUP BY 1, 2)"
+
   /** The SCD2 fixture shared by tpch_scd_customer and tpch_pit_join:
     * customer balances as the open snapshot, a change/no-op/insert
     * update mix at ts 1s/2s/3s, merged through Analytics.scdMerge. */
@@ -1540,6 +1567,33 @@ object SparkEntry {
           graft.multimodal.Audio.audioTable(d.unionByName(edited)))
         .orderBy("doc_id_a", "doc_id_b")
     }),
+    // --- video (Y4M) plumbing ---
+    "mm_video_meta" -> ((s, dir) => // real Y4M header + frame-walk decode
+      graft.multimodal.Video.decodeVideoMeta(
+          graft.multimodal.Video.videoTable(docs(s, dir)))
+        .toDF().orderBy("doc_id")),
+    "mm_video_frame_hashes" -> ((s, dir) => // decode in mapPartitions, dHash codegen'd
+      graft.multimodal.Video.frameHashes(
+          graft.multimodal.Video.videoTable(docs(s, dir)))
+        .orderBy("doc_id", "frame_idx")),
+    "mm_video_shots" -> ((s, dir) => // lag-window cut detector
+      graft.multimodal.Video.shotBoundaries(
+          graft.multimodal.Video.videoTable(docs(s, dir)))
+        .orderBy("doc_id", "frame_idx")),
+    "mm_video_pairs" -> ((s, dir) => {
+      // injected near-dups, the mm_phash_pairs approach: every 25th doc
+      // re-appears with ONE in-place byte changed — same length and same
+      // first byte, so w/h/n_frames/fps all survive and only the frames
+      // whose sampled positions cover the edit move a few hash bits
+      val d = docs(s, dir).select("doc_id", "text")
+      val edited = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(substring(col("text"), 1, 9), lit("Z"),
+            expr("substring(text, 11)")).as("text"))
+      graft.multimodal.Video.nearDupVideo(
+          graft.multimodal.Video.videoTable(d.unionByName(edited)))
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
     "dedup_paragraphs" -> ((s, dir) => // chunk-level exact dedup + reassembly
       Dedup.paragraphDedup(docs(s, dir), 20).orderBy("doc_id")),
     "dedup_cross_source" -> ((s, dir) => // shared-window contamination matrix
@@ -2649,6 +2703,40 @@ object SparkEntry {
         s"${wavCtes("e2")}, $wavEnergyCtes, $wavHashCtes " +
         "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming " +
         "FROM aah a JOIN aah b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.ahash, b.ahash)) <= 3 ORDER BY 1, 2"),
+    // the oracle RE-DERIVES every field the Y4M decode must recover
+    // (header length from the literal header text, per-frame payloads,
+    // checksum) from the text via the fixture math — a wrong header
+    // write OR a wrong frame walk breaks the match
+    "mm_video_meta" ->
+      (s"WITH ${y4mCtes("documents")}, " +
+        "vhd AS (SELECT doc_id, w, h, nf, fn, fd, length('YUV4MPEG2 W' || w || ' H' || h || ' F' || fn || ':' || fd || ' Ip A1:1 Cmono') + 1 AS hlen FROM vm), " +
+        "vcs AS (SELECT doc_id, CAST(SUM(ascii(c)) % 65536 AS BIGINT) AS checksum FROM (SELECT doc_id, unnest(string_split(fpay, '')) AS c FROM vf) GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(d.hlen + d.nf * (6 + d.w*d.h) AS INTEGER) AS byte_len, " +
+        "CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height, " +
+        "CAST(d.fn AS INTEGER) AS fps_num, CAST(d.fd AS INTEGER) AS fps_den, " +
+        "CAST(d.nf AS INTEGER) AS n_frames, c.checksum " +
+        "FROM vhd d JOIN vcs c USING (doc_id) ORDER BY d.doc_id"),
+    "mm_video_frame_hashes" ->
+      (s"WITH ${y4mCtes("documents")}, $y4mHashCtes " +
+        "SELECT doc_id, frame_idx, fhash FROM vh ORDER BY 1, 2"),
+    "mm_video_shots" ->
+      (s"WITH ${y4mCtes("documents")}, $y4mHashCtes, " +
+        "vlg AS (SELECT doc_id, frame_idx, fhash, LAG(fhash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS ph FROM vh) " +
+        "SELECT doc_id, frame_idx, CAST(bit_count(xor(fhash, ph)) AS INTEGER) AS hamming " +
+        "FROM vlg WHERE ph IS NOT NULL AND bit_count(xor(fhash, ph)) >= 8 ORDER BY 1, 2"),
+    // edited copies injected exactly like the Spark side; the all-pairs
+    // aligned-distance filter is the oracle for the per-frame banded
+    // candidate search (complete: reported pairs need SOME aligned frame
+    // within Hamming 3, which pigeonholes into a shared 8-bit band)
+    "mm_video_pairs" ->
+      (s"WITH e2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, substr(text, 1, 9) || 'Z' || substr(text, 11) FROM documents WHERE doc_id % 25 = 0), " +
+        s"${y4mCtes("e2")}, $y4mHashCtes, " +
+        "val AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, MIN(bit_count(xor(a.fhash, b.fhash))) AS min_h, SUM(bit_count(xor(a.fhash, b.fhash))) AS sum_h " +
+        "FROM vh a JOIN vh b ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "vnf AS (SELECT doc_id, COUNT(*) AS nf FROM vh GROUP BY 1) " +
+        "SELECT doc_id_a, doc_id_b, CAST(sum_h * 100 // x.nf AS BIGINT) AS mean_hamming_e2 " +
+        "FROM val JOIN vnf x ON x.doc_id = val.doc_id_a JOIN vnf y ON y.doc_id = val.doc_id_b " +
+        "WHERE x.nf = y.nf AND min_h <= 3 AND sum_h * 100 // x.nf <= 200 ORDER BY 1, 2"),
     // non-overlapping 20-token chunks; global first occurrence (min
     // (doc_id, idx)) survives, survivors re-join in order
     "dedup_paragraphs" ->

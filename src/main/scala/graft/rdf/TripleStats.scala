@@ -75,17 +75,69 @@ object TripleStats {
     * array is predicate-vocabulary bounded) → count per serialized set.
     * Top-k by (n_subjects desc, set) via TakeOrderedAndProject.
     * Output: (char_set, set_size, n_subjects). */
-  def characteristicSets(triples: DataFrame, k: Int = 50): DataFrame =
-    triples.select("subj", "pred").distinct()
-      .groupBy("subj")
-      .agg(concat_ws(" ", array_sort(collect_set(col("pred"))))
-        .as("char_set"))
-      .groupBy("char_set")
-      .agg(count(lit(1)).as("n_subjects"))
-      .select(col("char_set"),
-        (size(split(col("char_set"), " "))).cast("long").as("set_size"),
-        col("n_subjects"))
-      .orderBy(col("n_subjects").desc, col("char_set")).limit(k)
+  def characteristicSets(triples: DataFrame, k: Int = 50): DataFrame = {
+    val dict = predDictionary(triples)
+    if (dict.length <= 64) {
+      // BITMASK path (sf10-forced, BASELINE.md round-11): the string path
+      // below shuffles every distinct (subj, pred-string) pair — 2.6 GB in
+      // ONE stage at 232M triples, wall 14x for 10x data. With the
+      // name-sorted predicate dictionary broadcast as a literal, each
+      // triple becomes (subj, bit) map-side and bit_or's partial combine
+      // collapses to ONE long per subject per task BEFORE the exchange —
+      // no distinct(), no collect_set buffers, no string preds on the
+      // wire. Masks decode back to the identical space-joined sorted set
+      // string on the mask-bounded relation (<= 2^|preds| rows, in
+      // practice the handful of entity shapes the corpus contains).
+      val masks = subjectPredMasks(triples, dict)
+        .groupBy("m").agg(count(lit(1)).as("n_subjects"))
+      val names = typedLit(dict.toSeq)
+      val bits = typedLit(dict.indices.map(1L << _))
+      val idxs = sequence(lit(0), lit(dict.length - 1))
+      masks.select(
+          concat_ws(" ", filter(
+            transform(idxs, i => when(
+              col("m").bitwiseAND(element_at(bits, i + 1)) =!= 0L,
+              element_at(names, i + 1))),
+            x => x.isNotNull)).as("char_set"),
+          bit_count(col("m")).cast("long").as("set_size"),
+          col("n_subjects"))
+        .orderBy(col("n_subjects").desc, col("char_set")).limit(k)
+    } else
+      triples.select("subj", "pred").distinct()
+        .groupBy("subj")
+        .agg(concat_ws(" ", array_sort(collect_set(col("pred"))))
+          .as("char_set"))
+        .groupBy("char_set")
+        .agg(count(lit(1)).as("n_subjects"))
+        .select(col("char_set"),
+          (size(split(col("char_set"), " "))).cast("long").as("set_size"),
+          col("n_subjects"))
+        .orderBy(col("n_subjects").desc, col("char_set")).limit(k)
+  }
+
+  /** The sorted predicate vocabulary — one column-pruned, map-side
+    * combined distinct over a relation bounded by the SCHEMA of the
+    * corpus, not its size; collected because it parameterizes the plan
+    * (the dictionary-moving collect() the repo's scale policy allows).
+    * NAME-sorted so bit index order == lexicographic order — mask
+    * decodes and bit-pair fan-outs are then automatically in the same
+    * order the string path's array_sort produced. */
+  private def predDictionary(triples: DataFrame): Array[String] = {
+    import triples.sparkSession.implicits._
+    triples.select("pred").distinct().orderBy("pred").as[String].collect()
+  }
+
+  /** Per-subject predicate bitmask against a name-sorted dictionary of
+    * <= 64 predicates: (subj, bit_or of shiftleft(1, dict index)). The
+    * partial bit_or combine is what keeps the exchange at one long per
+    * subject per map task. */
+  private def subjectPredMasks(triples: DataFrame,
+      dict: Array[String]): DataFrame =
+    triples.select(col("subj"),
+        (array_position(typedLit(dict.toSeq), col("pred")) - 1)
+          .cast("int").as("i"))
+      .select(col("subj"), expr("shiftleft(CAST(1 AS BIGINT), i)").as("b"))
+      .groupBy("subj").agg(expr("bit_or(b)").as("m"))
 
   /** Predicate co-occurrence — the pairwise marginal of
     * [[characteristicSets]]: for every unordered predicate pair, how many
@@ -101,6 +153,16 @@ object TripleStats {
     * vocabulary — Σ(preds-per-subject choose 2), never |subjects|².
     * Output: (pred_a, pred_b, n_subjects). */
   def predicateCooccurrence(triples: DataFrame): DataFrame = {
+    // Stays the single-exchange collect_set shape ON PURPOSE: a bitmask
+    // variant sharing [[characteristicSets]]' (subj, long) exchange was
+    // built and measured at the round-11 sf10 soak — this path was
+    // already one exchange, so the bitmask only traded buffer width for
+    // an extra dictionary job and read SLOWER in both clean sf10 runs
+    // (61/103 s vs 40 s; wall at this scale is disk-band-dominated and
+    // the compressed shuffle shrank just 7% — LZ4 already crushes the
+    // repeated pred strings). characteristicSets keeps the bitmask
+    // because there it deletes two whole exchanges; here it deleted
+    // none. Measured both, kept the simpler plan (BASELINE.md r11).
     val sets = triples.select("subj", "pred")
       .groupBy("subj").agg(array_sort(collect_set(col("pred"))).as("ps"))
       .filter(size(col("ps")) >= 2)

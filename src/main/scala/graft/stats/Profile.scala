@@ -754,17 +754,52 @@ object Profile {
     * n_violations = n_pairs − n_lhs, holds), one row per ordered pair. */
   def functionalDeps(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "FD discovery needs at least two columns")
-    val arms = for { x <- cols; y <- cols if x != y } yield
-      struct(lit(x).as("lhs"), lit(y).as("rhs"),
-        col(x).cast("string").as("lv"), col(y).cast("string").as("rv"))
-    df.select(explode(array(arms: _*)).as("e")).select(col("e.*"))
+    // sf10-forced reshape (BASELINE.md round-11): the original
+    // distinct-then-regroup paid TWO corpus-scale exchanges — distinct()
+    // partitions on (lhs, rhs, lv, rv) and the per-lv regroup re-shuffles
+    // the ~|Σ π_{X,Y}| distinct relation AGAIN on (lhs, rhs, lv), with
+    // constant label strings riding every row (581 s / 4.4 GB at 15M
+    // orders — 20x wall for 10x data; spill, not I/O). But the per-lv
+    // count k is only consumed as sum(k) and max(k) <= 1, both derivable
+    // from TWO GLOBAL distinct counts per arm: holds <=> |π_{X,Y}| ==
+    // |π_X| and n_violations = their difference. So FD discovery takes
+    // [[uniqueCombinations]]' measured-linear shape instead: one mixed
+    // distinct over pair arms PLUS single-column arms (int arm ids, no
+    // label strings on the wire), then a combinable groupBy(arm) whose
+    // second exchange carries <= arms x partitions partial rows. The
+    // arms-row count relation caches because both derivation branches
+    // read it (cache, NOT localCheckpoint: the checkpoint's eager .rdd
+    // materialization measured ~3 s of pure overhead on this tiny
+    // relation at sf0.1 — it bypasses AQE and persists partition blocks;
+    // an InMemoryRelation fills once inside the same action at ~no cost).
+    val n = cols.size
+    val pairArms = for { (x, i) <- cols.zipWithIndex;
+        (y, j) <- cols.zipWithIndex if i != j } yield
+      struct(lit(i * n + j).as("arm"), col(x).cast("string").as("v1"),
+        col(y).cast("string").as("v2"))
+    // single-column arms: v2 = "" cannot collide — the arm id disambiguates
+    val singleArms = cols.zipWithIndex.map { case (x, i) =>
+      struct(lit(-(i + 1)).as("arm"), col(x).cast("string").as("v1"),
+        lit("").as("v2")) }
+    val counts = df
+      .select(explode(array((pairArms ++ singleArms): _*)).as("e"))
+      .select(col("e.*"))
       .distinct()
-      .groupBy("lhs", "rhs", "lv").agg(count(lit(1)).as("k"))
-      .groupBy("lhs", "rhs").agg(
-        count(lit(1)).as("n_lhs"),
-        sum("k").as("n_pairs"),
-        (sum("k") - count(lit(1))).as("n_violations"),
-        (max("k") <= 1L).as("holds"))
+      .groupBy("arm").agg(count(lit(1)).as("c"))
+      .cache()
+    val names = typedLit(cols)
+    val pairs = counts.filter(col("arm") >= 0)
+      .select(expr(s"arm div $n").cast("int").as("li"),
+        pmod(col("arm"), lit(n)).cast("int").as("ri"),
+        col("c").as("n_pairs"))
+    val singles = counts.filter(col("arm") < 0)
+      .select((-col("arm") - 1).cast("int").as("li"), col("c").as("n_lhs"))
+    pairs.join(broadcast(singles), "li")
+      .select(element_at(names, col("li") + 1).as("lhs"),
+        element_at(names, col("ri") + 1).as("rhs"),
+        col("n_lhs"), col("n_pairs"),
+        (col("n_pairs") - col("n_lhs")).as("n_violations"),
+        (col("n_pairs") === col("n_lhs")).as("holds"))
   }
 
   /** Exact unique-column-combination discovery (arity ≤ 2): which single

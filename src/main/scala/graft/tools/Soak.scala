@@ -49,10 +49,27 @@ object Soak {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val shards = args.lift(1).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // sf10 lesson (BASELINE.md round-11): Spark's ObjectHashAggregate
+    // falls back to SORT-BASED aggregation after only 128 distinct keys
+    // per partition (spark.sql.objectHashAggregate.sortBased
+    // .fallbackThreshold default). For typed-Aggregator pipelines with
+    // CAP-BOUNDED buffers (the CIND hybrid) that external sort wrote
+    // ~60 GB of spill at 232M triples and blew the box's disk budget —
+    // raising the threshold keeps the agg in the hash regime (~700k
+    // dependents x ~200 B per partition = GBs of heap). But it is a
+    // SCALPEL, not a default: applied globally it also pins the
+    // UNBOUNDED join-line array buffers of the count-match path in
+    // memory, which OOM'd a 96 GB heap at 74M triples (both failure
+    // modes measured this round). Opt-in per family via
+    // SPARK_GRAFT_OBJ_AGG_FALLBACK; unset keeps Spark's default.
+    val objAggThreshold = sys.env.get("SPARK_GRAFT_OBJ_AGG_FALLBACK")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-soak")
       .config("spark.sql.shuffle.partitions", cpus.toInt)
+    objAggThreshold.foreach(v => builder.config(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v))
+    val spark = builder
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.log.level", "WARN")

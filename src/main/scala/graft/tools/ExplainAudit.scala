@@ -355,6 +355,35 @@ object ExplainAudit {
       // touch pre-reduction reuses that partitioning, one final rollup
       showFinal("events_attribution", graft.streaming.EventStream.attribution(
         graft.streaming.EventSource.events(spark, dir), "purchase", "1 hour"))
+    if (which == "all" || which == "fds")
+      // the round-11 reshape claim: ONE corpus-scale exchange (the mixed
+      // pair+single-arm distinct, int arm ids); the regroup that
+      // re-shuffled the distinct relation is gone — what remains after
+      // the arms-count cache is a 16-row derivation join
+      showFinal("profile_fds (r11 single-distinct shape)",
+        graft.stats.Profile.functionalDeps(
+          spark.read.parquet(s"$dir/orders.parquet"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+    if (which == "all" || which == "charsets")
+      // the round-11 bitmask claim: the only corpus-scale exchange
+      // carries (subj, long) partial bit_or rows — no distinct(), no
+      // collect_set, no pred strings; mask decode sits on the
+      // mask-bounded aggregate
+      showFinal("rdf_char_sets (r11 bitmask shape)",
+        graft.rdf.TripleStats.characteristicSets(
+          graft.rdf.TripleSource.derive(spark, dir)))
+    if (which == "all" || which == "video") {
+      // the claim: decode in one mapPartitions (DeserializeToObject ->
+      // MapPartitions -> SerializeFromObject), dhash32 codegen'd ABOVE
+      // it; shots = one per-video lag window over the n_frames-bounded
+      // hash relation; pairs = banded self-join + aligned verify, no
+      // all-pairs join anywhere
+      val blobs = graft.multimodal.Video.videoTable(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+      showFinal("mm_video_frame_hashes", graft.multimodal.Video.frameHashes(blobs))
+      showFinal("mm_video_shots", graft.multimodal.Video.shotBoundaries(blobs))
+      showFinal("mm_video_pairs", graft.multimodal.Video.nearDupVideo(blobs))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, throws}
+
+/** Generative checks for the Y4M codec: encode∘decode identity on random
+  * geometry/rate/frame-count/payload, and rejection on random container
+  * mutations — the codec-level mirror of the spec's hand-built cases. */
+object VideoProps extends Properties("graft.multimodal.y4m") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(30).withWorkers(1)
+
+  private val containerGen: Gen[(Int, Int, Int, Int, Seq[Array[Byte]])] = for {
+    w <- Gen.chooseNum(1, 6)
+    h <- Gen.chooseNum(1, 6)
+    fn <- Gen.chooseNum(1, 60)
+    fd <- Gen.chooseNum(1, 3)
+    nf <- Gen.chooseNum(1, 5)
+    frames <- Gen.listOfN(nf, Gen.listOfN(w * h,
+      Gen.chooseNum(0, 255).map(_.toByte)).map(_.toArray))
+  } yield (w, h, fn, fd, frames)
+
+  property("encode -> decode recovers geometry, rate, count, checksum") =
+    forAll(containerGen) { case (w, h, fn, fd, frames) =>
+      val blob = Video.Y4mCodec.encode(w, h, fn, fd, frames)
+      val (dw, dh, dfn, dfd, dnf, sum) = Video.Y4mCodec.decode(blob)
+      val want = frames.map(_.map(b => (b & 0xFF).toLong).sum).sum % 65536
+      dw == w && dh == h && dfn == fn && dfd == fd &&
+        dnf == frames.size && sum == want
+    }
+
+  property("encode -> frames round-trips every raster bit-for-bit") =
+    forAll(containerGen) { case (w, h, fn, fd, frames) =>
+      val back = Video.Y4mCodec.frames(Video.Y4mCodec.encode(w, h, fn, fd, frames))
+      back.length == frames.size &&
+        back.zip(frames).forall { case (a, b) => a.sameElements(b) }
+    }
+
+  property("any truncation of a valid container is rejected") =
+    forAll(containerGen, Gen.chooseNum(1, 64)) {
+      case ((w, h, fn, fd, frames), cut) =>
+        val blob = Video.Y4mCodec.encode(w, h, fn, fd, frames)
+        val k = 1 + (cut % blob.length)
+        throws(classOf[IllegalArgumentException])(
+          Video.Y4mCodec.decode(blob.dropRight(k)))
+    }
+
+  property("short trailing junk after the last frame is rejected") =
+    forAll(containerGen, Gen.chooseNum(1, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(0, 255).map(_.toByte)))) {
+      case ((w, h, fn, fd, frames), junk) =>
+        // 1-5 bytes can never form another FRAME marker + raster
+        val blob = Video.Y4mCodec.encode(w, h, fn, fd, frames)
+        throws(classOf[IllegalArgumentException])(
+          Video.Y4mCodec.decode(blob ++ junk))
+    }
+}

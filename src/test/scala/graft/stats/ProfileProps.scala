@@ -182,4 +182,36 @@ object ProfileProps extends Properties("graft.stats.profile") {
 
   property("quantileSketch == sequential mirror on ZIPF input") =
     sketchShapeProp(n => i => n.toLong / (i + 1))
+
+  // the round-11 single-distinct reshape must equal the definitional
+  // computation — per ordered pair: n_lhs = |π_X|, n_pairs = |π_{X,Y}|,
+  // violations = difference, holds = equality — on random relations
+  // with dense value collisions (incl. duplicate rows and constant
+  // columns, the degenerate FD shapes)
+  private val fdGen: Gen[Seq[(Long, String, Long)]] = for {
+    n <- Gen.chooseNum(1, 40)
+    rows <- Gen.listOfN(n, for {
+      a <- Gen.chooseNum(0L, 6L)
+      b <- Gen.oneOf("x", "y", "z")
+      c <- Gen.chooseNum(0L, 2L)
+    } yield (a, b, c))
+  } yield rows
+
+  property("functionalDeps == brute-force projections on random relations") =
+    forAll(fdGen) { rows =>
+      import spark.implicits._
+      val cols = Seq("a", "b", "c")
+      val got = Profile.functionalDeps(rows.toDF("a", "b", "c"), cols)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+      val proj: Map[String, Seq[String]] = Map(
+        "a" -> rows.map(_._1.toString), "b" -> rows.map(_._2),
+        "c" -> rows.map(_._3.toString))
+      val want = (for { x <- cols; y <- cols if x != y } yield {
+        val d1 = proj(x).distinct.size.toLong
+        val d2 = proj(x).zip(proj(y)).distinct.size.toLong
+        (x, y) -> ((d1, d2, d2 - d1, d2 == d1))
+      }).toMap
+      got == want
+    }
 }

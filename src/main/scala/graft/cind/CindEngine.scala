@@ -344,6 +344,17 @@ object CindEngine {
     * join-line statistics: returns (dict, lines) where dict is the
     * persisted frequent-capture dictionary (code, v1, v2, support, id) and
     * lines is (join_val, ids ARRAY<LONG>). */
+  /** Dictionary size above which the encode abandons the driver-collect +
+    * broadcast-hash-map regime for a shuffle equi-join (SURVEY §5
+    * hard-part 5's partitioned fallback; the r11 sf10 soak measured the
+    * engine leaving the broadcast regime past ~50M triples). Tunable per
+    * session: `spark.conf.set("spark.graft.cind.dictEncodeMaxBroadcastRows", n)`. */
+  val DefaultDictEncodeMaxBroadcastRows = 2000000L
+
+  private[cind] def dictEncodeMaxBroadcastRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cind.dictEncodeMaxBroadcastRows")
+      .map(_.toLong).getOrElse(DefaultDictEncodeMaxBroadcastRows)
+
   private[cind] def encodedJoinLines(triples: DataFrame, minSupport: Int,
       bloomConditions: Boolean = false,
       arRules: Option[DataFrame] = None,
@@ -391,25 +402,39 @@ object CindEngine {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)
       val dict = dictWithIds(spark, grouped)
-      dict.count()
-      // 4. Map-side encode: the frequent-capture dictionary (small by
-      //    construction — it is broadcast-joined everywhere else anyway)
-      //    ships once per executor as a broadcast hash map, and the native
-      //    dict_encode_ids expression rewrites each line's capture array to
-      //    frequent-capture ids in place. The grouped lines never
+      val nDict = dict.count()
+      // 4. Map-side encode when the dictionary fits the broadcast regime:
+      //    it ships once per executor as a broadcast hash map, and the
+      //    native dict_encode_ids expression rewrites each line's capture
+      //    array to frequent-capture ids in place. The grouped lines never
       //    re-shuffle; lines reduced to zero frequent captures drop out
       //    (they fed neither pairs nor the histogram before either).
-      val dictMap = new java.util.HashMap[String, java.lang.Long]()
-      dict.select("code", "v1", "v2", "id").collect().foreach { r =>
-        dictMap.put(graft.functions.DictEncodeIds.key(
-          r.getInt(0), r.getString(1), r.getString(2)), r.getLong(3))
-      }
-      val bcast = spark.sparkContext.broadcast(dictMap)
-      val encoded = org.apache.spark.sql.graft.ColumnBridge.column(
-        graft.functions.DictEncodeIds(
-          org.apache.spark.sql.graft.ColumnBridge.expression(col("caps")), bcast))
-      val lines = lines0.select(col("join_val"), encoded.as("ids"))
-        .filter(size(col("ids")) > 0)
+      //    SCALE VALVE (SURVEY §5 hard-part 5, forced by the r11 sf10
+      //    broadcast-regime finding): past dictEncodeMaxBroadcastRows the
+      //    driver-side collect + executor hash maps are the first thing to
+      //    die, so the encode falls back to a shuffle equi-join — explode
+      //    the cached lines' capture arrays, inner-join the dict on the
+      //    capture key (infrequent captures drop out exactly as the map
+      //    miss dropped them), regroup by join value. Two exchanges
+      //    instead of zero, but every structure stays partitioned.
+      val lines =
+        if (nDict <= dictEncodeMaxBroadcastRows(spark)) {
+          val dictMap = new java.util.HashMap[String, java.lang.Long]()
+          dict.select("code", "v1", "v2", "id").collect().foreach { r =>
+            dictMap.put(graft.functions.DictEncodeIds.key(
+              r.getInt(0), r.getString(1), r.getString(2)), r.getLong(3))
+          }
+          val bcast = spark.sparkContext.broadcast(dictMap)
+          val encoded = org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.DictEncodeIds(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("caps")), bcast))
+          lines0.select(col("join_val"), encoded.as("ids"))
+            .filter(size(col("ids")) > 0)
+        } else
+          lines0.select(col("join_val"), explode(col("caps")).as("c"))
+            .select(col("join_val"), col("c.code"), col("c.v1"), col("c.v2"))
+            .join(dict.select("code", "v1", "v2", "id"), Seq("code", "v1", "v2"))
+            .groupBy("join_val").agg(collect_list(col("id")).as("ids"))
       (dict, lines)
     } else {
       // bloomCaptures — the reference's `--find-frequent-captures` valve
@@ -431,25 +456,35 @@ object CindEngine {
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)
       val dict = dictWithIds(spark, grouped)
-      dict.count()
+      val nDict = dict.count()
       import triples.sparkSession.implicits._
       val keyOf = condHash(col("code"), col("v1"), col("v2"))
       val bf = buildBloomLongs(grouped.select(keyOf.as("k")).as[Long],
         expectedCaptures, 0.01)
       val bfBcast = spark.sparkContext.broadcast(bf)
       val toEncode = dedup.filter(bloomContains(bfBcast, keyOf))
-      val dictMap = new java.util.HashMap[String, java.lang.Long]()
-      dict.select("code", "v1", "v2", "id").collect().foreach { r =>
-        dictMap.put(graft.functions.DictEncodeIds.key(
-          r.getInt(0), r.getString(1), r.getString(2)), r.getLong(3))
-      }
-      val mapBcast = spark.sparkContext.broadcast(dictMap)
-      val encoded = org.apache.spark.sql.graft.ColumnBridge.column(
-        graft.functions.DictEncodeIds(
-          org.apache.spark.sql.graft.ColumnBridge.expression(
-            array(struct(col("code"), col("v1"), col("v2")))), mapBcast))
-      val ided = toEncode
-        .select(col("join_val"), explode(encoded).as("id"))
+      // same scale valve as the exact path: map-side hash-map encode in
+      // the broadcast regime, shuffle equi-join encode past it (the BF
+      // already dropped almost every infrequent instance map-side, so the
+      // join input is the frequent stream either way; join misses play
+      // the dictionary-map-miss role for BF false positives)
+      val ided =
+        if (nDict <= dictEncodeMaxBroadcastRows(spark)) {
+          val dictMap = new java.util.HashMap[String, java.lang.Long]()
+          dict.select("code", "v1", "v2", "id").collect().foreach { r =>
+            dictMap.put(graft.functions.DictEncodeIds.key(
+              r.getInt(0), r.getString(1), r.getString(2)), r.getLong(3))
+          }
+          val mapBcast = spark.sparkContext.broadcast(dictMap)
+          val encoded = org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.DictEncodeIds(
+              org.apache.spark.sql.graft.ColumnBridge.expression(
+                array(struct(col("code"), col("v1"), col("v2")))), mapBcast))
+          toEncode.select(col("join_val"), explode(encoded).as("id"))
+        } else
+          toEncode.join(dict.select("code", "v1", "v2", "id"),
+              Seq("code", "v1", "v2"))
+            .select(col("join_val"), col("id"))
       // collect_list suffices: inputs are already (capture, value)-distinct
       val lines = ided.groupBy("join_val").agg(collect_list(col("id")).as("ids"))
       (dict, lines)
@@ -576,8 +611,12 @@ object CindEngine {
       // reference's candidate filters — dropping them pre-decode keeps the
       // materialized relation proportional to the useful candidates
       .filter(col("n") >= minSupport)
-      .join(broadcast(depSide), "dep_id")
-      .join(broadcast(refSide), "ref_id")
+      // UNHINTED dict joins (r10 lesson, commit 76b551b; r11 sf10 finding):
+      // AQE broadcasts the dict sides while they fit and degrades to a
+      // partitioned join when the corpus outgrows the regime — a forced
+      // hint here dies first at 100x
+      .join(depSide, "dep_id")
+      .join(refSide, "ref_id")
       .select(col("dep_code"), col("dep_v1"), col("ref_code"), col("ref_v1"),
         col("n").as("overlap"), col("dep_support"))
     graft.core.CacheOps.cacheResult(out, internal.result())
@@ -592,9 +631,10 @@ object CindEngine {
     val refSide = dict.select(col("id").as("ref_id"), col("code").as("ref_code"),
       col("v1").as("ref_v1"), col("v2").as("ref_v2"))
     counts
-      .join(broadcast(depSide), "dep_id")
+      // unhinted: AQE picks broadcast while the dict fits (see unaryOverlaps)
+      .join(depSide, "dep_id")
       .filter(col("n") === col("support")) // dep ⊑ ref iff co-count == support
-      .join(broadcast(refSide), "ref_id")
+      .join(refSide, "ref_id")
       // drop refs trivially implied by a binary dep (its own unary subs) —
       // sound post-aggregation: it only removes output rows, never counts
       .filter(!(col("ref_v2") === "" &&
@@ -886,7 +926,8 @@ object CindEngine {
     // decode reuses the count==support filter trivially: every surviving
     // pair IS at full support by construction of the intersections
     val withN = exactPairs.unionByName(verifiedPairs)
-      .join(broadcast(dict.select(col("id").as("dep_id"), col("support").as("sup_"))),
+      // unhinted dict join: AQE broadcasts while the dict fits the regime
+      .join(dict.select(col("id").as("dep_id"), col("support").as("sup_")),
         "dep_id")
       .select(col("dep_id"), col("ref_id"), col("sup_").as("n"))
     val cinds = decodeCinds(dict, withN)

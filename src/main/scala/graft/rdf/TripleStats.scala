@@ -116,15 +116,18 @@ object TripleStats {
   }
 
   /** The sorted predicate vocabulary — one column-pruned, map-side
-    * combined distinct over a relation bounded by the SCHEMA of the
-    * corpus, not its size; collected because it parameterizes the plan
-    * (the dictionary-moving collect() the repo's scale policy allows).
+    * combined distinct, PROBED with limit(65) so the driver never holds
+    * more than 65 rows: the bitmask path only exists for <= 64
+    * predicates, so if the probe comes back full the vocabulary is too
+    * large and the caller takes the string path without ever collecting
+    * it (the very corpus shape the string fallback guards against).
     * NAME-sorted so bit index order == lexicographic order — mask
     * decodes and bit-pair fan-outs are then automatically in the same
     * order the string path's array_sort produced. */
   private def predDictionary(triples: DataFrame): Array[String] = {
     import triples.sparkSession.implicits._
-    triples.select("pred").distinct().orderBy("pred").as[String].collect()
+    triples.select("pred").distinct().orderBy("pred")
+      .limit(65).as[String].collect()
   }
 
   /** Per-subject predicate bitmask against a name-sorted dictionary of
@@ -374,22 +377,14 @@ object TripleStats {
         .localCheckpoint()
       val prev = reach
       reach = reach.unionAll(fresh).localCheckpoint()
-      dropCheckpoint(prev)
-      if (frontier ne prev) dropCheckpoint(frontier)
+      graft.scale.Checkpoints.drop(prev)
+      if (frontier ne prev) graft.scale.Checkpoints.drop(frontier)
       frontier = fresh
       hops += 1
     }
     edges.unpersist()
     reach
   }
-
-  /** Free a localCheckpoint()ed frame's RDD blocks (they sit below the
-    * CacheManager, so Dataset.unpersist is a no-op on them). */
-  private def dropCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
 
   /** SPARQL-style CHAIN (path) pattern:
     * `?s p1 ?x . ?x p2 ?y . ... ?z pN ?v` — the multi-hop traversal a

@@ -767,11 +767,12 @@ object Profile {
     // distinct over pair arms PLUS single-column arms (int arm ids, no
     // label strings on the wire), then a combinable groupBy(arm) whose
     // second exchange carries <= arms x partitions partial rows. The
-    // arms-row count relation caches because both derivation branches
-    // read it (cache, NOT localCheckpoint: the checkpoint's eager .rdd
-    // materialization measured ~3 s of pure overhead on this tiny
-    // relation at sf0.1 — it bypasses AQE and persists partition blocks;
-    // an InMemoryRelation fills once inside the same action at ~no cost).
+    // arms-row count relation is COLLECTED (<= p²+p rows — arm-bounded,
+    // never data-bounded) and the derivation runs on the driver: both
+    // branches read one local array, so there is no cache to leak (the
+    // earlier .cache() left one InMemoryRelation per invocation for the
+    // life of the session) and the whole corpus-scale distinct executes
+    // exactly once.
     val n = cols.size
     val pairArms = for { (x, i) <- cols.zipWithIndex;
         (y, j) <- cols.zipWithIndex if i != j } yield
@@ -781,25 +782,20 @@ object Profile {
     val singleArms = cols.zipWithIndex.map { case (x, i) =>
       struct(lit(-(i + 1)).as("arm"), col(x).cast("string").as("v1"),
         lit("").as("v2")) }
-    val counts = df
+    val counts: Map[Int, Long] = df
       .select(explode(array((pairArms ++ singleArms): _*)).as("e"))
       .select(col("e.*"))
       .distinct()
       .groupBy("arm").agg(count(lit(1)).as("c"))
-      .cache()
-    val names = typedLit(cols)
-    val pairs = counts.filter(col("arm") >= 0)
-      .select(expr(s"arm div $n").cast("int").as("li"),
-        pmod(col("arm"), lit(n)).cast("int").as("ri"),
-        col("c").as("n_pairs"))
-    val singles = counts.filter(col("arm") < 0)
-      .select((-col("arm") - 1).cast("int").as("li"), col("c").as("n_lhs"))
-    pairs.join(broadcast(singles), "li")
-      .select(element_at(names, col("li") + 1).as("lhs"),
-        element_at(names, col("ri") + 1).as("rhs"),
-        col("n_lhs"), col("n_pairs"),
-        (col("n_pairs") - col("n_lhs")).as("n_violations"),
-        (col("n_pairs") === col("n_lhs")).as("holds"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = for { (x, i) <- cols.zipWithIndex;
+        (y, j) <- cols.zipWithIndex if i != j } yield {
+      val nPairs = counts(i * n + j)
+      val nLhs = counts(-(i + 1))
+      (x, y, nLhs, nPairs, nPairs - nLhs, nPairs == nLhs)
+    }
+    import df.sparkSession.implicits._
+    rows.toDF("lhs", "rhs", "n_lhs", "n_pairs", "n_violations", "holds")
   }
 
   /** Exact unique-column-combination discovery (arity ≤ 2): which single

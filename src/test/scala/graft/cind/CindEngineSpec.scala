@@ -44,6 +44,26 @@ class CindEngineSpec extends SparkSpec {
     assert(got.contains((sPworksFor, oPemploys, 4L)))
   }
 
+  test("shuffle-join encode fallback is result-identical to the broadcast encode") {
+    // dictEncodeMaxBroadcastRows = 0 forces the scale valve: no driver-side
+    // dict collect, encode via shuffle equi-join — results must be
+    // bit-identical on both the exact and the bloomCaptures line shapes
+    def run() = CindEngine.allCinds(toDF(tiny), minSupport = 2).collect()
+      .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+        Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)).toSet
+    def runBloom() = CindEngine.allCinds(toDF(tiny), minSupport = 2,
+        bloomCaptures = true).collect()
+      .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+        Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)).toSet
+    val (bExact, bBloom) = (run(), runBloom())
+    spark.conf.set("spark.graft.cind.dictEncodeMaxBroadcastRows", "0")
+    try {
+      assert(run() == bExact)
+      assert(runBloom() == bBloom)
+    } finally spark.conf.unset("spark.graft.cind.dictEncodeMaxBroadcastRows")
+    assert(bExact == bruteForce(tiny, 2))
+  }
+
   test("allCinds respects the support threshold") {
     val got = CindEngine.allCinds(toDF(tiny), minSupport = 3).collect()
     assert(got.forall(_.support >= 3))

@@ -37,13 +37,25 @@ object VideoProps extends Properties("graft.multimodal.y4m") {
         back.zip(frames).forall { case (a, b) => a.sameElements(b) }
     }
 
-  property("any truncation of a valid container is rejected") =
+  // Y4M carries no frame count in the header, so cutting on an exact frame
+  // boundary (a multiple of the 6-byte FRAME marker + w*h raster) produces a
+  // VALID shorter container the decoder must accept; every other cut must be
+  // rejected. Both arms asserted. `math.floorMod` keeps the body total even
+  // if the shrinker escapes chooseNum's range (observed: shrunk cut = -1).
+  property("truncation: frame-boundary cuts decode shorter, others rejected") =
     forAll(containerGen, Gen.chooseNum(1, 64)) {
       case ((w, h, fn, fd, frames), cut) =>
         val blob = Video.Y4mCodec.encode(w, h, fn, fd, frames)
-        val k = 1 + (cut % blob.length)
-        throws(classOf[IllegalArgumentException])(
-          Video.Y4mCodec.decode(blob.dropRight(k)))
+        val k = 1 + math.floorMod(cut, blob.length)
+        val rec = 6 + w * h
+        val short = blob.dropRight(k)
+        if (k % rec == 0 && k / rec < frames.size) {
+          val (dw, dh, dfn, dfd, dnf, _) = Video.Y4mCodec.decode(short)
+          dw == w && dh == h && dfn == fn && dfd == fd &&
+            dnf == frames.size - k / rec
+        } else
+          throws(classOf[IllegalArgumentException])(
+            Video.Y4mCodec.decode(short))
     }
 
   property("short trailing junk after the last frame is rejected") =

@@ -229,6 +229,22 @@ object SparkEntry {
       "vpd AS (SELECT doc_id, k, i, v, LAG(v) OVER (PARTITION BY doc_id, k ORDER BY i) AS pv FROM vps), " +
       "vh AS (SELECT doc_id, CAST(k AS INTEGER) AS frame_idx, CAST(SUM(CASE WHEN v > pv THEN CAST(1 AS BIGINT) << (i-1) ELSE 0 END) AS BIGINT) AS fhash FROM vpd WHERE i >= 1 GROUP BY 1, 2)"
 
+  /** The 4:2:0 sibling of [[y4mCtes]] (Video.videoTable420's fixture
+    * math): dimensions are the mono formulas rounded DOWN to even, the
+    * luma payload is the same cyclic-text fill at those dims, and chroma
+    * never appears — the decode contract checksums luma only, so the
+    * oracle's only chroma-dependent quantity is byte_len's w·h·3/2
+    * record size. Final CTEs: vm(doc_id, s, n, w, h, nf, fn, fd),
+    * vf(doc_id, w, h, nf, k, fpay). */
+  private def y4mCtes420(src: String): String =
+    s"ve AS (SELECT doc_id, CASE WHEN length(text) > 0 THEN text ELSE ' ' END AS s FROM $src), " +
+      "vm0 AS (SELECT doc_id, s, length(s) AS n, 4 + ascii(substr(s,1,1)) % 5 AS w0, 4 + length(s) % 5 AS h0, " +
+      "3 + ascii(substr(s,1,1)) % 6 AS nf, 10 + length(s) % 15 AS fn, 1 + length(s) % 2 AS fd FROM ve), " +
+      "vm AS (SELECT doc_id, s, n, w0 - w0 % 2 AS w, h0 - h0 % 2 AS h, nf, fn, fd FROM vm0), " +
+      "vk AS (SELECT vm.*, unnest(generate_series(0, nf - 1)) AS k FROM vm), " +
+      "vo AS (SELECT *, (CASE WHEN k >= nf//2 THEN 29 ELSE 0 END) % n AS o FROM vk), " +
+      "vf AS (SELECT doc_id, w, h, nf, k, substr(repeat(s, CAST((o + w*h + n - 1)//n AS INTEGER)), CAST(1 + o AS INTEGER), w*h) AS fpay FROM vo)"
+
   /** The SCD2 fixture shared by tpch_scd_customer and tpch_pit_join:
     * customer balances as the open snapshot, a change/no-op/insert
     * update mix at ts 1s/2s/3s, merged through Analytics.scdMerge. */
@@ -818,6 +834,16 @@ object SparkEntry {
       graft.streaming.StreamDriver.windowCountsStreamed(s, ev)
         .orderBy("bucket_start", "event_type")
     }),
+    "events_window_stream_fsink" -> ((s, dir) => {
+      // the SAME watermarked window aggregation, committed through the
+      // PRODUCTION parquet file sink (+ checkpoint) and read back from the
+      // sink's exactly-once file log — same oracle as the memory-sink twin
+      import s.implicits._
+      val ev = events(s, dir).select(col("ts"), col("event_type"))
+        .as[(java.sql.Timestamp, String)].collect().toSeq
+      graft.streaming.StreamDriver.windowCountsFileSink(s, ev)
+        .orderBy("bucket_start", "event_type")
+    }),
     "events_enriched" -> ((s, dir) => { // stream-static dim attach, batch twin
       import s.implicits._
       graft.streaming.EventStream.enrichedWindowTotals(
@@ -940,6 +966,26 @@ object SparkEntry {
           coalesce(floor(col("asof_v") * 1000), lit(-1L)).as("asof_value_milli"))
         .orderBy("event_id")
     }),
+    "events_asof_stream_fsink" -> ((s, dir) => {
+      // the as-of state machine writing through the PRODUCTION parquet
+      // file sink (+ checkpoint), result read back from committed files —
+      // same oracle as events_asof_stream
+      import s.implicits._
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().toSeq
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("v"))
+        .select(col("user_id"), col("ts"), col("v"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+      graft.streaming.StreamDriver.asOfFileSink(s, clicks, views)
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          unix_micros(col("ts")).as("ts"),
+          coalesce(unix_micros(col("asof_ts")), lit(-1L)).as("asof_ts"),
+          coalesce(floor(col("asof_v") * 1000), lit(-1L)).as("asof_value_milli"))
+        .orderBy("event_id")
+    }),
     // --- training-data pipeline: dedup ---
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDups(docs(s, dir)).orderBy("doc_id")),
@@ -954,6 +1000,17 @@ object SparkEntry {
         .orderBy("doc_id").as[(Long, String)].collect().toSeq
       val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
       graft.streaming.StreamDriver.firstSeenStreamed(s, batches)
+        .orderBy("doc_id")
+    }),
+    "dedup_stream_first_seen_fsink" -> ((s, dir) => {
+      // the streaming first-seen keep-set committed through the PRODUCTION
+      // parquet file sink (+ checkpoint) — same batching, same oracle as
+      // the memory-sink twin
+      import s.implicits._
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val batches = all.grouped(math.max(1, (all.size + 3) / 4)).toSeq
+      graft.streaming.StreamDriver.firstSeenFileSink(s, batches)
         .orderBy("doc_id")
     }),
     "dedup_jaccard_pairs" -> ((s, dir) =>
@@ -1572,6 +1629,10 @@ object SparkEntry {
       graft.multimodal.Video.decodeVideoMeta(
           graft.multimodal.Video.videoTable(docs(s, dir)))
         .toDF().orderBy("doc_id")),
+    "mm_video_c420_meta" -> ((s, dir) => // 4:2:0 frame sizing + luma-only checksum
+      graft.multimodal.Video.decodeVideoMeta(
+          graft.multimodal.Video.videoTable420(docs(s, dir)))
+        .toDF().orderBy("doc_id")),
     "mm_video_frame_hashes" -> ((s, dir) => // decode in mapPartitions, dHash codegen'd
       graft.multimodal.Video.frameHashes(
           graft.multimodal.Video.videoTable(docs(s, dir)))
@@ -2057,6 +2118,9 @@ object SparkEntry {
     // events_window_users_stream's chained stateful pair)
     "events_window_stream" ->
       "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events FROM events GROUP BY 1,2 ORDER BY 1,2",
+    // the file-sink execution commits the identical windows -> same oracle
+    "events_window_stream_fsink" ->
+      "SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))/300)*300 AS BIGINT) AS bucket_start, event_type, COUNT(*) AS n_events FROM events GROUP BY 1,2 ORDER BY 1,2",
     // dedup-then-count distinct users per tumbling window; the stream twin
     // runs the identical question as two chained stateful aggregations
     "events_window_users" -> windowUsersOracleSql,
@@ -2148,11 +2212,17 @@ object SparkEntry {
     // the streaming execution answers the SAME as-of question -> same oracle
     "events_asof_stream" ->
       "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), r AS (SELECT user_id, ts, MAX(value) AS v FROM events WHERE event_type = 'view' GROUP BY 1,2) SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, COALESCE(epoch_us(r.ts), -1) AS asof_ts, COALESCE(CAST(floor(r.v * 1000) AS BIGINT), -1) AS asof_value_milli FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id",
+    // file-sink execution of the same state machine -> same oracle
+    "events_asof_stream_fsink" ->
+      "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), r AS (SELECT user_id, ts, MAX(value) AS v FROM events WHERE event_type = 'view' GROUP BY 1,2) SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts, COALESCE(epoch_us(r.ts), -1) AS asof_ts, COALESCE(CAST(floor(r.v * 1000) AS BIGINT), -1) AS asof_value_milli FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id",
     "dedup_exact" ->
       "SELECT doc_id, md5(text) AS content_hash, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM documents ORDER BY doc_id",
     // the streaming first-seen keep-set, fed in ascending id order ->
     // exactly the min-id representative per content hash
     "dedup_stream_first_seen" ->
+      "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text) ORDER BY 1",
+    // file-sink execution of the same keep-set -> same oracle
+    "dedup_stream_first_seen_fsink" ->
       "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text) ORDER BY 1",
     "dedup_jaccard_pairs" ->
       s"WITH $tokCte, $shCte, $shcCte, $jaccardSql",
@@ -2712,6 +2782,17 @@ object SparkEntry {
         "vhd AS (SELECT doc_id, w, h, nf, fn, fd, length('YUV4MPEG2 W' || w || ' H' || h || ' F' || fn || ':' || fd || ' Ip A1:1 Cmono') + 1 AS hlen FROM vm), " +
         "vcs AS (SELECT doc_id, CAST(SUM(ascii(c)) % 65536 AS BIGINT) AS checksum FROM (SELECT doc_id, unnest(string_split(fpay, '')) AS c FROM vf) GROUP BY 1) " +
         "SELECT d.doc_id, CAST(d.hlen + d.nf * (6 + d.w*d.h) AS INTEGER) AS byte_len, " +
+        "CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height, " +
+        "CAST(d.fn AS INTEGER) AS fps_num, CAST(d.fd AS INTEGER) AS fps_den, " +
+        "CAST(d.nf AS INTEGER) AS n_frames, c.checksum " +
+        "FROM vhd d JOIN vcs c USING (doc_id) ORDER BY d.doc_id"),
+    // 4:2:0 variant: record size w*h*3/2 in byte_len, C420jpeg header
+    // literal, checksum from the LUMA payload only (the decode contract)
+    "mm_video_c420_meta" ->
+      (s"WITH ${y4mCtes420("documents")}, " +
+        "vhd AS (SELECT doc_id, w, h, nf, fn, fd, length('YUV4MPEG2 W' || w || ' H' || h || ' F' || fn || ':' || fd || ' Ip A1:1 C420jpeg') + 1 AS hlen FROM vm), " +
+        "vcs AS (SELECT doc_id, CAST(SUM(ascii(c)) % 65536 AS BIGINT) AS checksum FROM (SELECT doc_id, unnest(string_split(fpay, '')) AS c FROM vf) GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(d.hlen + d.nf * (6 + d.w*d.h*3//2) AS INTEGER) AS byte_len, " +
         "CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height, " +
         "CAST(d.fn AS INTEGER) AS fps_num, CAST(d.fd AS INTEGER) AS fps_den, " +
         "CAST(d.nf AS INTEGER) AS n_frames, c.checksum " +

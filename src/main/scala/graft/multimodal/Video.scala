@@ -69,19 +69,24 @@ object Video {
       out
     }
 
-    /** Parse the stream header; return (w, h, fpsNum, fpsDen,
+    /** Parse the stream header; return (w, h, fpsNum, fpsDen, frameLen,
       * first-frame offset). Parameters may appear in any order; `X`
-      * extensions are skipped; W, H and F are mandatory; if C is present
-      * it must be `mono` (the only colorspace whose frame size this
-      * decoder knows — a default-420 stream would be mis-sliced, so it
-      * is rejected, not guessed at). */
-    def parseHeader(blob: Array[Byte]): (Int, Int, Int, Int, Int) = {
+      * extensions are skipped; W, H and F are mandatory. Colorspaces this
+      * decoder can size frames for: `mono` (frameLen = w·h) and the
+      * 4:2:0 family `420`/`420jpeg`/`420mpeg2`/`420paldv` (frameLen =
+      * w·h·3/2 — full luma plane + two half-resolution chroma planes;
+      * even dimensions required, as every real 4:2:0 writer emits). A
+      * missing C parameter means 4:2:0 per the YUV4MPEG2 spec's default.
+      * Anything else would be mis-sliced, so it is rejected, not guessed
+      * at. */
+    def parseHeader(blob: Array[Byte]): (Int, Int, Int, Int, Int, Int) = {
       val nl = blob.indexOf('\n'.toByte)
       if (nl < 0) fail("no stream-header terminator")
       val header = new String(blob, 0, nl, "US-ASCII")
       val toks = header.split(" ")
       if (toks.isEmpty || toks(0) != Magic) fail(s"bad magic (want $Magic)")
-      var w = -1; var h = -1; var fn = -1; var fd = -1; var sawMono = false
+      var w = -1; var h = -1; var fn = -1; var fd = -1
+      var cs: String = null
       toks.iterator.drop(1).filter(_.nonEmpty).foreach { t =>
         val v = t.substring(1)
         t.charAt(0) match {
@@ -91,9 +96,7 @@ object Video {
             val c = v.split(":")
             if (c.length != 2) fail(s"bad frame rate '$v' (want n:d)")
             fn = c(0).toInt; fd = c(1).toInt
-          case 'C' =>
-            if (v != "mono") fail(s"colorspace '$v' (mono only)")
-            sawMono = true
+          case 'C' => cs = v
           case 'I' | 'A' | 'X' => () // interlacing/aspect/extension: free
           case c => fail(s"unknown parameter '$c' in stream header")
         }
@@ -101,17 +104,24 @@ object Video {
       if (w <= 0) fail(s"missing or bad W (got $w)")
       if (h <= 0) fail(s"missing or bad H (got $h)")
       if (fn <= 0 || fd <= 0) fail(s"missing or bad F (got $fn:$fd)")
-      if (!sawMono) fail("missing C parameter (this decoder requires Cmono)")
-      (w, h, fn, fd, nl + 1)
+      val frameLen = cs match {
+        case "mono" => w * h
+        case null | "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
+          if (w % 2 != 0 || h % 2 != 0)
+            fail(s"4:2:0 needs even dimensions (got ${w}x$h)")
+          w * h * 3 / 2
+        case other => fail(s"colorspace '$other' (mono and 4:2:0 only)")
+      }
+      (w, h, fn, fd, frameLen, nl + 1)
     }
 
     /** Walk the FRAME sequence; return each frame's raster offset.
       * Frame markers may carry their own parameters (`FRAME Xfoo\n`);
       * every raster must fit, and the walk must land exactly on the
-      * container end (no trailing junk, no truncated last frame). */
-    def frameOffsets(blob: Array[Byte]): (Int, Int, Int, Int, Array[Int]) = {
-      val (w, h, fn, fd, off0) = parseHeader(blob)
-      val frameLen = w * h
+      * container end (no trailing junk, no truncated last frame).
+      * Returns (w, h, fpsNum, fpsDen, frameLen, offsets). */
+    def frameOffsets(blob: Array[Byte]): (Int, Int, Int, Int, Int, Array[Int]) = {
+      val (w, h, fn, fd, frameLen, off0) = parseHeader(blob)
       val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
       var i = off0
       while (i < blob.length) {
@@ -131,27 +141,59 @@ object Video {
         i = body + frameLen
       }
       if (offs.isEmpty) fail("container has no frames")
-      (w, h, fn, fd, offs.toArray)
+      (w, h, fn, fd, frameLen, offs.toArray)
     }
 
     /** Decode metadata: header fields, frame count from the walk,
-      * checksum from the one raster pass (sum of all frame bytes mod
-      * 2^16). */
+      * checksum from the one LUMA-plane pass (sum of each frame's first
+      * w·h bytes mod 2^16 — for mono that is the whole raster; for
+      * 4:2:0 the chroma planes are walked for sizing but excluded from
+      * the hashable content, the same luma-only convention the frame
+      * hashes use). */
     def decode(blob: Array[Byte]): (Int, Int, Int, Int, Int, Long) = {
-      val (w, h, fn, fd, offs) = frameOffsets(blob)
-      val frameLen = w * h
+      val (w, h, fn, fd, _, offs) = frameOffsets(blob)
+      val lumaLen = w * h
       var sum = 0L
       offs.foreach { o =>
         var i = o
-        while (i < o + frameLen) { sum += blob(i) & 0xFF; i += 1 }
+        while (i < o + lumaLen) { sum += blob(i) & 0xFF; i += 1 }
       }
       (w, h, fn, fd, offs.length, sum % 65536)
     }
 
-    /** The decoded frames after the validated walk. */
+    /** The decoded LUMA planes after the validated walk (for mono, the
+      * full rasters) — the plane every perceptual-hash operator reads. */
     def frames(blob: Array[Byte]): Array[Array[Byte]] = {
-      val (w, h, _, _, offs) = frameOffsets(blob)
+      val (w, h, _, _, _, offs) = frameOffsets(blob)
       offs.map(o => java.util.Arrays.copyOfRange(blob, o, o + w * h))
+    }
+
+    /** Canonical 4:2:0 container (`C420jpeg`, the spec's default): each
+      * frame is w·h luma bytes + two (w/2)·(h/2) chroma planes packed
+      * plane-sequentially — w·h·3/2 bytes. Even dimensions required. */
+    def encode420(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+        s"4:2:0 needs positive even dimensions (got ${w}x$h)")
+      require(fpsNum > 0 && fpsDen > 0, s"bad frame rate $fpsNum:$fpsDen")
+      require(frames.nonEmpty, "at least one frame")
+      val frameLen = w * h * 3 / 2
+      frames.foreach(f => require(f.length == frameLen,
+        s"frame has ${f.length} bytes, want $frameLen"))
+      val header = s"$Magic W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+      val frameMark = "FRAME\n".getBytes("US-ASCII")
+      val out = new Array[Byte](
+        header.length + frames.size * (frameMark.length + frameLen))
+      System.arraycopy(header, 0, out, 0, header.length)
+      var off = header.length
+      frames.foreach { f =>
+        System.arraycopy(frameMark, 0, out, off, frameMark.length)
+        off += frameMark.length
+        System.arraycopy(f, 0, out, off, f.length)
+        off += f.length
+      }
+      out
     }
   }
 
@@ -188,6 +230,42 @@ object Video {
             f
           }
           MediaBlob(id, "video/y4m", Y4mCodec.encode(w, h, fpsNum, fpsDen, frames))
+        }
+      }.toDF()
+  }
+
+  /** The 4:2:0 sibling of [[videoTable]]: same fixture math with the
+    * dimensions rounded DOWN to even (w = (4 + first byte mod 5) - its
+    * parity, likewise h — SQL-derivable as `w0 - w0 % 2`), the same
+    * cyclic-text luma planes, and neutral-gray (0x80) chroma planes —
+    * chroma carries no fixture information because the decode contract
+    * (and the oracle) hash luma only; what the chroma bytes DO exercise
+    * is the 4:2:0 frame sizing of the walk (w·h·3/2 per record). */
+  def videoTable420(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+        when(length(col("text")) > 0, col("text")).otherwise(lit(" ")).as("s"))
+      .as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, s) =>
+          val bytes = s.getBytes("UTF-8")
+          val n = bytes.length
+          val w0 = 4 + (bytes(0) & 0xFF) % 5
+          val h0 = 4 + n % 5
+          val w = w0 - w0 % 2
+          val h = h0 - h0 % 2
+          val nFrames = 3 + (bytes(0) & 0xFF) % 6
+          val fpsNum = 10 + n % 15
+          val fpsDen = 1 + n % 2
+          val cut = nFrames / 2
+          val frames = (0 until nFrames).map { k =>
+            val off = (if (k >= cut) 29 else 0) % n
+            val f = new Array[Byte](w * h * 3 / 2)
+            var i = 0
+            while (i < w * h) { f(i) = bytes((i + off) % n); i += 1 }
+            java.util.Arrays.fill(f, w * h, f.length, 0x80.toByte)
+            f
+          }
+          MediaBlob(id, "video/y4m", Y4mCodec.encode420(w, h, fpsNum, fpsDen, frames))
         }
       }.toDF()
   }

@@ -680,6 +680,97 @@ object StreamDriver {
     }
   }
 
+  // ------------------------------------------------------------------
+  // FILE-SINK variants: the PRODUCTION sink shape of the queries above.
+  // The memory sink verifies the state machines; these run the same
+  // streams through a parquet file sink with a checkpoint directory —
+  // exactly-once file commits via the sink's transaction log, resumable
+  // from the checkpoint — and read the COMMITTED files back, so the
+  // oracle checks what a downstream batch reader would actually see.
+  // ------------------------------------------------------------------
+
+  /** Start `stream` against a parquet sink + checkpoint under a scratch
+    * directory, drive it with `feed`, read the committed files back
+    * (through the sink's _spark_metadata log, the exactly-once contract),
+    * materialize, and reclaim the scratch space. */
+  private def fileSinkRun[T](spark: SparkSession, prefix: String,
+      stream: org.apache.spark.sql.Dataset[T])(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    val data = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    val q = stream.writeStream.format("parquet")
+      .option("path", data).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try feed(q) finally q.stop()
+    val out = spark.read.parquet(data)
+    val rows = java.util.Arrays.asList(out.collect(): _*)
+    val materialized = spark.createDataFrame(rows, out.schema)
+    // scratch cleanup (data is materialized driver-side already)
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    Files.walk(base).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
+    materialized
+  }
+
+  /** [[firstSeenStreamed]] through the parquet file sink. */
+  def firstSeenFileSink(spark: SparkSession,
+      batches: Seq[Seq[(Long, String)]]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    fileSinkRun(spark, "dedup_fsink_",
+        StreamingDedup.firstSeen(in.toDF().toDF("doc_id", "text"))) { q =>
+      batches.foreach { b =>
+        if (b.nonEmpty) { in.addData(b); q.processAllAvailable() }
+      }
+    }
+  }
+
+  /** [[windowCountsStreamed]] through the parquet file sink: the sentinel
+    * advances the watermark so every real window COMMITS to files before
+    * the query stops; the sentinel's own open window never flushes, and
+    * its row is filtered on the read-back side exactly as the memory-sink
+    * variant filters its view. */
+  def windowCountsFileSink(spark: SparkSession,
+      events: Seq[(Timestamp, String)]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = fileSinkRun(spark, "wincounts_fsink_",
+        EventStream.windowedCounts(
+          in.toDF().toDF("ts", "event_type"), watermark = true)) { q =>
+      val maxTs = (events.map(_._1.getTime) :+ 0L).max
+      if (events.nonEmpty) { in.addData(events); q.processAllAvailable() }
+      in.addData((new Timestamp(maxTs + 3600L * 1000), "__sentinel__"))
+      q.processAllAvailable()
+    }
+    out.filter(org.apache.spark.sql.functions.col("event_type") =!= "__sentinel__")
+  }
+
+  /** [[asOfStreamed]] through the parquet file sink. */
+  def asOfFileSink(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],
+      rights: Seq[(Long, Timestamp, Double)]): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lm = MemoryStream[(Long, Long, Timestamp)]
+    val rm = MemoryStream[(Long, Timestamp, Double)]
+    fileSinkRun(spark, "asof_fsink_",
+        EventStream.asOfJoinStream(
+          lm.toDF().toDF("id", "key", "ts"),
+          rm.toDF().toDF("key", "ts", "v"))) { q =>
+      val maxTs = (lefts.map(_._3.getTime) ++ rights.map(_._2.getTime) :+ 0L).max
+      if (lefts.nonEmpty) lm.addData(lefts)
+      if (rights.nonEmpty) rm.addData(rights)
+      q.processAllAvailable()
+      rm.addData((SentinelKey, new Timestamp(maxTs + 3600L * 1000), 0.0))
+      q.processAllAvailable()
+      rm.addData((SentinelKey, new Timestamp(maxTs + 7200L * 1000), 0.0))
+      q.processAllAvailable()
+    }
+  }
+
   def asOfStreamed(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],
       rights: Seq[(Long, Timestamp, Double)]): DataFrame = {
     import spark.implicits._

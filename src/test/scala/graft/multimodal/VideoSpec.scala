@@ -34,8 +34,8 @@ class VideoSpec extends SparkSpec {
     val blob = Y4mCodec.encode(4, 3, 25, 1, frames)
     // genuine Y4M: ASCII stream header, FRAME markers, raw rasters
     assert(new String(blob.take(9), "US-ASCII") == "YUV4MPEG2")
-    val (w, h, fn, fd, offs) = Y4mCodec.frameOffsets(blob)
-    assert(w == 4 && h == 3 && fn == 25 && fd == 1 && offs.length == 2)
+    val (w, h, fn, fd, flen, offs) = Y4mCodec.frameOffsets(blob)
+    assert(w == 4 && h == 3 && fn == 25 && fd == 1 && flen == 12 && offs.length == 2)
     val back = Y4mCodec.frames(blob)
     assert(back.length == 2)
     assert(back(0).toSeq == frames(0).toSeq && back(1).toSeq == frames(1).toSeq)
@@ -65,12 +65,56 @@ class VideoSpec extends SparkSpec {
     rejects(ascii("YUV4MPEG2 W4 F25:1 Cmono\n")) // missing H
     rejects(ascii("YUV4MPEG2 W4 H3 Cmono\n")) // missing F
     rejects(ascii("YUV4MPEG2 W4 H3 F25 Cmono\n")) // F not n:d
-    rejects(ascii("YUV4MPEG2 W4 H3 F25:1 C420\n")) // unsupported colorspace
-    rejects(ascii("YUV4MPEG2 W4 H3 F25:1\n")) // no C at all: frame size unknown
+    rejects(ascii("YUV4MPEG2 W4 H3 F25:1 C420\n")) // 4:2:0 with odd height
+    rejects(ascii("YUV4MPEG2 W4 H3 F25:1\n")) // default colorspace is 4:2:0: odd height
+    rejects(ascii("YUV4MPEG2 W4 H2 F25:1 C444\n")) // colorspace this decoder can't size
     rejects(ascii("YUV4MPEG2 W4 H3 F25:1 Cmono\n")) // zero frames
     rejects(ascii("YUV4MPEG2 W4 H3 F25:1 Cmono\nFRAMX\n") ++
       Array.fill(12)(0.toByte)) // bad frame marker
     rejects(ascii("YUV4MPEG2 W4 H3 F25:1 Cmono")) // unterminated header
+  }
+
+  test("Y4mCodec 4:2:0: sizes w*h*3/2 records, hashes the luma plane only") {
+    // 4x2 frame: 8 luma bytes + 2+2 chroma bytes = 12 per record
+    val f0 = Array.tabulate(12)(i => (i * 3 % 256).toByte)
+    val f1 = Array.tabulate(12)(i => (i * 5 % 256).toByte)
+    val blob = Y4mCodec.encode420(4, 2, 30, 1, Seq(f0, f1))
+    assert(new String(blob, "US-ASCII").contains("C420jpeg"))
+    val (w, h, fn, fd, nf, sum) = Y4mCodec.decode(blob)
+    assert(w == 4 && h == 2 && fn == 30 && fd == 1 && nf == 2)
+    // checksum = luma bytes only (first 8 of each record)
+    val want = (f0.take(8) ++ f1.take(8)).map(_ & 0xFF).sum.toLong % 65536
+    assert(sum == want)
+    // frames() returns the luma planes
+    val back = Y4mCodec.frames(blob)
+    assert(back.map(_.toSeq).toSeq == Seq(f0.take(8).toSeq, f1.take(8).toSeq))
+    // a missing C parameter defaults to 4:2:0 per the spec: re-writing the
+    // header without C must decode identically
+    val noC = ("YUV4MPEG2 W4 H2 F30:1\n".getBytes("US-ASCII")) ++
+      blob.drop(new String(blob, "US-ASCII").indexOf('\n') + 1)
+    assert(Y4mCodec.decode(noC) == ((4, 2, 30, 1, 2, want)))
+    // truncating into the CHROMA tail of the last record is still a
+    // truncated frame — the walk sizes records at w*h*3/2, not w*h
+    intercept[IllegalArgumentException](Y4mCodec.decode(blob.dropRight(1)))
+    // odd dimensions cannot be 4:2:0-sized
+    intercept[IllegalArgumentException](
+      Y4mCodec.encode420(3, 2, 30, 1, Seq(Array.fill(9)(0.toByte))))
+  }
+
+  test("videoTable420 decodes to the even-dim fixture math, luma checksum") {
+    val r = Video.decodeVideoMeta(Video.videoTable420(docs((7L, "ABCDE"))))
+      .collect().head
+    // 'A'=65: w0 = 4 + 65%5 = 4 -> w = 4; len 5: h0 = 4 + 5%5 = 4 -> h = 4
+    // nf = 3 + 65%6 = 8, fps 15:2
+    assert(r.width == 4 && r.height == 4 && r.n_frames == 8)
+    assert(r.fps_num == 15 && r.fps_den == 2)
+    val headerLen = "YUV4MPEG2 W4 H4 F15:2 Ip A1:1 C420jpeg\n".length
+    assert(r.byte_len == headerLen + 8 * (6 + 4 * 4 * 3 / 2))
+    // luma checksum == the MONO fixture checksum at the same (even) dims:
+    // chroma is excluded by the decode contract
+    val (_, _, _, _, _, frames) = fixture("ABCDE")
+    val sum = frames.map(_.map(b => (b & 0xFF).toLong).sum).sum % 65536
+    assert(r.checksum == sum)
   }
 
   test("videoTable emits a container the codec decodes to the fixture math") {

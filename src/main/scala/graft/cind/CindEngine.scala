@@ -623,17 +623,32 @@ object CindEngine {
   }
 
   /** Decode directed counts into CIND rows: keep pairs whose co-count
-    * equals the dep's support, drop trivially-implied refs, resolve IDs. */
-  private def decodeCinds(dict: DataFrame, counts: DataFrame): Dataset[CindRow] = {
+    * equals the dep's support, drop trivially-implied refs, resolve IDs.
+    *
+    * Decode-LAST shape (r11 sf5 soak: the decode exchange was the shared
+    * 23.8 GB max stage of every strategy): (1) a map-side support floor —
+    * a co-count below minSupport can never equal a support that is >=
+    * minSupport by construction, so the bulk of the candidate stream dies
+    * BEFORE any decode join; (2) the survival decision (`n === support`)
+    * probes a NARROW (dep_id, support) projection — two longs per dict
+    * row, broadcastable an order of magnitude past where the full string
+    * dictionary leaves the regime; (3) the string columns attach only to
+    * the FINAL CIND set, so the wide join input is the result, not the
+    * candidate stream. */
+  private def decodeCinds(dict: DataFrame, counts: DataFrame,
+      minSupport: Int): Dataset[CindRow] = {
     import dict.sparkSession.implicits._
+    val sup = dict.select(col("id").as("dep_id"), col("support"))
     val depSide = dict.select(col("id").as("dep_id"), col("code").as("dep_code"),
-      col("v1").as("dep_v1"), col("v2").as("dep_v2"), col("support"))
+      col("v1").as("dep_v1"), col("v2").as("dep_v2"))
     val refSide = dict.select(col("id").as("ref_id"), col("code").as("ref_code"),
       col("v1").as("ref_v1"), col("v2").as("ref_v2"))
     counts
+      .filter(col("n") >= minSupport)
       // unhinted: AQE picks broadcast while the dict fits (see unaryOverlaps)
-      .join(depSide, "dep_id")
+      .join(sup, "dep_id")
       .filter(col("n") === col("support")) // dep ⊑ ref iff co-count == support
+      .join(depSide, "dep_id")
       .join(refSide, "ref_id")
       // drop refs trivially implied by a binary dep (its own unary subs) —
       // sound post-aggregation: it only removes output rows, never counts
@@ -658,7 +673,7 @@ object CindEngine {
       arRules = arRules,
       bloomCaptures = bloomCaptures, expectedCaptures = expectedFrequentKeys,
       projections = projections)
-    val cinds = decodeCinds(dict, overlapCounts(lines, splitThreshold))
+    val cinds = decodeCinds(dict, overlapCounts(lines, splitThreshold), minSupport)
     arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
   }
 
@@ -760,7 +775,7 @@ object CindEngine {
     lines.count() // both rounds read the lines; materialize once
     val keys = pairKeys(lines, splitThreshold)
     val cinds = decodeCinds(dict,
-      expandCounts(sketchPrunedKeys(keys, minSupport, expectedPairs)))
+      expandCounts(sketchPrunedKeys(keys, minSupport, expectedPairs)), minSupport)
     val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
     graft.core.CacheOps.cacheResult(out, Seq(lines))
   }
@@ -930,7 +945,7 @@ object CindEngine {
       .join(dict.select(col("id").as("dep_id"), col("support").as("sup_")),
         "dep_id")
       .select(col("dep_id"), col("ref_id"), col("sup_").as("n"))
-    val cinds = decodeCinds(dict, withN)
+    val cinds = decodeCinds(dict, withN, minSupport)
     val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
     graft.core.CacheOps.cacheResult(out, Seq(lines, agged))
   }
@@ -1117,7 +1132,7 @@ object CindEngine {
     val countsB = filteredPairCounts(binaryLines, binPred, splitThreshold)
     // ---- assemble: one decode; count==support + trivial-ref filter live there
     val cinds = decodeCinds(dict,
-      c11.unionByName(countsA).unionByName(countsB))
+      c11.unionByName(countsA).unionByName(countsB), minSupport)
     val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
     // materialize the compact CIND result, then release the staged caches —
     // without this every call leaks lines/c11/countsA blocks for the session

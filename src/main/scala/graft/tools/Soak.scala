@@ -45,6 +45,43 @@ object Soak {
     def reset(): Unit = { totalWrite = 0L; maxStageWrite = 0L }
   }
 
+  /** Streaming state tally (round-12, VERDICT r11 item 5): a global
+    * StreamingQueryListener recording, across every micro-batch of the
+    * soaked query, the peak state-store row count / memory and the final
+    * event-time watermark vs the max observed event time — the numbers
+    * that decide whether state is bounded at a decade. Progress events
+    * are async like the stage bus; [[run]]'s quiet-poll covers both. */
+  private final class StreamTally
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    @volatile var maxStateRows = 0L
+    @volatile var maxStateMem = 0L
+    @volatile var lastWatermark = ""
+    @volatile var lastMaxEventTime = ""
+    @volatile var nBatches = 0L
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      nBatches += 1
+      val rows = p.stateOperators.map(_.numRowsTotal).sum
+      val mem = p.stateOperators.map(_.memoryUsedBytes).sum
+      if (rows > maxStateRows) maxStateRows = rows
+      if (mem > maxStateMem) maxStateMem = mem
+      val et = p.eventTime
+      if (et != null) {
+        val wm = et.get("watermark")
+        if (wm != null) lastWatermark = wm
+        val mx = et.get("max")
+        if (mx != null) lastMaxEventTime = mx
+      }
+    }
+    def reset(): Unit = {
+      maxStateRows = 0L; maxStateMem = 0L
+      lastWatermark = ""; lastMaxEventTime = ""; nBatches = 0L
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val shards = args.lift(1).map(_.toInt).getOrElse(10)
@@ -69,6 +106,11 @@ object Soak {
       .config("spark.sql.shuffle.partitions", cpus.toInt)
     objAggThreshold.foreach(v => builder.config(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", v))
+    // opt-in shuffle codec swap (SPARK_GRAFT_SHUFFLE_CODEC=zstd): the
+    // sf10 CIND attempts die on SCRATCH DISK, not CPU — zstd's better
+    // ratio over lz4 trades compression cycles for the binding resource
+    sys.env.get("SPARK_GRAFT_SHUFFLE_CODEC").foreach(v =>
+      builder.config("spark.io.compression.codec", v))
     val spark = builder
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -76,6 +118,8 @@ object Soak {
       .getOrCreate()
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
+    val streamTally = new StreamTally
+    spark.streams.addListener(streamTally)
 
     // ---- sharded sf1-scale inputs, materialized once so query timings
     // measure the pipelines, not the input expansion
@@ -121,6 +165,7 @@ object Soak {
     // from the same single execution.
     def run(name: String, body: => DataFrame): Unit = {
       tally.reset()
+      streamTally.reset()
       val obs = org.apache.spark.sql.Observation(name)
       val t0 = System.nanoTime()
       body.observe(obs, count(lit(1)).as("rows"))
@@ -135,9 +180,17 @@ object Soak {
       while (tally.totalWrite != prev && spins < 50) {
         prev = tally.totalWrite; spins += 1; Thread.sleep(100)
       }
+      val streamed =
+        if (streamTally.nBatches == 0) ""
+        else f""","n_batches":${streamTally.nBatches},""" +
+          f""""max_state_rows":${streamTally.maxStateRows},""" +
+          f""""max_state_mb":${streamTally.maxStateMem / 1e6}%.0f,""" +
+          f""""watermark":"${streamTally.lastWatermark}",""" +
+          f""""max_event_time":"${streamTally.lastMaxEventTime}""""
       println(f"""{"query":"$name","rows":$rows,"sec":$sec%.1f,""" +
         f""""shuffle_write_mb":${tally.totalWrite / 1e6}%.0f,""" +
-        f""""max_stage_shuffle_mb":${tally.maxStageWrite / 1e6}%.0f}""")
+        f""""max_stage_shuffle_mb":${tally.maxStageWrite / 1e6}%.0f""" +
+        streamed + "}")
     }
 
     val which: Set[String] =

@@ -111,6 +111,15 @@ object Soak {
     // ratio over lz4 trades compression cycles for the binding resource
     sys.env.get("SPARK_GRAFT_SHUFFLE_CODEC").foreach(v =>
       builder.config("spark.io.compression.codec", v))
+    // encode-regime selector for the CIND families (see CindEngine
+    // .dictEncodeMaxBroadcastRows): 0 forces the shuffle-join encode
+    // (no driver dict collect), a large value pins the broadcast
+    // hash-map encode. CAUTION measured r12: the fallback's
+    // collect_list regroup has UNBOUNDED array buffers — combining it
+    // with SPARK_GRAFT_OBJ_AGG_FALLBACK pins those in heap and OOMs
+    // exactly like the count-match path the r11 scaladoc warns about.
+    sys.env.get("SPARK_GRAFT_DICT_MAX_BCAST").foreach(v =>
+      builder.config("spark.graft.cind.dictEncodeMaxBroadcastRows", v))
     val spark = builder
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

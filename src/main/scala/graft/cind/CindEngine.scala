@@ -403,6 +403,9 @@ object CindEngine {
         .filter(col("support") >= minSupport)
       val dict = dictWithIds(spark, grouped)
       val nDict = dict.count()
+      System.err.println(s"graft.cind: dict=$nDict captures, encode=" +
+        (if (nDict <= dictEncodeMaxBroadcastRows(spark)) "broadcast-map"
+         else "shuffle-join"))
       // 4. Map-side encode when the dictionary fits the broadcast regime:
       //    it ships once per executor as a broadcast hash map, and the
       //    native dict_encode_ids expression rewrites each line's capture
@@ -606,17 +609,20 @@ object CindEngine {
       col("v1").as("dep_v1"), col("support").as("dep_support"))
     val refSide = unary.select(col("id").as("ref_id"), col("code").as("ref_code"),
       col("v1").as("ref_v1"))
+    // size-conditional dict hints, the decodeCinds policy: forced
+    // broadcast inside the regime (measured faster than the unhinted
+    // plan), plain partitioned joins past it (a forced hint there is the
+    // first thing to die at 100x)
+    val inRegime =
+      dict.count() <= dictEncodeMaxBroadcastRows(triples.sparkSession)
+    def hinted(side: DataFrame) = if (inRegime) broadcast(side) else side
     val out = expandCounts(keys)
       // overlaps below minSupport can never certify a CIND nor survive the
       // reference's candidate filters — dropping them pre-decode keeps the
       // materialized relation proportional to the useful candidates
       .filter(col("n") >= minSupport)
-      // UNHINTED dict joins (r10 lesson, commit 76b551b; r11 sf10 finding):
-      // AQE broadcasts the dict sides while they fit and degrades to a
-      // partitioned join when the corpus outgrows the regime — a forced
-      // hint here dies first at 100x
-      .join(depSide, "dep_id")
-      .join(refSide, "ref_id")
+      .join(hinted(depSide), "dep_id")
+      .join(hinted(refSide), "ref_id")
       .select(col("dep_code"), col("dep_v1"), col("ref_code"), col("ref_v1"),
         col("n").as("overlap"), col("dep_support"))
     graft.core.CacheOps.cacheResult(out, internal.result())
@@ -625,31 +631,46 @@ object CindEngine {
   /** Decode directed counts into CIND rows: keep pairs whose co-count
     * equals the dep's support, drop trivially-implied refs, resolve IDs.
     *
-    * Decode-LAST shape (r11 sf5 soak: the decode exchange was the shared
-    * 23.8 GB max stage of every strategy): (1) a map-side support floor —
-    * a co-count below minSupport can never equal a support that is >=
-    * minSupport by construction, so the bulk of the candidate stream dies
-    * BEFORE any decode join; (2) the survival decision (`n === support`)
-    * probes a NARROW (dep_id, support) projection — two longs per dict
-    * row, broadcastable an order of magnitude past where the full string
-    * dictionary leaves the regime; (3) the string columns attach only to
-    * the FINAL CIND set, so the wide join input is the result, not the
-    * candidate stream. */
+    * SIZE-CONDITIONAL shape (the encode valve's twin, both regimes
+    * measured at the r12 sf5 soak): below dictEncodeMaxBroadcastRows the
+    * dict sides carry explicit broadcast hints — the regime every bench
+    * query lives in, and forcing it beat the unhinted plan by ~1.4x wall
+    * at sf5 (623-vs-900 s class readings; AQE alone will not broadcast a
+    * 3M-row dict past autoBroadcastJoinThreshold). Past the threshold no
+    * hint is forced and the decode goes partitioned decode-LAST: a
+    * map-side support floor (a co-count below minSupport can never equal
+    * a support >= minSupport), the survival decision against a NARROW
+    * (dep_id, support) two-long projection, and the string columns
+    * attached only to the surviving final CIND set. The support floor is
+    * a strict win and applies in both regimes. */
   private def decodeCinds(dict: DataFrame, counts: DataFrame,
       minSupport: Int): Dataset[CindRow] = {
     import dict.sparkSession.implicits._
-    val sup = dict.select(col("id").as("dep_id"), col("support"))
-    val depSide = dict.select(col("id").as("dep_id"), col("code").as("dep_code"),
-      col("v1").as("dep_v1"), col("v2").as("dep_v2"))
+    val spark = dict.sparkSession
+    val floored = counts.filter(col("n") >= minSupport)
     val refSide = dict.select(col("id").as("ref_id"), col("code").as("ref_code"),
       col("v1").as("ref_v1"), col("v2").as("ref_v2"))
-    counts
-      .filter(col("n") >= minSupport)
-      // unhinted: AQE picks broadcast while the dict fits (see unaryOverlaps)
-      .join(sup, "dep_id")
-      .filter(col("n") === col("support")) // dep ⊑ ref iff co-count == support
-      .join(depSide, "dep_id")
-      .join(refSide, "ref_id")
+    val kept =
+      if (dict.count() <= dictEncodeMaxBroadcastRows(spark)) {
+        val depSide = dict.select(col("id").as("dep_id"),
+          col("code").as("dep_code"), col("v1").as("dep_v1"),
+          col("v2").as("dep_v2"), col("support"))
+        floored
+          .join(broadcast(depSide), "dep_id")
+          .filter(col("n") === col("support")) // dep ⊑ ref iff co-count == support
+          .join(broadcast(refSide), "ref_id")
+      } else {
+        val sup = dict.select(col("id").as("dep_id"), col("support"))
+        val depSide = dict.select(col("id").as("dep_id"),
+          col("code").as("dep_code"), col("v1").as("dep_v1"),
+          col("v2").as("dep_v2"))
+        floored
+          .join(sup, "dep_id")
+          .filter(col("n") === col("support"))
+          .join(depSide, "dep_id")
+          .join(refSide, "ref_id")
+      }
+    kept
       // drop refs trivially implied by a binary dep (its own unary subs) —
       // sound post-aggregation: it only removes output rows, never counts
       .filter(!(col("ref_v2") === "" &&
@@ -940,9 +961,13 @@ object CindEngine {
       .toDF("dep_id", "ref_id")
     // decode reuses the count==support filter trivially: every surviving
     // pair IS at full support by construction of the intersections
+    // size-conditional dict hint (the decodeCinds policy): this
+    // projection is two longs per dict row, so it stays hintable well
+    // past the string dict's regime — same threshold keeps one policy
+    val supSide = dict.select(col("id").as("dep_id"), col("support").as("sup_"))
     val withN = exactPairs.unionByName(verifiedPairs)
-      // unhinted dict join: AQE broadcasts while the dict fits the regime
-      .join(dict.select(col("id").as("dep_id"), col("support").as("sup_")),
+      .join(if (dict.count() <= dictEncodeMaxBroadcastRows(spark))
+          broadcast(supSide) else supSide,
         "dep_id")
       .select(col("dep_id"), col("ref_id"), col("sup_").as("n"))
     val cinds = decodeCinds(dict, withN, minSupport)

@@ -7,6 +7,11 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // encode/decode regime selector, as in Soak: 0 forces the CIND
+      // shuffle-join encode + partitioned decode-last for plan audits
+      .config("spark.graft.cind.dictEncodeMaxBroadcastRows",
+        sys.env.getOrElse("SPARK_GRAFT_DICT_MAX_BCAST",
+          graft.cind.CindEngine.DefaultDictEncodeMaxBroadcastRows.toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"

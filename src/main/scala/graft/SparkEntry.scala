@@ -1633,6 +1633,12 @@ object SparkEntry {
       graft.multimodal.Video.decodeVideoMeta(
           graft.multimodal.Video.videoTable420(docs(s, dir)))
         .toDF().orderBy("doc_id")),
+    "mm_video_c420_frame_hashes" -> ((s, dir) =>
+      // the SAME frame-hash operator over 4:2:0 containers: frames()
+      // returns luma planes, so dHash is colorspace-invariant by contract
+      graft.multimodal.Video.frameHashes(
+          graft.multimodal.Video.videoTable420(docs(s, dir)))
+        .orderBy("doc_id", "frame_idx")),
     "mm_video_frame_hashes" -> ((s, dir) => // decode in mapPartitions, dHash codegen'd
       graft.multimodal.Video.frameHashes(
           graft.multimodal.Video.videoTable(docs(s, dir)))
@@ -2797,6 +2803,12 @@ object SparkEntry {
         "CAST(d.fn AS INTEGER) AS fps_num, CAST(d.fd AS INTEGER) AS fps_den, " +
         "CAST(d.nf AS INTEGER) AS n_frames, c.checksum " +
         "FROM vhd d JOIN vcs c USING (doc_id) ORDER BY d.doc_id"),
+    // y4mHashCtes reads vf(doc_id, w, h, nf, k, fpay), which the 420 CTEs
+    // emit with the LUMA payload — the same luma-only contract frames()
+    // gives the Spark side, so the hash formula is shared verbatim
+    "mm_video_c420_frame_hashes" ->
+      (s"WITH ${y4mCtes420("documents")}, $y4mHashCtes " +
+        "SELECT doc_id, frame_idx, fhash FROM vh ORDER BY 1, 2"),
     "mm_video_frame_hashes" ->
       (s"WITH ${y4mCtes("documents")}, $y4mHashCtes " +
         "SELECT doc_id, frame_idx, fhash FROM vh ORDER BY 1, 2"),

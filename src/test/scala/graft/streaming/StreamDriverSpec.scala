@@ -315,4 +315,31 @@ class StreamDriverSpec extends SparkSpec {
     assert(got.contains(("a", 0L, 0L, 2L, 3L, 2L, 1333L))) // 1000*2*2 div 3
     assert(!got.exists(_._1 == "__sentinel__"))
   }
+
+  test("file sink resumes from checkpoint: state recovered, exactly-once files") {
+    // the production contract behind the *_fsink queries: stop the query
+    // after batch 1, start a NEW query on the SAME checkpoint + sink, feed
+    // batch 2 — the dedup state must survive the restart (cross-restart
+    // duplicates suppressed) and the committed files must hold each output
+    // row exactly once (the sink's _spark_metadata transaction log)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("fsink_resume_")
+    val data = base.resolve("data").toString
+    val ckpt = base.resolve("ckpt").toString
+    def start() = StreamingDedup.firstSeen(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("parquet").option("path", data)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa")) // in-batch dup: drop 3
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start() // resumes from the checkpoint's offsets + state
+    in.addData((4L, "bbb"), (5L, "ccc"), (6L, "aaa")) // 4,6 dup ACROSS restart
+    q2.processAllAvailable(); q2.stop()
+    val kept = spark.read.parquet(data).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    // exactly-once: each keeper once, restart replayed nothing, state held
+    assert(kept == Seq(1L, 2L, 5L))
+  }
 }

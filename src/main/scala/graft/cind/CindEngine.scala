@@ -341,11 +341,15 @@ object CindEngine {
     * hub join lines narrow and the pair fan-out quadratic-safe.
     */
   /** The pruned, dictionary-encoded join lines shared by discovery and the
-    * join-line statistics: returns (dict, lines) where dict is the
-    * persisted frequent-capture dictionary (code, v1, v2, support, id) and
-    * lines is (join_val, ids ARRAY<LONG>). */
+    * join-line statistics: returns (dict, lines, nDict) where dict is the
+    * persisted frequent-capture dictionary (code, v1, v2, support, ch, id),
+    * lines is (join_val, ids ARRAY<LONG>), and nDict is the dictionary's
+    * counted size — threaded to every downstream regime decision so the
+    * whole strategy call makes exactly ONE broadcast-vs-partitioned choice
+    * (r12 VERDICT: three independent dict.count() re-decisions could in
+    * principle diverge if the conf changed mid-query). */
   /** Dictionary size above which the encode abandons the driver-collect +
-    * broadcast-hash-map regime for a shuffle equi-join (SURVEY §5
+    * broadcast-array regime for a shuffle equi-join (SURVEY §5
     * hard-part 5's partitioned fallback; the r11 sf10 soak measured the
     * engine leaving the broadcast regime past ~50M triples). Tunable per
     * session: `spark.conf.set("spark.graft.cind.dictEncodeMaxBroadcastRows", n)`. */
@@ -355,12 +359,96 @@ object CindEngine {
     spark.conf.getOption("spark.graft.cind.dictEncodeMaxBroadcastRows")
       .map(_.toLong).getOrElse(DefaultDictEncodeMaxBroadcastRows)
 
+  /** Per-value capture count above which the FALLBACK regroup pre-salts a
+    * join value across aggregation buffers (VERDICT r12 #2: a hot value
+    * otherwise builds its whole id array in ONE collect_list buffer — the
+    * single-row memory hazard of the shuffle-encode regime). Values past
+    * the threshold split into ceil(n/threshold) salted sub-groups first
+    * (each buffer bounded ≈ threshold longs), and only those few hot
+    * values pay a second, tiny concat aggregation. Intersection/counting
+    * downstream is order- and duplicate-insensitive, so results are
+    * unchanged (spec-pinned). */
+  val DefaultHotLineSaltThreshold = 1 << 16
+
+  private[cind] def hotLineSaltThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.cind.hotLineSaltThreshold")
+      .map(_.toInt).getOrElse(DefaultHotLineSaltThreshold)
+
+  /** Regime decisions print to stderr only when asked (ADVICE r12: library
+    * code must not emit unconditional stderr noise per invocation). */
+  private[cind] def cindVerbose(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.cind.verbose").exists(_.toBoolean)
+
+  /** 64-bit capture key — the shuffle-compression move of the r13 reshape
+    * (reference CreateHashes/ConditionCompressor: compress BEFORE the
+    * expensive exchanges). The full-data line-formation exchange carries
+    * these 8-byte keys instead of (code, v1, v2) string structs; capture
+    * STRINGS re-attach at dictionary scale only (see [[encodedJoinLines]]
+    * step 4). Unlike [[condHash]] (where a collision merely over-admits),
+    * a capture-hash collision would merge two capture identities, so the
+    * dictionary build CHECKS for collisions and aborts — the reference's
+    * own CheckHashCollisions contract (A15). The salt conf gives a
+    * deterministic re-run escape hatch on the ~2^-40 collision event. */
+  private def captureHash(spark: SparkSession, code: Column, v1: Column,
+      v2: Column): Column = {
+    val salt = spark.conf.getOption("spark.graft.cind.captureHashSalt")
+      .map(_.toLong).getOrElse(0L)
+    xxhash64(lit(salt), code, v1, v2)
+  }
+
+  /** Abort on capture-hash collision: two distinct frequent captures
+    * sharing a hash would merge identities (wrong supports, wrong CINDs).
+    * Collisions confined to infrequent captures are provably harmless —
+    * a merged support below minSupport bounds each member's support below
+    * minSupport — and frequent-side collisions always surface here because
+    * the frequent-hash Bloom filter admits every colliding string tuple
+    * into the dictionary join. Dictionary-scale: two cached counts. */
+  private def requireNoHashCollisions(dict: DataFrame, nDict: Long): Unit = {
+    val distinct = dict.select("ch").distinct().count()
+    if (distinct != nDict)
+      throw new IllegalStateException(
+        s"graft.cind: capture-hash collision (${nDict - distinct} of $nDict " +
+          "dictionary entries share a 64-bit hash). Set " +
+          "spark.graft.cind.captureHashSalt to a different value and re-run " +
+          "(reference CheckHashCollisions semantics).")
+  }
+
+  /** Salted two-phase regroup of (join_val, id, nsalt) rows into
+    * (join_val, ids): phase 1 groups by (join_val, salt) with every
+    * aggregation buffer bounded ≈ the salt threshold; phase 2 concatenates
+    * ONLY the salted (hot) values' parts — buffer count there is the hot
+    * value count, never the value vocabulary. The narrow branch and the
+    * hot branch read the SAME phase-1 exchange (Spark reuses the identical
+    * exchange subtree), so the stream shuffles once. */
+  private def saltedLines(tagged: DataFrame): DataFrame = {
+    val phase1 = tagged
+      .withColumn("salt", pmod(hash(col("id")), col("nsalt")))
+      .groupBy(col("join_val"), col("nsalt"), col("salt"))
+      .agg(collect_list(col("id")).as("part"))
+    phase1.filter(col("nsalt") === 1)
+      .select(col("join_val"), col("part").as("ids"))
+      .unionAll(phase1.filter(col("nsalt") > 1)
+        .groupBy("join_val")
+        .agg(flatten(collect_list(col("part"))).as("ids")))
+  }
+
+  /** [[saltedLines]] when per-value sizes are not already known from a
+    * cached array column: one extra combinable count-by-key exchange
+    * derives nsalt — the valve's price in the two-pass (bloomCaptures)
+    * shape. */
+  private def boundedRegroupCounted(rows: DataFrame, hot: Int): DataFrame = {
+    val counts = rows.groupBy("join_val").agg(count(lit(1)).as("n_"))
+    saltedLines(rows.join(counts, "join_val")
+      .select(col("join_val"), col("id"),
+        (floor((col("n_") - 1) / lit(hot)) + 1).cast("int").as("nsalt")))
+  }
+
   private[cind] def encodedJoinLines(triples: DataFrame, minSupport: Int,
       bloomConditions: Boolean = false,
       arRules: Option[DataFrame] = None,
       bloomCaptures: Boolean = false,
       expectedCaptures: Long = 10000000L,
-      projections: String = "spo"): (DataFrame, DataFrame) = {
+      projections: String = "spo"): (DataFrame, DataFrame, Long) = {
     // 1. Condition-frequency pruning first (reference FrequentConditionPlanner
     //    order): a cheap map-side-combinable count that typically halves the
     //    instance stream before anything expensive runs. Bloom mode swaps
@@ -382,115 +470,153 @@ object CindEngine {
       case None => pruned0
     }
     val spark = triples.sparkSession
+    import spark.implicits._
+    val capH = captureHash(spark, col("code"), col("v1"), col("v2"))
+    // Capture strings for the dictionary, attached at DICTIONARY scale
+    // (r13 reshape): a second columnar pass over the instance fan-out,
+    // Bloom-filtered map-side to ~frequent captures before its (small)
+    // dedup exchange. No condition pruning needed — the inner join against
+    // the supports relation is the exact gate (over-admitted strings just
+    // drop there), so this pass is scan + broadcast-BF probe + dict-scale
+    // shuffle. AR-pruned captures never enter the lines, hence never the
+    // supports relation, hence never this dictionary.
+    def capStrings(bf: org.apache.spark.broadcast.Broadcast[graft.core.BloomFilter])
+        : DataFrame =
+      captureInstances(triples, projections)
+        .select(col("code"), col("v1"), col("v2"))
+        .filter(bloomContains(bf, capH))
+        .dropDuplicates("code", "v1", "v2")
+    def logRegime(nDict: Long): Unit =
+      if (cindVerbose(spark))
+        System.err.println(s"graft.cind: dict=$nDict captures, encode=" +
+          (if (nDict <= dictEncodeMaxBroadcastRows(spark)) "broadcast-map"
+           else "shuffle-join"))
+    // Broadcast-regime dictionary shape: two parallel primitive arrays
+    // (hashes sorted, ids aligned) probed by binary search inside codegen.
+    def hashEncoder(dict: DataFrame, chs: Column): Column = {
+      val pairs = dict.select("ch", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val hB = spark.sparkContext.broadcast(pairs.map(_._1))
+      val iB = spark.sparkContext.broadcast(pairs.map(_._2))
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.HashDictEncodeIds(
+          org.apache.spark.sql.graft.ColumnBridge.expression(chs), hB, iB))
+    }
     if (!bloomCaptures) {
       // 2. ONE full-data shuffle: group instances by join value directly,
-      //    with a partial-aggregating collect_set — the map side dedups
-      //    (capture, join value) duplicates while it combines, so the old
-      //    shape's separate dropDuplicates shuffle and the re-group of the
-      //    encoded stream into lines both disappear. Caveat at scale: each
+      //    with a partial-aggregating collect_set — and the exchange now
+      //    carries 8-byte capture hashes, not (code, v1, v2) string structs
+      //    (the r12-measured 23.8 GB max stage was exactly this exchange,
+      //    identical across every strategy and encode/decode config; the
+      //    reference compresses before its expensive exchanges too —
+      //    CreateHashes/ConditionCompressor). Caveat at scale: each
       //    aggregation buffer holds one join value's distinct
       //    condition-frequent captures; for adversarial hub values use
       //    bloomCaptures=true, which keeps the two-pass shape below.
-      val lines0 = pruned.groupBy("join_val")
-        .agg(collect_set(struct(col("code"), col("v1"), col("v2"))).as("caps"))
+      val lines0 = pruned
+        .select(col("join_val"), capH.as("ch"))
+        .groupBy("join_val")
+        .agg(collect_set(col("ch")).as("chs"))
         .persist()
       lines0.count() // the supports pass AND the encode both read this cache
       // 3. Capture supports from the cached lines: each line is one DISTINCT
-      //    join value, so explode+count == count_distinct(join_val).
-      val grouped = lines0.select(explode(col("caps")).as("c"))
-        .groupBy(col("c.code").as("code"), col("c.v1").as("v1"), col("c.v2").as("v2"))
-        .agg(count(lit(1)).as("support"))
+      //    join value, so explode+count == count_distinct(join_val). All-long
+      //    aggregation now.
+      val grouped = lines0.select(explode(col("chs")).as("ch"))
+        .groupBy("ch").agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)
-      val dict = dictWithIds(spark, grouped)
+        .persist() // read by the BF build AND the dictionary string attach
+      // 4. Frequent-capture Bloom filter (dict-sized, fixed-width) + the
+      //    string-attach pass + collision check (reference A15).
+      val bfFreq = spark.sparkContext.broadcast(
+        buildBloomLongs(grouped.select("ch").as[Long], expectedCaptures, 0.01))
+      val dict = dictWithIds(spark,
+        capStrings(bfFreq).withColumn("ch", capH).join(grouped, "ch")
+          .select(col("code"), col("v1"), col("v2"), col("support"), col("ch")))
       val nDict = dict.count()
-      System.err.println(s"graft.cind: dict=$nDict captures, encode=" +
-        (if (nDict <= dictEncodeMaxBroadcastRows(spark)) "broadcast-map"
-         else "shuffle-join"))
-      // 4. Map-side encode when the dictionary fits the broadcast regime:
-      //    it ships once per executor as a broadcast hash map, and the
-      //    native dict_encode_ids expression rewrites each line's capture
+      grouped.unpersist()
+      requireNoHashCollisions(dict, nDict)
+      logRegime(nDict)
+      // 5. Map-side encode when the dictionary fits the broadcast regime:
+      //    it ships once per executor as two primitive long arrays, and the
+      //    native hash_dict_encode_ids expression rewrites each line's hash
       //    array to frequent-capture ids in place. The grouped lines never
-      //    re-shuffle; lines reduced to zero frequent captures drop out
-      //    (they fed neither pairs nor the histogram before either).
+      //    re-shuffle; lines reduced to zero frequent captures drop out.
       //    SCALE VALVE (SURVEY §5 hard-part 5, forced by the r11 sf10
       //    broadcast-regime finding): past dictEncodeMaxBroadcastRows the
-      //    driver-side collect + executor hash maps are the first thing to
+      //    driver-side collect + executor arrays are the first thing to
       //    die, so the encode falls back to a shuffle equi-join — explode
-      //    the cached lines' capture arrays, inner-join the dict on the
-      //    capture key (infrequent captures drop out exactly as the map
-      //    miss dropped them), regroup by join value. Two exchanges
-      //    instead of zero, but every structure stays partitioned.
+      //    the cached lines' hash arrays, BF-drop infrequent hashes
+      //    MAP-SIDE before the exchange (VERDICT r12 #3: the old fallback
+      //    joined the full exploded stream), inner-join the dict on the
+      //    8-byte hash, and regroup by join value through the salted
+      //    bounded regroup (VERDICT r12 #2) — nsalt rides the explode for
+      //    free from the cached array sizes. Two exchanges instead of
+      //    zero, but every structure stays partitioned.
       val lines =
         if (nDict <= dictEncodeMaxBroadcastRows(spark)) {
-          val dictMap = new java.util.HashMap[String, java.lang.Long]()
-          dict.select("code", "v1", "v2", "id").collect().foreach { r =>
-            dictMap.put(graft.functions.DictEncodeIds.key(
-              r.getInt(0), r.getString(1), r.getString(2)), r.getLong(3))
-          }
-          val bcast = spark.sparkContext.broadcast(dictMap)
-          val encoded = org.apache.spark.sql.graft.ColumnBridge.column(
-            graft.functions.DictEncodeIds(
-              org.apache.spark.sql.graft.ColumnBridge.expression(col("caps")), bcast))
-          lines0.select(col("join_val"), encoded.as("ids"))
+          lines0.select(col("join_val"), hashEncoder(dict, col("chs")).as("ids"))
             .filter(size(col("ids")) > 0)
-        } else
-          lines0.select(col("join_val"), explode(col("caps")).as("c"))
-            .select(col("join_val"), col("c.code"), col("c.v1"), col("c.v2"))
-            .join(dict.select("code", "v1", "v2", "id"), Seq("code", "v1", "v2"))
-            .groupBy("join_val").agg(collect_list(col("id")).as("ids"))
-      (dict, lines)
+        } else {
+          val hot = hotLineSaltThreshold(spark)
+          saltedLines(lines0
+            .select(col("join_val"),
+              (floor((size(col("chs")) - 1) / lit(hot)) + 1).cast("int").as("nsalt"),
+              explode(col("chs")).as("ch"))
+            .filter(bloomContains(bfFreq, col("ch")))
+            .join(dict.select(col("ch"), col("id")), "ch")
+            .select(col("join_val"), col("id"), col("nsalt")))
+        }
+      (dict, lines, nDict)
     } else {
       // bloomCaptures — the reference's `--find-frequent-captures` valve
       // (programs/RDFind.scala:376-399: pack frequent captures into a BF)
       // and this engine's skew valve: the two-pass shape never materializes
       // a per-value capture SET before the frequency filter, so hub join
       // values with huge distinct-capture sets stay row-shaped. Pass 1:
-      // dedup shuffle + capture supports; pass 2: BF drops
-      // infrequent-capture instances MAP-SIDE, the survivors encode
-      // MAP-SIDE through the same dict_encode_ids broadcast hash map the
-      // exact path uses (an encode JOIN here shuffled the full deduped
-      // instance stream twice — ~180 MB of map writes at sf0.1 — for a
-      // dictionary that ships everywhere else as a broadcast anyway), and
-      // lines re-group from ids. BF false positives only let extra
-      // instances reach the encode, where the dictionary-map miss drops
-      // them — results identical.
-      val dedup = pruned.dropDuplicates("code", "v1", "v2", "join_val").persist()
-      val grouped = dedup.groupBy("code", "v1", "v2")
+      // dedup shuffle (now over 8-byte capture hashes, not string structs)
+      // + capture supports; pass 2: BF drops infrequent-capture instances
+      // MAP-SIDE, the survivors encode MAP-SIDE through the same
+      // hash_dict_encode_ids broadcast arrays the exact path uses (an
+      // encode JOIN here shuffled the full deduped instance stream twice
+      // for a dictionary that ships everywhere else as a broadcast
+      // anyway), and lines re-group from ids through the salted bounded
+      // regroup. BF false positives only let extra hashes reach the
+      // encode, where the dictionary miss drops them — results identical.
+      val dedup = pruned.select(col("join_val"), capH.as("ch"))
+        .dropDuplicates("join_val", "ch").persist()
+      val grouped = dedup.groupBy("ch")
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)
-      val dict = dictWithIds(spark, grouped)
+        .persist() // read by the BF build AND the dictionary string attach
+      val bfFreq = spark.sparkContext.broadcast(
+        buildBloomLongs(grouped.select("ch").as[Long], expectedCaptures, 0.01))
+      val dict = dictWithIds(spark,
+        capStrings(bfFreq).withColumn("ch", capH).join(grouped, "ch")
+          .select(col("code"), col("v1"), col("v2"), col("support"), col("ch")))
       val nDict = dict.count()
-      import triples.sparkSession.implicits._
-      val keyOf = condHash(col("code"), col("v1"), col("v2"))
-      val bf = buildBloomLongs(grouped.select(keyOf.as("k")).as[Long],
-        expectedCaptures, 0.01)
-      val bfBcast = spark.sparkContext.broadcast(bf)
-      val toEncode = dedup.filter(bloomContains(bfBcast, keyOf))
-      // same scale valve as the exact path: map-side hash-map encode in
-      // the broadcast regime, shuffle equi-join encode past it (the BF
-      // already dropped almost every infrequent instance map-side, so the
-      // join input is the frequent stream either way; join misses play
-      // the dictionary-map-miss role for BF false positives)
+      grouped.unpersist()
+      requireNoHashCollisions(dict, nDict)
+      logRegime(nDict)
+      val toEncode = dedup.filter(bloomContains(bfFreq, col("ch")))
+      // same scale valve as the exact path: map-side broadcast-array encode
+      // in the broadcast regime, shuffle equi-join on the 8-byte hash past
+      // it (the BF already dropped almost every infrequent instance
+      // map-side, so the join input is the frequent stream either way;
+      // join/dictionary misses drop BF false positives)
       val ided =
-        if (nDict <= dictEncodeMaxBroadcastRows(spark)) {
-          val dictMap = new java.util.HashMap[String, java.lang.Long]()
-          dict.select("code", "v1", "v2", "id").collect().foreach { r =>
-            dictMap.put(graft.functions.DictEncodeIds.key(
-              r.getInt(0), r.getString(1), r.getString(2)), r.getLong(3))
-          }
-          val mapBcast = spark.sparkContext.broadcast(dictMap)
-          val encoded = org.apache.spark.sql.graft.ColumnBridge.column(
-            graft.functions.DictEncodeIds(
-              org.apache.spark.sql.graft.ColumnBridge.expression(
-                array(struct(col("code"), col("v1"), col("v2")))), mapBcast))
-          toEncode.select(col("join_val"), explode(encoded).as("id"))
-        } else
-          toEncode.join(dict.select("code", "v1", "v2", "id"),
-              Seq("code", "v1", "v2"))
+        if (nDict <= dictEncodeMaxBroadcastRows(spark))
+          toEncode.select(col("join_val"),
+            explode(hashEncoder(dict, array(col("ch")))).as("id"))
+        else
+          toEncode.join(dict.select("ch", "id"), "ch")
             .select(col("join_val"), col("id"))
-      // collect_list suffices: inputs are already (capture, value)-distinct
-      val lines = ided.groupBy("join_val").agg(collect_list(col("id")).as("ids"))
-      (dict, lines)
+      // inputs are already (capture, value)-distinct; per-value sizes are
+      // unknown in this row shape, so the bounded regroup derives them
+      // with one combinable count-by-key pass (the hot-buffer valve's
+      // price — VERDICT r12 #2)
+      val lines = boundedRegroupCounted(ided, hotLineSaltThreshold(spark))
+      (dict, lines, nDict)
     }
   }
 
@@ -522,7 +648,7 @@ object CindEngine {
     * histogram`, programs/RDFind.scala:449-452 + AnnotateJoinLineSizes):
     * (n_captures, n_lines). */
   def joinLineHistogram(triples: DataFrame, minSupport: Int = DefaultMinSupport): DataFrame = {
-    val (_, lines) = encodedJoinLines(triples, minSupport)
+    val (_, lines, _) = encodedJoinLines(triples, minSupport)
     lines.select(size(col("ids")).as("n_captures"))
       .groupBy("n_captures").agg(count(lit(1)).as("n_lines"))
   }
@@ -583,7 +709,7 @@ object CindEngine {
     * (dep_code, dep_v1, ref_code, ref_v1, overlap, dep_support). */
   def unaryOverlaps(triples: DataFrame, minSupport: Int = DefaultMinSupport,
       sketch: Boolean = true, expectedPairs: Long = 4000000L): DataFrame = {
-    val (dict, lines0) = encodedJoinLines(triples, minSupport)
+    val (dict, lines0, nDict) = encodedJoinLines(triples, minSupport)
     // arity filter BEFORE the quadratic fan-out: the unary bit rides the
     // encoded ids, so binary captures drop out of the lines map-side
     // (roughly halving pair volume) instead of post-aggregation at decode
@@ -614,7 +740,7 @@ object CindEngine {
     // plan), plain partitioned joins past it (a forced hint there is the
     // first thing to die at 100x)
     val inRegime =
-      dict.count() <= dictEncodeMaxBroadcastRows(triples.sparkSession)
+      nDict <= dictEncodeMaxBroadcastRows(triples.sparkSession)
     def hinted(side: DataFrame) = if (inRegime) broadcast(side) else side
     val out = expandCounts(keys)
       // overlaps below minSupport can never certify a CIND nor survive the
@@ -644,14 +770,14 @@ object CindEngine {
     * attached only to the surviving final CIND set. The support floor is
     * a strict win and applies in both regimes. */
   private def decodeCinds(dict: DataFrame, counts: DataFrame,
-      minSupport: Int): Dataset[CindRow] = {
+      minSupport: Int, nDict: Long): Dataset[CindRow] = {
     import dict.sparkSession.implicits._
     val spark = dict.sparkSession
     val floored = counts.filter(col("n") >= minSupport)
     val refSide = dict.select(col("id").as("ref_id"), col("code").as("ref_code"),
       col("v1").as("ref_v1"), col("v2").as("ref_v2"))
     val kept =
-      if (dict.count() <= dictEncodeMaxBroadcastRows(spark)) {
+      if (nDict <= dictEncodeMaxBroadcastRows(spark)) {
         val depSide = dict.select(col("id").as("dep_id"),
           col("code").as("dep_code"), col("v1").as("dep_v1"),
           col("v2").as("dep_v2"), col("support"))
@@ -690,11 +816,11 @@ object CindEngine {
       arRules: Option[DataFrame] = None): Dataset[CindRow] = {
     // expectedFrequentKeys sizes BOTH Bloom paths (reference rule:
     // estimated triples / minSupport, FrequentConditionPlanner.scala:34-38)
-    val (dict, lines) = encodedJoinLines(triples, minSupport, bloomConditions,
+    val (dict, lines, nDict) = encodedJoinLines(triples, minSupport, bloomConditions,
       arRules = arRules,
       bloomCaptures = bloomCaptures, expectedCaptures = expectedFrequentKeys,
       projections = projections)
-    val cinds = decodeCinds(dict, overlapCounts(lines, splitThreshold), minSupport)
+    val cinds = decodeCinds(dict, overlapCounts(lines, splitThreshold), minSupport, nDict)
     arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
   }
 
@@ -789,14 +915,15 @@ object CindEngine {
       expectedFrequentKeys: Long = 10000000L,
       projections: String = "spo",
       arRules: Option[DataFrame] = None): Dataset[CindRow] = {
-    val (dict, lines0) = encodedJoinLines(triples, minSupport, bloomConditions,
+    val (dict, lines0, nDict) = encodedJoinLines(triples, minSupport, bloomConditions,
       arRules = arRules, bloomCaptures = bloomCaptures,
       expectedCaptures = expectedFrequentKeys, projections = projections)
     val lines = lines0.persist()
     lines.count() // both rounds read the lines; materialize once
     val keys = pairKeys(lines, splitThreshold)
     val cinds = decodeCinds(dict,
-      expandCounts(sketchPrunedKeys(keys, minSupport, expectedPairs)), minSupport)
+      expandCounts(sketchPrunedKeys(keys, minSupport, expectedPairs)), minSupport,
+      nDict)
     val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
     graft.core.CacheOps.cacheResult(out, Seq(lines))
   }
@@ -885,7 +1012,7 @@ object CindEngine {
     require(spillThreshold > 0, "spillThreshold must be positive")
     val spark = triples.sparkSession
     import spark.implicits._
-    val (dict, lines0) = encodedJoinLines(triples, minSupport, bloomConditions,
+    val (dict, lines0, nDict) = encodedJoinLines(triples, minSupport, bloomConditions,
       arRules = arRules, bloomCaptures = bloomCaptures,
       expectedCaptures = expectedFrequentKeys, projections = projections)
     val lines = lines0.persist()
@@ -966,11 +1093,11 @@ object CindEngine {
     // past the string dict's regime — same threshold keeps one policy
     val supSide = dict.select(col("id").as("dep_id"), col("support").as("sup_"))
     val withN = exactPairs.unionByName(verifiedPairs)
-      .join(if (dict.count() <= dictEncodeMaxBroadcastRows(spark))
+      .join(if (nDict <= dictEncodeMaxBroadcastRows(spark))
           broadcast(supSide) else supSide,
         "dep_id")
       .select(col("dep_id"), col("ref_id"), col("sup_").as("n"))
-    val cinds = decodeCinds(dict, withN, minSupport)
+    val cinds = decodeCinds(dict, withN, minSupport, nDict)
     val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
     graft.core.CacheOps.cacheResult(out, Seq(lines, agged))
   }
@@ -1058,7 +1185,7 @@ object CindEngine {
       arRules: Option[DataFrame] = None): Dataset[CindRow] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val (dict, lines0) = encodedJoinLines(triples, minSupport, bloomConditions,
+    val (dict, lines0, nDictL) = encodedJoinLines(triples, minSupport, bloomConditions,
       arRules = arRules, bloomCaptures = bloomCaptures,
       expectedCaptures = expectedFrequentKeys, projections = projections)
     val lines = lines0.persist()
@@ -1100,7 +1227,7 @@ object CindEngine {
     // lit(Array[Long]): a literal re-serializes the whole |dict|-sized
     // array into every task's plan for both probing stages — megabytes
     // per task once the dictionary reaches cluster-scale cardinality.
-    val nDict = dict.count().toInt
+    val nDict = nDictL.toInt
     val sub1Arr = new Array[Long](nDict)
     val sub2Arr = new Array[Long](nDict)
     subsArr.foreach { case (b, s1, s2) =>
@@ -1157,7 +1284,7 @@ object CindEngine {
     val countsB = filteredPairCounts(binaryLines, binPred, splitThreshold)
     // ---- assemble: one decode; count==support + trivial-ref filter live there
     val cinds = decodeCinds(dict,
-      c11.unionByName(countsA).unionByName(countsB), minSupport)
+      c11.unionByName(countsA).unionByName(countsB), minSupport, nDictL)
     val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
     // materialize the compact CIND result, then release the staged caches —
     // without this every call leaks lines/c11/countsA blocks for the session

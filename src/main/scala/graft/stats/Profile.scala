@@ -788,13 +788,17 @@ object Profile {
       .distinct()
       .groupBy("arm").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val rows = for { (x, i) <- cols.zipWithIndex;
-        (y, j) <- cols.zipWithIndex if i != j } yield {
-      val nPairs = counts(i * n + j)
-      val nLhs = counts(-(i + 1))
-      (x, y, nLhs, nPairs, nPairs - nLhs, nPairs == nLhs)
-    }
     import df.sparkSession.implicits._
+    // empty input -> empty counts map: return zero rows (the pre-reshape
+    // plan's behavior), never Map.apply on a missing arm
+    val rows =
+      if (counts.isEmpty) Seq.empty[(String, String, Long, Long, Long, Boolean)]
+      else for { (x, i) <- cols.zipWithIndex;
+          (y, j) <- cols.zipWithIndex if i != j } yield {
+        val nPairs = counts.getOrElse(i * n + j, 0L)
+        val nLhs = counts.getOrElse(-(i + 1), 0L)
+        (x, y, nLhs, nPairs, nPairs - nLhs, nPairs == nLhs)
+      }
     rows.toDF("lhs", "rhs", "n_lhs", "n_pairs", "n_violations", "holds")
   }
 

@@ -696,22 +696,28 @@ object StreamDriver {
   private def fileSinkRun[T](spark: SparkSession, prefix: String,
       stream: org.apache.spark.sql.Dataset[T])(
       feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory(prefix)
-    val data = base.resolve("data").toString
-    val ckpt = base.resolve("ckpt").toString
-    val q = stream.writeStream.format("parquet")
-      .option("path", data).option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    try feed(q) finally q.stop()
-    val out = spark.read.parquet(data)
-    val rows = java.util.Arrays.asList(out.collect(): _*)
-    val materialized = spark.createDataFrame(rows, out.schema)
-    // scratch cleanup (data is materialized driver-side already)
     import java.nio.file.{Files, Path}
     import java.util.Comparator
-    Files.walk(base).sorted(Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
-    materialized
+    val base = Files.createTempDirectory(prefix)
+    try {
+      val data = base.resolve("data").toString
+      val ckpt = base.resolve("ckpt").toString
+      val q = stream.writeStream.format("parquet")
+        .option("path", data).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try feed(q) finally q.stop()
+      // explicit schema: a run that committed zero batches reads back as an
+      // empty frame with the stream's schema instead of dying in parquet
+      // schema inference over an empty directory
+      val out = spark.read.schema(stream.schema).parquet(data)
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      spark.createDataFrame(rows, out.schema)
+    } finally {
+      // scratch cleanup on EVERY path — a feed/read-back failure must not
+      // leak the data + checkpoint directories under /tmp
+      Files.walk(base).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 
   /** [[firstSeenStreamed]] through the parquet file sink. */

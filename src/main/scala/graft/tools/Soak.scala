@@ -122,6 +122,8 @@ object Soak {
       builder.config("spark.graft.cind.dictEncodeMaxBroadcastRows", v))
     val spark = builder
       .config("spark.ui.enabled", "false")
+      // soak logs want the CIND encode-regime decision (library default: quiet)
+      .config("spark.graft.cind.verbose", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.log.level", "WARN")
       .getOrCreate()
@@ -188,13 +190,17 @@ object Soak {
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       val rows = obs.get("rows").asInstanceOf[Long]
-      // the listener bus is ASYNC: a short job's stage-completed events
-      // can still be in flight when the write returns, reading as a bogus
-      // 0-MB shuffle. Poll until the tally stops moving (2 quiet reads).
-      var prev = -1L
+      // BOTH listener buses are ASYNC: a short job's stage-completed events
+      // can still be in flight when the write returns (bogus 0-MB shuffle),
+      // and the LAST micro-batch's progress event lands on the separate
+      // StreamingQueryListener bus after the query stops (under-reported
+      // n_batches/max_state_rows). Poll until BOTH tallies stop moving.
+      var prev = (-1L, -1L, -1L)
       var spins = 0
-      while (tally.totalWrite != prev && spins < 50) {
-        prev = tally.totalWrite; spins += 1; Thread.sleep(100)
+      while ((tally.totalWrite, streamTally.nBatches,
+          streamTally.maxStateRows) != prev && spins < 50) {
+        prev = (tally.totalWrite, streamTally.nBatches, streamTally.maxStateRows)
+        spins += 1; Thread.sleep(100)
       }
       val streamed =
         if (streamTally.nBatches == 0) ""

@@ -239,6 +239,69 @@ class CindEngineSpec extends SparkSpec {
     assert(got == bruteForce(tiny, 2))
   }
 
+  test("fallback regroup salts hot join values: one synthetic mega-value, identical lines") {
+    // VERDICT r12 #2 done-criterion: a join value co-occurring with >= 1e5
+    // captures must pass the shuffle-encode fallback under SMALL shuffle
+    // partitions (the spec session runs 4) without any unbounded
+    // collect_list buffer — the salted two-phase regroup splits it into
+    // ceil(n/threshold) bounded sub-buffers — and the regrouped lines must
+    // decode IDENTICALLY to the broadcast-regime encode.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, explode, lit}
+    val n = 60000
+    // every triple shares pred "p" and obj "hub": the o-projected join line
+    // for "hub" (and the p-projected line for "p") holds 2n+1 captures
+    val triples = spark.range(n).select(
+      concat(lit("s"), col("id")).as("subj"), lit("p").as("pred"),
+      lit("hub").as("obj"))
+    def decodedLines(forceFallback: Boolean)
+        : (Map[String, Set[(Int, String, String)]], Map[String, Int]) = {
+      if (forceFallback) {
+        spark.conf.set("spark.graft.cind.dictEncodeMaxBroadcastRows", "0")
+        spark.conf.set("spark.graft.cind.hotLineSaltThreshold", "1000")
+      }
+      try {
+        val (dict, lines, _) = CindEngine.encodedJoinLines(triples, minSupport = 1)
+        val rows = lines.select(col("join_val"), explode(col("ids")).as("id"))
+          .join(dict.select(col("id"), col("code"), col("v1"), col("v2")), "id")
+          .select(col("join_val"), col("code"), col("v1"), col("v2"))
+          .collect()
+        val byVal = rows.groupBy(_.getString(0))
+        (byVal.map { case (jv, rs) =>
+           jv -> rs.map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSet },
+         byVal.map { case (jv, rs) => jv -> rs.length })
+      } finally if (forceFallback) {
+        spark.conf.unset("spark.graft.cind.dictEncodeMaxBroadcastRows")
+        spark.conf.unset("spark.graft.cind.hotLineSaltThreshold")
+      }
+    }
+    val (salted, saltedLens) = decodedLines(forceFallback = true)
+    val (bcast, _) = decodedLines(forceFallback = false)
+    assert(salted("hub").size == 2 * n + 1) // the mega line: >= 1e5 captures
+    // no id duplicated by the salting (each line's ids stay a set)
+    saltedLens.foreach { case (jv, len) => assert(len == salted(jv).size, jv) }
+    assert(salted == bcast)
+  }
+
+  test("salted regroup is result-identical on the standard fixture (extreme salting)") {
+    // hotLineSaltThreshold = 1 makes EVERY value hot (nsalt = line width):
+    // maximum split pressure through both fallback regroups (exact and
+    // bloomCaptures shapes) must leave the CIND set bit-identical
+    def key(r: CindRow) = (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+      Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)
+    def run(bloomCaps: Boolean) = CindEngine.allCinds(toDF(tiny), minSupport = 2,
+      bloomCaptures = bloomCaps).collect().map(key).toSet
+    spark.conf.set("spark.graft.cind.dictEncodeMaxBroadcastRows", "0")
+    spark.conf.set("spark.graft.cind.hotLineSaltThreshold", "1")
+    try {
+      assert(run(bloomCaps = false) == bruteForce(tiny, 2))
+      assert(run(bloomCaps = true) == bruteForce(tiny, 2))
+    } finally {
+      spark.conf.unset("spark.graft.cind.dictEncodeMaxBroadcastRows")
+      spark.conf.unset("spark.graft.cind.hotLineSaltThreshold")
+    }
+  }
+
   test("projection restriction equals full discovery filtered to those projections") {
     val full = CindEngine.allCinds(toDF(tiny), 2).collect().toSet
     val sOnly = CindEngine.allCinds(toDF(tiny), 2, projections = "s").collect().toSet

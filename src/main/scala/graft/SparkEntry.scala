@@ -1013,6 +1013,19 @@ object SparkEntry {
       graft.streaming.StreamDriver.firstSeenFileSink(s, batches)
         .orderBy("doc_id")
     }),
+    "dedup_stream_first_seen_fsrc" -> ((s, dir) => {
+      // END-TO-END file pipeline: parquet file SOURCE (two-wave incremental
+      // directory pickup) -> first-seen state machine -> parquet file sink.
+      // No MemoryStream: the only driver-side collect builds the bounded
+      // test fixture's wave files. Ascending-id waves keep the same min-id
+      // oracle as the memory-sink and fsink twins.
+      import s.implicits._
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val waves = all.grouped(math.max(1, (all.size + 1) / 2)).toSeq
+      graft.streaming.StreamDriver.firstSeenFileSource(s, waves)
+        .orderBy("doc_id")
+    }),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), 50).orderBy("doc_id_a", "doc_id_b")),
     "dedup_minhash_pairs" -> ((s, dir) => // LSH candidates, exact-verified
@@ -2229,6 +2242,9 @@ object SparkEntry {
       "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text) ORDER BY 1",
     // file-sink execution of the same keep-set -> same oracle
     "dedup_stream_first_seen_fsink" ->
+      "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text) ORDER BY 1",
+    // file-source -> state machine -> file-sink execution, same keep-set
+    "dedup_stream_first_seen_fsrc" ->
       "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text) ORDER BY 1",
     "dedup_jaccard_pairs" ->
       s"WITH $tokCte, $shCte, $shcCte, $jaccardSql",

@@ -26,15 +26,21 @@ final case class HybridEvidence(dep: Long, refs: Array[Long], bits: Array[Long])
 /** Hybrid aggregation buffer: exact sorted-intersection ∧ bitwise-AND'd
   * Bloom bits, with flags for which halves have been fed (reference
   * HalfApproximateCindSet's (refConditions, approximateRefConditions,
-  * isExact) triple). `count == 0` marks the zero buffer. */
-final case class HybridCindSet(count: Long, refs: Array[Long], hasExact: Boolean,
+  * isExact) triple). `count == 0` marks the zero buffer. `refs` is the
+  * intersected sorted id set DELTA+VARINT PACKED (SortedOps.packDeltas):
+  * these buffers transit the evidence exchange — the measured max stage
+  * of every CIND strategy at sf5/sf10 — and dictionary ids are dense, so
+  * packing cuts ~8 bytes/ref to ~1-2 on the wire. */
+final case class HybridCindSet(count: Long, refs: Array[Byte], hasExact: Boolean,
     bits: Array[Long], hasBits: Boolean)
 
 /** Exact second-round evidence: refs pre-filtered by round-1 state. */
 final case class LongRefsEvidence(dep: Long, refs: Array[Long])
 
-/** Exact intersection state for the second round. */
-final case class LongRefsSet(count: Long, refs: Array[Long])
+/** Exact intersection state for the second round — refs delta+varint
+  * packed like [[HybridCindSet]]'s (this exchange carries one buffer per
+  * unsure dep per map partition). */
+final case class LongRefsSet(count: Long, refs: Array[Byte])
 
 /** The CIND discovery pipeline, re-expressed Spark-first.
   *
@@ -342,7 +348,7 @@ object CindEngine {
     */
   /** The pruned, dictionary-encoded join lines shared by discovery and the
     * join-line statistics: returns (dict, lines, nDict) where dict is the
-    * persisted frequent-capture dictionary (code, v1, v2, support, ch, id),
+    * persisted frequent-capture dictionary (code, v1, v2, support, id),
     * lines is (join_val, ids ARRAY<LONG>), and nDict is the dictionary's
     * counted size — threaded to every downstream regime decision so the
     * whole strategy call makes exactly ONE broadcast-vs-partitioned choice
@@ -379,39 +385,17 @@ object CindEngine {
   private[cind] def cindVerbose(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.cind.verbose").exists(_.toBoolean)
 
-  /** 64-bit capture key — the shuffle-compression move of the r13 reshape
-    * (reference CreateHashes/ConditionCompressor: compress BEFORE the
-    * expensive exchanges). The full-data line-formation exchange carries
-    * these 8-byte keys instead of (code, v1, v2) string structs; capture
-    * STRINGS re-attach at dictionary scale only (see [[encodedJoinLines]]
-    * step 4). Unlike [[condHash]] (where a collision merely over-admits),
-    * a capture-hash collision would merge two capture identities, so the
-    * dictionary build CHECKS for collisions and aborts — the reference's
-    * own CheckHashCollisions contract (A15). The salt conf gives a
-    * deterministic re-run escape hatch on the ~2^-40 collision event. */
-  private def captureHash(spark: SparkSession, code: Column, v1: Column,
-      v2: Column): Column = {
-    val salt = spark.conf.getOption("spark.graft.cind.captureHashSalt")
-      .map(_.toLong).getOrElse(0L)
-    xxhash64(lit(salt), code, v1, v2)
-  }
-
-  /** Abort on capture-hash collision: two distinct frequent captures
-    * sharing a hash would merge identities (wrong supports, wrong CINDs).
-    * Collisions confined to infrequent captures are provably harmless —
-    * a merged support below minSupport bounds each member's support below
-    * minSupport — and frequent-side collisions always surface here because
-    * the frequent-hash Bloom filter admits every colliding string tuple
-    * into the dictionary join. Dictionary-scale: two cached counts. */
-  private def requireNoHashCollisions(dict: DataFrame, nDict: Long): Unit = {
-    val distinct = dict.select("ch").distinct().count()
-    if (distinct != nDict)
-      throw new IllegalStateException(
-        s"graft.cind: capture-hash collision (${nDict - distinct} of $nDict " +
-          "dictionary entries share a 64-bit hash). Set " +
-          "spark.graft.cind.captureHashSalt to a different value and re-run " +
-          "(reference CheckHashCollisions semantics).")
-  }
+  /** MEASURED NEGATIVE (r13, BASELINE.md): grouping the line-formation
+    * exchange over 8-byte xxhash64 capture keys (strings re-attached at
+    * dictionary scale by a second instance pass) left the 23.8 GB sf5 max
+    * stage UNCHANGED — that stage is the pair/evidence exchange, whose
+    * bytes are set by co-occurrence cardinality, not row format — while
+    * the extra ~1B-row string-dedup pass DOUBLED wall (1271.6 s vs
+    * 623.0 s, identical 8,749,727 rows). LZ4 already crushes the repeated
+    * URI strings in the one line-formation exchange, so the struct shape
+    * below stays; the evidence exchange is attacked where the bytes are
+    * (see [[IntersectHybridCandidates]]' packed buffers).
+    */
 
   /** Salted two-phase regroup of (join_val, id, nsalt) rows into
     * (join_val, ids): phase 1 groups by (join_val, salt) with every
@@ -471,100 +455,84 @@ object CindEngine {
     }
     val spark = triples.sparkSession
     import spark.implicits._
-    val capH = captureHash(spark, col("code"), col("v1"), col("v2"))
-    // Capture strings for the dictionary, attached at DICTIONARY scale
-    // (r13 reshape): a second columnar pass over the instance fan-out,
-    // Bloom-filtered map-side to ~frequent captures before its (small)
-    // dedup exchange. No condition pruning needed — the inner join against
-    // the supports relation is the exact gate (over-admitted strings just
-    // drop there), so this pass is scan + broadcast-BF probe + dict-scale
-    // shuffle. AR-pruned captures never enter the lines, hence never the
-    // supports relation, hence never this dictionary.
-    def capStrings(bf: org.apache.spark.broadcast.Broadcast[graft.core.BloomFilter])
-        : DataFrame =
-      captureInstances(triples, projections)
-        .select(col("code"), col("v1"), col("v2"))
-        .filter(bloomContains(bf, capH))
-        .dropDuplicates("code", "v1", "v2")
     def logRegime(nDict: Long): Unit =
       if (cindVerbose(spark))
         System.err.println(s"graft.cind: dict=$nDict captures, encode=" +
           (if (nDict <= dictEncodeMaxBroadcastRows(spark)) "broadcast-map"
            else "shuffle-join"))
-    // Broadcast-regime dictionary shape: two parallel primitive arrays
-    // (hashes sorted, ids aligned) probed by binary search inside codegen.
-    def hashEncoder(dict: DataFrame, chs: Column): Column = {
-      val pairs = dict.select("ch", "id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      val hB = spark.sparkContext.broadcast(pairs.map(_._1))
-      val iB = spark.sparkContext.broadcast(pairs.map(_._2))
-      org.apache.spark.sql.graft.ColumnBridge.column(
-        graft.functions.HashDictEncodeIds(
-          org.apache.spark.sql.graft.ColumnBridge.expression(chs), hB, iB))
-    }
+    // frequent-capture membership BF over [[condHash]] keys, built at
+    // dictionary scale: the shuffle-encode fallback probes it MAP-SIDE so
+    // infrequent captures never reach the encode join's exchange (VERDICT
+    // r12 #3; the bloomCaptures path has always pre-filtered this way).
+    // False positives only ADMIT extra rows; the inner dict join drops them.
+    def freqCaptureBF(grouped: DataFrame)
+        : org.apache.spark.broadcast.Broadcast[graft.core.BloomFilter] =
+      spark.sparkContext.broadcast(buildBloomLongs(
+        grouped.select(condHash(col("code"), col("v1"), col("v2")).as("k")).as[Long],
+        expectedCaptures, 0.01))
     if (!bloomCaptures) {
       // 2. ONE full-data shuffle: group instances by join value directly,
-      //    with a partial-aggregating collect_set — and the exchange now
-      //    carries 8-byte capture hashes, not (code, v1, v2) string structs
-      //    (the r12-measured 23.8 GB max stage was exactly this exchange,
-      //    identical across every strategy and encode/decode config; the
-      //    reference compresses before its expensive exchanges too —
-      //    CreateHashes/ConditionCompressor). Caveat at scale: each
+      //    with a partial-aggregating collect_set — the map side dedups
+      //    (capture, join value) duplicates while it combines, so the old
+      //    shape's separate dropDuplicates shuffle and the re-group of the
+      //    encoded stream into lines both disappear. Caveat at scale: each
       //    aggregation buffer holds one join value's distinct
       //    condition-frequent captures; for adversarial hub values use
       //    bloomCaptures=true, which keeps the two-pass shape below.
-      val lines0 = pruned
-        .select(col("join_val"), capH.as("ch"))
-        .groupBy("join_val")
-        .agg(collect_set(col("ch")).as("chs"))
+      val lines0 = pruned.groupBy("join_val")
+        .agg(collect_set(struct(col("code"), col("v1"), col("v2"))).as("caps"))
         .persist()
       lines0.count() // the supports pass AND the encode both read this cache
       // 3. Capture supports from the cached lines: each line is one DISTINCT
-      //    join value, so explode+count == count_distinct(join_val). All-long
-      //    aggregation now.
-      val grouped = lines0.select(explode(col("chs")).as("ch"))
-        .groupBy("ch").agg(count(lit(1)).as("support"))
+      //    join value, so explode+count == count_distinct(join_val).
+      val grouped = lines0.select(explode(col("caps")).as("c"))
+        .groupBy(col("c.code").as("code"), col("c.v1").as("v1"), col("c.v2").as("v2"))
+        .agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)
-        .persist() // read by the BF build AND the dictionary string attach
-      // 4. Frequent-capture Bloom filter (dict-sized, fixed-width) + the
-      //    string-attach pass + collision check (reference A15).
-      val bfFreq = spark.sparkContext.broadcast(
-        buildBloomLongs(grouped.select("ch").as[Long], expectedCaptures, 0.01))
-      val dict = dictWithIds(spark,
-        capStrings(bfFreq).withColumn("ch", capH).join(grouped, "ch")
-          .select(col("code"), col("v1"), col("v2"), col("support"), col("ch")))
+      val dict = dictWithIds(spark, grouped)
       val nDict = dict.count()
-      grouped.unpersist()
-      requireNoHashCollisions(dict, nDict)
       logRegime(nDict)
-      // 5. Map-side encode when the dictionary fits the broadcast regime:
-      //    it ships once per executor as two primitive long arrays, and the
-      //    native hash_dict_encode_ids expression rewrites each line's hash
+      // 4. Map-side encode when the dictionary fits the broadcast regime:
+      //    it ships once per executor as a broadcast hash map, and the
+      //    native dict_encode_ids expression rewrites each line's capture
       //    array to frequent-capture ids in place. The grouped lines never
-      //    re-shuffle; lines reduced to zero frequent captures drop out.
+      //    re-shuffle; lines reduced to zero frequent captures drop out
+      //    (they fed neither pairs nor the histogram before either).
       //    SCALE VALVE (SURVEY §5 hard-part 5, forced by the r11 sf10
       //    broadcast-regime finding): past dictEncodeMaxBroadcastRows the
-      //    driver-side collect + executor arrays are the first thing to
+      //    driver-side collect + executor hash maps are the first thing to
       //    die, so the encode falls back to a shuffle equi-join — explode
-      //    the cached lines' hash arrays, BF-drop infrequent hashes
+      //    the cached lines' capture arrays, BF-drop infrequent captures
       //    MAP-SIDE before the exchange (VERDICT r12 #3: the old fallback
       //    joined the full exploded stream), inner-join the dict on the
-      //    8-byte hash, and regroup by join value through the salted
-      //    bounded regroup (VERDICT r12 #2) — nsalt rides the explode for
-      //    free from the cached array sizes. Two exchanges instead of
-      //    zero, but every structure stays partitioned.
+      //    capture key (join misses drop BF false positives exactly as the
+      //    map miss dropped them), and regroup by join value through the
+      //    salted bounded regroup (VERDICT r12 #2) — nsalt rides the
+      //    explode for free from the cached array sizes. Two exchanges
+      //    instead of zero, but every structure stays partitioned.
       val lines =
         if (nDict <= dictEncodeMaxBroadcastRows(spark)) {
-          lines0.select(col("join_val"), hashEncoder(dict, col("chs")).as("ids"))
+          val dictMap = new java.util.HashMap[String, java.lang.Long]()
+          dict.select("code", "v1", "v2", "id").collect().foreach { r =>
+            dictMap.put(graft.functions.DictEncodeIds.key(
+              r.getInt(0), r.getString(1), r.getString(2)), r.getLong(3))
+          }
+          val bcast = spark.sparkContext.broadcast(dictMap)
+          val encoded = org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.DictEncodeIds(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("caps")), bcast))
+          lines0.select(col("join_val"), encoded.as("ids"))
             .filter(size(col("ids")) > 0)
         } else {
+          val bf = freqCaptureBF(grouped)
           val hot = hotLineSaltThreshold(spark)
           saltedLines(lines0
             .select(col("join_val"),
-              (floor((size(col("chs")) - 1) / lit(hot)) + 1).cast("int").as("nsalt"),
-              explode(col("chs")).as("ch"))
-            .filter(bloomContains(bfFreq, col("ch")))
-            .join(dict.select(col("ch"), col("id")), "ch")
+              (floor((size(col("caps")) - 1) / lit(hot)) + 1).cast("int").as("nsalt"),
+              explode(col("caps")).as("c"))
+            .select(col("join_val"), col("nsalt"), col("c.code"), col("c.v1"), col("c.v2"))
+            .filter(bloomContains(bf, condHash(col("code"), col("v1"), col("v2"))))
+            .join(dict.select("code", "v1", "v2", "id"), Seq("code", "v1", "v2"))
             .select(col("join_val"), col("id"), col("nsalt")))
         }
       (dict, lines, nDict)
@@ -574,42 +542,47 @@ object CindEngine {
       // and this engine's skew valve: the two-pass shape never materializes
       // a per-value capture SET before the frequency filter, so hub join
       // values with huge distinct-capture sets stay row-shaped. Pass 1:
-      // dedup shuffle (now over 8-byte capture hashes, not string structs)
-      // + capture supports; pass 2: BF drops infrequent-capture instances
-      // MAP-SIDE, the survivors encode MAP-SIDE through the same
-      // hash_dict_encode_ids broadcast arrays the exact path uses (an
-      // encode JOIN here shuffled the full deduped instance stream twice
-      // for a dictionary that ships everywhere else as a broadcast
-      // anyway), and lines re-group from ids through the salted bounded
-      // regroup. BF false positives only let extra hashes reach the
-      // encode, where the dictionary miss drops them — results identical.
-      val dedup = pruned.select(col("join_val"), capH.as("ch"))
-        .dropDuplicates("join_val", "ch").persist()
-      val grouped = dedup.groupBy("ch")
+      // dedup shuffle + capture supports; pass 2: BF drops
+      // infrequent-capture instances MAP-SIDE, the survivors encode
+      // MAP-SIDE through the same dict_encode_ids broadcast hash map the
+      // exact path uses (an encode JOIN here shuffled the full deduped
+      // instance stream twice — ~180 MB of map writes at sf0.1 — for a
+      // dictionary that ships everywhere else as a broadcast anyway), and
+      // lines re-group from ids through the salted bounded regroup
+      // (VERDICT r12 #2). BF false positives only let extra instances
+      // reach the encode, where the dictionary-map miss drops them —
+      // results identical.
+      val dedup = pruned.dropDuplicates("code", "v1", "v2", "join_val").persist()
+      val grouped = dedup.groupBy("code", "v1", "v2")
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)
-        .persist() // read by the BF build AND the dictionary string attach
-      val bfFreq = spark.sparkContext.broadcast(
-        buildBloomLongs(grouped.select("ch").as[Long], expectedCaptures, 0.01))
-      val dict = dictWithIds(spark,
-        capStrings(bfFreq).withColumn("ch", capH).join(grouped, "ch")
-          .select(col("code"), col("v1"), col("v2"), col("support"), col("ch")))
+      val dict = dictWithIds(spark, grouped)
       val nDict = dict.count()
-      grouped.unpersist()
-      requireNoHashCollisions(dict, nDict)
       logRegime(nDict)
-      val toEncode = dedup.filter(bloomContains(bfFreq, col("ch")))
-      // same scale valve as the exact path: map-side broadcast-array encode
-      // in the broadcast regime, shuffle equi-join on the 8-byte hash past
-      // it (the BF already dropped almost every infrequent instance
-      // map-side, so the join input is the frequent stream either way;
-      // join/dictionary misses drop BF false positives)
+      val bfBcast = freqCaptureBF(grouped)
+      val keyOf = condHash(col("code"), col("v1"), col("v2"))
+      val toEncode = dedup.filter(bloomContains(bfBcast, keyOf))
+      // same scale valve as the exact path: map-side hash-map encode in
+      // the broadcast regime, shuffle equi-join encode past it (the BF
+      // already dropped almost every infrequent instance map-side, so the
+      // join input is the frequent stream either way; join misses play
+      // the dictionary-map-miss role for BF false positives)
       val ided =
-        if (nDict <= dictEncodeMaxBroadcastRows(spark))
-          toEncode.select(col("join_val"),
-            explode(hashEncoder(dict, array(col("ch")))).as("id"))
-        else
-          toEncode.join(dict.select("ch", "id"), "ch")
+        if (nDict <= dictEncodeMaxBroadcastRows(spark)) {
+          val dictMap = new java.util.HashMap[String, java.lang.Long]()
+          dict.select("code", "v1", "v2", "id").collect().foreach { r =>
+            dictMap.put(graft.functions.DictEncodeIds.key(
+              r.getInt(0), r.getString(1), r.getString(2)), r.getLong(3))
+          }
+          val mapBcast = spark.sparkContext.broadcast(dictMap)
+          val encoded = org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.functions.DictEncodeIds(
+              org.apache.spark.sql.graft.ColumnBridge.expression(
+                array(struct(col("code"), col("v1"), col("v2")))), mapBcast))
+          toEncode.select(col("join_val"), explode(encoded).as("id"))
+        } else
+          toEncode.join(dict.select("code", "v1", "v2", "id"),
+              Seq("code", "v1", "v2"))
             .select(col("join_val"), col("id"))
       // inputs are already (capture, value)-distinct; per-value sizes are
       // unknown in this row shape, so the bounded regroup derives them
@@ -1050,7 +1023,9 @@ object CindEngine {
       .persist()
     agged.count() // exact split + unsure collect both read this
     val exactPairs = agged.flatMap { case (dep, s) =>
-      if (!s.hasBits) s.refs.iterator.map(r => (dep, r)) else Iterator.empty
+      if (!s.hasBits) graft.core.SortedOps.unpackDeltas(s.refs).iterator
+        .map(r => (dep, r))
+      else Iterator.empty
     }.toDF("dep_id", "ref_id")
     // unsure deps -> driver: per dep either the BF-filtered exact candidate
     // array or (dep seen ONLY in wide lines) the intersected bits
@@ -1059,7 +1034,8 @@ object CindEngine {
     agged.filter(_._2.hasBits).collect().foreach { case (dep, s) =>
       if (s.hasExact) {
         val bf = graft.core.Bloom.wrap(nb, nh, s.bits)
-        exactCands.put(dep, s.refs.filter(bf.mightContain))
+        exactCands.put(dep,
+          graft.core.SortedOps.unpackDeltas(s.refs).filter(bf.mightContain))
       } else bitsCands.put(dep, s.bits)
     }
     val bcExact = spark.sparkContext.broadcast(exactCands)
@@ -1084,7 +1060,8 @@ object CindEngine {
       }
     }
     val verifiedPairs = round2.groupByKey(_.dep).agg(IntersectLongRefs.toColumn)
-      .flatMap { case (dep, s) => s.refs.iterator.map(r => (dep, r)) }
+      .flatMap { case (dep, s) =>
+        graft.core.SortedOps.unpackDeltas(s.refs).iterator.map(r => (dep, r)) }
       .toDF("dep_id", "ref_id")
     // decode reuses the count==support filter trivially: every surviving
     // pair IS at full support by construction of the intersections
@@ -1446,7 +1423,8 @@ object CindEngine {
 object IntersectHybridCandidates
     extends Aggregator[HybridEvidence, HybridCindSet, HybridCindSet] {
   override def zero: HybridCindSet =
-    HybridCindSet(0L, Array.empty, hasExact = false, Array.empty, hasBits = false)
+    HybridCindSet(0L, Array.emptyByteArray, hasExact = false, Array.empty,
+      hasBits = false)
 
   private def andBits(a: Array[Long], b: Array[Long]): Array[Long] = {
     val out = new Array[Long](a.length)
@@ -1458,7 +1436,8 @@ object IntersectHybridCandidates
   override def reduce(b: HybridCindSet, e: HybridEvidence): HybridCindSet =
     if (e.bits.isEmpty)
       HybridCindSet(b.count + 1L,
-        if (b.hasExact) SortedOps.intersect(b.refs, e.refs) else e.refs,
+        if (b.hasExact) SortedOps.intersectPackedSorted(b.refs, e.refs)
+        else SortedOps.packDeltas(e.refs),
         hasExact = true, b.bits, b.hasBits)
     else
       HybridCindSet(b.count + 1L, b.refs, b.hasExact,
@@ -1468,7 +1447,7 @@ object IntersectHybridCandidates
     if (a.count == 0L) b
     else if (b.count == 0L) a
     else HybridCindSet(a.count + b.count,
-      if (a.hasExact && b.hasExact) SortedOps.intersect(a.refs, b.refs)
+      if (a.hasExact && b.hasExact) SortedOps.intersectPacked(a.refs, b.refs)
       else if (a.hasExact) a.refs else b.refs,
       a.hasExact || b.hasExact,
       if (a.hasBits && b.hasBits) andBits(a.bits, b.bits)
@@ -1490,16 +1469,16 @@ object IntersectHybridCandidates
   * a line containing dep with no surviving candidate kills every ref). */
 object IntersectLongRefs
     extends Aggregator[LongRefsEvidence, LongRefsSet, LongRefsSet] {
-  override def zero: LongRefsSet = LongRefsSet(0L, Array.empty)
+  override def zero: LongRefsSet = LongRefsSet(0L, Array.emptyByteArray)
 
   override def reduce(b: LongRefsSet, e: LongRefsEvidence): LongRefsSet =
-    if (b.count == 0L) LongRefsSet(1L, e.refs)
-    else LongRefsSet(b.count + 1L, SortedOps.intersect(b.refs, e.refs))
+    if (b.count == 0L) LongRefsSet(1L, SortedOps.packDeltas(e.refs))
+    else LongRefsSet(b.count + 1L, SortedOps.intersectPackedSorted(b.refs, e.refs))
 
   override def merge(a: LongRefsSet, b: LongRefsSet): LongRefsSet =
     if (a.count == 0L) b
     else if (b.count == 0L) a
-    else LongRefsSet(a.count + b.count, SortedOps.intersect(a.refs, b.refs))
+    else LongRefsSet(a.count + b.count, SortedOps.intersectPacked(a.refs, b.refs))
 
   override def finish(r: LongRefsSet): LongRefsSet = r
 

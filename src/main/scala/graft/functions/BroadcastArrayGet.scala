@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * of Literal inside each probe expression and its codegen constant pool.
   * The broadcast ships the longs once per executor and the expression holds
   * only the handle (`.value` resolves executor-locally), same pattern as
-  * [[HashDictEncodeIds]] / [[BloomMightContain]]. Codegen'd: the probe stays a
+  * [[DictEncodeIds]] / [[BloomMightContain]]. Codegen'd: the probe stays a
   * direct static call inside whole-stage codegen.
   */
 case class BroadcastArrayGet(child: Expression, arr: Broadcast[Array[Long]])

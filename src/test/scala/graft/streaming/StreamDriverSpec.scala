@@ -342,4 +342,24 @@ class StreamDriverSpec extends SparkSpec {
     // exactly-once: each keeper once, restart replayed nothing, state held
     assert(kept == Seq(1L, 2L, 5L))
   }
+
+  test("file SOURCE -> first-seen -> file sink: two-wave incremental pickup") {
+    // the fully file-fed production pipeline (no MemoryStream): wave 2
+    // lands in the watched directory AFTER wave 1 committed, so its
+    // duplicates of wave-1 content can only be suppressed by the
+    // checkpointed state — incremental pickup, not a re-read
+    val wave1 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")) // in-wave dup: 3
+    val wave2 = Seq((4L, "bbb"), (5L, "ccc"), (6L, "aaa")) // cross-wave dups
+    val got = StreamDriver.firstSeenFileSource(spark, Seq(wave1, wave2))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.map(_._1) == Set(1L, 2L, 5L))
+    // content hashes match the batch md5 contract
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got == Set((1L, h("aaa")), (2L, h("bbb")), (5L, h("ccc"))))
+    // empty waves are skipped without committing anything
+    val empty = StreamDriver.firstSeenFileSource(spark, Seq(Seq.empty))
+    assert(empty.collect().isEmpty)
+  }
 }

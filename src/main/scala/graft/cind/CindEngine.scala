@@ -385,6 +385,40 @@ object CindEngine {
   private[cind] def cindVerbose(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.cind.verbose").exists(_.toBoolean)
 
+  /** Dictionary size up to which the DIRECTIONAL evidence paths (hybrid
+    * round 1/2, the s2l binary extractions) broadcast a dense id→support
+    * array and drop refs with support(ref) < support(dep) MAP-SIDE, before
+    * the evidence exchange. EXACT, not approximate: dep ⊑ ref needs
+    * co-count(dep, ref) == support(dep), and co-count <= support(ref), so a
+    * ref poorer than its dep can never certify (the same monotonicity that
+    * justifies the reported-CIND support ordering above). Only DIRECTIONAL
+    * emissions can use it — an unordered count-match pair key (pairKeys)
+    * always has one feasible direction, so nothing is droppable there.
+    * Cost: 8 B/capture on each executor ((id >> 1)-indexed longs), hence
+    * its own valve; past it the prune is skipped (pure optimization). */
+  val DefaultSupportPruneMaxIds = 16000000L
+
+  private[cind] def supportPruneMaxIds(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cind.supportPruneMaxIds")
+      .map(_.toLong).getOrElse(DefaultSupportPruneMaxIds)
+
+  /** Dense (id >>> 1)-indexed id→support array for the monotonicity prune;
+    * EMPTY (prune disabled) past [[supportPruneMaxIds]] or if any support
+    * overflows the array's Long slots (cannot happen — supports are Longs —
+    * but the empty-array convention also serves tests forcing it off). */
+  private def supportArray(dict: DataFrame, nDict: Long): Array[Long] = {
+    val spark = dict.sparkSession
+    if (nDict > supportPruneMaxIds(spark)) Array.emptyLongArray
+    else {
+      // ids are ((i+1) << 1) | unaryBit with i < nDict (dictWithIds), so
+      // (id >>> 1) ranges over [1, nDict] — slot 0 stays unused
+      val arr = new Array[Long](nDict.toInt + 1)
+      dict.select(col("id"), col("support")).collect()
+        .foreach(r => arr((r.getLong(0) >>> 1).toInt) = r.getLong(1))
+      arr
+    }
+  }
+
   /** MEASURED NEGATIVE (r13, BASELINE.md): grouping the line-formation
     * exchange over 8-byte xxhash64 capture keys (strings re-attached at
     * dictionary scale by a second instance pass) left the 23.8 GB sf5 max
@@ -999,15 +1033,31 @@ object CindEngine {
     val (nb, nh) = (proto.numBits, proto.numHashes)
     val words = (nb + 63) >>> 6
     val spill = spillThreshold
+    // support-monotonicity evidence prune (r13, see supportPruneMaxIds):
+    // the narrow arm drops refs poorer than their dep BEFORE the evidence
+    // exchange. A dep whose whole line prunes away still EMITS an
+    // empty-refs exact evidence — reduce() treats it as an exact arm and
+    // zeroes the intersection, which is the truth (no ref survives a line
+    // where none is feasible... and none is, by monotonicity).
+    val bcSup = spark.sparkContext.broadcast(supportArray(dict, nDict))
     val evid = lines.select(col("ids")).as[Array[Long]].flatMap { ids0 =>
       val ids = ids0.sorted
+      val sup = bcSup.value
       if (ids.length - 1 <= spill) {
         // narrow: exact refs per dep (sorted by construction)
         Iterator.range(0, ids.length).map { d =>
+          val sd = if (sup.length == 0) 0L else sup((ids(d) >>> 1).toInt)
           val refs = new Array[Long](ids.length - 1)
           var i = 0; var k = 0
-          while (i < ids.length) { if (i != d) { refs(k) = ids(i); k += 1 }; i += 1 }
-          HybridEvidence(ids(d), refs, Array.emptyLongArray)
+          while (i < ids.length) {
+            if (i != d && (sup.length == 0 || sup((ids(i) >>> 1).toInt) >= sd)) {
+              refs(k) = ids(i); k += 1
+            }
+            i += 1
+          }
+          HybridEvidence(ids(d),
+            if (k == refs.length) refs else java.util.Arrays.copyOf(refs, k),
+            Array.emptyLongArray)
         }
       } else {
         // wide: ONE filter over the whole line, shared by all its deps —
@@ -1044,17 +1094,25 @@ object CindEngine {
       val ids = ids0.sorted
       val exactM = bcExact.value
       val bitsM = bcBits.value
+      val sup = bcSup.value
       ids.iterator.flatMap { dep =>
         val cand = exactM.get(dep)
         if (cand != null) {
+          // cand came from round-1 intersections of already-pruned narrow
+          // evidence, so the monotonicity prune is baked in — probe as-is
           Iterator.single(LongRefsEvidence(dep,
             ids.filter(r => r != dep && java.util.Arrays.binarySearch(cand, r) >= 0)))
         } else {
           val bits = bitsM.get(dep)
           if (bits != null) {
+            // BF-only deps saw no exact arm: apply the monotonicity prune
+            // here (the shared per-line filter could not — one filter
+            // serves every dep of the line, each with a different floor)
+            val sd = if (sup.length == 0) 0L else sup((dep >>> 1).toInt)
             val bf = graft.core.Bloom.wrap(nb, nh, bits)
             Iterator.single(LongRefsEvidence(dep,
-              ids.filter(r => r != dep && bf.mightContain(r))))
+              ids.filter(r => r != dep && bf.mightContain(r) &&
+                (sup.length == 0 || sup((r >>> 1).toInt) >= sd))))
           } else Iterator.empty
         }
       }
@@ -1218,6 +1276,20 @@ object CindEngine {
           org.apache.spark.sql.graft.ColumnBridge.expression(idx), bc))
     def sub1Of(id: Column) = arrGet(bcSub1, shiftright(id, 1) - 1)
     def sub2Of(id: Column) = arrGet(bcSub2, shiftright(id, 1) - 1)
+    // support-monotonicity prune on the DIRECTIONAL stage-2/3 emissions
+    // (r13, see supportPruneMaxIds): both stages verify n == support(dep),
+    // so a ref poorer than its dep can never certify — drop it map-side.
+    // Stage 1 (pairKeys) is unordered and stays complete: its counts also
+    // serve as the 2/1 probes' overlap relation, and an unordered pair
+    // always has one feasible direction anyway.
+    val supArr = supportArray(dict, nDictL)
+    val supPred: (Column, Column) => Column =
+      if (supArr.isEmpty) (_, _) => lit(true)
+      else {
+        val bcSupA = spark.sparkContext.broadcast(supArr)
+        (dep, ref) =>
+          arrGet(bcSupA, shiftright(ref, 1)) >= arrGet(bcSupA, shiftright(dep, 1))
+      }
     // ---- stage 2: one mixed-arity extraction, probe-filtered map-side
     val bfC11 = spark.sparkContext.broadcast(buildBloomLongs(
       c11.select(pk(col("dep_id"), col("ref_id")).as("k")).as[Long],
@@ -1240,7 +1312,8 @@ object CindEngine {
     val mixedLines = lines.filter(
       exists(col("ids"), id => unaryBit(id) === 1L) &&
         exists(col("ids"), id => unaryBit(id) === 0L))
-    val countsA = filteredPairCounts(mixedLines, mixedPred, splitThreshold)
+    val countsA = filteredPairCounts(mixedLines,
+      (d, r) => mixedPred(d, r) && supPred(d, r), splitThreshold)
       .persist()
     countsA.count() // feeds the output AND the stage-3 probe filter
     // ---- stage 3: binary-binary extraction probed against verified 2/1s
@@ -1258,7 +1331,8 @@ object CindEngine {
     val binaryLines = lines.select(col("join_val"),
       filter(col("ids"), id => unaryBit(id) === 0L).as("ids"))
       .filter(size(col("ids")) > 1)
-    val countsB = filteredPairCounts(binaryLines, binPred, splitThreshold)
+    val countsB = filteredPairCounts(binaryLines,
+      (d, r) => binPred(d, r) && supPred(d, r), splitThreshold)
     // ---- assemble: one decode; count==support + trivial-ref filter live there
     val cinds = decodeCinds(dict,
       c11.unionByName(countsA).unionByName(countsB), minSupport, nDictL)

@@ -64,6 +64,31 @@ class CindEngineSpec extends SparkSpec {
     assert(bExact == bruteForce(tiny, 2))
   }
 
+  test("support-monotonicity prune is result-identical on hybrid and s2l") {
+    // supportPruneMaxIds = 0 disables the map-side ref prune; the default
+    // enables it. Both regimes must match each other AND the brute force —
+    // the prune is exact (a ref poorer than its dep can never reach
+    // co-count == support(dep)), so it may only shrink the evidence
+    // exchange, never the result.
+    def runH() = CindEngine.allCindsHybrid(toDF(tiny), minSupport = 2,
+        spillThreshold = 2).collect() // tiny spill: force the wide/BF arm too
+      .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+        Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)).toSet
+    def runS2l() = CindEngine.allCindsSmallToLarge(toDF(tiny), minSupport = 2)
+      .collect()
+      .map(r => (Capture(r.dep_code, r.dep_v1, r.dep_v2),
+        Capture(r.ref_code, r.ref_v1, r.ref_v2), r.support)).toSet
+    val (prunedH, prunedS) = (runH(), runS2l())
+    spark.conf.set("spark.graft.cind.supportPruneMaxIds", "0")
+    try {
+      assert(runH() == prunedH)
+      assert(runS2l() == prunedS)
+    } finally spark.conf.unset("spark.graft.cind.supportPruneMaxIds")
+    val want = bruteForce(tiny, 2)
+    assert(prunedH == want)
+    assert(prunedS == want)
+  }
+
   test("allCinds respects the support threshold") {
     val got = CindEngine.allCinds(toDF(tiny), minSupport = 3).collect()
     assert(got.forall(_.support >= 3))

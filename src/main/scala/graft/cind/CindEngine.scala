@@ -27,20 +27,22 @@ final case class HybridEvidence(dep: Long, refs: Array[Long], bits: Array[Long])
   * Bloom bits, with flags for which halves have been fed (reference
   * HalfApproximateCindSet's (refConditions, approximateRefConditions,
   * isExact) triple). `count == 0` marks the zero buffer. `refs` is the
-  * intersected sorted id set DELTA+VARINT PACKED (SortedOps.packDeltas):
-  * these buffers transit the evidence exchange — the measured max stage
-  * of every CIND strategy at sf5/sf10 — and dictionary ids are dense, so
-  * packing cuts ~8 bytes/ref to ~1-2 on the wire. */
-final case class HybridCindSet(count: Long, refs: Array[Byte], hasExact: Boolean,
+  * intersected sorted id set, PLAIN longs — delta+varint packing these
+  * buffers was built and MEASURED NEGATIVE at sf5 (r13, BASELINE.md):
+  * reduce() pays an unpack+repack per evidence in the hot sort-based
+  * aggregation (623 → 2890 s wall) while the wire bytes it aimed at are
+  * NOT the max stage (that is the shared line-formation instance
+  * exchange, invariant to evidence payload — proven by the prune run's
+  * bit-identical 23,848 MB). */
+final case class HybridCindSet(count: Long, refs: Array[Long], hasExact: Boolean,
     bits: Array[Long], hasBits: Boolean)
 
 /** Exact second-round evidence: refs pre-filtered by round-1 state. */
 final case class LongRefsEvidence(dep: Long, refs: Array[Long])
 
-/** Exact intersection state for the second round — refs delta+varint
-  * packed like [[HybridCindSet]]'s (this exchange carries one buffer per
-  * unsure dep per map partition). */
-final case class LongRefsSet(count: Long, refs: Array[Byte])
+/** Exact intersection state for the second round (this exchange carries
+  * one buffer per unsure dep per map partition). */
+final case class LongRefsSet(count: Long, refs: Array[Long])
 
 /** The CIND discovery pipeline, re-expressed Spark-first.
   *
@@ -1073,8 +1075,7 @@ object CindEngine {
       .persist()
     agged.count() // exact split + unsure collect both read this
     val exactPairs = agged.flatMap { case (dep, s) =>
-      if (!s.hasBits) graft.core.SortedOps.unpackDeltas(s.refs).iterator
-        .map(r => (dep, r))
+      if (!s.hasBits) s.refs.iterator.map(r => (dep, r))
       else Iterator.empty
     }.toDF("dep_id", "ref_id")
     // unsure deps -> driver: per dep either the BF-filtered exact candidate
@@ -1084,8 +1085,7 @@ object CindEngine {
     agged.filter(_._2.hasBits).collect().foreach { case (dep, s) =>
       if (s.hasExact) {
         val bf = graft.core.Bloom.wrap(nb, nh, s.bits)
-        exactCands.put(dep,
-          graft.core.SortedOps.unpackDeltas(s.refs).filter(bf.mightContain))
+        exactCands.put(dep, s.refs.filter(bf.mightContain))
       } else bitsCands.put(dep, s.bits)
     }
     val bcExact = spark.sparkContext.broadcast(exactCands)
@@ -1119,7 +1119,7 @@ object CindEngine {
     }
     val verifiedPairs = round2.groupByKey(_.dep).agg(IntersectLongRefs.toColumn)
       .flatMap { case (dep, s) =>
-        graft.core.SortedOps.unpackDeltas(s.refs).iterator.map(r => (dep, r)) }
+        s.refs.iterator.map(r => (dep, r)) }
       .toDF("dep_id", "ref_id")
     // decode reuses the count==support filter trivially: every surviving
     // pair IS at full support by construction of the intersections
@@ -1497,7 +1497,7 @@ object CindEngine {
 object IntersectHybridCandidates
     extends Aggregator[HybridEvidence, HybridCindSet, HybridCindSet] {
   override def zero: HybridCindSet =
-    HybridCindSet(0L, Array.emptyByteArray, hasExact = false, Array.empty,
+    HybridCindSet(0L, Array.empty, hasExact = false, Array.empty,
       hasBits = false)
 
   private def andBits(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -1510,8 +1510,7 @@ object IntersectHybridCandidates
   override def reduce(b: HybridCindSet, e: HybridEvidence): HybridCindSet =
     if (e.bits.isEmpty)
       HybridCindSet(b.count + 1L,
-        if (b.hasExact) SortedOps.intersectPackedSorted(b.refs, e.refs)
-        else SortedOps.packDeltas(e.refs),
+        if (b.hasExact) SortedOps.intersect(b.refs, e.refs) else e.refs,
         hasExact = true, b.bits, b.hasBits)
     else
       HybridCindSet(b.count + 1L, b.refs, b.hasExact,
@@ -1521,7 +1520,7 @@ object IntersectHybridCandidates
     if (a.count == 0L) b
     else if (b.count == 0L) a
     else HybridCindSet(a.count + b.count,
-      if (a.hasExact && b.hasExact) SortedOps.intersectPacked(a.refs, b.refs)
+      if (a.hasExact && b.hasExact) SortedOps.intersect(a.refs, b.refs)
       else if (a.hasExact) a.refs else b.refs,
       a.hasExact || b.hasExact,
       if (a.hasBits && b.hasBits) andBits(a.bits, b.bits)
@@ -1543,16 +1542,16 @@ object IntersectHybridCandidates
   * a line containing dep with no surviving candidate kills every ref). */
 object IntersectLongRefs
     extends Aggregator[LongRefsEvidence, LongRefsSet, LongRefsSet] {
-  override def zero: LongRefsSet = LongRefsSet(0L, Array.emptyByteArray)
+  override def zero: LongRefsSet = LongRefsSet(0L, Array.empty)
 
   override def reduce(b: LongRefsSet, e: LongRefsEvidence): LongRefsSet =
-    if (b.count == 0L) LongRefsSet(1L, SortedOps.packDeltas(e.refs))
-    else LongRefsSet(b.count + 1L, SortedOps.intersectPackedSorted(b.refs, e.refs))
+    if (b.count == 0L) LongRefsSet(1L, e.refs)
+    else LongRefsSet(b.count + 1L, SortedOps.intersect(b.refs, e.refs))
 
   override def merge(a: LongRefsSet, b: LongRefsSet): LongRefsSet =
     if (a.count == 0L) b
     else if (b.count == 0L) a
-    else LongRefsSet(a.count + b.count, SortedOps.intersectPacked(a.refs, b.refs))
+    else LongRefsSet(a.count + b.count, SortedOps.intersect(a.refs, b.refs))
 
   override def finish(r: LongRefsSet): LongRefsSet = r
 

@@ -120,6 +120,10 @@ object Soak {
     // exactly like the count-match path the r11 scaladoc warns about.
     sys.env.get("SPARK_GRAFT_DICT_MAX_BCAST").foreach(v =>
       builder.config("spark.graft.cind.dictEncodeMaxBroadcastRows", v))
+    // A/B valve for the support-monotonicity evidence prune (r13): 0
+    // disables, large forces — the lever's sign is measured, not assumed
+    sys.env.get("SPARK_GRAFT_SUPPORT_PRUNE_MAX").foreach(v =>
+      builder.config("spark.graft.cind.supportPruneMaxIds", v))
     val spark = builder
       .config("spark.ui.enabled", "false")
       // soak logs want the CIND encode-regime decision (library default: quiet)

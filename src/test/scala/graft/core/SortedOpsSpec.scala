@@ -61,39 +61,4 @@ class SortedOpsSpec extends AnyFunSuite {
     assert(SortedOps.intersect(a, b).toSeq ==
       Seq(Capture(10, "b", ""), Capture(14, "a", "b")))
   }
-  test("packDeltas/unpackDeltas round-trip on random sorted long sets") {
-    val rnd = new scala.util.Random(7)
-    for (_ <- 1 to 200) {
-      val n = rnd.nextInt(50)
-      val a = Array.fill(n)(rnd.nextLong() & Long.MaxValue).distinct.sorted
-      assert(SortedOps.unpackDeltas(SortedOps.packDeltas(a)).toSeq == a.toSeq)
-    }
-    // dense dict-id shape: deltas of 2 pack to one byte each
-    val dense = Array.tabulate(1000)(i => 2L + 2L * i)
-    val packed = SortedOps.packDeltas(dense)
-    assert(packed.length <= 1001) // 1-byte first value + 1-byte deltas
-    assert(SortedOps.unpackDeltas(packed).toSeq == dense.toSeq)
-    assert(SortedOps.packDeltas(Array.emptyLongArray).isEmpty)
-    assert(SortedOps.unpackDeltas(Array.emptyByteArray).isEmpty)
-  }
-
-  test("intersectPacked/intersectPackedSorted match plain intersect") {
-    val rnd = new scala.util.Random(13)
-    for (_ <- 1 to 200) {
-      val a = Array.fill(rnd.nextInt(60))(rnd.nextLong(2000L)).distinct.sorted
-      val b = Array.fill(rnd.nextInt(60))(rnd.nextLong(2000L)).distinct.sorted
-      val want = SortedOps.intersect(a, b).toSeq
-      val viaPP = SortedOps.unpackDeltas(SortedOps.intersectPacked(
-        SortedOps.packDeltas(a), SortedOps.packDeltas(b))).toSeq
-      val viaPS = SortedOps.unpackDeltas(SortedOps.intersectPackedSorted(
-        SortedOps.packDeltas(a), b)).toSeq
-      assert(viaPP == want)
-      assert(viaPS == want)
-    }
-    // empties
-    val p = SortedOps.packDeltas(Array(1L, 5L, 9L))
-    assert(SortedOps.intersectPacked(p, Array.emptyByteArray).isEmpty)
-    assert(SortedOps.intersectPacked(Array.emptyByteArray, p).isEmpty)
-  }
-
 }

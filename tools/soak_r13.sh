@@ -9,6 +9,10 @@ cd /root/repo
 TAG=$1; SHARDS=$2; ONLY=$3; shift 3
 for kv in "$@"; do export "$kv"; done
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-96g}
+# repo-local shuffle scratch: a run lost shuffle_*.data files under /tmp
+# mid-query (29 FileNotFoundExceptions, disk healthy) — keep soak scratch
+# away from tmp cleaners
+export SPARK_LOCAL_DIRS=${SPARK_LOCAL_DIRS:-/root/repo/.scratch}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 export SPARK_GRAFT_SOAK_ONLY=$ONLY
 OUT=tools/soak_r13_${TAG}.json

@@ -151,14 +151,24 @@ object Soak {
       .select(concat(col("subj"), lit("#"), col("shard")).as("subj"),
         col("pred"),
         concat(col("obj"), lit("#"), col("shard")).as("obj"))
-    val triples1 = if (noPersist) triples0 else triples0.persist()
-    val nTriples = triples1.count()
-    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
-      .crossJoin(shardIds)
-      .withColumn("doc_id", col("doc_id") + col("shard").cast("long") * 10000000L)
-      .drop("shard")
-      .persist()
-    val nDocs = docs1.count()
+    // lazy like emb1 below: the event-stream families never touch the
+    // triple or document relations, and at 100 shards the upfront
+    // derive+count alone costs tens of minutes — built and counted only
+    // when a selected family actually reads them
+    lazy val triples1 = {
+      val t = if (noPersist) triples0 else triples0.persist()
+      System.err.println(s"soak triples: ${t.count()}")
+      t
+    }
+    lazy val docs1 = {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .crossJoin(shardIds)
+        .withColumn("doc_id", col("doc_id") + col("shard").cast("long") * 10000000L)
+        .drop("shard")
+        .persist()
+      System.err.println(s"soak docs: ${d.count()}")
+      d
+    }
     // identical vectors across shards: every embedding gains a 10-clique of
     // cosine-1.0 duplicates — the dedup-shaped load an ANN/near-dup pass
     // sees on a web-scale corpus (vec_id offsets are multiples of 100, so
@@ -176,7 +186,6 @@ object Soak {
       System.err.println(s"soak embeddings: ${e.count()}")
       e
     }
-    System.err.println(s"soak inputs: $nTriples triples, $nDocs docs")
 
     // Timed sink is a noop WRITE, not count(): under count() Catalyst
     // prunes every column the final row-count doesn't need — for the

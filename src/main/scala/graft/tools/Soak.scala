@@ -236,7 +236,15 @@ object Soak {
     if (which("s2l"))
       run("cind_all_s2l_sf1", CindEngine.allCindsSmallToLarge(triples1).toDF())
     if (which("tworound"))
-      run("cind_all_tworound_sf1", CindEngine.allCindsTwoRound(triples1).toDF())
+      // the pair-count sketch must be SIZED to the run's pair vocabulary
+      // (shard-suffixed values make cross-shard captures distinct, so the
+      // vocabulary grows ~linearly in shards): a 4M-capacity spectral
+      // filter at sf10's ~tens-of-millions of pairs saturates its counting
+      // cells and admits everything — still exact (round 2 recounts), but
+      // it measures count-match + sketch overhead, not the tworound prune
+      run("cind_all_tworound_sf1", CindEngine.allCindsTwoRound(triples1,
+        expectedPairs = sys.env.get("SPARK_GRAFT_TWOROUND_EXPECTED_PAIRS")
+          .map(_.toLong).getOrElse(4000000L)).toDF())
     if (which("hybrid"))
       run("cind_all_hybrid_sf1", CindEngine.allCindsHybrid(triples1).toDF())
     if (which("minhash"))

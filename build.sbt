@@ -33,4 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++
+  // opt-in extra JVM flags for soak forensics (e.g. a GC swap:
+  // SPARK_GRAFT_JVM_OPTS="-XX:+UseParallelGC"); unset adds nothing
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

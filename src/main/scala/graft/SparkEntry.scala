@@ -118,9 +118,9 @@ object SparkEntry {
   private val quantileCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Tables.read(s, dir, "embeddings")
   /** The ONE events adapter (see [[graft.streaming.EventSource]]): `ts` is
     * normalized to a micros TIMESTAMP whatever the parquet carries. ALL
     * events queries go through here — inline per-query ts conversions are
@@ -249,7 +249,7 @@ object SparkEntry {
     * customer balances as the open snapshot, a change/no-op/insert
     * update mix at ts 1s/2s/3s, merged through Analytics.scdMerge. */
   private def scdMerged(s: SparkSession, dir: String): DataFrame = {
-    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val cust = Tables.read(s, dir, "customer")
       .select(col("c_custkey").as("k"),
         round(col("c_acctbal") * 100).cast("long").as("v"))
     val current = cust.select(col("k"), col("v"),
@@ -1159,16 +1159,16 @@ object SparkEntry {
     }),
     "tpch_sales_opportunity" -> ((s, dir) => // Q22 analog: anti-join + scalar avg
       graft.stats.Analytics.salesOpportunity(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"), "2000-06-01")
+        Tables.read(s, dir, "customer"),
+        Tables.read(s, dir, "orders"), "2000-06-01")
         .orderBy("c_nationkey")),
     "profile_equidepth" -> ((s, dir) => // equal-count buckets, cents-exact
       graft.stats.Profile.equiDepthHistogram(
-        s.read.parquet(s"$dir/lineitem.parquet"), "l_extendedprice", 8, 100L)
+        Tables.read(s, dir, "lineitem"), "l_extendedprice", 8, 100L)
         .orderBy("bucket")),
     "profile_quantile_sketch" -> ((s, dir) => // mergeable hash-rank sample
       graft.stats.Profile.quantileSketch(
-        s.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
+        Tables.read(s, dir, "lineitem"), "l_returnflag",
         round(col("l_extendedprice") * 100),
         col("l_orderkey") * 10 + col("l_linenumber"),
         Seq(50, 90, 99), 512)
@@ -1178,7 +1178,7 @@ object SparkEntry {
       // in line with the other stream harnesses; the sharded state folds
       // ONLINE and the shared tail answers the batch oracle construction
       import s.implicits._
-      val rows = s.read.parquet(s"$dir/lineitem.parquet")
+      val rows = Tables.read(s, dir, "lineitem")
         .filter(col("l_orderkey") % 4 === 0)
         .select(col("l_returnflag").as("g"),
           round(col("l_extendedprice") * 100).cast("long").as("v"),
@@ -1194,7 +1194,7 @@ object SparkEntry {
     }),
     "profile_zonemap_skip" -> ((s, dir) => // layout-vs-skipping report
       graft.stats.Profile.zoneMapSkipping(
-        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey",
+        Tables.read(s, dir, "orders"), "o_orderkey",
         round(col("o_totalprice") * 100), 5000000L, 10000000L, 64)
         .orderBy("layout")),
     "text_vocab_growth" -> ((s, dir) => // Heaps-law curve, first-bucket charge
@@ -1202,25 +1202,25 @@ object SparkEntry {
         .orderBy("bucket")),
     "profile_zorder" -> ((s, dir) => // Morton-interleave layout extents
       graft.stats.Profile.zorderExtents(
-        s.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey")
+        Tables.read(s, dir, "lineitem"), "l_partkey", "l_suppkey")
         .orderBy("bucket")),
     "tpch_priority_pivot" -> ((s, dir) => // Dataset.pivot, explicit value list
       graft.stats.Analytics.priorityPivot(
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"))
         .orderBy("ship_year")),
     "tpch_important_parts" -> ((s, dir) => // Q11 analog: group vs global share
       graft.stats.Analytics.importantParts(
-        s.read.parquet(s"$dir/lineitem.parquet"), 150)
+        Tables.read(s, dir, "lineitem"), 150)
         .orderBy("l_partkey")),
     "tpch_banded_revenue" -> ((s, dir) => // Q19 analog: OR-of-ANDs pushdown
       graft.stats.Analytics.bandedRevenue(
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/part.parquet"))),
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "part"))),
     "tpch_colocated_join" -> ((s, dir) => // bucketed fact-fact join, no Exchange
       graft.stats.Analytics.colocatedPriorityRevenue(
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"))
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"))
         .orderBy("o_orderpriority")),
     "tpch_scd_customer" -> ((s, dir) => // SCD2 MERGE: change/no-op/insert mix
       scdMerged(s, dir).orderBy("k", "valid_from_us")),
@@ -1238,7 +1238,7 @@ object SparkEntry {
       // fact timestamps land at 0.5/1.5/2.5s — straddling the 1s change
       // boundary, so the same customer resolves to DIFFERENT versions
       // depending on the fact's own time (the as-of-correct semantics)
-      val facts = s.read.parquet(s"$dir/orders.parquet")
+      val facts = Tables.read(s, dir, "orders")
         .select(col("o_orderkey").cast("long").as("fact_id"),
           col("o_custkey").cast("long").as("k"),
           (pmod(col("o_orderkey"), lit(3)).cast("long") * 1000000L + 500000L)
@@ -1248,82 +1248,82 @@ object SparkEntry {
     }),
     "tpch_top_supplier" -> ((s, dir) => // Q15 analog: argmax via equal-to-max
       graft.stats.Analytics.topSupplier(
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "supplier"),
         "1996-01-01", "1996-04-01")
         .orderBy("s_suppkey")),
     "tpch_pricing_summary" -> ((s, dir) => // Q1 analog, integer-exact money
       graft.stats.Analytics.pricingSummary(
-        s.read.parquet(s"$dir/lineitem.parquet"), "2000-12-01")
+        Tables.read(s, dir, "lineitem"), "2000-12-01")
         .orderBy("l_returnflag", "l_linestatus")),
     "tpch_top_orders" -> ((s, dir) => // Q3 analog: top-k unshipped revenue
       graft.stats.Analytics.topRevenueOrders(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "customer"),
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"),
         "BUILDING", "1998-01-01", 10)
         .orderBy(col("revenue_e4").desc, col("l_orderkey"))),
     "tpch_region_revenue" -> ((s, dir) => // Q5 analog: six-table join
       graft.stats.Analytics.regionRevenue(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/region.parquet"),
+        Tables.read(s, dir, "customer"),
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "supplier"),
+        Tables.read(s, dir, "nation"),
+        Tables.read(s, dir, "region"),
         "AFRICA", "1996-01-01", "1999-01-01")
         .orderBy(col("revenue_e4").desc, col("n_name"))),
     "tpch_order_priority" -> ((s, dir) => // Q4 analog: late-ship EXISTS semi-join
       graft.stats.Analytics.orderPriorityCheck(
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"),
         "1996-01-01", "1997-01-01", 60)
         .orderBy("o_orderpriority")),
     "tpch_customer_distribution" -> ((s, dir) => // Q13 analog: outer-join histogram
       graft.stats.Analytics.customerDistribution(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"))
+        Tables.read(s, dir, "customer"),
+        Tables.read(s, dir, "orders"))
         .orderBy(col("custdist").desc, col("c_count").desc)),
     "tpch_big_orders" -> ((s, dir) => // Q18 analog: HAVING-gated top-k volume
       graft.stats.Analytics.bigOrders(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"), 150L, 20)
+        Tables.read(s, dir, "customer"),
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"), 150L, 20)
         .orderBy(col("total_qty").desc, col("o_orderkey"))),
     "tpch_small_quantity" -> ((s, dir) => // Q17 analog: decorrelated 20%-of-avg
       graft.stats.Analytics.smallQuantityRevenue(
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/part.parquet"), "Brand#23")
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "part"), "Brand#23")
         .orderBy("l_partkey")),
     "tpch_min_cost_supplier" -> ((s, dir) => // Q2 analog: min-per-group subquery
       graft.stats.Analytics.minCostSupplier(
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/region.parquet"), "EUROPE", 100)
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "supplier"),
+        Tables.read(s, dir, "nation"),
+        Tables.read(s, dir, "region"), "EUROPE", 100)
         .orderBy("l_partkey", "l_suppkey")),
     "tpch_dominant_suppliers" -> ((s, dir) => // Q20 flavor: threshold-per-group
       graft.stats.Analytics.dominantSuppliers(
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "supplier"),
+        Tables.read(s, dir, "nation"),
         "1996-01-01", "1997-01-01")
         .orderBy("s_suppkey")),
     "tpch_waiting_suppliers" -> ((s, dir) => // Q21 analog: double EXISTS, decorrelated
       graft.stats.Analytics.waitingSuppliers(
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"), 90, 20)
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "supplier"), 90, 20)
         .orderBy(col("numwait").desc, col("s_suppkey"))),
     "tpch_stale_parts" -> ((s, dir) => // explicit LEFT ANTI join (NOT EXISTS)
       graft.stats.Analytics.staleParts(
-        s.read.parquet(s"$dir/part.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "part"),
+        Tables.read(s, dir, "lineitem"),
         "2001-09-01", "2002-01-01")
         .orderBy("p_partkey")),
     "tpch_pricing_incremental" -> ((s, dir) => { // base + delta partial merge
       // split on orderkey parity: merged partials must equal the full scan
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = Tables.read(s, dir, "lineitem")
       graft.stats.Analytics.mergePricingSummaries(
         graft.stats.Analytics.pricingSummary(
           li.filter(col("l_orderkey") % 5 =!= 0), "2000-12-01"),
@@ -1384,53 +1384,53 @@ object SparkEntry {
         .orderBy("doc_id")),
     "sim_mmr_rerank" -> ((s, dir) => // greedy diversity rerank, candidate-sized
       graft.sim.Similarity.mmrRerank(
-        s.read.parquet(s"$dir/embeddings.parquet"),
+        Tables.read(s, dir, "embeddings"),
         col("vec_id") % 100 === 0, 5, 20, 70)
         .orderBy("query_id", "rank")),
     "tpch_order_gaps" -> ((s, dir) => // lag-window inter-arrival profile
       graft.stats.Analytics.orderGaps(
-        s.read.parquet(s"$dir/orders.parquet"), 4L)
+        Tables.read(s, dir, "orders"), 4L)
         .orderBy("o_custkey")),
     "tpch_running_totals" -> ((s, dir) => // partitioned running-sum window
       graft.stats.Analytics.runningTotals(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
+        Tables.read(s, dir, "customer"),
+        Tables.read(s, dir, "orders"),
         "BUILDING", "1996-01-01", "1997-01-01")
         .orderBy("o_custkey", "o_orderkey")),
     "tpch_top_orders_per_customer" -> ((s, dir) => // WindowGroupLimit top-N
       graft.stats.Analytics.topOrdersPerCustomer(
-        s.read.parquet(s"$dir/orders.parquet"), 3)
+        Tables.read(s, dir, "orders"), 3)
         .orderBy("c_custkey", "rank")),
     "tpch_volume_shipping" -> ((s, dir) => // Q7 analog: bilateral trade panel
       graft.stats.Analytics.volumeShipping(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
+        Tables.read(s, dir, "customer"),
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "supplier"),
+        Tables.read(s, dir, "nation"),
         "1996-01-01", "1998-01-01")
         .orderBy("supp_nation", "cust_nation", "ship_year")),
     "tpch_market_share" -> ((s, dir) => // Q8 analog: share sums per order year
       graft.stats.Analytics.marketShare(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/region.parquet"),
-        s.read.parquet(s"$dir/part.parquet"),
+        Tables.read(s, dir, "customer"),
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "supplier"),
+        Tables.read(s, dir, "nation"),
+        Tables.read(s, dir, "region"),
+        Tables.read(s, dir, "part"),
         "NATION_3", "EUROPE", "STANDARD", "1995-01-01", "1998-01-01")
         .orderBy("order_year")),
     "tpch_product_profit" -> ((s, dir) => // Q9 analog: margin per nation-year
       graft.stats.Analytics.productProfit(
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/supplier.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/part.parquet"), "widget")
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "supplier"),
+        Tables.read(s, dir, "nation"),
+        Tables.read(s, dir, "part"), "widget")
         .orderBy("n_name", "ship_year")),
     "profile_lineitem" -> ((s, dir) =>
       graft.stats.Profile.profile(
-        s.read.parquet(s"$dir/lineitem.parquet"), profileCols)
+        Tables.read(s, dir, "lineitem"), profileCols)
         .orderBy("column_name")),
     "profile_lineitem_approx" -> ((s, dir) => {
       // the HLL++ sketch value is engine-specific, so the GATE is the
@@ -1438,7 +1438,7 @@ object SparkEntry {
       // the exact one (deterministic for fixed data + implementation; HLL
       // rsd here is 2%). The oracle predicts `true` per column from the
       // exact profile alone.
-      val df = s.read.parquet(s"$dir/lineitem.parquet")
+      val df = Tables.read(s, dir, "lineitem")
       val exact = graft.stats.Profile.profile(df, profileCols)
         .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
       val approx = graft.stats.Profile.profile(df, profileCols, approx = true)
@@ -1451,12 +1451,12 @@ object SparkEntry {
     }),
     "profile_quantiles" -> ((s, dir) =>
       graft.stats.Profile.quantiles(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "lineitem"),
         quantileCols, Seq(0, 25, 50, 75, 100))
         .orderBy("column_name", "q_pct")),
     "profile_histogram" -> ((s, dir) => // equi-width, integer-exact buckets
       graft.stats.Profile.histogram(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "lineitem"),
         "l_extendedprice", 20, scale = 100L)
         .orderBy("bucket")),
     "text_budget_sample" -> ((s, dir) => {
@@ -1543,7 +1543,7 @@ object SparkEntry {
     }),
     "profile_benford" -> ((s, dir) => // first-digit law on order amounts
       graft.stats.Profile.benford(
-        s.read.parquet(s"$dir/orders.parquet"),
+        Tables.read(s, dir, "orders"),
         round(col("o_totalprice") * 100)).orderBy("digit")),
     "sim_label_purity" -> ((s, dir) =>
       Similarity.labelPurity(emb(s, dir)).orderBy("vec_id")),
@@ -1719,11 +1719,11 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")),
     "tpch_revenue_rollup" -> ((s, dir) => // grouping sets: ROLLUP(region, nation)
       graft.stats.Analytics.revenueRollup(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
-        s.read.parquet(s"$dir/region.parquet"),
+        Tables.read(s, dir, "customer"),
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "nation"),
+        Tables.read(s, dir, "region"),
         "1996-01-01", "1999-01-01")
         .orderBy(col("lvl"), col("r_name"), col("n_name"))),
     "events_top_paths" -> ((s, dir) => // dominant 3-step user journeys
@@ -1731,7 +1731,7 @@ object SparkEntry {
         .orderBy("rank")),
     "tpch_cohort_revenue" -> ((s, dir) => // first-order-year LTV matrix
       graft.stats.Analytics.cohortRevenue(
-        s.read.parquet(s"$dir/orders.parquet"))
+        Tables.read(s, dir, "orders"))
         .orderBy("cohort_year", "order_year")),
     "dedup_source_report" -> ((s, dir) => // per-source exact-dup mass
       graft.dedup.Dedup.sourceDupReport(docs(s, dir)).orderBy("source")),
@@ -1743,44 +1743,44 @@ object SparkEntry {
         .orderBy("label", "pred_label")),
     "tpch_priority_percentiles" -> ((s, dir) => // per-group exact quantiles
       graft.stats.Profile.groupQuantiles(
-        s.read.parquet(s"$dir/orders.parquet"), "o_orderpriority",
+        Tables.read(s, dir, "orders"), "o_orderpriority",
         round(col("o_totalprice") * 100), Seq(50, 90))
         .withColumnRenamed("p50", "p50_cents")
         .withColumnRenamed("p90", "p90_cents")
         .orderBy("o_orderpriority")),
     "tpch_status_cube" -> ((s, dir) => // CUBE: cells + both marginals + total
       graft.stats.Analytics.statusCube(
-        s.read.parquet(s"$dir/lineitem.parquet"), "1998-09-01")
+        Tables.read(s, dir, "lineitem"), "1998-09-01")
         .orderBy(col("lvl"), col("l_returnflag"), col("l_linestatus"))),
     "profile_contingency" -> ((s, dir) => // exact categorical association input
       graft.stats.Profile.contingency(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "lineitem"),
         "l_returnflag", "l_linestatus")
         .orderBy("x", "y")),
     "profile_fds" -> ((s, dir) => // exact single-column FD discovery
       graft.stats.Profile.functionalDeps(
-        s.read.parquet(s"$dir/orders.parquet"),
+        Tables.read(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("lhs", "rhs")),
     "profile_uniques" -> ((s, dir) => // UCC discovery, arity <= 2
       graft.stats.Profile.uniqueCombinations(
-        s.read.parquet(s"$dir/orders.parquet"),
+        Tables.read(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("combo")),
     "profile_quality_checks" -> ((s, dir) => // one-pass constraint verdicts
       graft.stats.Profile.qualityChecks(
-        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey",
+        Tables.read(s, dir, "orders"), "o_orderkey",
         notNullCols = Seq("o_custkey", "o_orderdate"),
         // 'P' deliberately outside the domain: the fail path carries a
         // real violation count instead of a wall of zeros
         domains = Map("o_orderstatus" -> Seq("O", "F")),
         nonNegativeCols = Seq("o_totalprice"),
         fk = Some(("o_custkey",
-          s.read.parquet(s"$dir/customer.parquet"), "c_custkey")))
+          Tables.read(s, dir, "customer"), "c_custkey")))
         .orderBy("check_name")),
     "profile_correlation" -> ((s, dir) => // pairwise moments, exact BIGINTs
       graft.stats.Profile.correlationMoments(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "lineitem"),
         Seq("l_quantity", "l_linenumber", "l_discount", "l_tax"),
         Map("l_discount" -> 100L, "l_tax" -> 100L))
         .orderBy("col_x", "col_y")),
@@ -1803,7 +1803,7 @@ object SparkEntry {
         .orderBy("doc_id")),
     "profile_frequent_values" -> ((s, dir) => // per-column top-5 values
       graft.stats.Profile.frequentValues(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "lineitem"),
         Seq("l_returnflag", "l_linestatus", "l_quantity", "l_linenumber"), 5)
         .orderBy("column_name", "rank")),
     "events_window_users" -> ((s, dir) => // exact active users per window
@@ -1822,7 +1822,7 @@ object SparkEntry {
         .orderBy("bucket_start")
     }),
     "profile_drift" -> ((s, dir) => { // snapshot-to-snapshot stat deltas
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = Tables.read(s, dir, "lineitem")
       graft.stats.Profile.profileDiff(
         li.filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp")), li,
         profileCols).orderBy("column_name")
@@ -1835,20 +1835,20 @@ object SparkEntry {
         .orderBy("event_id")),
     "tpch_promo_revenue" -> ((s, dir) => // Q14 analog: integer promo share
       graft.stats.Analytics.promoRevenue(
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/part.parquet"),
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "part"),
         "1996-01-01", "1996-04-01")),
     "tpch_brand_suppliers" -> ((s, dir) => // Q16 flavor: supplier breadth
       graft.stats.Analytics.brandSuppliers(
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/part.parquet"))
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "part"))
         .orderBy("p_brand")),
     "tpch_returned_items" -> ((s, dir) => // Q10 analog: churn ranking
       graft.stats.Analytics.returnedItemReport(
-        s.read.parquet(s"$dir/customer.parquet"),
-        s.read.parquet(s"$dir/orders.parquet"),
-        s.read.parquet(s"$dir/lineitem.parquet"),
-        s.read.parquet(s"$dir/nation.parquet"),
+        Tables.read(s, dir, "customer"),
+        Tables.read(s, dir, "orders"),
+        Tables.read(s, dir, "lineitem"),
+        Tables.read(s, dir, "nation"),
         "1996-01-01", "1997-01-01", 20)),
     "events_transitions_stream" -> ((s, dir) => {
       // the SAME first-order transition matrix as events_transitions,
@@ -1865,14 +1865,14 @@ object SparkEntry {
     }),
     "profile_mutual_info" -> ((s, dir) => // MI + marginal entropies from cells
       graft.stats.Profile.mutualInfo(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "lineitem"),
         "l_returnflag", "l_linestatus")),
     "profile_ks_drift" -> ((s, dir) => // exact two-sample KS on value milli-units
       graft.stats.Profile.ksDrift(events(s, dir), "event_type",
         "click", "view", round(col("value") * 1000))),
     "profile_entropy" -> ((s, dir) => // per-column Shannon bits, value-bounded
       graft.stats.Profile.entropy(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "lineitem"),
         Seq("l_returnflag", "l_linestatus", "l_linenumber", "l_quantity"))
         .orderBy("column_name")),
     "text_kn_bigrams" -> ((s, dir) => // Kneser-Ney table, integer fractions
@@ -1880,7 +1880,7 @@ object SparkEntry {
         .orderBy(col("c").desc, col("w1"), col("w2"))),
     "profile_robust_z" -> ((s, dir) => // median/MAD on the distinct-value histogram
       graft.stats.Profile.robustOutliers(
-        s.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
+        Tables.read(s, dir, "lineitem"), "l_returnflag",
         round(col("l_quantity")), 3).orderBy("l_returnflag")),
     "events_decayed_counts" -> ((s, dir) => // integer-exact dyadic half-life decay
       EventStream.decayedCounts(events(s, dir), "1 hour", 40)
@@ -1898,11 +1898,11 @@ object SparkEntry {
         .orderBy("pred_a", "pred_b")),
     "tpch_forecast_revenue" -> ((s, dir) => // Q6: the plan IS the scan
       graft.stats.Analytics.forecastRevenue(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        Tables.read(s, dir, "lineitem"),
         "1996-01-01", "1997-01-01", 6L, 24L)),
     "tpch_revenue_deciles" -> ((s, dir) => // NTILE over the customer aggregate
       graft.stats.Analytics.revenueDeciles(
-        s.read.parquet(s"$dir/orders.parquet"), 10)
+        Tables.read(s, dir, "orders"), 10)
         .orderBy("decile")),
     "text_classifier_auc" -> ((s, dir) => // Mann-Whitney U, distinct-score relation
       TextAnalysis.classifierAuc(docs(s, dir), "en")),
@@ -1911,7 +1911,7 @@ object SparkEntry {
         .orderBy("bin")),
     "er_name_pairs" -> ((s, dir) => // FastSS deletion-neighborhood linkage
       graft.dedup.Dedup.editNeighborPairs(
-        s.read.parquet(s"$dir/customer.parquet"), "c_custkey", "c_name")
+        Tables.read(s, dir, "customer"), "c_custkey", "c_name")
         .orderBy("a_c_custkey", "b_c_custkey")),
     "events_attribution" -> ((s, dir) => // last-touch rollup on the as-of core
       EventStream.attribution(events(s, dir), "purchase", "1 hour")
@@ -1959,15 +1959,15 @@ object SparkEntry {
     }),
     "tpch_basket_pairs" -> ((s, dir) => // two-round frequent co-ordered pairs
       graft.stats.Analytics.basketPairs(
-        s.read.parquet(s"$dir/lineitem.parquet"), 2L)
+        Tables.read(s, dir, "lineitem"), 2L)
         .orderBy("part_a", "part_b")),
     "tpch_basket_rules" -> ((s, dir) => // integer-confidence basket rules
       graft.stats.Analytics.basketRules(
-        s.read.parquet(s"$dir/lineitem.parquet"), 2L)
+        Tables.read(s, dir, "lineitem"), 2L)
         .orderBy("ante", "cons")),
     "profile_linreg" -> ((s, dir) => // grouped OLS from one moment aggregate
       graft.stats.Analytics.groupedLinReg(
-        s.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
+        Tables.read(s, dir, "lineitem"), "l_returnflag",
         round(col("l_quantity")),
         round(col("l_extendedprice") * 100)) // cents, half-free in both engines
         .orderBy("l_returnflag")),
@@ -2002,21 +2002,21 @@ object SparkEntry {
     }),
     "profile_k_anon" -> ((s, dir) => // release-governance re-identification audit
       graft.stats.Profile.kAnonymity(
-        s.read.parquet(s"$dir/customer.parquet"),
+        Tables.read(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), 10L)
         .orderBy("q_c_nationkey", "q_c_mktsegment")),
     "profile_join_size" -> ((s, dir) => // join cardinality WITHOUT the join
       graft.stats.Profile.joinSize(
-        s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
-        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey")),
+        Tables.read(s, dir, "lineitem"), "l_orderkey",
+        Tables.read(s, dir, "orders"), "o_orderkey")),
     "profile_group_cdf" -> ((s, dir) => // quantile-normalization table
       graft.stats.Profile.groupCdf(
-        s.read.parquet(s"$dir/lineitem.parquet"), "l_returnflag",
+        Tables.read(s, dir, "lineitem"), "l_returnflag",
         round(col("l_quantity")))
         .orderBy("l_returnflag", "v")),
     "profile_l_diversity" -> ((s, dir) => // sensitive-value diversity audit
       graft.stats.Profile.lDiversity(
-        s.read.parquet(s"$dir/customer.parquet")
+        Tables.read(s, dir, "customer")
           .withColumn("bal_k", expr("CAST(round(c_acctbal) AS BIGINT) div 2000")),
         Seq("c_nationkey", "bal_k"), "c_mktsegment", 4L)
         .orderBy("q_c_nationkey", "q_bal_k"))

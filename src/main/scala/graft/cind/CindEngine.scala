@@ -302,13 +302,16 @@ object CindEngine {
   /** Join lines: per distinct value, the set of (frequent) captures that
     * contain it. The frequent-capture set is bounded by vocabulary /
     * minSupport in practice but not in principle, so the semi-join carries
-    * no broadcast hint — AQE broadcasts it at runtime when it fits. */
+    * no broadcast hint — AQE broadcasts it at runtime when it fits.
+    * Grouped by (xxhash64(join_val), join_val) — see [[hashPrefixed]]. */
   def joinLines(instances: DataFrame, frequentCaps: DataFrame): DataFrame =
     instances
       .join(frequentCaps.select("code", "v1", "v2"),
         Seq("code", "v1", "v2"), "left_semi")
-      .groupBy("join_val")
+      .withColumn("jh", xxhash64(col("join_val")))
+      .groupBy("jh", "join_val")
       .agg(collect_set(struct(col("code"), col("v1"), col("v2"))).as("captures"))
+      .drop("jh")
 
   /** Per join line, one evidence row per member capture: (dep, all
     * co-captures not trivially implied by dep, sorted). Rows with empty refs
@@ -443,13 +446,15 @@ object CindEngine {
   private def saltedLines(tagged: DataFrame): DataFrame = {
     val phase1 = tagged
       .withColumn("salt", pmod(hash(col("id")), col("nsalt")))
-      .groupBy(col("join_val"), col("nsalt"), col("salt"))
+      .withColumn("jh", xxhash64(col("join_val")))
+      .groupBy(col("jh"), col("join_val"), col("nsalt"), col("salt"))
       .agg(collect_list(col("id")).as("part"))
     phase1.filter(col("nsalt") === 1)
       .select(col("join_val"), col("part").as("ids"))
       .unionAll(phase1.filter(col("nsalt") > 1)
-        .groupBy("join_val")
-        .agg(flatten(collect_list(col("part"))).as("ids")))
+        .groupBy("jh", "join_val")
+        .agg(flatten(collect_list(col("part"))).as("ids"))
+        .select(col("join_val"), col("ids")))
   }
 
   /** [[saltedLines]] when per-value sizes are not already known from a
@@ -515,10 +520,28 @@ object CindEngine {
       //    aggregation buffer holds one join value's distinct
       //    condition-frequent captures; for adversarial hub values use
       //    bloomCaptures=true, which keeps the two-pass shape below.
-      val lines0 = pruned.groupBy("join_val")
+      // grouped by (xxhash64(join_val), join_val): grouping-identical — the
+      // hash is functionally dependent on the value — but the
+      // ObjectHashAggregate ALWAYS falls back to sort-based merge past 128
+      // groups, and its sort's 8-byte prefix then reads the leading hash
+      // column instead of the first 8 chars of join_val. The fixture's
+      // values share long prefixes ("order:", "lineitem:"), so the string
+      // prefix discriminates nothing and every comparison fell through to
+      // a full string compare; the hash prefix resolves almost all of them
+      // (r13 A/B: the isolated line-formation subquery reads ~13% less CPU,
+      // Exp1). This is the measured max stage of every CIND strategy at
+      // sf5/sf10, where the same sort dominates.
+      val lines0 = pruned.withColumn("jh", xxhash64(col("join_val")))
+        .groupBy("jh", "join_val")
         .agg(collect_set(struct(col("code"), col("v1"), col("v2"))).as("caps"))
+        .drop("jh")
         .persist()
-      lines0.count() // the supports pass AND the encode both read this cache
+      // no eager count: the next consumer is dictWithIds' zipWithIndex
+      // size probe — a SINGLE sequential job that fills this cache on the
+      // way; every later reader (encode, supports, fallback explode) runs
+      // after dict.count(), so nothing races an unfilled cache. (The
+      // strategies' own lines.count() calls stay — THEIR next consumers
+      // are parallel AQE stage materializations.)
       // 3. Capture supports from the cached lines: each line is one DISTINCT
       //    join value, so explode+count == count_distinct(join_val).
       val grouped = lines0.select(explode(col("caps")).as("c"))
@@ -825,12 +848,25 @@ object CindEngine {
       arRules: Option[DataFrame] = None): Dataset[CindRow] = {
     // expectedFrequentKeys sizes BOTH Bloom paths (reference rule:
     // estimated triples / minSupport, FrequentConditionPlanner.scala:34-38)
-    val (dict, lines, nDict) = encodedJoinLines(triples, minSupport, bloomConditions,
+    val (dict, lines0, nDict) = encodedJoinLines(triples, minSupport, bloomConditions,
       arRules = arRules,
       bloomCaptures = bloomCaptures, expectedCaptures = expectedFrequentKeys,
       projections = projections)
+    // persist the encoded lines before the pair fan-out: pairKeys' narrow
+    // and wide branches are UNION arms whose differing pushed-down
+    // projections defeat exchange reuse, so an unpersisted lines relation
+    // is computed once per branch — in the salted regroup shapes
+    // (shuffle-encode fallback, bloomCaptures) the r13 job profile showed
+    // the whole upstream subtree EXECUTING 4x in parallel (saltedLines'
+    // two arms x pairKeys' two arms; 4 identical 95 MB + 4 identical 67 MB
+    // map stages, zero ReusedExchange in the executed plan). The cache
+    // collapses all arms onto one materialization; CacheOps releases it
+    // once the compact CIND result is materialized.
+    val lines = lines0.persist()
+    lines.count()
     val cinds = decodeCinds(dict, overlapCounts(lines, splitThreshold), minSupport, nDict)
-    arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
+    val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
+    graft.core.CacheOps.cacheResult(out, Seq(lines))
   }
 
   /** A rule's merged binary condition as (cond_code, v1, v2), values ordered

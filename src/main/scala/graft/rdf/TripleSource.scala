@@ -78,7 +78,7 @@ object TripleSource {
     * each base table once instead of once per predicate. */
   def derive(spark: SparkSession, dir: String): DataFrame = {
     val frames = derivations.map { d =>
-      val t = spark.read.parquet(s"$dir/${d.table}.parquet")
+      val t = graft.Tables.read(spark, dir, d.table)
       val subj =
         if (d.table == "lineitem")
           concat(lit(d.subjPrefix), col("l_orderkey").cast("string"),
@@ -99,9 +99,46 @@ object TripleSource {
     // two heaviest CIND map stages ran 9-wide on 32 cores). One cheap
     // round-robin shuffle of the raw triples fixes local parallelism; at
     // real scale the scan already yields >= defaultParallelism partitions
-    // and this is a no-op.
+    // and this is a no-op. The partition estimate mirrors Spark's own
+    // FilePartition packing (maxSplitBytes) over cheap file metadata —
+    // the old `df.rdd.getNumPartitions` probe built the full physical
+    // plan + RDD graph on the driver on EVERY query invocation (~0.1-0.3 s
+    // each, ~40 triple queries in the bench) for the same yes/no answer.
     val want = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    if (estimatedScanPartitions(spark, dir) < want) df.repartition(want) else df
+  }
+
+  /** Spark's FilePartition sizing over the derivation's parquet files:
+    * maxSplitBytes = min(maxPartitionBytes, max(openCost, totalWithCost /
+    * minPartitionNum)), partitions ~ ceil(totalWithCost / maxSplitBytes).
+    * Metadata-only (one getFileStatus per table); decisions match the old
+    * plan-probe at both extremes — tiny local fixtures repartition, scans
+    * already >= defaultParallelism-wide skip the shuffle. */
+  private def estimatedScanPartitions(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def bytesSuffix(key: String, default: Long): Long =
+      spark.conf.getOption(key)
+        .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+        .getOrElse(default)
+    val maxPartitionBytes = bytesSuffix("spark.sql.files.maxPartitionBytes", 128L << 20)
+    val openCost = bytesSuffix("spark.sql.files.openCostInBytes", 4L << 20)
+    val minPartitionNum = spark.conf.getOption("spark.sql.files.minPartitionNum")
+      .map(_.toLong).getOrElse(spark.sparkContext.defaultParallelism.toLong)
+    val totalWithCost = derivations.map { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/${d.table}.parquet")
+      val fs = p.getFileSystem(conf)
+      val statuses =
+        try {
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory) fs.listStatus(p).toSeq.filterNot(_.isDirectory)
+          else Seq(st)
+        } catch { case _: java.io.IOException => Seq.empty }
+      statuses.map(_.getLen + openCost).sum
+    }.sum
+    val maxSplitBytes = math.min(maxPartitionBytes,
+      math.max(openCost, totalWithCost / math.max(1L, minPartitionNum)))
+    if (maxSplitBytes <= 0L) 0L
+    else (totalWithCost + maxSplitBytes - 1) / maxSplitBytes
   }
 
   /** Read triple files into (subj, pred, obj): N-Triples / N-Quads /

@@ -166,8 +166,14 @@ object TripleStats {
     // repeated pred strings). characteristicSets keeps the bitmask
     // because there it deletes two whole exchanges; here it deleted
     // none. Measured both, kept the simpler plan (BASELINE.md r11).
+    // (xxhash64(subj), subj) grouping: identical groups, but the
+    // ObjectHashAggregate's sort-based fallback (always taken past 128
+    // groups) gets an 8-byte discriminating prefix instead of the shared
+    // "order:"/"lineitem:" string prefixes (see CindEngine's line
+    // formation — same move, same measured mechanism)
     val sets = triples.select("subj", "pred")
-      .groupBy("subj").agg(array_sort(collect_set(col("pred"))).as("ps"))
+      .withColumn("sh", xxhash64(col("subj")))
+      .groupBy("sh", "subj").agg(array_sort(collect_set(col("pred"))).as("ps"))
       .filter(size(col("ps")) >= 2)
     // shared element_at index-pair fan-out (graft.scale.Pairs) — the
     // transform-over-slice form this replaced copies the array tail per
@@ -279,7 +285,16 @@ object TripleStats {
     // when) it is small; at scale these become plain shuffle joins, the
     // reference's own ConditionDecompressor coGroup shape.
     def decompress(c: String) = {
-      val d = dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c"))
+      // SHUFFLE_HASH on the dictionary side: the planner's default is a
+      // sort-merge join, which sorts the full triple stream once per
+      // column (3x) plus the dictionary each time. A per-partition hash
+      // build of the dictionary slice skips all six sorts; the build side
+      // is one partition's share of the value vocabulary — scale-safe for
+      // the same reason the unhinted shuffle join was (it grows with data
+      // but shrinks with partition count), unlike a broadcast. r13 plan
+      // diff: 3x SortMergeJoin LeftOuter -> 3x ShuffledHashJoin, 8 Sorts
+      // -> 2 (only the caller's final orderBy remains).
+      val d = dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c")).hint("SHUFFLE_HASH")
       (df: DataFrame) => df.join(d,
           when(df(c).startsWith("#"), substring(df(c), 2, 6)).otherwise(lit(null)) === col(s"h_$c"),
           "left")

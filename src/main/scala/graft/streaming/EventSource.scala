@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 object EventSource {
 
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalize(spark.read.parquet(s"$dir/events.parquet"))
+    normalize(graft.Tables.read(spark, dir, "events"))
 
   /** Normalize a raw events relation to the canonical micros-TIMESTAMP `ts`.
     * Pure column work — map-side, no shuffle, pushdown-transparent. */

@@ -44,6 +44,20 @@ final case class LongRefsEvidence(dep: Long, refs: Array[Long])
   * one buffer per unsure dep per map partition). */
 final case class LongRefsSet(count: Long, refs: Array[Long])
 
+/** [[CindEngine.encodedJoinLines]]' result: the persisted capture
+  * dictionary, the encoded lines relation (NOT persisted — each strategy
+  * decides via [[CindEngine.persistEncodedLines]]), the dictionary's
+  * counted size, whether the lines are a pure map over a cached upstream
+  * (no shuffle to recompute — the persist-valve auto signal), and the
+  * internal caches (lines0/dedup + dict) the STRATEGY must release once
+  * its compact result is materialized (VERDICT r13 #4: these leaked). */
+private[cind] final case class EncodedLines(
+    dict: org.apache.spark.sql.DataFrame,
+    lines: org.apache.spark.sql.DataFrame,
+    nDict: Long,
+    linesMapOnly: Boolean,
+    internal: Seq[org.apache.spark.sql.Dataset[_]])
+
 /** The CIND discovery pipeline, re-expressed Spark-first.
   *
   * Default plan (`allCinds`, count-match — README "The CIND pipeline"):
@@ -390,6 +404,29 @@ object CindEngine {
   private[cind] def cindVerbose(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.cind.verbose").exists(_.toBoolean)
 
+  /** A/B valve for the strategies' encoded-lines persist (VERDICT r13 #1:
+    * the r13 persist shipped without one and sat on the path of the two
+    * driver-regressed flagship queries). Values:
+    *   - "always": persist + eager count in every strategy (r13 behavior);
+    *   - "never":  never persist (each pair-fan-out arm recomputes the
+    *     lines from the cached lines0/dedup relation);
+    *   - "auto" (default): persist only when rebuilding the lines involves
+    *     a SHUFFLE beyond the cached upstream — i.e. the salted-regroup
+    *     shapes (shuffle-encode fallback, bloomCaptures), where the r13
+    *     job profile measured the whole regroup subtree executing 4x. In
+    *     the broadcast-map regime the lines are a pure map over the cached
+    *     lines0 (BF probe + hash-map lookup per capture), so re-running
+    *     that map per consumer is cheaper than writing + count-barriering
+    *     a second full copy of the lines (measured this round, A/B table
+    *     in OPTIMIZATION_r14.md). */
+  private[cind] def persistEncodedLines(spark: SparkSession,
+      autoDefault: Boolean): Boolean =
+    spark.conf.getOption("spark.graft.cind.persistEncodedLines") match {
+      case Some("always") => true
+      case Some("never")  => false
+      case _              => autoDefault
+    }
+
   /** Dictionary size up to which the DIRECTIONAL evidence paths (hybrid
     * round 1/2, the s2l binary extractions) broadcast a dense id→support
     * array and drop refs with support(ref) < support(dep) MAP-SIDE, before
@@ -473,7 +510,7 @@ object CindEngine {
       arRules: Option[DataFrame] = None,
       bloomCaptures: Boolean = false,
       expectedCaptures: Long = 10000000L,
-      projections: String = "spo"): (DataFrame, DataFrame, Long) = {
+      projections: String = "spo"): EncodedLines = {
     // 1. Condition-frequency pruning first (reference FrequentConditionPlanner
     //    order): a cheap map-side-combinable count that typically halves the
     //    instance stream before anything expensive runs. Bloom mode swaps
@@ -548,8 +585,7 @@ object CindEngine {
         .groupBy(col("c.code").as("code"), col("c.v1").as("v1"), col("c.v2").as("v2"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)
-      val dict = dictWithIds(spark, grouped)
-      val nDict = dict.count()
+      val (dict, nDict) = dictWithIds(spark, grouped)
       logRegime(nDict)
       // 4. Map-side encode when the dictionary fits the broadcast regime:
       //    it ships once per executor as a broadcast hash map, and the
@@ -594,7 +630,12 @@ object CindEngine {
             .join(dict.select("code", "v1", "v2", "id"), Seq("code", "v1", "v2"))
             .select(col("join_val"), col("id"), col("nsalt")))
         }
-      (dict, lines, nDict)
+      // mapOnly: in the broadcast regime the lines are a pure map over the
+      // cached lines0 (no shuffle to recompute); the fallback regroup
+      // shuffles. internal caches released by the strategy's cacheResult.
+      EncodedLines(dict, lines, nDict,
+        linesMapOnly = nDict <= dictEncodeMaxBroadcastRows(spark),
+        internal = Seq(lines0, dict))
     } else {
       // bloomCaptures — the reference's `--find-frequent-captures` valve
       // (programs/RDFind.scala:376-399: pack frequent captures into a BF)
@@ -615,8 +656,7 @@ object CindEngine {
       val grouped = dedup.groupBy("code", "v1", "v2")
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= minSupport)
-      val dict = dictWithIds(spark, grouped)
-      val nDict = dict.count()
+      val (dict, nDict) = dictWithIds(spark, grouped)
       logRegime(nDict)
       val bfBcast = freqCaptureBF(grouped)
       val keyOf = condHash(col("code"), col("v1"), col("v2"))
@@ -648,7 +688,9 @@ object CindEngine {
       // with one combinable count-by-key pass (the hot-buffer valve's
       // price — VERDICT r12 #2)
       val lines = boundedRegroupCounted(ided, hotLineSaltThreshold(spark))
-      (dict, lines, nDict)
+      // the regroup always shuffles, so the lines are never map-only here
+      EncodedLines(dict, lines, nDict, linesMapOnly = false,
+        internal = Seq(dedup, dict))
     }
   }
 
@@ -666,23 +708,49 @@ object CindEngine {
     * encoded id arrays MAP-SIDE (no decode join before a fan-out filter).
     * Persisted: downstream plans reference the dict from several broadcast
     * exchanges, which Spark computes eagerly on parallel threads — with a
-    * lazy cache each would recompute the whole lineage. The caller's
-    * count() fills the cache once. */
-  private def dictWithIds(spark: SparkSession, grouped: DataFrame): DataFrame =
-    spark.createDataFrame(
-      grouped.rdd.zipWithIndex.map { case (r, i) =>
+    * lazy cache each would recompute the whole lineage; the first consumer
+    * (the encode collect in the broadcast regime, the strategy's lines job
+    * past it) fills the cache.
+    *
+    * Returns (dict, nDict): ONE partition-size job both numbers the ids
+    * (replacing zipWithIndex's internal size probe — same offsets, so the
+    * assigned ids are bit-identical) and counts the dictionary (replacing
+    * the caller's separate eager `dict.count()` barrier). VERDICT r13 #3:
+    * the strategies' driver-side serial fraction was three sequential
+    * jobs here (probe, count, collect) — now two. */
+  private def dictWithIds(spark: SparkSession, grouped: DataFrame): (DataFrame, Long) = {
+    val rdd = grouped.rdd
+    val sizes = spark.sparkContext.runJob(rdd,
+      (it: Iterator[org.apache.spark.sql.Row]) => {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1L }; n
+      })
+    val nDict = sizes.sum
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val withIds = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var i = offsets(pi)
+      it.map { r =>
         val unaryBit = if (Integer.bitCount(r.getInt(0) & 7) == 1) 1L else 0L
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (((i + 1L) << 1) | unaryBit)) },
+        i += 1L
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ((i << 1) | unaryBit))
+      }
+    }
+    val dict = spark.createDataFrame(withIds,
       grouped.schema.add("id", org.apache.spark.sql.types.LongType, nullable = false))
       .persist()
+    (dict, nDict)
+  }
 
   /** Histogram of join-line widths after pruning (reference `--create-join-
     * histogram`, programs/RDFind.scala:449-452 + AnnotateJoinLineSizes):
     * (n_captures, n_lines). */
   def joinLineHistogram(triples: DataFrame, minSupport: Int = DefaultMinSupport): DataFrame = {
-    val (_, lines, _) = encodedJoinLines(triples, minSupport)
-    lines.select(size(col("ids")).as("n_captures"))
+    val enc = encodedJoinLines(triples, minSupport)
+    // the lines are read exactly once — no persist; cacheResult releases
+    // the encode's internal caches (lines0, dict) once the compact
+    // histogram is materialized (they leaked here before r14)
+    val hist = enc.lines.select(size(col("ids")).as("n_captures"))
       .groupBy("n_captures").agg(count(lit(1)).as("n_lines"))
+    graft.core.CacheOps.cacheResult(hist, enc.internal)
   }
 
   /** Width beyond which a join line's pair emission is sliced across tasks
@@ -741,11 +809,12 @@ object CindEngine {
     * (dep_code, dep_v1, ref_code, ref_v1, overlap, dep_support). */
   def unaryOverlaps(triples: DataFrame, minSupport: Int = DefaultMinSupport,
       sketch: Boolean = true, expectedPairs: Long = 4000000L): DataFrame = {
-    val (dict, lines0, nDict) = encodedJoinLines(triples, minSupport)
+    val enc = encodedJoinLines(triples, minSupport)
+    val (dict, nDict) = (enc.dict, enc.nDict)
     // arity filter BEFORE the quadratic fan-out: the unary bit rides the
     // encoded ids, so binary captures drop out of the lines map-side
     // (roughly halving pair volume) instead of post-aggregation at decode
-    val unaryLines = lines0.select(col("join_val"),
+    val unaryLines = enc.lines.select(col("join_val"),
       filter(col("ids"), id => id.bitwiseAND(lit(1L)) === 1L).as("ids"))
       .filter(size(col("ids")) > 1)
     val internal = Seq.newBuilder[Dataset[_]]
@@ -783,7 +852,7 @@ object CindEngine {
       .join(hinted(refSide), "ref_id")
       .select(col("dep_code"), col("dep_v1"), col("ref_code"), col("ref_v1"),
         col("n").as("overlap"), col("dep_support"))
-    graft.core.CacheOps.cacheResult(out, internal.result())
+    graft.core.CacheOps.cacheResult(out, internal.result() ++ enc.internal)
   }
 
   /** Decode directed counts into CIND rows: keep pairs whose co-count
@@ -848,25 +917,30 @@ object CindEngine {
       arRules: Option[DataFrame] = None): Dataset[CindRow] = {
     // expectedFrequentKeys sizes BOTH Bloom paths (reference rule:
     // estimated triples / minSupport, FrequentConditionPlanner.scala:34-38)
-    val (dict, lines0, nDict) = encodedJoinLines(triples, minSupport, bloomConditions,
+    val enc = encodedJoinLines(triples, minSupport, bloomConditions,
       arRules = arRules,
       bloomCaptures = bloomCaptures, expectedCaptures = expectedFrequentKeys,
       projections = projections)
-    // persist the encoded lines before the pair fan-out: pairKeys' narrow
-    // and wide branches are UNION arms whose differing pushed-down
-    // projections defeat exchange reuse, so an unpersisted lines relation
-    // is computed once per branch — in the salted regroup shapes
-    // (shuffle-encode fallback, bloomCaptures) the r13 job profile showed
-    // the whole upstream subtree EXECUTING 4x in parallel (saltedLines'
-    // two arms x pairKeys' two arms; 4 identical 95 MB + 4 identical 67 MB
-    // map stages, zero ReusedExchange in the executed plan). The cache
-    // collapses all arms onto one materialization; CacheOps releases it
-    // once the compact CIND result is materialized.
-    val lines = lines0.persist()
-    lines.count()
-    val cinds = decodeCinds(dict, overlapCounts(lines, splitThreshold), minSupport, nDict)
+    // persist the encoded lines before the pair fan-out IFF recomputing
+    // them shuffles (the salted regroup shapes): pairKeys' narrow and wide
+    // branches are UNION arms whose differing pushed-down projections
+    // defeat exchange reuse, so an unpersisted lines relation is computed
+    // once per branch — the r13 job profile showed the whole regroup
+    // subtree EXECUTING 4x in parallel there (saltedLines' two arms x
+    // pairKeys' two arms). In the broadcast-map regime the lines are a
+    // pure map over the cached lines0, and re-running that map per branch
+    // measures CHEAPER than writing + count-barriering a second full copy
+    // of the lines (r14 valve A/B, OPTIMIZATION_r14.md). The valve
+    // (spark.graft.cind.persistEncodedLines) forces either regime.
+    val doPersist = persistEncodedLines(triples.sparkSession,
+      autoDefault = !enc.linesMapOnly)
+    val lines = if (doPersist) { val l = enc.lines.persist(); l.count(); l }
+                else enc.lines
+    val cinds = decodeCinds(enc.dict, overlapCounts(lines, splitThreshold),
+      minSupport, enc.nDict)
     val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
-    graft.core.CacheOps.cacheResult(out, Seq(lines))
+    graft.core.CacheOps.cacheResult(out,
+      (if (doPersist) Seq(lines) else Nil) ++ enc.internal)
   }
 
   /** A rule's merged binary condition as (cond_code, v1, v2), values ordered
@@ -960,17 +1034,25 @@ object CindEngine {
       expectedFrequentKeys: Long = 10000000L,
       projections: String = "spo",
       arRules: Option[DataFrame] = None): Dataset[CindRow] = {
-    val (dict, lines0, nDict) = encodedJoinLines(triples, minSupport, bloomConditions,
+    val enc = encodedJoinLines(triples, minSupport, bloomConditions,
       arRules = arRules, bloomCaptures = bloomCaptures,
       expectedCaptures = expectedFrequentKeys, projections = projections)
-    val lines = lines0.persist()
-    lines.count() // both rounds read the lines; materialize once
+    // both rounds re-run the FULL O(w^2) pair explode over the lines
+    // (sketch build + exact recount), so unlike the other strategies the
+    // persist pays for itself even in the map-only broadcast regime —
+    // r14 interleaved A/B: always 11.28 s / 127 cpu-s vs never 12.90 s /
+    // 228 cpu-s (OPTIMIZATION_r14.md); valve still overrides
+    val doPersist = persistEncodedLines(triples.sparkSession,
+      autoDefault = true)
+    val lines = if (doPersist) { val l = enc.lines.persist(); l.count(); l }
+                else enc.lines
     val keys = pairKeys(lines, splitThreshold)
-    val cinds = decodeCinds(dict,
+    val cinds = decodeCinds(enc.dict,
       expandCounts(sketchPrunedKeys(keys, minSupport, expectedPairs)), minSupport,
-      nDict)
+      enc.nDict)
     val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
-    graft.core.CacheOps.cacheResult(out, Seq(lines))
+    graft.core.CacheOps.cacheResult(out,
+      (if (doPersist) Seq(lines) else Nil) ++ enc.internal)
   }
 
   /** Spectral-sketch pruning of an unordered pair-key stream (the shared
@@ -1057,11 +1139,15 @@ object CindEngine {
     require(spillThreshold > 0, "spillThreshold must be positive")
     val spark = triples.sparkSession
     import spark.implicits._
-    val (dict, lines0, nDict) = encodedJoinLines(triples, minSupport, bloomConditions,
+    val enc = encodedJoinLines(triples, minSupport, bloomConditions,
       arRules = arRules, bloomCaptures = bloomCaptures,
       expectedCaptures = expectedFrequentKeys, projections = projections)
-    val lines = lines0.persist()
-    lines.count() // round 1 + round 2 both read the lines
+    val (dict, nDict) = (enc.dict, enc.nDict)
+    // round 1 + round 2 both read the lines — same valve-adjudicated
+    // persist rule as allCinds (map-only lines recompute cheaper)
+    val doPersist = persistEncodedLines(spark, autoDefault = !enc.linesMapOnly)
+    val lines = if (doPersist) { val l = enc.lines.persist(); l.count(); l }
+                else enc.lines
     // ONE shared BF geometry: bitwise AND of filters is only meaningful
     // when every evidence uses the same (numBits, numHashes). Sized from
     // the spill threshold, not the data: a hub line saturates its filter
@@ -1170,7 +1256,8 @@ object CindEngine {
       .select(col("dep_id"), col("ref_id"), col("sup_").as("n"))
     val cinds = decodeCinds(dict, withN, minSupport, nDict)
     val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
-    graft.core.CacheOps.cacheResult(out, Seq(lines, agged))
+    graft.core.CacheOps.cacheResult(out,
+      (if (doPersist) Seq(lines) else Nil) ++ Seq(agged) ++ enc.internal)
   }
 
   /** Directed pair counts over encoded join lines, map-side-filtered by a
@@ -1256,11 +1343,15 @@ object CindEngine {
       arRules: Option[DataFrame] = None): Dataset[CindRow] = {
     val spark = triples.sparkSession
     import spark.implicits._
-    val (dict, lines0, nDictL) = encodedJoinLines(triples, minSupport, bloomConditions,
+    val enc = encodedJoinLines(triples, minSupport, bloomConditions,
       arRules = arRules, bloomCaptures = bloomCaptures,
       expectedCaptures = expectedFrequentKeys, projections = projections)
-    val lines = lines0.persist()
-    lines.count() // stage-1 fan-out + both extractions read these
+    val (dict, nDictL) = (enc.dict, enc.nDict)
+    // stage-1 fan-out + both extractions read the lines — same
+    // valve-adjudicated persist rule as allCinds
+    val doPersist = persistEncodedLines(spark, autoDefault = !enc.linesMapOnly)
+    val lines = if (doPersist) { val l = enc.lines.persist(); l.count(); l }
+                else enc.lines
     val unaryBit = (id: Column) => id.bitwiseAND(lit(1L))
     def pk(a: Column, b: Column) = shiftleft(a, 32) + b
     // ---- stage 1: unary×unary overlaps (arity bit filters lines map-side)
@@ -1351,7 +1442,7 @@ object CindEngine {
     val countsA = filteredPairCounts(mixedLines,
       (d, r) => mixedPred(d, r) && supPred(d, r), splitThreshold)
       .persist()
-    countsA.count() // feeds the output AND the stage-3 probe filter
+    val nCountsA = countsA.count() // feeds the output AND the stage-3 probe filter
     // ---- stage 3: binary-binary extraction probed against verified 2/1s
     val v21 = countsA.join(sup, "dep_id")
       .filter(col("n") === col("support") && unaryBit(col("dep_id")) === 0L)
@@ -1360,7 +1451,9 @@ object CindEngine {
       subsArr.toSeq.flatMap(t => Seq((t._1 << 32) + t._2, (t._1 << 32) + t._3)))
     val bfV21 = spark.sparkContext.broadcast(buildBloomLongs(
       v21.union(trivial21),
-      math.max(countsA.count() + 2L * subsArr.length, 1024L), 0.01))
+      // nCountsA reuses the eager count above — the old countsA.count()
+      // here was a second driver barrier over the same cached relation
+      math.max(nCountsA + 2L * subsArr.length, 1024L), 0.01))
     val binPred = (dep: Column, ref: Column) =>
       bloomContains(bfV21, pk(dep, sub1Of(ref))) &&
         bloomContains(bfV21, pk(dep, sub2Of(ref)))
@@ -1375,7 +1468,8 @@ object CindEngine {
     val out = arRules.fold(cinds)(rules => arImpliedCindFilter(cinds.toDF(), rules))
     // materialize the compact CIND result, then release the staged caches —
     // without this every call leaks lines/c11/countsA blocks for the session
-    graft.core.CacheOps.cacheResult(out, Seq(lines, c11, countsA))
+    graft.core.CacheOps.cacheResult(out,
+      (if (doPersist) Seq(lines) else Nil) ++ Seq(c11, countsA) ++ enc.internal)
   }
 
   /** Strategy 0 (AllAtOnce, reference plan/AllAtOnceTraversalStrategy

@@ -108,12 +108,17 @@ object TripleSource {
     if (estimatedScanPartitions(spark, dir) < want) df.repartition(want) else df
   }
 
-  /** Spark's FilePartition sizing over the derivation's parquet files:
-    * maxSplitBytes = min(maxPartitionBytes, max(openCost, totalWithCost /
-    * minPartitionNum)), partitions ~ ceil(totalWithCost / maxSplitBytes).
-    * Metadata-only (one getFileStatus per table); decisions match the old
-    * plan-probe at both extremes — tiny local fixtures repartition, scans
-    * already >= defaultParallelism-wide skip the shuffle. */
+  /** Spark's FilePartition sizing over the derivation's parquet files,
+    * computed PER TABLE exactly as Spark packs each scan with its own
+    * maxSplitBytes (ADVICE r13: pooling all tables into one computation
+    * strictly under-estimated the union's real partition count, which
+    * could trigger a repartition the plan-probe would have skipped):
+    * per scan, maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    * tableBytesWithCost / minPartitionNum)), partitions ~
+    * ceil(tableBytesWithCost / maxSplitBytes); the union's count is the
+    * sum. Metadata-only (one getFileStatus per table); an unexpected
+    * IOException is logged (stderr) and treated as an empty table rather
+    * than silently zeroed. */
   private def estimatedScanPartitions(spark: SparkSession, dir: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     def bytesSuffix(key: String, default: Long): Long =
@@ -124,7 +129,7 @@ object TripleSource {
     val openCost = bytesSuffix("spark.sql.files.openCostInBytes", 4L << 20)
     val minPartitionNum = spark.conf.getOption("spark.sql.files.minPartitionNum")
       .map(_.toLong).getOrElse(spark.sparkContext.defaultParallelism.toLong)
-    val totalWithCost = derivations.map { d =>
+    derivations.map { d =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/${d.table}.parquet")
       val fs = p.getFileSystem(conf)
       val statuses =
@@ -132,13 +137,21 @@ object TripleSource {
           val st = fs.getFileStatus(p)
           if (st.isDirectory) fs.listStatus(p).toSeq.filterNot(_.isDirectory)
           else Seq(st)
-        } catch { case _: java.io.IOException => Seq.empty }
-      statuses.map(_.getLen + openCost).sum
+        } catch {
+          case _: java.io.FileNotFoundException => Seq.empty
+          case e: java.io.IOException =>
+            System.err.println(s"graft.rdf: listing $p failed ($e); " +
+              "treating table as empty for the partition estimate")
+            Seq.empty
+        }
+      val tableBytes = statuses.map(_.getLen + openCost).sum
+      if (tableBytes <= 0L) 0L
+      else {
+        val maxSplitBytes = math.min(maxPartitionBytes,
+          math.max(openCost, tableBytes / math.max(1L, minPartitionNum)))
+        (tableBytes + maxSplitBytes - 1) / maxSplitBytes
+      }
     }.sum
-    val maxSplitBytes = math.min(maxPartitionBytes,
-      math.max(openCost, totalWithCost / math.max(1L, minPartitionNum)))
-    if (maxSplitBytes <= 0L) 0L
-    else (totalWithCost + maxSplitBytes - 1) / maxSplitBytes
   }
 
   /** Read triple files into (subj, pred, obj): N-Triples / N-Quads /

@@ -253,12 +253,13 @@ object TripleStats {
     * exactly what the oracle checks.
     */
   def dictionaryRoundTrip(triples: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
     val values = triples.select(explode(array(col("subj"), col("pred"), col("obj"))).as("v"))
       .distinct()
     // ONE distinct pass over the vocabulary feeds the collision set AND the
     // dictionary — persist it, or each derives its own distinct shuffle
     val hashed = values.withColumn("h", substring(md5(col("v")), 1, 6)).persist()
-    hashed.count()
+    val nVocab = hashed.count()
     // collision handling: a hash maps to its value only if unambiguous.
     // The AMBIGUOUS hashes are the tiny exception set (collisions of a
     // properly-sized hash over the vocabulary — cf. the reference's
@@ -272,6 +273,10 @@ object TripleStats {
         col("h") === col("ch"), "left_anti")
       .persist()
     dict.count() // materialize before the broadcast/join uses below
+    // dict.count() was hashed's LAST consumer (colliding's cache filled on
+    // the same pass via the broadcast build) — release it here instead of
+    // leaking a vocabulary-scale cache for the session (VERDICT r13 #4)
+    hashed.unpersist()
     def compress(c: String) = {
       val d = broadcast(colliding.select(col("h").as(s"ch_$c")))
       (df: DataFrame) => df.join(d, substring(md5(df(c)), 1, 6) === col(s"ch_$c"), "left")
@@ -284,6 +289,19 @@ object TripleStats {
     // heap makes memory the scale bound. AQE broadcasts it when (and only
     // when) it is small; at scale these become plain shuffle joins, the
     // reference's own ConditionDecompressor coGroup shape.
+    // SHUFFLE_HASH guard (VERDICT r13 #3 / ADVICE r13): a ShuffledHashJoin
+    // build map cannot spill, so the hint is only safe while one
+    // partition's dictionary slice fits executor memory. nVocab is already
+    // counted above; gate on measured rows per post-shuffle partition
+    // (default 2M rows/partition ≈ low hundreds of MB of 6-char hash +
+    // value strings) — past it the join stays unhinted and the planner's
+    // spill-safe sort-merge shape returns. Tunable:
+    // spark.graft.rdf.decompressHashRowsPerPartition (0 disables the hint).
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val rowsPerPartCap = spark.conf
+      .getOption("spark.graft.rdf.decompressHashRowsPerPartition")
+      .map(_.toLong).getOrElse(2000000L)
+    val hintShuffleHash = nVocab <= rowsPerPartCap * math.max(1L, shufflePartitions)
     def decompress(c: String) = {
       // SHUFFLE_HASH on the dictionary side: the planner's default is a
       // sort-merge join, which sorts the full triple stream once per
@@ -291,10 +309,13 @@ object TripleStats {
       // build of the dictionary slice skips all six sorts; the build side
       // is one partition's share of the value vocabulary — scale-safe for
       // the same reason the unhinted shuffle join was (it grows with data
-      // but shrinks with partition count), unlike a broadcast. r13 plan
-      // diff: 3x SortMergeJoin LeftOuter -> 3x ShuffledHashJoin, 8 Sorts
-      // -> 2 (only the caller's final orderBy remains).
-      val d = dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c")).hint("SHUFFLE_HASH")
+      // but shrinks with partition count), unlike a broadcast, PROVIDED
+      // the slice fits memory (guarded above — partition count is a
+      // session conf, not data-driven). r13 plan diff: 3x SortMergeJoin
+      // LeftOuter -> 3x ShuffledHashJoin, 8 Sorts -> 2 (only the caller's
+      // final orderBy remains).
+      val d0 = dict.select(col("h").as(s"h_$c"), col("v").as(s"v_$c"))
+      val d = if (hintShuffleHash) d0.hint("SHUFFLE_HASH") else d0
       (df: DataFrame) => df.join(d,
           when(df(c).startsWith("#"), substring(df(c), 2, 6)).otherwise(lit(null)) === col(s"h_$c"),
           "left")
@@ -303,8 +324,13 @@ object TripleStats {
         .drop(s"h_$c", s"v_$c")
     }
     val compressed = Seq("subj", "pred", "obj").map(compress).foldLeft(triples)((d, f) => f(d))
-    Seq("subj", "pred", "obj").map(decompress).foldLeft(compressed)((d, f) => f(d))
+    val out = Seq("subj", "pred", "obj").map(decompress).foldLeft(compressed)((d, f) => f(d))
       .select("subj", "pred", "obj")
+    // colliding + dict leaked for the session before r14; materialize the
+    // result once and release them (CacheOps contract). The result here is
+    // triple-scale, not a compact summary — lineage is kept and the cache
+    // spills, so this trades one cached copy for zero leaked internals.
+    graft.core.CacheOps.cacheResult(out, Seq(colliding, dict))
   }
 
   /** SPARQL-style basic-graph-pattern STAR match: subjects satisfying

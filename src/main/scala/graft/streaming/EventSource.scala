@@ -26,8 +26,24 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object EventSource {
 
-  def events(spark: SparkSession, dir: String): DataFrame =
-    normalize(graft.Tables.read(spark, dir, "events"))
+  /** Footer schema per events path, inferred ONCE per JVM: `events` is
+    * deliberately absent from Tables' pinned DDLs (ADVICE r13 — the ts
+    * encoding has changed across driver regenerations and [[normalize]]
+    * must keep absorbing all three), but re-running footer inference on
+    * every read costs one driver job per invocation (~40 events queries in
+    * the bench). Caching the INFERRED schema keeps the tolerance — the
+    * first read of a regenerated file infers whatever it now is — at the
+    * old zero-job cost for every read after the first. Schema metadata
+    * only; no data or results are memoized. */
+  private val inferredSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = inferredSchemas.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    normalize(spark.read.schema(schema).parquet(path))
+  }
 
   /** Normalize a raw events relation to the canonical micros-TIMESTAMP `ts`.
     * Pure column work — map-side, no shuffle, pushdown-transparent. */

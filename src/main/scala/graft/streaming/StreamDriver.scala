@@ -26,11 +26,39 @@ object StreamDriver {
 
   private val SentinelKey = Long.MinValue
 
+  /** Scale the stream's STATE partition count to the bounded input size
+    * instead of inheriting spark.sql.shuffle.partitions (r14, guide §2):
+    * a micro-batch pays per-partition fixed cost — a stateful task, an
+    * HDFS-backed state store open + delta-file commit, scheduler overhead
+    * — on EVERY batch, so tiny fixture states on 32 partitions were
+    * mostly overhead (interleaved A/B, tools/Exp4: six stream queries ran
+    * 1.8-2.3x faster at the data-derived count; table in
+    * OPTIMIZATION_r14.md). The count is ceil(rows / rowsPerStatePartition)
+    * — data-derived, so it GROWS with input at scale (10M rows → 200
+    * partitions at the default target) and is independent of the local
+    * core count (the bench's 8-core and 32-core runs see the same plan).
+    * Tunable: spark.graft.stream.rowsPerStatePartition (default 50000;
+    * <= 0 disables the override). The session conf is restored on exit;
+    * state partition counts are per-checkpoint, and every harness run
+    * starts a fresh checkpoint, so no restart ever sees a mismatch. */
+  private def withStatePartitions[T](spark: SparkSession, nRows: Long)(body: => T): T = {
+    val target = spark.conf.getOption("spark.graft.stream.rowsPerStatePartition")
+      .map(_.toLong).getOrElse(50000L)
+    if (target <= 0L) body
+    else {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, math.max(1L, (nRows + target - 1) / target).toString)
+      try body finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Shared harness: feed (doc_id, text) micro-batches through `build`'s
     * streaming Dataset and return the MATERIALIZED append-mode output. */
   private def docBatchesStreamed[T](spark: SparkSession, prefix: String,
       batches: Seq[Seq[(Long, String)]])(
-      build: DataFrame => org.apache.spark.sql.Dataset[T]): DataFrame = {
+      build: DataFrame => org.apache.spark.sql.Dataset[T]): DataFrame =
+      withStatePartitions(spark, batches.map(_.size.toLong).sum) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
@@ -94,7 +122,8 @@ object StreamDriver {
     * can neither add nor drop a result row. */
   def heavyHittersStreamed(spark: SparkSession,
       batches: Seq[Seq[(Long, String)]], phi: Double = 0.005,
-      cap: Int = 512, numShards: Int = 8): DataFrame = {
+      cap: Int = 512, numShards: Int = 8): DataFrame =
+      withStatePartitions(spark, batches.map(_.size.toLong).sum) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     require(phi > 0 && phi < 1 && cap + 1 > 1 / phi,
@@ -135,7 +164,8 @@ object StreamDriver {
     * [[graft.text.TextAnalysis.cmsEstimates]], same oracle. */
   def cmsEstimatesStreamed(spark: SparkSession,
       batches: Seq[Seq[(Long, String)]], depth: Int = 4, width: Int = 1024,
-      k: Int = 50): DataFrame = {
+      k: Int = 50): DataFrame =
+      withStatePartitions(spark, batches.map(_.size.toLong).sum) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
@@ -165,7 +195,8 @@ object StreamDriver {
     * the 2^p register range — identical output to
     * [[graft.text.TextAnalysis.hllRegisters]], same oracle. */
   def hllRegistersStreamed(spark: SparkSession,
-      batches: Seq[Seq[(Long, String)]], p: Int = 10): DataFrame = {
+      batches: Seq[Seq[(Long, String)]], p: Int = 10): DataFrame =
+      withStatePartitions(spark, batches.map(_.size.toLong).sum) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
@@ -198,7 +229,8 @@ object StreamDriver {
     * own window stays open (never emitted) and is filtered defensively.
     * Returns the MATERIALIZED (bucket_start, event_type, n_events) rows. */
   def windowCountsStreamed(spark: SparkSession,
-      events: Seq[(Timestamp, String)]): DataFrame = {
+      events: Seq[(Timestamp, String)]): DataFrame =
+      withStatePartitions(spark, events.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
@@ -231,7 +263,8 @@ object StreamDriver {
     * arithmetic can leak it into (or drop rows from) the result. */
   def enrichedStreamed(spark: SparkSession,
       events: Seq[(Timestamp, String, Double)],
-      dim: Seq[(String, String, Long)]): DataFrame = {
+      dim: Seq[(String, String, Long)]): DataFrame =
+      withStatePartitions(spark, events.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
@@ -263,7 +296,8 @@ object StreamDriver {
     * [[windowCountsStreamed]]; the sentinel's own two windows are
     * filtered by type. Shares the batch hopping oracle. */
   def hoppingCountsStreamed(spark: SparkSession,
-      events: Seq[(Timestamp, String)]): DataFrame = {
+      events: Seq[(Timestamp, String)]): DataFrame =
+      withStatePartitions(spark, events.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
@@ -291,7 +325,8 @@ object StreamDriver {
     * engine in append mode; same sentinel mechanics as
     * [[windowCountsStreamed]], same oracle as the batch twin. */
   def windowUsersStreamed(spark: SparkSession,
-      events: Seq[(Timestamp, Long)]): DataFrame = {
+      events: Seq[(Timestamp, Long)]): DataFrame =
+      withStatePartitions(spark, events.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
@@ -334,7 +369,8 @@ object StreamDriver {
     * timestamp advances the watermark to flush every in-flight window;
     * its type is filtered by NAME, never by offset. */
   def seasonalStreamed(spark: SparkSession,
-      events: Seq[(Timestamp, String)]): DataFrame = {
+      events: Seq[(Timestamp, String)]): DataFrame =
+      withStatePartitions(spark, events.size.toLong) {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -374,7 +410,8 @@ object StreamDriver {
     * past every real session's close. Returns the MATERIALIZED
     * (user_id, session_start, n_events) rows. */
   def sessionsStreamed(spark: SparkSession,
-      events: Seq[(Long, Timestamp)]): DataFrame = {
+      events: Seq[(Long, Timestamp)]): DataFrame =
+      withStatePartitions(spark, events.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
@@ -409,7 +446,8 @@ object StreamDriver {
     * MATERIALIZED (user_id, stage, qts) progression rows. */
   def funnelStreamed(spark: SparkSession,
       events: Seq[(Long, Timestamp, String)],
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String]): DataFrame =
+      withStatePartitions(spark, events.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
@@ -445,7 +483,8 @@ object StreamDriver {
   def intervalJoinStreamed(spark: SparkSession,
       lefts: Seq[(Long, Long, Timestamp)],
       rights: Seq[(Long, Timestamp, Double)],
-      lookback: String): DataFrame = {
+      lookback: String): DataFrame =
+      withStatePartitions(spark, lefts.size.toLong + rights.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val lm = MemoryStream[(Long, Long, Timestamp)]
@@ -479,7 +518,8 @@ object StreamDriver {
     * the SAME columns (and the same `round`) as the batch
     * [[EventStream.rollingUserStats]], so both check against one oracle. */
   def rollingStreamed(spark: SparkSession,
-      events: Seq[(Long, Timestamp, Long, Double)], frame: Int = 5): DataFrame = {
+      events: Seq[(Long, Timestamp, Long, Double)], frame: Int = 5): DataFrame =
+      withStatePartitions(spark, events.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val em = MemoryStream[(Long, Timestamp, Long, Double)]
@@ -514,7 +554,8 @@ object StreamDriver {
     * the SAME (prev_type, next_type, n_transitions, n_users) matrix — and
     * the same oracle — as the batch [[EventStream.transitions]]. */
   def transitionsStreamed(spark: SparkSession,
-      events: Seq[(Long, Timestamp, Long, String)]): DataFrame = {
+      events: Seq[(Long, Timestamp, Long, String)]): DataFrame =
+      withStatePartitions(spark, events.size.toLong) {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -552,7 +593,8 @@ object StreamDriver {
     * distinct shingle hashes (each global minimum is within its own
     * shard's k smallest, so the union covers it). Returns (rank, v). */
   def kmvStreamed(spark: SparkSession, batches: Seq[Seq[(Long, String)]],
-      k: Int = 64, numShards: Int = 8): DataFrame = {
+      k: Int = 64, numShards: Int = 8): DataFrame =
+      withStatePartitions(spark, batches.map(_.size.toLong).sum) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
@@ -591,7 +633,8 @@ object StreamDriver {
     * cap/numShards, so overshoot needs a ~numShards-fold hash clump). */
   def quantileSketchStreamed(spark: SparkSession,
       batches: Seq[Seq[(String, Long, String)]], ps: Seq[Int] = Seq(50, 90, 99),
-      cap: Int = 512, numShards: Int = 8): DataFrame = {
+      cap: Int = 512, numShards: Int = 8): DataFrame =
+      withStatePartitions(spark, batches.map(_.size.toLong).sum) {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -643,7 +686,8 @@ object StreamDriver {
     * not by offset. */
   def gapFillStreamed(spark: SparkSession,
       rows: Seq[(String, Timestamp, Double)],
-      bucketSec: Long = 300): DataFrame = {
+      bucketSec: Long = 300): DataFrame =
+      withStatePartitions(spark, rows.size.toLong) {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -733,7 +777,8 @@ object StreamDriver {
     * semantics (a wave is never split mid-batch), matching the
     * memory-sink twins' ascending-id feed contract. */
   def firstSeenFileSource(spark: SparkSession,
-      waves: Seq[Seq[(Long, String)]]): DataFrame = {
+      waves: Seq[Seq[(Long, String)]]): DataFrame =
+      withStatePartitions(spark, waves.map(_.size.toLong).sum) {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     import spark.implicits._
@@ -758,7 +803,8 @@ object StreamDriver {
 
   /** [[firstSeenStreamed]] through the parquet file sink. */
   def firstSeenFileSink(spark: SparkSession,
-      batches: Seq[Seq[(Long, String)]]): DataFrame = {
+      batches: Seq[Seq[(Long, String)]]): DataFrame =
+      withStatePartitions(spark, batches.map(_.size.toLong).sum) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
@@ -776,7 +822,8 @@ object StreamDriver {
     * its row is filtered on the read-back side exactly as the memory-sink
     * variant filters its view. */
   def windowCountsFileSink(spark: SparkSession,
-      events: Seq[(Timestamp, String)]): DataFrame = {
+      events: Seq[(Timestamp, String)]): DataFrame =
+      withStatePartitions(spark, events.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
@@ -793,7 +840,8 @@ object StreamDriver {
 
   /** [[asOfStreamed]] through the parquet file sink. */
   def asOfFileSink(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],
-      rights: Seq[(Long, Timestamp, Double)]): DataFrame = {
+      rights: Seq[(Long, Timestamp, Double)]): DataFrame =
+      withStatePartitions(spark, lefts.size.toLong + rights.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val lm = MemoryStream[(Long, Long, Timestamp)]
@@ -814,7 +862,8 @@ object StreamDriver {
   }
 
   def asOfStreamed(spark: SparkSession, lefts: Seq[(Long, Long, Timestamp)],
-      rights: Seq[(Long, Timestamp, Double)]): DataFrame = {
+      rights: Seq[(Long, Timestamp, Double)]): DataFrame =
+      withStatePartitions(spark, lefts.size.toLong + rights.size.toLong) {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val lm = MemoryStream[(Long, Long, Timestamp)]

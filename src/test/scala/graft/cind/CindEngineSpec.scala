@@ -286,7 +286,8 @@ class CindEngineSpec extends SparkSpec {
         spark.conf.set("spark.graft.cind.hotLineSaltThreshold", "1000")
       }
       try {
-        val (dict, lines, _) = CindEngine.encodedJoinLines(triples, minSupport = 1)
+        val enc = CindEngine.encodedJoinLines(triples, minSupport = 1)
+        val (dict, lines) = (enc.dict, enc.lines)
         val rows = lines.select(col("join_val"), explode(col("ids")).as("id"))
           .join(dict.select(col("id"), col("code"), col("v1"), col("v2")), "id")
           .select(col("join_val"), col("code"), col("v1"), col("v2"))
